@@ -1,0 +1,167 @@
+"""Tile codec round-trips, geometry kit, WKB, STRtree, cell grid."""
+
+import numpy as np
+from numpy.testing import assert_allclose, assert_array_equal
+
+from balrog_ray.geo import wkb
+from balrog_ray.geo.cells import CellGrid
+from balrog_ray.geo.geometry import (Polygon, azimuth_deg, clip_to_rect,
+                                     polygon_contains, polygon_distance,
+                                     rasterize, subdivide)
+from balrog_ray.geo.strtree import STRtree
+from balrog_ray.tiles import synth
+from balrog_ray.tiles.codec import (Caption, decode_tile, encode_tile,
+                                    phash64, psnr)
+
+
+def test_npy_roundtrip_lossless():
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-100, 500, (64, 64)).astype(np.float32)
+    payload, cap = encode_tile(a, "npy")
+    assert_array_equal(decode_tile(payload, "npy", cap), a)
+
+
+def test_png16_roundtrip_psnr():
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-99, 400, (64, 64))
+    payload, cap = encode_tile(a, "png", Caption("dem", 0, 0, 25.0))
+    out = decode_tile(payload, "png", cap)
+    assert psnr(a, out) >= 40.0
+    # integer class rasters survive png16 exactly
+    classes = rng.integers(1, 8, (32, 32)).astype(np.float64)
+    payload, cap = encode_tile(classes, "png", Caption("veg", 0, 0, 25.0))
+    assert_allclose(decode_tile(payload, "png", cap), classes, atol=1e-2)
+
+
+def test_phash_deterministic_and_sensitive():
+    a = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
+    assert phash64(a) == phash64(a.copy())
+    b = a.copy()
+    b[:32] += 1e6
+    assert phash64(a) != phash64(b)
+
+
+def test_caption_roundtrip():
+    c = Caption("dem", 100.0, 200.0, 25.0, edge={"n": True, "s": False,
+                                                 "e": False, "w": True},
+                tx=3, ty=1)
+    assert Caption.from_json(c.to_json()) == c
+
+
+SQUARE = Polygon(np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]))
+
+
+def test_point_in_polygon():
+    pts = np.array([[5.0, 5], [15, 5], [-1, -1], [9.99, 9.99]])
+    assert_array_equal(polygon_contains(pts, SQUARE),
+                       [True, False, False, True])
+
+
+def test_polygon_with_hole():
+    donut = Polygon(np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]),
+                    holes=[np.array([[4.0, 4], [6, 4], [6, 6], [4, 6]])])
+    pts = np.array([[5.0, 5], [2, 2]])
+    assert_array_equal(polygon_contains(pts, donut), [False, True])
+    assert np.isclose(donut.area, 100 - 4)
+
+
+def test_polygon_distance_and_azimuth():
+    pts = np.array([[15.0, 5], [5, 5], [12, 13]])
+    dist, nearest, inside = polygon_distance(pts, SQUARE)
+    assert_allclose(dist, [5.0, 0.0, np.hypot(2, 3)])
+    assert_array_equal(inside, [False, True, False])
+    assert_allclose(nearest[0], [10, 5])
+    # azimuth: due west from (15,5) to (10,5) is 270
+    assert_allclose(azimuth_deg(pts[:1], nearest[:1]), [270.0])
+
+
+def test_clip_and_subdivide():
+    clipped = clip_to_rect(SQUARE, 5, 5, 20, 20)
+    assert np.isclose(clipped.area, 25.0)
+    assert clip_to_rect(SQUARE, 20, 20, 30, 30) is None
+    parts = subdivide(SQUARE, max_vertices=128, max_extent=4.0)
+    assert len(parts) >= 4
+    assert np.isclose(sum(p.area for p in parts), SQUARE.area)
+
+
+def test_wkb_roundtrip():
+    poly = Polygon(np.array([[0.0, 0], [4, 0], [4, 4], [0, 4]]),
+                   holes=[np.array([[1.0, 1], [2, 1], [2, 2], [1, 2]])])
+    back = wkb.from_wkb(wkb.polygon_to_wkb(poly))
+    assert_allclose(back.exterior, poly.exterior)
+    assert len(back.holes) == 1
+    assert wkb.from_wkb(wkb.point_to_wkb(3.5, -2.0)) == (3.5, -2.0)
+    multi = wkb.from_wkb(wkb.multipolygon_to_wkb([poly, SQUARE]))
+    assert len(multi) == 2 and np.isclose(multi[1].area, 100)
+
+
+def test_strtree_query_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    lo = rng.uniform(0, 100, (300, 2))
+    sz = rng.uniform(1, 10, (300, 2))
+    boxes = np.column_stack([lo, lo + sz])
+    tree = STRtree(boxes)
+    for _ in range(30):
+        q = np.sort(rng.uniform(0, 110, 2))
+        qy = np.sort(rng.uniform(0, 110, 2))
+        qbox = (q[0], qy[0], q[1], qy[1])
+        brute = np.where((boxes[:, 0] <= qbox[2]) & (boxes[:, 2] >= qbox[0])
+                         & (boxes[:, 1] <= qbox[3])
+                         & (boxes[:, 3] >= qbox[1]))[0]
+        assert set(tree.query(qbox)) == set(brute)
+
+
+def test_strtree_nearest():
+    boxes = np.array([[i * 10.0, 0, i * 10.0 + 1, 1] for i in range(20)])
+    tree = STRtree(boxes)
+    idx, dist = tree.nearest(35.0, 0.5, k=3)
+    assert set(idx[:2]) == {3, 4}  # boxes at x=30..31 and 40..41
+    assert dist[0] > 0
+
+
+def test_strtree_empty():
+    tree = STRtree(np.empty((0, 4)))
+    assert len(tree.query((0, 0, 1, 1))) == 0
+    idx, _ = tree.nearest(0, 0)
+    assert len(idx) == 0
+
+
+def test_cellgrid():
+    g = CellGrid(x0=0, y0=1000, cell_size=100, nx=10, ny=10)
+    assert g.cell_of(50, 950) == 0          # NW corner cell
+    assert g.cell_of(950, 50) == 99         # SE corner cell
+    assert g.cell_of(-5, 500) == -1
+    ring = g.k_ring(g.cell_id(5, 5), 1)
+    assert len(ring) == 9 and g.cell_id(5, 5) in ring
+    assert len(g.k_ring(0, 1)) == 4         # corner clipping
+    cells = g.cells_for_bbox(140, 540, 260, 760)
+    assert len(cells) == 2 * 3              # 2 cols x 3 rows
+    nbrs = g.neighbours(g.cell_id(0, 0))
+    assert set(nbrs) == {"e", "s", "se"}
+
+
+def test_rasterize_matches_pip():
+    cfg = synth.SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    polys = synth.make_veg_polygons(cfg)
+    arr = synth.veg_window(cfg, polys, 0, 0, 64, 64)
+    # every painted class must be a valid class; background is nodata
+    vals = np.unique(arr)
+    assert set(vals).issubset({-99.0, 1, 2, 3, 4, 5, 7})
+    assert (arr != -99.0).any()
+
+
+def test_synth_tiles_table_schema_and_determinism():
+    cfg = synth.SynthConfig()
+    t1 = synth.tiles_table(cfg)
+    t2 = synth.tiles_table(cfg)
+    assert t1.schema.equals(synth.TILES_SCHEMA)
+    assert t1.equals(t2)
+    assert t1.num_rows == 2 * 16
+    # decoded tile matches the analytic window (npy = lossless)
+    row = t1.slice(0, 1).to_pylist()[0]
+    cap = Caption.from_json(row["caption"])
+    arr = decode_tile(row["bytes"], row["fmt"], cap)
+    exp = synth.dem_window(cfg, cap.ty * cfg.tile_px, cap.tx * cfg.tile_px,
+                           cfg.tile_px, cfg.tile_px)
+    assert psnr(exp, arr) >= 40.0
+    assert phash64(arr) == row["phash"]
