@@ -1,0 +1,120 @@
+"""Tiled Ray pipeline vs whole-raster NumPy oracle: exact parity, plus
+checkpoint/resume byte-identity (F10) and the streaming histogram."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from numpy.testing import assert_array_equal
+
+from balrog_ray.core.kernels import compute_bal, slope_aspect
+from balrog_ray.core.remap import ASPECT_RECLASS, apply_remap, slope_reclass
+from balrog_ray.pipelines import bal_pipeline as bp
+from balrog_ray.stages.halo import GridSpec
+from balrog_ray.tiles import synth
+from balrog_ray.tiles.codec import Caption, decode_tile
+
+CFG = synth.SynthConfig(tiles_x=4, tiles_y=4, tile_px=64)
+SPEC = GridSpec.from_synth(CFG)
+
+
+def oracle_bands(cfg):
+    """Whole-raster reference run (the Gen-1 execution model)."""
+    dem, veg = synth.global_arrays(cfg)
+    slope, aspect = slope_aspect(dem, cfg.pixel_size, cfg.pixel_size)
+    aspect_c = apply_remap(aspect, ASPECT_RECLASS).astype(np.float64)
+    slope_c = apply_remap(slope, slope_reclass()).astype(np.float64)
+    return compute_bal(veg, slope_c, aspect_c, cfg.pixel_size, 80)
+
+
+def reassemble(rows, band, cfg):
+    out = np.full(cfg.world_px, np.nan, dtype=np.float32)
+    T = cfg.tile_px
+    for row in rows:
+        cap = Caption.from_json(row["caption"])
+        if cap.layer != f"bal_{band}":
+            continue
+        arr = decode_tile(row["bytes"], row["fmt"], cap)
+        out[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+    assert not np.isnan(out).any()
+    return out
+
+
+@pytest.fixture(scope="module")
+def bal_rows(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth.tiles_table(CFG))
+    return bp.bal_pipeline(ds, SPEC, fdi=80).take_all()
+
+
+def test_tiled_matches_whole_raster_oracle(bal_rows):
+    expected = oracle_bands(CFG)
+    for band in bp.ALL_BANDS:
+        got = reassemble(bal_rows, band, CFG)
+        assert_array_equal(got, expected[band].astype(np.float32),
+                           err_msg=f"band {band}")
+
+
+def test_output_rows_complete(bal_rows):
+    assert len(bal_rows) == CFG.tiles_x * CFG.tiles_y * len(bp.ALL_BANDS)
+    ids = {r["image_id"] for r in bal_rows}
+    assert "bal_max/0/0" in ids and "bal_w/3/3" in ids
+
+
+def test_checkpoint_resume_byte_identical(ray_session, tmp_path):
+    import ray.data
+
+    tiles = synth.tiles_table(CFG)
+    clean_dir = str(tmp_path / "clean")
+    part_dir = str(tmp_path / "resumable")
+
+    # uninterrupted run
+    ds = ray.data.from_arrow(tiles)
+    lineage = bp.bal_pipeline(ds, SPEC, out_dir=clean_dir).take_all()
+    assert len(lineage) == 16
+    assert all(r["status"] == "done" for r in lineage)
+
+    # "killed" run: only the first two tile rows (cells 0..7) make it in
+    def keep_first_cells(batch: pa.Table) -> pa.Table:
+        caps = [Caption.from_json(c) for c in batch.column("caption").to_pylist()]
+        keep = [SPEC.cell_id(c.tx, c.ty) < 8 for c in caps]
+        return batch.filter(pa.array(keep))
+
+    partial = ray.data.from_arrow(tiles).map_batches(
+        keep_first_cells, batch_format="pyarrow")
+    bp.bal_pipeline(partial, SPEC, out_dir=part_dir).take_all()
+    done = bp.completed_cells(part_dir)
+    # only cells whose full halo neighbourhood was present may commit:
+    # the top row (0..3) has every neighbour within cells 0..7
+    assert done == {0, 1, 2, 3}
+
+    # resume with the full input: must process exactly the missing cells
+    resumed = bp.bal_pipeline(ray.data.from_arrow(tiles), SPEC,
+                              out_dir=part_dir, resume=True).take_all()
+    assert {r["cell_id"] for r in resumed} == set(range(16)) - done
+
+    # byte-identical partitioned output vs the clean run
+    for cell in range(16):
+        a = open(os.path.join(clean_dir, f"cell={cell}", "bands.parquet"),
+                 "rb").read()
+        b = open(os.path.join(part_dir, f"cell={cell}", "bands.parquet"),
+                 "rb").read()
+        assert a == b, f"cell {cell} differs after resume"
+
+
+def test_band_histogram(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(synth.tiles_table(CFG))
+    bal = bp.bal_pipeline(ds, SPEC)
+    hist = bp.band_histogram(bal).take_all()
+    total_px = CFG.world_px[0] * CFG.world_px[1]
+    per_band = {}
+    for r in hist:
+        per_band.setdefault(r["band"], 0)
+        per_band[r["band"]] += r["pixels"]
+    assert set(per_band) == set(bp.ALL_BANDS)
+    for band, n in per_band.items():
+        assert n == total_px, f"band {band} histogram incomplete"
