@@ -1,0 +1,236 @@
+"""Spatial join of sites/tiles against vegetation polygons.
+
+Two physical plans for the same logical join, mirroring the scale split the
+reference handles with PostGIS GiST + fiona spatial filters
+(``xx_fiona_testing.py:153-218``):
+
+* **Broadcast** (:class:`VegJoinActor`): the polygon table is ``ray.put``
+  once; every actor builds an STR-tree in ``__init__`` and probes batches in
+  ``__call__`` -- the open-once-per-worker pattern of
+  ``testing/02_get_slope_from_buffer.py:204-206``.  Right for dimension-
+  sized polygon sets (the common case: polygons are tiny next to 10^12
+  tiles).
+* **Partitioned** (:func:`partitioned_spatial_join`): polygons are
+  flat-mapped to every grid cell they (padded) intersect, probes keyed by
+  their cell, one ``groupby(cell)`` co-locates both sides, and a per-group
+  STR-tree joins locally.  Hot cells are salted: probes spread across
+  ``n_salt`` sub-keys and the cell's polygons are replicated per salt --
+  the ``st_subdivide`` + per-class-process skew handling of the reference
+  (``03_explode_multipolygons_and_classify.sql:66-80``) done as keyspace
+  surgery instead.
+
+Join outputs: per-site containment (gid, bal_number) plus nearest polygon
+within ``max_dist`` (gid, distance, azimuth) -- the reference's
+point-in-polygon + distance-to-vegetation semantics
+(``xx_fiona_testing.py:205-218``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geo.geometry import azimuth_deg, polygon_contains, polygon_distance
+from ..geo.strtree import STRtree
+from ..geo.wkb import from_wkb
+
+OUT_OF_AREA = -9999.0
+
+JOIN_SCHEMA = pa.schema([
+    ("site_id", pa.string()),
+    ("x", pa.float64()),
+    ("y", pa.float64()),
+    ("in_gid", pa.int64()),          # containing polygon gid, -1 if none
+    ("in_bal_number", pa.int16()),   # containing class, -1 if none
+    ("near_gid", pa.int64()),        # nearest polygon within max_dist, -1
+    ("near_bal_number", pa.int16()),
+    ("distance_m", pa.float64()),    # 0 when inside; OUT_OF_AREA if none
+    ("azimuth_deg", pa.float64()),
+])
+
+
+class _PolyIndex:
+    """Decoded polygon set + STR-tree; built once, probed many times."""
+
+    def __init__(self, veg_table: pa.Table):
+        self.gids = veg_table.column("gid").to_numpy()
+        self.classes = veg_table.column("bal_number").to_numpy()
+        self.polys = [from_wkb(w) for w in veg_table.column("geom").to_pylist()]
+        boxes = (np.stack([p.bbox for p in self.polys])
+                 if self.polys else np.empty((0, 4)))
+        self.tree = STRtree(boxes)
+
+    def join_points(self, site_id, x, y, max_dist: float) -> pa.Table:
+        n = len(x)
+        in_gid = np.full(n, -1, dtype=np.int64)
+        in_cls = np.full(n, -1, dtype=np.int16)
+        near_gid = np.full(n, -1, dtype=np.int64)
+        near_cls = np.full(n, -1, dtype=np.int16)
+        dist = np.full(n, OUT_OF_AREA, dtype=np.float64)
+        azim = np.full(n, OUT_OF_AREA, dtype=np.float64)
+        for i in range(n):
+            px, py = float(x[i]), float(y[i])
+            cands = self.tree.query((px - max_dist, py - max_dist,
+                                     px + max_dist, py + max_dist))
+            if len(cands) == 0:
+                continue
+            best_d, best_j, best_near = np.inf, -1, None
+            pt = np.array([[px, py]])
+            for j in sorted(cands):          # gid order => deterministic
+                d, nearest, inside = polygon_distance(pt, self.polys[j])
+                if inside[0] and in_gid[i] < 0:
+                    in_gid[i] = self.gids[j]
+                    in_cls[i] = self.classes[j]
+                if d[0] < best_d:
+                    best_d, best_j, best_near = float(d[0]), j, nearest[0]
+            if best_j >= 0 and best_d <= max_dist:
+                near_gid[i] = self.gids[best_j]
+                near_cls[i] = self.classes[best_j]
+                dist[i] = best_d
+                azim[i] = (0.0 if best_d == 0.0
+                           else float(azimuth_deg(pt, best_near[None, :])[0]))
+        return pa.table({
+            "site_id": site_id, "x": x, "y": y,
+            "in_gid": in_gid, "in_bal_number": in_cls,
+            "near_gid": near_gid, "near_bal_number": near_cls,
+            "distance_m": dist, "azimuth_deg": azim,
+        }, schema=JOIN_SCHEMA)
+
+
+class VegJoinActor:
+    """Actor-pool stage: ``map_batches(VegJoinActor, fn_constructor_args=
+    (veg_ref, max_dist), concurrency=N)``.  The polygon table rides the
+    object store once (``ray.put``) and the tree is built per actor."""
+
+    def __init__(self, veg_ref, max_dist: float = 100.0):
+        import ray
+
+        table = ray.get(veg_ref) if not isinstance(veg_ref, pa.Table) \
+            else veg_ref
+        self.index = _PolyIndex(table)
+        self.max_dist = max_dist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.index.join_points(
+            batch.column("site_id").to_pylist(),
+            batch.column("x").to_numpy(),
+            batch.column("y").to_numpy(), self.max_dist)
+
+
+def broadcast_spatial_join(sites_ds, veg_table: pa.Table,
+                           max_dist: float = 100.0, concurrency=(1, 4),
+                           batch_size: int = 4096):
+    """The default plan: broadcast polygons, stream sites through an
+    STR-tree actor pool."""
+    import ray
+
+    veg_ref = ray.put(veg_table)
+    return sites_ds.map_batches(
+        VegJoinActor, fn_constructor_args=(veg_ref, max_dist),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def polygons_to_cells(veg_table: pa.Table, grid, pad: float = 0.0) -> pa.Table:
+    """(gid, cell_id) cover rows: every grid cell a polygon's bbox
+    (padded by ``pad``) intersects -- the tile-to-cell assignment side of
+    the join parity check."""
+    gids, cells = [], []
+    for gid, wkb_bytes in zip(veg_table.column("gid").to_pylist(),
+                              veg_table.column("geom").to_pylist()):
+        poly = from_wkb(wkb_bytes)
+        bb = poly.bbox
+        for c in grid.cells_for_bbox(bb[0], bb[1], bb[2], bb[3], pad=pad):
+            gids.append(gid)
+            cells.append(int(c))
+    return pa.table({"gid": pa.array(gids, pa.int64()),
+                     "cell_id": pa.array(cells, pa.int64())})
+
+
+def partitioned_spatial_join(sites_ds, veg_table: pa.Table, grid,
+                             max_dist: float = 100.0,
+                             hot_cell_threshold: int = 64,
+                             n_salt: int = 4):
+    """Shuffle-join plan for polygon sets too big to broadcast.
+
+    Polygons are flat-mapped to the padded cells they cover (so any probe
+    within ``max_dist`` of a polygon shares a key with it); sites take their
+    own cell.  Cells whose polygon count exceeds ``hot_cell_threshold`` are
+    salted: sites hash into ``n_salt`` sub-keys, polygons replicate to all.
+    """
+    import ray.data
+
+    cover = polygons_to_cells(veg_table, grid, pad=max_dist)
+    counts = {}
+    for c in cover.column("cell_id").to_numpy():
+        counts[int(c)] = counts.get(int(c), 0) + 1
+    hot = {c for c, n in counts.items() if n > hot_cell_threshold}
+
+    by_gid = {int(g): i for i, g in
+              enumerate(veg_table.column("gid").to_pylist())}
+    veg_rows = veg_table.to_pylist()
+
+    poly_items = {"key": [], "kind": [], "site_id": [], "x": [], "y": [],
+                  "gid": [], "bal_number": [], "geom": []}
+    for gid, cell in zip(cover.column("gid").to_pylist(),
+                         cover.column("cell_id").to_pylist()):
+        row = veg_rows[by_gid[gid]]
+        salts = range(n_salt) if cell in hot else (0,)
+        for s in salts:
+            poly_items["key"].append(int(cell) * n_salt + s)
+            poly_items["kind"].append("poly")
+            poly_items["site_id"].append("")
+            poly_items["x"].append(0.0)
+            poly_items["y"].append(0.0)
+            poly_items["gid"].append(gid)
+            poly_items["bal_number"].append(row["bal_number"])
+            poly_items["geom"].append(row["geom"])
+    tagged_schema = pa.schema([
+        ("key", pa.int64()), ("kind", pa.string()), ("site_id", pa.string()),
+        ("x", pa.float64()), ("y", pa.float64()), ("gid", pa.int64()),
+        ("bal_number", pa.int16()), ("geom", pa.binary())])
+    poly_ds = ray.data.from_arrow(pa.table(poly_items, schema=tagged_schema))
+
+    def site_key(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        cell = grid.cell_of(x, y)
+        ids = batch.column("site_id").to_pylist()
+        # stable salt (crc32, not hash()) so partitioning is reproducible
+        salt = np.array([zlib.crc32(i.encode()) % n_salt
+                         if int(c) in hot else 0
+                         for i, c in zip(ids, cell)], dtype=np.int64)
+        return pa.table({
+            "key": pa.array(cell * n_salt + salt, pa.int64()),
+            "kind": pa.array(["site"] * len(ids)),
+            "site_id": batch.column("site_id"),
+            "x": batch.column("x"), "y": batch.column("y"),
+            "gid": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "bal_number": pa.array(np.zeros(len(ids), dtype=np.int16)),
+            "geom": pa.array([b""] * len(ids), pa.binary()),
+        }, schema=tagged_schema)
+
+    tagged_sites = sites_ds.map_batches(site_key, batch_format="pyarrow")
+
+    def join_group(group: pa.Table) -> pa.Table:
+        kinds = group.column("kind").to_pylist()
+        poly_mask = pa.array([k == "poly" for k in kinds])
+        site_mask = pa.array([k == "site" for k in kinds])
+        polys = group.filter(poly_mask)
+        sites = group.filter(site_mask)
+        if sites.num_rows == 0:
+            return pa.table({n: [] for n in JOIN_SCHEMA.names},
+                            schema=JOIN_SCHEMA)
+        index = _PolyIndex(pa.table({
+            "gid": polys.column("gid"),
+            "bal_number": polys.column("bal_number"),
+            "geom": polys.column("geom")}))
+        return index.join_points(sites.column("site_id").to_pylist(),
+                                 sites.column("x").to_numpy(),
+                                 sites.column("y").to_numpy(), max_dist)
+
+    return (tagged_sites.union(poly_ds)
+            .groupby("key")
+            .map_groups(join_group, batch_format="pyarrow"))

@@ -1,0 +1,135 @@
+"""Spatial join (broadcast + partitioned) and zonal stats vs single-process
+oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from numpy.testing import assert_allclose
+
+from balrog_ray.geo.geometry import polygon_distance
+from balrog_ray.geo.wkb import from_wkb
+from balrog_ray.stages import spatial_join as sj
+from balrog_ray.stages.halo import GridSpec
+from balrog_ray.stages.zonal import circular_median, zonal_stats
+from balrog_ray.core.kernels import slope_aspect
+from balrog_ray.tiles import synth
+
+CFG = synth.SynthConfig(tiles_x=4, tiles_y=4, tile_px=64)
+SPEC = GridSpec.from_synth(CFG)
+MAX_DIST = 100.0
+
+
+def oracle_join(sites, veg):
+    """Brute-force reference: PIP (lowest gid wins) + exact nearest within
+    MAX_DIST (lowest gid on ties)."""
+    polys = [from_wkb(w) for w in veg.column("geom").to_pylist()]
+    gids = veg.column("gid").to_pylist()
+    classes = veg.column("bal_number").to_pylist()
+    rows = []
+    for r in sites.to_pylist():
+        pt = np.array([[r["x"], r["y"]]])
+        in_gid, in_cls = -1, -1
+        best = (np.inf, -1, -1)
+        for gid, cls, poly in zip(gids, classes, polys):
+            d, _, inside = polygon_distance(pt, poly)
+            if inside[0] and in_gid < 0:
+                in_gid, in_cls = gid, cls
+            if d[0] < best[0]:
+                best = (float(d[0]), gid, cls)
+        near = best if best[0] <= MAX_DIST else (sj.OUT_OF_AREA, -1, -1)
+        rows.append({"site_id": r["site_id"], "in_gid": in_gid,
+                     "in_bal_number": in_cls, "near_gid": near[1],
+                     "near_bal_number": near[2], "distance_m": near[0]})
+    return {r["site_id"]: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def world():
+    return synth.sites_table(CFG, n=48), synth.veg_polygon_table(CFG)
+
+
+def check_against_oracle(result_rows, oracle):
+    assert len(result_rows) == len(oracle)
+    for r in result_rows:
+        o = oracle[r["site_id"]]
+        assert r["in_gid"] == o["in_gid"], r["site_id"]
+        assert r["in_bal_number"] == o["in_bal_number"]
+        assert r["near_gid"] == o["near_gid"], r["site_id"]
+        assert np.isclose(r["distance_m"], o["distance_m"], atol=1e-9)
+
+
+def test_broadcast_join_matches_oracle(ray_session, world):
+    import ray.data
+
+    sites, veg = world
+    got = sj.broadcast_spatial_join(ray.data.from_arrow(sites), veg,
+                                    max_dist=MAX_DIST).take_all()
+    check_against_oracle(got, oracle_join(sites, veg))
+
+
+def test_partitioned_join_matches_oracle(ray_session, world):
+    import ray.data
+
+    sites, veg = world
+    got = sj.partitioned_spatial_join(
+        ray.data.from_arrow(sites), veg, CFG.grid, max_dist=MAX_DIST,
+        hot_cell_threshold=3, n_salt=2).take_all()
+    check_against_oracle(got, oracle_join(sites, veg))
+
+
+def test_polygons_to_cells_cover(world):
+    _, veg = world
+    cover = sj.polygons_to_cells(veg, CFG.grid)
+    gids = set(cover.column("gid").to_pylist())
+    assert gids == set(veg.column("gid").to_pylist())
+    # the skew polygon (gid 1) spans many cells
+    per_gid = {}
+    for g, c in zip(cover.column("gid").to_pylist(),
+                    cover.column("cell_id").to_pylist()):
+        per_gid.setdefault(g, set()).add(c)
+    assert len(per_gid[1]) >= 4
+    assert max(len(v) for v in per_gid.values()) <= 16
+
+
+def test_circular_median():
+    assert circular_median(np.array([10.0, 350.0, 5.0])) == pytest.approx(5.0)
+    assert circular_median(np.array([100.0, 120.0, 140.0])) == 120.0
+    assert circular_median(np.array([])) == sj.OUT_OF_AREA
+
+
+def test_zonal_stats_matches_oracle(ray_session, world):
+    import ray.data
+
+    sites, _ = world
+    dem_tiles = synth.tiles_table(CFG, layers=("dem",))
+    got = {r["site_id"]: r for r in
+           zonal_stats(ray.data.from_arrow(sites), dem_tiles, SPEC,
+                       buffer_m=100.0).take_all()}
+    # single-process oracle over the same decoded mosaic
+    dem, _ = synth.global_arrays(CFG)
+    slope, aspect = slope_aspect(dem, CFG.pixel_size, CFG.pixel_size)
+    ps = CFG.pixel_size
+    for r in sites.to_pylist():
+        res = got[r["site_id"]]
+        col, row = r["x"] / ps, (CFG.y_north - r["y"]) / ps
+        r_px = 100.0 / ps
+        c0, c1 = int(np.floor(col - r_px)), int(np.ceil(col + r_px)) + 1
+        r0, r1 = int(np.floor(row - r_px)), int(np.ceil(row + r_px)) + 1
+        c0c, c1c = max(0, c0), min(slope.shape[1], c1)
+        r0c, r1c = max(0, r0), min(slope.shape[0], r1)
+        vals = np.empty(0)
+        if c0c < c1c and r0c < r1c:
+            cc = (np.arange(c0c, c1c) + 0.5) - col
+            rr = (np.arange(r0c, r1c) + 0.5) - row
+            gx, gy = np.meshgrid(cc, rr)
+            m = (gx * gx + gy * gy <= r_px * r_px) \
+                & (slope[r0c:r1c, c0c:c1c] != -99.0)
+            vals = slope[r0c:r1c, c0c:c1c][m]
+        if len(vals) == 0:
+            assert res["pixel_count"] == 0
+            assert res["slope_avg"] == sj.OUT_OF_AREA
+        else:
+            assert res["pixel_count"] == len(vals)
+            assert_allclose(res["slope_avg"], vals.mean(), rtol=1e-5, atol=1e-5)
+            assert_allclose(res["slope_med"], np.median(vals), rtol=1e-5, atol=1e-5)
+            assert_allclose(res["slope_std"], vals.std(), rtol=1e-4, atol=1e-5)
