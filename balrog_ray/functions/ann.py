@@ -1,0 +1,158 @@
+"""Approximate-nearest-neighbour search over an embedding column.
+
+* :func:`brute_force_topk` -- exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch computes a vectorized partial
+  top-k (numpy matmul in float64), and one small ``groupby(query_id)``
+  merges partials.  This is the correctness baseline and is itself
+  scalable: per-batch work is O(batch x q), the shuffle carries only
+  q x k x #blocks candidate rows.
+* :func:`ivf_topk` -- the scale path: a deterministic k-means-lite
+  codebook (fit on a sample, driver-side), vectors assigned to their
+  nearest centroid ("inverted list"); queries probe the ``n_probe``
+  closest lists only.  Approximate: recall measured against the brute
+  baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+PAIRS_SCHEMA = pa.schema([
+    ("query_id", pa.int64()),
+    ("vec_id", pa.int64()),
+    ("cosine", pa.float64()),
+])
+
+
+def _partial_topk_fn(queries_ref, id_col, vec_col, k):
+    import ray
+
+    q = queries_ref if isinstance(queries_ref, np.ndarray) \
+        else ray.get(queries_ref)
+    qunit = _unit(np.asarray(q, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        sims = _unit(vecs) @ qunit.T                      # (n, q)
+        kk = min(k, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(qunit.shape[0]):
+            rows = top[:, qi]
+            out["query_id"].extend([qi] * len(rows))
+            out["vec_id"].extend(ids[rows].tolist())
+            out["cosine"].extend(sims[rows, qi].tolist())
+        return pa.table(out, schema=PAIRS_SCHEMA)
+
+    return fn
+
+
+def _merge_topk_fn(k):
+    def fn(group: pa.Table) -> pa.Table:
+        sims = group.column("cosine").to_numpy()
+        ids = group.column("vec_id").to_numpy()
+        qid = group.column("query_id")[0].as_py()
+        # deterministic: sort by (-cosine, vec_id)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table({"query_id": pa.array([qid] * len(order), pa.int64()),
+                         "vec_id": pa.array(ids[order], pa.int64()),
+                         "cosine": pa.array(sims[order], pa.float64())},
+                        schema=PAIRS_SCHEMA)
+    return fn
+
+
+def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     batch_size: int = 4096):
+    """Exact cosine top-k of every query against the full dataset."""
+    import ray
+
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = emb_ds.map_batches(
+        _partial_topk_fn(ref, id_col, vec_col, k),
+        batch_format="pyarrow", batch_size=batch_size)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pyarrow")
+
+
+def kmeans_lite(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                seed: int = 5) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    data = _unit(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(data), size=min(n_centroids, len(data)),
+                     replace=False)
+    cents = data[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = (data @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = data[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 2048):
+    """IVF: assign vectors to centroid lists, probe n_probe lists/query.
+
+    The codebook is fit on a limited sample (one ``limit`` pass); the
+    assignment is a stateless map keyed by centroid; the search probes
+    selected lists only -- at scale each list is its own partition.
+    """
+    import ray
+
+    sample = np.array([r[vec_col] for r in
+                       emb_ds.limit(sample_size).take_all()])
+    cents = kmeans_lite(sample, n_centroids)
+    qunit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qunit @ cents.T), axis=1)[:, :n_probe]  # (q, p)
+    cents_ref = ray.put(cents)
+    # queries that probe each list
+    list_to_queries = {}
+    for qi in range(len(qunit)):
+        for c in probe[qi]:
+            list_to_queries.setdefault(int(c), []).append(qi)
+    l2q_ref = ray.put({c: np.array(v) for c, v in list_to_queries.items()})
+    q_ref = ray.put(qunit)
+
+    def assign_and_search(batch: pa.Table) -> pa.Table:
+        cents_l = ray.get(cents_ref)
+        l2q = ray.get(l2q_ref)
+        qmat = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
+                              dtype=np.float64))
+        assign = (vecs @ cents_l.T).argmax(axis=1)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for c in np.unique(assign):
+            qids = l2q.get(int(c))
+            if qids is None:
+                continue
+            members = assign == c
+            sims = vecs[members] @ qmat[qids].T       # (m, |qids|)
+            mids = ids[members]
+            kk = min(k, len(mids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            for col, qi in enumerate(qids):
+                rows = top[:, col]
+                out["query_id"].extend([int(qi)] * len(rows))
+                out["vec_id"].extend(mids[rows].tolist())
+                out["cosine"].extend(sims[rows, col].tolist())
+        return pa.table(out, schema=PAIRS_SCHEMA)
+
+    partial = emb_ds.map_batches(assign_and_search, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pyarrow")

@@ -1,0 +1,249 @@
+"""Deduplication family over a documents table.
+
+Every variant is expressed Ray-Data-first:
+
+* **exact**      -- content hash -> ``groupby(hash)`` -> keep min doc_id
+  (hash-partitioned first-wins, the ``select distinct`` shape).
+* **minhash LSH**-- shingle -> 64-perm minhash -> band buckets via
+  ``flat_map`` -> ``groupby(bucket)`` -> candidate pairs -> exact-Jaccard
+  verify.  One shuffle keyed by band bucket; no O(n^2) stage.
+* **simhash**    -- 64-bit simhash, bucketed by 16-bit chunks (Hamming <= 3
+  guarantee via pigeonhole across 4 chunks).
+* **n-gram Jaccard** -- the exact verifier, also usable standalone.
+* **embedding cosine** -- near-dup pairs over an embedding column via
+  random-hyperplane LSH buckets + exact cosine verify.
+
+All hashing is seeded and deterministic across processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+# ---------------------------------------------------------------- exact
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    hs = [int.from_bytes(hashlib.sha1(t.encode()).digest()[:8], "big",
+                         signed=True)
+          for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("content_hash", pa.array(hs, pa.int64()))
+
+
+def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the lowest-id document per distinct text.  Returns a Dataset of
+    surviving (doc_id, content_hash)."""
+    import ray.data.aggregate as agg
+
+    hashed = docs_ds.map_batches(
+        lambda b: content_hash_batch(b, text_col), batch_format="pyarrow")
+    return (hashed.select_columns([id_col, "content_hash"])
+            .groupby("content_hash")
+            .aggregate(agg.Min(id_col, alias_name="keep_id")))
+
+
+# ------------------------------------------------------------- shingles
+
+def shingle_set(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle hash set (sorted unique uint64)."""
+    if len(text) < k:
+        data = [text]
+    else:
+        data = [text[i:i + k] for i in range(len(text) - k + 1)]
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "big") for s in data),
+        dtype=np.uint64, count=len(data))
+    return np.unique(hs)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True)
+    union = len(a) + len(b) - len(inter)
+    return len(inter) / union if union else 1.0
+
+
+# -------------------------------------------------------------- minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(n_perm: int, seed: int = 17):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=n_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, n_perm: int = 64,
+                      seed: int = 17) -> np.ndarray:
+    """(a*x + b) mod p universal-hash minhash, vectorized over shingles."""
+    a, b = _perm_params(n_perm, seed)
+    if len(shingles) == 0:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (n_perm, n_shingles) in uint64 modular arithmetic
+        prod = (shingles[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+    return prod.min(axis=1)
+
+
+def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", n_perm: int = 64,
+                      bands: int = 16, k: int = 5,
+                      threshold: float = 0.8):
+    """Candidate generation by banded minhash + exact-Jaccard verify.
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = n_perm // bands
+
+    def to_buckets(row: dict) -> list[dict]:
+        sh = shingle_set(row[text_col], k)
+        sig = minhash_signature(sh, n_perm)
+        out = []
+        for band in range(bands):
+            chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+            bucket = (band << 56) ^ (int.from_bytes(digest, "big") >> 8)
+            out.append({"bucket": np.int64(bucket - (1 << 62)),
+                        "doc_id": row[id_col], "text": row[text_col]})
+        return out
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        texts = group.column("text").to_pylist()
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        if len(ids) > 1:
+            order = np.argsort(ids)
+            shingles = {i: shingle_set(texts[i], k) for i in order}
+            for ii in range(len(order)):
+                for jj in range(ii + 1, len(order)):
+                    a, b = order[ii], order[jj]
+                    if ids[a] == ids[b]:
+                        continue
+                    j = jaccard(shingles[a], shingles[b])
+                    if j >= threshold:
+                        out["id_a"].append(ids[a])
+                        out["id_b"].append(ids[b])
+                        out["jaccard"].append(j)
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64()),
+                         "jaccard": pa.array(out["jaccard"], pa.float64())})
+
+    pairs = (docs_ds.flat_map(to_buckets)
+             .groupby("bucket")
+             .map_groups(verify_group, batch_format="pyarrow"))
+    # a pair can match in several bands -> dedup by (id_a, id_b)
+    import ray.data.aggregate as agg
+
+    return (pairs.groupby(["id_a", "id_b"])
+            .aggregate(agg.Max("jaccard", alias_name="jaccard")))
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash64(text: str, k: int = 5) -> int:
+    sh = shingle_set(text, k)
+    if len(sh) == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    value = 0
+    for i in range(64):
+        if votes[i] > 0:
+            value |= (1 << i)
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, k: int = 5):
+    """Near-dup pairs by simhash: bucket on each of 4 16-bit chunks
+    (pigeonhole: hamming <= 3 implies one identical chunk), verify
+    Hamming distance exactly."""
+
+    def to_buckets(row: dict) -> list[dict]:
+        h = simhash64(row[text_col], k)
+        uh = h & 0xFFFFFFFFFFFFFFFF
+        out = []
+        for c in range(4):
+            chunk = (uh >> (16 * c)) & 0xFFFF
+            out.append({"bucket": np.int64((c << 16) | chunk),
+                        "doc_id": row[id_col], "simhash": np.int64(h)})
+        return out
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        ids = np.array(group.column("doc_id").to_pylist())
+        hashes = np.array(group.column("simhash").to_pylist(),
+                          dtype=np.int64).astype(np.uint64)
+        out = {"id_a": [], "id_b": [], "hamming": []}
+        order = np.argsort(ids)
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                a, b = order[ii], order[jj]
+                if ids[a] == ids[b]:
+                    continue
+                d = int(bin(int(hashes[a] ^ hashes[b])).count("1"))
+                if d <= max_hamming:
+                    out["id_a"].append(int(ids[a]))
+                    out["id_b"].append(int(ids[b]))
+                    out["hamming"].append(d)
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64()),
+                         "hamming": pa.array(out["hamming"], pa.int64())})
+
+    import ray.data.aggregate as agg
+
+    return (docs_ds.flat_map(to_buckets)
+            .groupby("bucket")
+            .map_groups(verify_group, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(agg.Min("hamming", alias_name="hamming")))
+
+
+# --------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95, n_planes: int = 12,
+                        seed: int = 23):
+    """Cosine near-dup pairs via random-hyperplane LSH buckets + exact
+    verify.  Multi-probe: each vector lands in its sign bucket only, so
+    recall < 1 for borderline pairs; raise n_probe by lowering n_planes."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((vecs.shape[1], n_planes))
+        signs = (vecs @ planes) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for b in range(n_planes):
+            bucket = (bucket << 1) | signs[:, b]
+        return pa.table({
+            "bucket": pa.array(bucket),
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col)})
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        ids = np.array(group.column(id_col).to_pylist())
+        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        if len(ids) > 1:
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            sims = unit @ unit.T
+            ia, ib = np.where(np.triu(sims >= threshold, k=1))
+            for a, b in zip(ia, ib):
+                lo, hi = sorted((int(ids[a]), int(ids[b])))
+                out["id_a"].append(lo)
+                out["id_b"].append(hi)
+                out["cosine"].append(float(sims[a, b]))
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64()),
+                         "cosine": pa.array(out["cosine"], pa.float64())})
+
+    return (emb_ds.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(verify_group, batch_format="pyarrow"))

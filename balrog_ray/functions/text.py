@@ -1,0 +1,138 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All pure batch transforms (pyarrow in/out), designed for
+``map_batches``: language-ID (char n-gram heuristic), quality scoring,
+token counting (whitespace + BPE-ish regex), rolling-hash document
+fingerprinting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# GPT-2-style pretokenizer regex (public knowledge), simplified: words,
+# numbers, punctuation runs, whitespace collapsed
+BPE_SPLIT = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been on at by for with as "
+    "it this that from".split())
+
+#: tiny deterministic char-trigram profiles per language -- a heuristic
+#: language identifier in the fasttext spirit but dependency-free.
+_LANG_MARKERS = {
+    "en": ["the", " th", "ing", "and", " of"],
+    "fr": ["le ", " de", "es ", "ent", "que"],
+    "es": ["de ", " de", "la ", "os ", "ión"],
+    "de": ["der", "ein", "sch", "ich", "und"],
+    "zh": [],      # CJK detected by codepoint range instead
+}
+
+
+def whitespace_tokens(text: str) -> list[str]:
+    """Split on single spaces -- deliberately matches SQL
+    ``string_split(text, ' ')`` so Ray and DuckDB oracles agree."""
+    return text.split(" ")
+
+
+def bpe_ish_tokens(text: str) -> list[str]:
+    return BPE_SPLIT.findall(text)
+
+
+def langid_heuristic(text: str) -> str:
+    """Deterministic n-gram language guess."""
+    sample = text[:2000].lower()
+    if any("一" <= ch <= "鿿" for ch in sample[:200]):
+        return "zh"
+    best, best_score = "en", -1
+    for lang, markers in _LANG_MARKERS.items():
+        if not markers:
+            continue
+        score = sum(sample.count(m) for m in markers)
+        if score > best_score:
+            best, best_score = lang, score
+    return best
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document quality metrics, appended as columns."""
+    texts = batch.column(text_col).to_pylist()
+    n_tokens = np.empty(len(texts), dtype=np.int64)
+    n_bpe = np.empty(len(texts), dtype=np.int64)
+    avg_len = np.empty(len(texts), dtype=np.float64)
+    stop_ratio = np.empty(len(texts), dtype=np.float64)
+    punct_ratio = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = whitespace_tokens(t)
+        n_tokens[i] = len(toks)
+        n_bpe[i] = len(bpe_ish_tokens(t))
+        avg_len[i] = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+        stop_ratio[i] = (sum(1 for w in toks if w in STOPWORDS)
+                         / len(toks)) if toks else 0.0
+        n = len(t)
+        punct_ratio[i] = (sum(1 for ch in t
+                              if not ch.isalnum() and ch != " ") / n
+                          if n else 0.0)
+    out = batch
+    for name, arr in [("n_tokens", n_tokens), ("n_bpe_tokens", n_bpe),
+                      ("avg_token_len", avg_len),
+                      ("stopword_ratio", stop_ratio),
+                      ("punct_ratio", punct_ratio)]:
+        out = out.append_column(name, pa.array(arr))
+    return out
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    preds = [langid_heuristic(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+_FP_BASE = np.uint64(1099511628211)
+_FP_SEED = np.uint64(14695981039346656037)
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """FNV-1a per token (vector of uint64)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, tok in enumerate(tokens):
+            h = _FP_SEED
+            for b in tok.encode():
+                h = (h ^ np.uint64(b)) * _FP_BASE
+            out[i] = h
+    return out
+
+
+def fingerprint(text: str, window: int = 4) -> int:
+    """Winnowed rolling-hash document fingerprint: FNV token hashes ->
+    rolling n-gram combine -> min over the document (order-robust,
+    content-sensitive).  Returns int64."""
+    if not text:
+        return 0
+    toks = whitespace_tokens(text)
+    h = token_hashes(toks)
+    if len(h) >= window:
+        rolled = h[:len(h) - window + 1].copy()
+        with np.errstate(over="ignore"):
+            for i in range(1, window):
+                rolled = rolled * _FP_BASE + h[i:len(h) - window + 1 + i]
+    else:
+        rolled = h
+    return int(np.int64(rolled.min().astype(np.int64)))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = [fingerprint(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized token count via Arrow kernels (zero Python loop):
+    count = split_pattern(' ') list lengths."""
+    counts = pc.list_value_length(
+        pc.split_pattern(batch.column(text_col), " "))
+    return batch.append_column("n_tokens", pc.cast(counts, pa.int64()))

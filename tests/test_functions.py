@@ -1,0 +1,181 @@
+"""Training-data function tests: text analysis, dedup family, ANN."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from balrog_ray.functions import ann, dedup, text
+from balrog_ray.functions.multimodal import (ImageDecodeActor,
+                                             ImageResizeActor,
+                                             frame_sample_stub)
+from balrog_ray.tiles import synth
+
+
+def docs_table():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # dup
+        "the quick brown fox jumps over the lazy dog again and AGAIN",  # near
+        "completely different content about ray data pipelines here",
+        "short one",
+        "another unrelated sentence with many different words inside it",
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+
+def test_token_count_matches_python_split():
+    batch = docs_table()
+    out = text.token_count_batch(batch)
+    expected = [len(t.split(" ")) for t in batch.column("text").to_pylist()]
+    assert out.column("n_tokens").to_pylist() == expected
+
+
+def test_quality_and_langid_deterministic():
+    out = text.quality_batch(docs_table())
+    assert out.column("n_tokens").to_pylist()[4] == 2
+    assert all(0 <= v <= 1 for v in out.column("stopword_ratio").to_pylist())
+    lang = text.langid_batch(docs_table()).column("lang_pred").to_pylist()
+    assert lang == text.langid_batch(docs_table()).column("lang_pred").to_pylist()
+    assert text.langid_heuristic("你好世界 这是中文文本") == "zh"
+
+
+def test_fingerprint_properties():
+    t = "the quick brown fox jumps over the lazy dog"
+    assert text.fingerprint(t) == text.fingerprint(t)
+    # disjoint token sets yield different fingerprints
+    assert text.fingerprint(t) != text.fingerprint(
+        "zulu xray november papa whiskey oscar tango sierra kilo")
+    assert text.fingerprint("") == 0
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    survivors = dedup.exact_dedup(ds).take_all()
+    # 6 docs, one exact duplicate pair -> 5 distinct hashes; dup keeps id 0
+    assert len(survivors) == 5
+    kept = {r["keep_id"] for r in survivors}
+    assert 0 in kept and 1 not in kept
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.7).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found            # exact dup
+    assert (0, 2) in found or (1, 2) in found   # near dup
+    assert all(a < b for a, b in found)
+    # unrelated docs never pair
+    assert not any(3 in p or 5 in p for p in found)
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(docs_table())
+    pairs = dedup.simhash_pairs(ds, max_hamming=3).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found
+    assert not any(3 in p and 4 in p for p in found)
+
+
+def test_jaccard_exact():
+    a = dedup.shingle_set("abcdefg", k=3)
+    assert dedup.jaccard(a, a) == 1.0
+    b = dedup.shingle_set("xyzuvw", k=3)
+    assert dedup.jaccard(a, b) == 0.0
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01    # near-dup pair
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float32()))})
+    pairs = dedup.embedding_dup_pairs(ray.data.from_arrow(tbl),
+                                      threshold=0.98).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(3, 7)}
+
+
+@pytest.fixture(scope="module")
+def emb_data():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 32))
+    queries = rng.standard_normal((5, 32))
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float32()))})
+    return tbl, vecs, queries
+
+
+def numpy_topk(vecs, queries, k):
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1, n)
+    # float32 storage roundtrip to match the dataset column
+    sims = unit(vecs.astype(np.float32).astype(np.float64)) @ unit(queries).T
+    out = {}
+    for qi in range(queries.shape[0]):
+        order = np.lexsort((np.arange(len(vecs)), -sims[:, qi]))[:k]
+        out[qi] = list(order)
+    return out
+
+
+def test_brute_force_topk_exact(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, queries = emb_data
+    got = ann.brute_force_topk(ray.data.from_arrow(tbl), queries,
+                               k=10).take_all()
+    expected = numpy_topk(vecs, queries, 10)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert by_q == expected
+
+
+def test_ivf_topk_recall(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, queries = emb_data
+    got = ann.ivf_topk(ray.data.from_arrow(tbl), queries, k=10,
+                       n_centroids=8, n_probe=4).take_all()
+    exact = numpy_topk(vecs, queries, 10)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q.get(q, set()) & set(exact[q])) / 10 for q in exact]
+    assert np.mean(recalls) >= 0.6
+
+
+def test_multimodal_decode_and_resize(ray_session):
+    import ray.data
+
+    cfg = synth.SynthConfig(tiles_x=2, tiles_y=2, tile_px=64)
+    ds = ray.data.from_arrow(synth.tiles_table(cfg, layers=("dem",)))
+    feats = ds.map_batches(ImageDecodeActor, batch_format="pyarrow",
+                           concurrency=(1, 2)).take_all()
+    assert len(feats) == 4
+    assert all(f["w"] == 64 and np.isfinite(f["mean"]) for f in feats)
+
+    small = ds.map_batches(ImageResizeActor, fn_constructor_args=(2,),
+                           batch_format="pyarrow",
+                           concurrency=(1, 2)).take_all()
+    assert all(r["w"] == 32 and r["h"] == 32 for r in small)
+
+    with pytest.raises(NotImplementedError):
+        frame_sample_stub(b"")
+    actor = ImageDecodeActor()
+    bad = pa.table({"image_id": ["x"], "bytes": [b""], "w": [1], "h": [1],
+                    "fmt": ["jpeg"], "caption": ["{}"], "phash": [0]})
+    with pytest.raises(NotImplementedError):
+        actor(bad)
