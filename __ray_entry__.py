@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data BAL engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (the full tiled BAL engine on the
+deterministic t1 synthetic world, sized for a smoke check).  ``queries()``
+exposes one entry per implemented operator family from SURVEY.md §2 --
+SQL-checked entries over the driver's parquet tables plus rows-only entries
+for the geospatial/dedup/ANN pipelines; ``oracle_sql()`` returns the DuckDB
+equivalents for the former.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import: nothing here calls
+``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,26 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from balrog_ray.relational.queries import SQL_CHECKED
+from balrog_ray.relational.rows_only import ROWS_ONLY
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic tiles -> halo exchange -> slope/aspect ->
+    AS 3959 classification -> 9 BAL bands -> per-band histogram."""
+    from balrog_ray.relational.rows_only import q_bal_band_histogram
+
+    return q_bal_band_histogram("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for name, (fn, _) in SQL_CHECKED.items():
+        out[name] = fn
+    out.update(ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in SQL_CHECKED.items()
+            if sql is not None}

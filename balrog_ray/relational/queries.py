@@ -1,0 +1,559 @@
+"""Driver-gate query registry: Ray-Data pipelines + matching DuckDB SQL.
+
+Every entry exercises one operator family from SURVEY.md §2 against the
+driver's TPC-H-ish parquet tables.  The Ray side is written scale-first:
+columns pruned at the read, small dimensions broadcast (dict capture /
+``ray.put``), large-large joins through ``Dataset.join``, aggregations as
+built-in groupby aggregates (hash-shuffled) or ``map_groups`` where exact
+median/session semantics demand whole-group access.
+
+Column names are aligned with the SQL aliases (the driver compares
+sorted-by-name value hashes).  Aggregates that would be float-order
+sensitive (avg/sum of arbitrary doubles) are avoided in favour of exact
+ones (counts, min/max, sums of integer-valued columns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=list(columns) if columns else None)
+
+
+def _agg():
+    import ray.data.aggregate as agg
+
+    return agg
+
+
+# --------------------------------------------------------------------------
+# 1. reclassify: range-remap DSL over a numeric column (SURVEY op 3)
+
+RECLASS_SPEC = "1 10 101;11 20 102;21 30 103;31 40 104;41 50 105"
+
+
+def q_reclassify_bins(sf_dir: str):
+    from ..core.remap import apply_remap
+
+    def remap_batch(b: pa.Table) -> pa.Table:
+        cls = apply_remap(b.column("l_quantity").to_numpy(), RECLASS_SPEC,
+                          out_dtype=np.int64)
+        return pa.table({"qty_class": pa.array(cls, pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "lineitem", ["l_quantity"])
+            .map_batches(remap_batch, batch_format="pyarrow")
+            .groupby("qty_class")
+            .aggregate(a.Count(alias_name="n")))
+
+
+SQL_RECLASSIFY = """
+select case
+  when l_quantity >= 1  and l_quantity < 10.0001 then 101
+  when l_quantity >= 11 and l_quantity < 20.0001 then 102
+  when l_quantity >= 21 and l_quantity < 30.0001 then 103
+  when l_quantity >= 31 and l_quantity < 40.0001 then 104
+  when l_quantity >= 41 and l_quantity < 50.0001 then 105
+  else cast(l_quantity as bigint) end as qty_class,
+  count(*) as n
+from lineitem group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. broadcast dimension lookup join (SURVEY op 29)
+
+def q_region_customers(sf_dir: str):
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+    n_region = dict(zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_regionkey").to_pylist()))
+
+    def add_region(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_pylist()
+        names = [r_name[n_region[k]] for k in nk]
+        return pa.table({"region_name": pa.array(names, pa.string()),
+                         "c_acctbal": b.column("c_acctbal")})
+
+    a = _agg()
+    return (_read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+            .map_batches(add_region, batch_format="pyarrow")
+            .groupby("region_name")
+            .aggregate(a.Count(alias_name="n_customers"),
+                       a.Max("c_acctbal", alias_name="max_acctbal"),
+                       a.Min("c_acctbal", alias_name="min_acctbal")))
+
+
+SQL_REGION_CUSTOMERS = """
+select r_name as region_name, count(*) as n_customers,
+       max(c_acctbal) as max_acctbal, min(c_acctbal) as min_acctbal
+from customer
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. zonal-style group stats incl. exact median (SURVEY op 36)
+
+def q_zonal_group_stats(sf_dir: str):
+    def stats(group: pa.Table) -> pa.Table:
+        q = group.column("l_quantity").to_numpy()
+        return pa.table({
+            "l_returnflag": [group.column("l_returnflag")[0].as_py()],
+            "n": pa.array([len(q)], pa.int64()),
+            "min_qty": pa.array([float(q.min())], pa.float64()),
+            "max_qty": pa.array([float(q.max())], pa.float64()),
+            "med_qty": pa.array([float(np.median(q))], pa.float64()),
+            "sum_qty": pa.array([float(q.sum())], pa.float64()),
+        })
+
+    return (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+            .groupby("l_returnflag")
+            .map_groups(stats, batch_format="pyarrow"))
+
+
+SQL_ZONAL_GROUP_STATS = """
+select l_returnflag, count(*) as n, min(l_quantity) as min_qty,
+       max(l_quantity) as max_qty, median(l_quantity) as med_qty,
+       sum(l_quantity) as sum_qty
+from lineitem group by l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. cell assignment / point-in-rectangle binning (SURVEY ops 38, H3 role)
+
+def q_cell_assignment(sf_dir: str):
+    def assign(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy()
+        px = (ck * 37) % 1000
+        py = (ck * 91) % 1000
+        return pa.table({"cell_x": pa.array(px // 250, pa.int64()),
+                         "cell_y": pa.array(py // 250, pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby(["cell_x", "cell_y"])
+            .aggregate(a.Count(alias_name="n")))
+
+
+SQL_CELL_ASSIGNMENT = """
+select cast(floor(((c_custkey * 37) % 1000) / 250.0) as bigint) as cell_x,
+       cast(floor(((c_custkey * 91) % 1000) / 250.0) as bigint) as cell_y,
+       count(*) as n
+from customer group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. kNN distance (broadcast probes, partial min per block) (SURVEY op 40)
+
+KNN_QUERIES = [(0, 100, 100), (1, 500, 500), (2, 900, 100), (3, 250, 750),
+               (4, 800, 800)]
+
+
+def q_knn_min_dist(sf_dir: str):
+    qx = np.array([q[1] for q in KNN_QUERIES], dtype=np.int64)
+    qy = np.array([q[2] for q in KNN_QUERIES], dtype=np.int64)
+    qid = np.array([q[0] for q in KNN_QUERIES], dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        sx = (sk * 53) % 1000
+        sy = (sk * 97) % 1000
+        d2 = ((sx[:, None] - qx[None, :]) ** 2
+              + (sy[:, None] - qy[None, :]) ** 2)
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "min_dist_sq": pa.array(d2.min(axis=0), pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id")
+            .aggregate(a.Min("min_dist_sq", alias_name="min_dist_sq")))
+
+
+SQL_KNN_MIN_DIST = """
+with q(query_id, qx, qy) as (values (0,100,100),(1,500,500),(2,900,100),
+                                    (3,250,750),(4,800,800))
+select query_id,
+       min(((s_suppkey*53)%1000 - qx)*((s_suppkey*53)%1000 - qx)
+         + ((s_suppkey*97)%1000 - qy)*((s_suppkey*97)%1000 - qy))
+       as min_dist_sq
+from supplier, q group by query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. exact dedup: first-wins per content (SURVEY set-ops / dedup)
+
+def q_exact_dedup_docs(sf_dir: str):
+    a = _agg()
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .groupby("text")
+            .aggregate(a.Min("doc_id", alias_name="keep_id"),
+                       a.Count(alias_name="n_copies"))
+            .select_columns(["keep_id", "n_copies"]))
+
+
+SQL_EXACT_DEDUP_DOCS = """
+select min(doc_id) as keep_id, count(*) as n_copies
+from documents group by text
+"""
+
+
+# --------------------------------------------------------------------------
+# 7. distinct count per group
+
+def q_distinct_customers(sf_dir: str):
+    def nunique(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": [group.column("o_orderstatus")[0].as_py()],
+            "n_cust": pa.array(
+                [len(set(group.column("o_custkey").to_pylist()))], pa.int64()),
+        })
+
+    return (_read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+            .groupby("o_orderstatus")
+            .map_groups(nunique, batch_format="pyarrow"))
+
+
+SQL_DISTINCT_CUSTOMERS = """
+select o_orderstatus, count(distinct o_custkey) as n_cust
+from orders group by o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 8. explode / flat_map: token histogram (SURVEY op 30)
+
+def q_explode_tokens(sf_dir: str):
+    def explode(b: pa.Table) -> pa.Table:
+        tokens = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        return pa.table({"token": tokens})
+
+    a = _agg()
+    return (_read(sf_dir, "documents", ["text"])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(a.Count(alias_name="n")))
+
+
+SQL_EXPLODE_TOKENS = """
+select token, count(*) as n from (
+  select unnest(string_split(text, ' ')) as token from documents) t
+group by token
+"""
+
+
+# --------------------------------------------------------------------------
+# 9. sessionization (stateful per-key ordering) (events table)
+
+def q_sessionize(sf_dir: str):
+    def sess(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) / 1e6
+        n_sessions = 1 + int((gaps > 1800).sum())
+        return pa.table({
+            "user_id": [g.column("user_id")[0].as_py()],
+            "n_events": pa.array([len(ts)], pa.int64()),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(sess, batch_format="pyarrow"))
+
+
+SQL_SESSIONIZE = """
+select user_id, count(*) as n_events,
+       1 + sum(case when gap > 1800 then 1 else 0 end) as n_sessions
+from (select user_id,
+             epoch(ts) - lag(epoch(ts)) over
+               (partition by user_id order by ts, event_id) as gap
+      from events) t
+group by user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 10. tumbling window aggregate (events)
+
+def q_tumbling_window(sf_dir: str):
+    def trunc(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        return pa.table({"hour": hour, "event_type": b.column("event_type"),
+                         "value": b.column("value")})
+
+    a = _agg()
+    return (_read(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(trunc, batch_format="pyarrow")
+            .groupby(["hour", "event_type"])
+            .aggregate(a.Count(alias_name="n"),
+                       a.Max("value", alias_name="max_value")))
+
+
+SQL_TUMBLING_WINDOW = """
+select date_trunc('hour', ts) as hour, event_type, count(*) as n,
+       max(value) as max_value
+from events group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 11. top-k (sort + limit with deterministic tie-break)
+
+def q_topk_orders(sf_dir: str):
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+SQL_TOPK_ORDERS = """
+select o_orderkey, o_totalprice from orders
+order by o_totalprice desc, o_orderkey limit 10
+"""
+
+
+# --------------------------------------------------------------------------
+# 12. filter + project + global aggregate
+
+def q_filter_project(sf_dir: str):
+    lo = np.datetime64("1995-01-01")
+    hi = np.datetime64("1996-01-01")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        m = (ship >= lo) & (ship < hi) & (disc >= 0.05) & (disc <= 0.07)
+        return pa.table({"l_quantity": pa.array(
+            b.column("l_quantity").to_numpy()[m])})
+
+    a = _agg()
+    ds = (_read(sf_dir, "lineitem", ["l_shipdate", "l_discount",
+                                     "l_quantity"])
+          .map_batches(keep, batch_format="pyarrow"))
+    row = ds.aggregate(a.Count(alias_name="n"),
+                       a.Sum("l_quantity", alias_name="sum_qty"))
+    return pa.table({"n": pa.array([row["n"]], pa.int64()),
+                     "sum_qty": pa.array([float(row["sum_qty"])],
+                                         pa.float64())})
+
+
+SQL_FILTER_PROJECT = """
+select count(*) as n, cast(sum(l_quantity) as double) as sum_qty
+from lineitem
+where l_shipdate >= timestamp '1995-01-01'
+  and l_shipdate < timestamp '1996-01-01'
+  and l_discount between 0.05 and 0.07
+"""
+
+
+# --------------------------------------------------------------------------
+# 13. buffer arithmetic (geodesic-buffer analogue) (SURVEY op 34)
+
+def q_buffer_bbox_area(sf_dir: str):
+    def area(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        r = sk % 7
+        return pa.table({"s_nationkey": b.column("s_nationkey"),
+                         "bbox_area": pa.array((2 * r) * (2 * r), pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+            .map_batches(area, batch_format="pyarrow")
+            .groupby("s_nationkey")
+            .aggregate(a.Sum("bbox_area", alias_name="sum_area")))
+
+
+SQL_BUFFER_BBOX_AREA = """
+select s_nationkey,
+       sum((2*(s_suppkey%7)) * (2*(s_suppkey%7))) as sum_area
+from supplier group by s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 14. large-large hash join (Dataset.join) + aggregate
+
+def q_join_orders_lineitem(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    joined = orders.join(lineitem, "inner", num_partitions=8,
+                         on=("o_orderkey",), right_on=("l_orderkey",))
+    a = _agg()
+    return (joined.groupby("o_orderstatus")
+            .aggregate(a.Count(alias_name="n_items"),
+                       a.Sum("l_quantity", alias_name="sum_qty")))
+
+
+SQL_JOIN_ORDERS_LINEITEM = """
+select o_orderstatus, count(*) as n_items, sum(l_quantity) as sum_qty
+from orders join lineitem on o_orderkey = l_orderkey
+group by o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 15. anti join (the resume/checkpoint anti-join shape) (SURVEY op 44)
+
+def q_customers_without_orders(sf_dir: str):
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # anti-join against the customers holding a finalized ('F') order --
+    # the committed-partition filter shape of checkpoint resume (op 44)
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+              .filter(expr="o_orderstatus == 'F'")
+              .select_columns(["o_custkey"]))
+    a = _agg()
+    return (customer.join(orders, "left_anti", num_partitions=8,
+                          on=("c_custkey",), right_on=("o_custkey",))
+            .groupby("c_nationkey")
+            .aggregate(a.Count(alias_name="n_customers")))
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+select c_nationkey, count(*) as n_customers
+from customer
+where c_custkey not in
+      (select o_custkey from orders where o_orderstatus = 'F')
+group by c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# 16. global min/max (the dynamic slope-remap aggregate, bal.py:110-114)
+
+def q_global_minmax(sf_dir: str):
+    a = _agg()
+    row = (_read(sf_dir, "lineitem", ["l_quantity"])
+           .aggregate(a.Min("l_quantity", alias_name="min_qty"),
+                      a.Max("l_quantity", alias_name="max_qty"),
+                      a.Count(alias_name="n")))
+    return pa.table({"min_qty": pa.array([float(row["min_qty"])]),
+                     "max_qty": pa.array([float(row["max_qty"])]),
+                     "n": pa.array([row["n"]], pa.int64())})
+
+
+SQL_GLOBAL_MINMAX = """
+select cast(min(l_quantity) as double) as min_qty,
+       cast(max(l_quantity) as double) as max_qty, count(*) as n
+from lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# 17. token stats by language (text analysis, SQL-checkable core)
+
+def q_token_stats_by_lang(sf_dir: str):
+    from ..functions.text import token_count_batch
+
+    a = _agg()
+    return (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(lambda b: token_count_batch(b).drop_columns(["text"]),
+                         batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(a.Sum("n_tokens", alias_name="sum_tokens"),
+                       a.Count(alias_name="n_docs")))
+
+
+SQL_TOKEN_STATS_BY_LANG = """
+select lang, sum(len(string_split(text, ' '))) as sum_tokens,
+       count(*) as n_docs
+from documents group by lang
+"""
+
+
+# --------------------------------------------------------------------------
+# 18. quality filter (long docs per source)
+
+def q_long_docs_by_source(sf_dir: str):
+    a = _agg()
+    return (_read(sf_dir, "documents", ["source", "n_chars"])
+            .filter(expr="n_chars > 300")
+            .groupby("source")
+            .aggregate(a.Count(alias_name="n_long")))
+
+
+SQL_LONG_DOCS_BY_SOURCE = """
+select source, count(*) as n_long from documents
+where n_chars > 300 group by source
+"""
+
+
+# --------------------------------------------------------------------------
+# 19. exact cosine top-k (similarity search baseline)
+
+def q_ann_topk(sf_dir: str):
+    from ..functions.ann import brute_force_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qmask = pc.less(emb.column("vec_id"), 3)
+    qtab = emb.filter(qmask)
+    qids = qtab.column("vec_id").to_pylist()
+    queries = np.array(qtab.column("embedding").to_pylist(),
+                       dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    top = brute_force_topk(ds, queries, k=5)
+
+    def remap(b: pa.Table) -> pa.Table:
+        qi = b.column("query_id").to_numpy()
+        return pa.table({
+            "query_id": pa.array([qids[i] for i in qi], pa.int64()),
+            "vec_id": b.column("vec_id")})
+
+    return top.map_batches(remap, batch_format="pyarrow")
+
+
+SQL_ANN_TOPK = """
+with q as (select vec_id as query_id, embedding as qv
+           from embeddings where vec_id < 3)
+select query_id, vec_id from (
+  select q.query_id, e.vec_id,
+         row_number() over (partition by q.query_id
+             order by list_cosine_similarity(e.embedding, q.qv) desc,
+                      e.vec_id) as rnk
+  from embeddings e cross join q) t
+where rnk <= 5
+"""
+
+
+#: name -> (ray_fn, oracle_sql or None)
+SQL_CHECKED = {
+    "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
+    "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
+    "zonal_group_stats": (q_zonal_group_stats, SQL_ZONAL_GROUP_STATS),
+    "cell_assignment": (q_cell_assignment, SQL_CELL_ASSIGNMENT),
+    "knn_min_dist": (q_knn_min_dist, SQL_KNN_MIN_DIST),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "distinct_customers": (q_distinct_customers, SQL_DISTINCT_CUSTOMERS),
+    "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "buffer_bbox_area": (q_buffer_bbox_area, SQL_BUFFER_BBOX_AREA),
+    "join_orders_lineitem": (q_join_orders_lineitem,
+                             SQL_JOIN_ORDERS_LINEITEM),
+    "customers_without_orders": (q_customers_without_orders,
+                                 SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "global_minmax": (q_global_minmax, SQL_GLOBAL_MINMAX),
+    "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
+    "long_docs_by_source": (q_long_docs_by_source, SQL_LONG_DOCS_BY_SOURCE),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+}

@@ -1,0 +1,181 @@
+"""Rows-only queries (no SQL oracle): the geospatial engine's own pipelines
+over the deterministic synthetic world, plus non-SQL-expressible dedup /
+ANN / multimodal ops over the driver tables.  The driver records a weaker
+rows-only check for these; their *real* verification lives in tests/
+(whole-raster oracle parity, brute-force join oracles, exact-ANN recall).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _t1_cfg():
+    from ..tiles.synth import SynthConfig
+
+    return SynthConfig(tiles_x=4, tiles_y=4, tile_px=64)
+
+
+def q_bal_band_histogram(sf_dir: str):
+    """Flagship: full BAL engine on the t1 synthetic world -> per-band
+    pixel histogram (deterministic integers)."""
+    import ray.data
+
+    from ..pipelines.bal_pipeline import bal_pipeline, band_histogram
+    from ..stages.halo import GridSpec
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(tiles_table(cfg))
+    return band_histogram(bal_pipeline(ds, GridSpec.from_synth(cfg)))
+
+
+def q_spatial_join_sites(sf_dir: str):
+    import ray.data
+
+    from ..stages.spatial_join import broadcast_spatial_join
+    from ..tiles.synth import sites_table, veg_polygon_table
+
+    cfg = _t1_cfg()
+    return broadcast_spatial_join(
+        ray.data.from_arrow(sites_table(cfg, n=64)),
+        veg_polygon_table(cfg))
+
+
+def q_partitioned_join_sites(sf_dir: str):
+    import ray.data
+
+    from ..stages.spatial_join import partitioned_spatial_join
+    from ..tiles.synth import sites_table, veg_polygon_table
+
+    cfg = _t1_cfg()
+    return partitioned_spatial_join(
+        ray.data.from_arrow(sites_table(cfg, n=64)),
+        veg_polygon_table(cfg), cfg.grid, hot_cell_threshold=3, n_salt=2)
+
+
+def q_polygon_cell_cover(sf_dir: str):
+    from ..stages.spatial_join import polygons_to_cells
+    from ..tiles.synth import veg_polygon_table
+
+    cfg = _t1_cfg()
+    return polygons_to_cells(veg_polygon_table(cfg), cfg.grid)
+
+
+def q_zonal_sites(sf_dir: str):
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.zonal import zonal_stats
+    from ..tiles.synth import sites_table, tiles_table
+
+    cfg = _t1_cfg()
+    return zonal_stats(ray.data.from_arrow(sites_table(cfg, n=32)),
+                       tiles_table(cfg, layers=("dem",)),
+                       GridSpec.from_synth(cfg))
+
+
+def q_multimodal_features(sf_dir: str):
+    import ray.data
+
+    from ..functions.multimodal import ImageDecodeActor
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    return ray.data.from_arrow(tiles_table(cfg, layers=("dem",))).map_batches(
+        ImageDecodeActor, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def q_langid_docs(sf_dir: str):
+    import ray.data
+    import ray.data.aggregate as agg
+
+    from ..functions.text import langid_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    return (ds.map_batches(
+        lambda b: langid_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow")
+        .groupby("lang_pred").aggregate(agg.Count(alias_name="n")))
+
+
+def q_fingerprint_docs(sf_dir: str):
+    import ray.data
+
+    from ..functions.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def distinct_fp(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": [group.column("lang")[0].as_py()],
+            "n_distinct_fp": pa.array(
+                [len(set(group.column("fingerprint").to_pylist()))],
+                pa.int64())})
+
+    return (ds.map_batches(
+        lambda b: fingerprint_batch(b).drop_columns(["text"]),
+        batch_format="pyarrow")
+        .groupby("lang").map_groups(distinct_fp, batch_format="pyarrow"))
+
+
+def q_minhash_pairs_docs(sf_dir: str):
+    import ray.data
+
+    from ..functions.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.9)
+
+
+def q_simhash_pairs_docs(sf_dir: str):
+    import ray.data
+
+    from ..functions.dedup import simhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=2)
+
+
+def q_embedding_dups(sf_dir: str):
+    import ray.data
+
+    from ..functions.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs(ds, threshold=0.95)
+
+
+def q_ivf_ann(sf_dir: str):
+    import ray.data
+
+    from ..functions.ann import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb.slice(0, 3).column("embedding").to_pylist(),
+                       dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return ivf_topk(ds, queries, k=5, n_centroids=16, n_probe=4)
+
+
+ROWS_ONLY = {
+    "bal_band_histogram": q_bal_band_histogram,
+    "spatial_join_sites": q_spatial_join_sites,
+    "partitioned_join_sites": q_partitioned_join_sites,
+    "polygon_cell_cover": q_polygon_cell_cover,
+    "zonal_sites": q_zonal_sites,
+    "multimodal_features": q_multimodal_features,
+    "langid_docs": q_langid_docs,
+    "fingerprint_docs": q_fingerprint_docs,
+    "minhash_pairs_docs": q_minhash_pairs_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
+    "embedding_dups": q_embedding_dups,
+    "ivf_ann": q_ivf_ann,
+}
