@@ -181,9 +181,10 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     else:
         valid_u8 = np.ones(veg.shape, dtype=np.uint8)
 
-    # combined (slope, veg) class index 0..63 for flat LUT gathers
+    # combined (slope, veg) class index 0..63 for flat LUT gathers;
+    # int16 keeps the shifted copies bandwidth-friendly on wide hosts
     comb = (class_index(sia, SLOPE_KEYS) * len(VEG_KEYS)
-            + class_index(veg, VEG_KEYS)).astype(np.int64)
+            + class_index(veg, VEG_KEYS)).astype(np.int16)
 
     out = np.full(veg.shape, -np.inf, dtype=np.float32)
     any_neighbour = np.zeros(veg.shape, dtype=bool)

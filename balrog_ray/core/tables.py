@@ -19,6 +19,8 @@ Encodings
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 NODATA = -99.0
@@ -139,12 +141,15 @@ def bal_esti(veg, dist, slope, fdi):
     return bal
 
 
+@functools.lru_cache(maxsize=256)
 def bal_lut(fdi: int, dist: float) -> np.ndarray:
     """Dense (slope_idx, veg_idx) -> BAL table for one (fdi, distance).
 
     Axis order follows :data:`SLOPE_KEYS` x :data:`VEG_KEYS`.  The
     directional scan evaluates neighbours at a fixed per-step distance, so
-    one 8x8 gather table per step replaces per-pixel scalar rule evaluation.
+    one 8x8 gather table per step replaces per-pixel scalar rule
+    evaluation; memoized since every cell of a layer shares the same
+    (fdi, step-distance) set.
     """
     out = np.empty((len(SLOPE_KEYS), len(VEG_KEYS)), dtype=np.float32)
     for si, s in enumerate(SLOPE_KEYS):

@@ -54,7 +54,7 @@ LINEAGE_SCHEMA = pa.schema([
 
 
 def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
-                      veg_remap: str | None = None, fmt: str = "npy",
+                      veg_remap: str | None = None, fmt: str = "npz",
                       bands=ALL_BANDS, out_dir: str | None = None):
     """Per-cell compute: contributions table -> BAL tile rows (or, when
     ``out_dir`` is set, writes the rows itself and returns a lineage row)."""
@@ -148,7 +148,7 @@ def completed_cells(out_dir: str) -> set[int]:
 
 
 def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
-                 veg_remap: str | None = None, fmt: str = "npy",
+                 veg_remap: str | None = None, fmt: str = "npz",
                  bands=ALL_BANDS, out_dir: str | None = None,
                  resume: bool = False):
     """Build the lazy BAL Dataset.

@@ -19,6 +19,7 @@ the data -- the same order as any keyed repartition.
 from __future__ import annotations
 
 import io
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -69,7 +70,7 @@ class GridSpec:
 def _np_bytes(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, np.ascontiguousarray(arr, dtype=np.float32))
-    return buf.getvalue()
+    return zlib.compress(buf.getvalue(), 1)
 
 
 def make_strip_emitter(spec: GridSpec):
@@ -117,7 +118,7 @@ def make_strip_emitter(spec: GridSpec):
                     "layer": cap.layer,
                     "row0": np.int32(ir0), "col0": np.int32(ic0),
                     "h": np.int32(ir1 - ir0), "w": np.int32(ic1 - ic0),
-                    "payload": _np_bytes(strip), "fmt": "npy",
+                    "payload": _np_bytes(strip), "fmt": "npz",
                     "caption": row["caption"],
                     "is_core": False,
                 })

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline BAL tile pipeline over a deterministic synthetic
+tile table (generated once into /tmp and reused) plus the SQL-checked query
+suite over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), printing ONE
+JSON line:
+
+    {"metric": "e2e_seconds", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "bal_tiles_per_sec": ...}
+
+``--scaling``: runs the identical BAL job in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus efficiency = thr(32) / (4 * thr(8)) -- the sandbox evidence for the
+north rule's N -> 4N criterion.
+
+Env knobs: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR,
+GRAFT_BENCH_TILES (grid side, default 32), GRAFT_BENCH_TILE_PX (default 256).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TILES = int(os.environ.get("GRAFT_BENCH_TILES", "96"))
+BENCH_TILE_PX = int(os.environ.get("GRAFT_BENCH_TILE_PX", "256"))
+
+
+def bench_cfg():
+    from balrog_ray.tiles.synth import SynthConfig
+
+    return SynthConfig(tiles_x=BENCH_TILES, tiles_y=BENCH_TILES,
+                       tile_px=BENCH_TILE_PX, n_polygons=512, fmt="png")
+
+
+def tiles_dir(cfg) -> str:
+    return (f"/tmp/balrog_bench/tiles_{cfg.tiles_x}x{cfg.tiles_y}"
+            f"_{cfg.tile_px}px_{cfg.fmt}")
+
+
+def ensure_tiles(cfg) -> str:
+    """Generate the bench tile table once (Ray-parallel), write parquet."""
+    import ray.data
+
+    path = tiles_dir(cfg)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+
+    from balrog_ray.tiles.synth import make_veg_polygons, tile_row
+
+    import ray
+    polys_ref = ray.put(make_veg_polygons(cfg))
+
+    index = [{"layer": layer, "tx": tx, "ty": ty}
+             for layer in ("dem", "veg")
+             for ty in range(cfg.tiles_y) for tx in range(cfg.tiles_x)]
+
+    def gen(batch):
+        import pyarrow as pa
+
+        from balrog_ray.tiles.synth import TILES_SCHEMA
+
+        polys = ray.get(polys_ref)
+        rows = [tile_row(cfg, layer, int(tx), int(ty), polys)
+                for layer, tx, ty in zip(batch["layer"], batch["tx"],
+                                         batch["ty"])]
+        cols = {n: [r[n] for r in rows] for n in TILES_SCHEMA.names}
+        return pa.table(cols, schema=TILES_SCHEMA)
+
+    (ray.data.from_items(index)
+     .map_batches(gen, batch_format="numpy", batch_size=16)
+     .write_parquet(path))
+    open(marker, "w").write("ok")
+    return path
+
+
+def run_bal(cfg, out_dir: str) -> dict:
+    """The headline job: read tiles parquet -> BAL pipeline -> write."""
+    import ray.data
+
+    from balrog_ray.pipelines.bal_pipeline import bal_pipeline
+    from balrog_ray.stages.halo import GridSpec
+
+    path = ensure_tiles(cfg)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    # block count ~ CPU count: coarse blocks keep the halo-exchange sort's
+    # task/object fan-out proportional to cores, not to tile count
+    ds = ray.data.read_parquet(path, override_num_blocks=max(4 * NUM_CPUS, 16))
+    bal = bal_pipeline(ds, GridSpec.from_synth(cfg))
+    bal.write_parquet(out_dir)
+    dt = time.time() - t0
+    n_cells = cfg.tiles_x * cfg.tiles_y
+    return {"bal_seconds": round(dt, 3),
+            "bal_cells": n_cells,
+            "bal_tiles_per_sec": round(n_cells / dt, 2),
+            "bal_pixels_per_sec": round(n_cells * cfg.tile_px ** 2 / dt)}
+
+
+def run_queries() -> dict:
+    from balrog_ray.relational.queries import SQL_CHECKED
+
+    import ray.data
+
+    timings = {}
+    for name, (fn, _) in SQL_CHECKED.items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.materialize()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main_bench(bal_only: bool = False):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False)
+    cfg = bench_cfg()
+    bal = run_bal(cfg, f"/tmp/balrog_bench/out_{NUM_CPUS}")
+    queries = {} if bal_only else run_queries()
+    out = {
+        "metric": "e2e_seconds",
+        "value": bal["bal_seconds"] + sum(queries.values()),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        **bal,
+        "bench_grid": f"{cfg.tiles_x}x{cfg.tiles_y}x{cfg.tile_px}px",
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
+def main_scaling():
+    cfg = bench_cfg()
+    # generate the input once before timing anything
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ensure_tiles(cfg)
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        best = None
+        for _trial in range(2):
+            time.sleep(3)        # let the previous Ray session fully clear
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--bal-only"],
+                capture_output=True, text=True, env=env, cwd=REPO)
+            line = [ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["bal_tiles_per_sec"] > best["bal_tiles_per_sec"]:
+                best = r
+        results[cpus] = best
+    thr8 = results[8]["bal_tiles_per_sec"]
+    thr32 = results[32]["bal_tiles_per_sec"]
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(thr32 / (4 * thr8), 3),
+        "unit": "ratio",
+        "tiles_per_sec_8cpu": thr8,
+        "tiles_per_sec_32cpu": thr32,
+        "seconds_8cpu": results[8]["bal_seconds"],
+        "seconds_32cpu": results[32]["bal_seconds"],
+        "bench_grid": results[32]["bench_grid"],
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench(bal_only="--bal-only" in sys.argv)
