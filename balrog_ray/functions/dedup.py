@@ -204,6 +204,58 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
 # --------------------------------------------------- embedding near-dup
 
+def cosine_pairs_exact(emb_ds, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.45, batch_size: int = 4096):
+    """Exact cosine-similarity self-join: all (id_a < id_b) pairs with
+    cosine >= threshold.
+
+    Broadcast-join shape: the full unit-normalized matrix is shipped to
+    the object store ONCE (``ray.put``) and every batch matmuls against it
+    -- valid whenever one side fits in worker memory (the small-side
+    broadcast rule).  At 10^12-row scale use :func:`embedding_dup_pairs`
+    (LSH-bucketed, no O(n^2) stage); this exact variant doubles as the
+    recall oracle for it in tests.
+    """
+    import ray
+
+    tabs = ray.get(emb_ds.select_columns([id_col, vec_col]).to_arrow_refs())
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}))
+    full = pa.concat_tables(tabs)
+    all_ids = np.asarray(full.column(id_col).to_pylist(), dtype=np.int64)
+    all_unit = _unit_rows(np.array(full.column(vec_col).to_pylist(),
+                                   dtype=np.float64).reshape(len(full), -1))
+    bcast = ray.put((all_ids, all_unit))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_g, unit_g = ray.get(bcast)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        unit = _unit_rows(np.array(batch.column(vec_col).to_pylist(),
+                                   dtype=np.float64))
+        sims = unit @ unit_g.T                          # (batch, n)
+        hit = (sims >= threshold) & (ids[:, None] < ids_g[None, :])
+        ia, ib = np.nonzero(hit)
+        return pa.table({"id_a": pa.array(ids[ia], pa.int64()),
+                         "id_b": pa.array(ids_g[ib], pa.int64()),
+                         "cosine": pa.array(sims[ia, ib], pa.float64())})
+
+    return emb_ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
 def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95, n_planes: int = 12,

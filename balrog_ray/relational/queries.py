@@ -533,6 +533,27 @@ where rnk <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# 20. exact cosine-pair self-join (embedding near-dup, hash-verified twin of
+#     the LSH variant in functions/dedup.py)
+
+def q_cosine_pairs(sf_dir: str):
+    from ..functions.dedup import cosine_pairs_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # ids only: float cosine stays out of the value hash (margin to the
+    # 0.45 threshold is >5e-4 on the test tables, so both engines agree)
+    return (cosine_pairs_exact(ds, threshold=0.45)
+            .select_columns(["id_a", "id_b"]))
+
+
+SQL_COSINE_PAIRS = """
+select a.vec_id as id_a, b.vec_id as id_b
+from embeddings a join embeddings b on a.vec_id < b.vec_id
+where list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -556,4 +577,5 @@ SQL_CHECKED = {
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
     "long_docs_by_source": (q_long_docs_by_source, SQL_LONG_DOCS_BY_SOURCE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
 }

@@ -106,6 +106,29 @@ def test_embedding_dup_pairs(ray_session):
     assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(3, 7)}
 
 
+def test_cosine_pairs_exact_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 16))
+    vecs[11] = vecs[2] * 1.5 + rng.standard_normal(16) * 0.05
+    vecs[40] = vecs[25] + rng.standard_normal(16) * 0.02
+    tbl = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float32()))})
+    th = 0.6
+    got = dedup.cosine_pairs_exact(
+        ray.data.from_arrow(tbl), threshold=th, batch_size=17).take_all()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+
+    v = vecs.astype(np.float32).astype(np.float64)
+    unit = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    ia, ib = np.where(np.triu(sims >= th, k=1))
+    expected = set(zip(ia.tolist(), ib.tolist()))
+    assert got_pairs == expected and {(2, 11), (25, 40)} <= got_pairs
+
+
 @pytest.fixture(scope="module")
 def emb_data():
     rng = np.random.default_rng(11)
