@@ -1,0 +1,91 @@
+"""Sources/sinks for the image+caption tile table.
+
+The engine's primary input is one logical table with the driver-specified
+schema ``(image_id, bytes, w, h, fmt, caption, phash)`` (BASELINE.json
+``input_hint``; reference raster IO at ``calculate_bal.py:49-52`` /
+``sa_tools.py:127-129``).  The north rule names Lance as the physical
+format; this sandbox has no ``lance`` wheel, so parquet carries the same
+schema and the Lance path is gated behind an import-try — on a cluster with
+``pylance`` installed ``read_image_table(path, fmt="lance")`` works
+unchanged via ``ray.data.read_lance``.
+
+Reads prune columns at the source (projection pushdown into parquet row
+groups); writes go through ``Dataset.write_parquet`` / ``write_lance`` so
+output stays partitioned (many files, resumable) — never one giant file.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+#: the driver-specified logical schema (BASELINE.json input_hint)
+IMAGE_TABLE_COLUMNS = ("image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash")
+
+
+def _have_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _detect_fmt(path: str) -> str:
+    return "lance" if path.rstrip("/").endswith(".lance") else "parquet"
+
+
+def read_image_table(path: str, *, fmt: str = "auto", columns=None,
+                     override_num_blocks: int | None = None):
+    """Read an image+caption table as a ``ray.data.Dataset``.
+
+    ``columns`` prunes at the read (only requested columns leave storage);
+    ``override_num_blocks`` sizes the block count to the cluster, keeping
+    downstream shuffle fan-out proportional to cores rather than files.
+    """
+    import ray.data
+
+    if fmt == "auto":
+        fmt = _detect_fmt(path)
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    if fmt == "lance":
+        if not _have_lance():
+            raise NotImplementedError(
+                "Lance format requires the 'pylance' package (not available "
+                "in this sandbox); the parquet path carries the identical "
+                "schema")
+        return ray.data.read_lance(path, columns=columns, **kw)
+    if fmt == "parquet":
+        return ray.data.read_parquet(
+            path, columns=list(columns) if columns else None, **kw)
+    raise ValueError(f"unknown image-table format: {fmt!r}")
+
+
+def write_image_table(ds, path: str, *, fmt: str = "auto") -> None:
+    """Write a Dataset of image rows, partitioned (one file per block)."""
+    if fmt == "auto":
+        fmt = _detect_fmt(path)
+    if fmt == "lance":
+        if not _have_lance():
+            raise NotImplementedError(
+                "Lance format requires the 'pylance' package")
+        ds.write_lance(path)
+        return
+    if fmt == "parquet":
+        ds.write_parquet(path)
+        return
+    raise ValueError(f"unknown image-table format: {fmt!r}")
+
+
+def validate_image_schema(schema: pa.Schema) -> None:
+    """Fail fast when a table is missing the contract columns (the
+    schema-validation replacement for the reference's COG validator,
+    SURVEY op 27)."""
+    missing = [c for c in IMAGE_TABLE_COLUMNS if c not in schema.names]
+    if missing:
+        raise ValueError(
+            f"image table missing columns {missing}; expected at least "
+            f"{list(IMAGE_TABLE_COLUMNS)}")

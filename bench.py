@@ -111,7 +111,9 @@ def run_bal(cfg, out_dir: str) -> dict:
     t0 = time.time()
     # block count ~ CPU count: coarse blocks keep the halo-exchange sort's
     # task/object fan-out proportional to cores, not to tile count
-    ds = ray.data.read_parquet(path, override_num_blocks=max(4 * NUM_CPUS, 16))
+    from balrog_ray.sources import read_image_table
+
+    ds = read_image_table(path, override_num_blocks=max(4 * NUM_CPUS, 16))
     bal = bal_pipeline(ds, GridSpec.from_synth(cfg))
     bal.write_parquet(out_dir)
     dt = time.time() - t0

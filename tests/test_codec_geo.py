@@ -165,3 +165,26 @@ def test_synth_tiles_table_schema_and_determinism():
                            cfg.tile_px, cfg.tile_px)
     assert psnr(exp, arr) >= 40.0
     assert phash64(arr) == row["phash"]
+
+
+def test_image_table_source_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from balrog_ray.sources import (read_image_table, validate_image_schema,
+                                    write_image_table)
+    from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    tab = tiles_table(cfg)
+    out = str(tmp_path / "tiles")
+    write_image_table(ray.data.from_arrow(tab), out)
+    back = read_image_table(out, override_num_blocks=2)
+    validate_image_schema(back.schema().base_schema)
+    assert back.count() == tab.num_rows
+    # projection pushdown: pruned read returns only the asked columns
+    pruned = read_image_table(out, columns=["image_id", "phash"])
+    assert pruned.schema().names == ["image_id", "phash"]
+    # lance path is gated, not silently wrong
+    import pytest as _pt
+    with _pt.raises((NotImplementedError, ImportError)):
+        read_image_table("/tmp/nope.lance", fmt="lance")
