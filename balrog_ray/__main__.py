@@ -1,0 +1,126 @@
+"""CLI: the toolbox-run surface of the engine (reference op 21,
+``bal.py:326-371`` -- six toolbox params become flags).
+
+    python -m balrog_ray synth --out /tmp/tiles --tiles-x 8 --tiles-y 8
+    python -m balrog_ray bal --tiles /tmp/tiles --out /tmp/bal \
+        [--fdi 80] [--extent "xmin ymin xmax ymax" | DEFAULT] \
+        [--veg-remap "1 1 1;..."] [--fmt npz] [--resume]
+
+``bal`` reads any image+caption tile table (layers ``dem`` + ``veg``),
+infers the grid from the captions, runs the streaming BAL pipeline and
+writes partitioned parquet (cell=N/bands.parquet) plus a lineage table --
+re-running with ``--resume`` skips committed cells.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def infer_grid(path: str):
+    """GridSpec from the table's own captions (self-describing rows)."""
+    import pyarrow.dataset as pads
+
+    from .stages.halo import GridSpec
+    from .tiles.codec import Caption
+
+    tab = pads.dataset(path, format="parquet").to_table(
+        columns=["caption", "w"])
+    caps = [Caption.from_json(c) for c in tab.column("caption").to_pylist()]
+    tiles_x = max(c.tx for c in caps) + 1
+    tiles_y = max(c.ty for c in caps) + 1
+    c0 = caps[0]
+    # every caption knows pixel_size and its own y0, so
+    # y_north = y0 + ty * T * ps; tile width comes from the w column
+    ps = c0.pixel_size
+    tile_px = tab.column("w")[0].as_py()
+    y_north = c0.y0 + c0.ty * tile_px * ps
+    return GridSpec(tiles_x, tiles_y, tile_px, ps, y_north)
+
+
+def cmd_bal(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    from .pipelines.bal_pipeline import bal_pipeline
+    from .sources import read_image_table
+
+    spec = infer_grid(args.tiles)
+    ds = read_image_table(args.tiles,
+                          override_num_blocks=max(4 * args.num_cpus, 16))
+    t0 = time.time()
+    lineage = bal_pipeline(
+        ds, spec, fdi=args.fdi, veg_remap=args.veg_remap, fmt=args.fmt,
+        out_dir=args.out, resume=args.resume,
+        extent=None if args.extent in (None, "DEFAULT", "MAXOF", "MINOF")
+        else args.extent)
+    rows = lineage.take_all()
+    done = sum(1 for r in rows if r["status"] == "done")
+    print(json.dumps({
+        "cells_done": done, "cells_skipped_resume": 0 if not args.resume
+        else spec.tiles_x * spec.tiles_y - done,
+        "grid": f"{spec.tiles_x}x{spec.tiles_y}x{spec.tile_px}px",
+        "fdi": args.fdi, "seconds": round(time.time() - t0, 2),
+        "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    import ray.data
+
+    from .sources import write_image_table
+    from .tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=args.tiles_x, tiles_y=args.tiles_y,
+                      tile_px=args.tile_px, fmt=args.tile_fmt)
+    write_image_table(ray.data.from_arrow(tiles_table(cfg)), args.out)
+    print(json.dumps({"rows": 2 * args.tiles_x * args.tiles_y,
+                      "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="balrog_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bal", help="run the BAL pipeline over a tile table")
+    b.add_argument("--tiles", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--fdi", type=int, default=80,
+                   choices=(100, 80, 50, 40))
+    b.add_argument("--extent", default="DEFAULT",
+                   help='"xmin ymin xmax ymax" or DEFAULT/MAXOF/MINOF')
+    b.add_argument("--veg-remap", default=None,
+                   help='reclass DSL "lo hi new;..." for the veg layer')
+    b.add_argument("--fmt", default="npz", choices=("npz", "png", "npy"))
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=8)
+    b.set_defaults(fn=cmd_bal)
+
+    s = sub.add_parser("synth", help="generate a synthetic tile table")
+    s.add_argument("--out", required=True)
+    s.add_argument("--tiles-x", type=int, default=8)
+    s.add_argument("--tiles-y", type=int, default=8)
+    s.add_argument("--tile-px", type=int, default=128)
+    s.add_argument("--tile-fmt", default="png", choices=("png", "npz", "npy"))
+    s.add_argument("--num-cpus", type=int, default=8)
+    s.set_defaults(fn=cmd_synth)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,9 +53,49 @@ LINEAGE_SCHEMA = pa.schema([
 ])
 
 
+def find_aoi(extent: str | tuple | None, spec: GridSpec):
+    """Effective area of interest as (xmin, ymin, xmax, ymax).
+
+    Reference semantics (bal.py:281-323): DEFAULT/MAXOF/MINOF intersect the
+    DEM and veg footprints -- in the single-table model both layers share
+    the grid, so that intersection IS the grid bbox; any other extent is a
+    user rectangle ("xmin ymin xmax ymax", bal.py:233-256) clipped to it.
+    """
+    gx0, gy1 = 0.0, spec.y_north
+    gx1 = spec.tiles_x * spec.tile_px * spec.pixel_size
+    gy0 = spec.y_north - spec.tiles_y * spec.tile_px * spec.pixel_size
+    if extent is None or (isinstance(extent, str)
+                          and extent.upper() in ("DEFAULT", "MAXOF", "MINOF")):
+        return (gx0, gy0, gx1, gy1)
+    if isinstance(extent, str):
+        xmin, ymin, xmax, ymax = (float(v) for v in extent.split())
+    else:
+        xmin, ymin, xmax, ymax = extent
+    box = (max(xmin, gx0), max(ymin, gy0), min(xmax, gx1), min(ymax, gy1))
+    if box[0] >= box[2] or box[1] >= box[3]:
+        raise ValueError(f"AOI {extent!r} does not intersect the grid")
+    return box
+
+
+def _aoi_cells(aoi, spec: GridSpec) -> np.ndarray:
+    """Cell ids whose tile bbox intersects the AOI rectangle."""
+    T, ps = spec.tile_px, spec.pixel_size
+    xmin, ymin, xmax, ymax = aoi
+    tx0 = max(0, int(np.floor(xmin / (T * ps))))
+    tx1 = min(spec.tiles_x - 1, int(np.ceil(xmax / (T * ps)) - 1e-9))
+    ty0 = max(0, int(np.floor((spec.y_north - ymax) / (T * ps))))
+    ty1 = min(spec.tiles_y - 1, int(np.ceil((spec.y_north - ymin)
+                                            / (T * ps)) - 1e-9))
+    return np.array(sorted(
+        spec.cell_id(tx, ty)
+        for ty in range(ty0, ty1 + 1) for tx in range(tx0, tx1 + 1)),
+        dtype=np.int64)
+
+
 def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
                       veg_remap: str | None = None, fmt: str = "npz",
-                      bands=ALL_BANDS, out_dir: str | None = None):
+                      bands=ALL_BANDS, out_dir: str | None = None,
+                      aoi=None):
     """Per-cell compute: contributions table -> BAL tile rows (or, when
     ``out_dir`` is set, writes the rows itself and returns a lineage row)."""
     aspect_spec = parse_remap(ASPECT_RECLASS)
@@ -96,9 +136,22 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
         r0, _, c0, _ = spec.assembled_window(tx, ty)
         rs, cs = ty * T - r0, tx * T - c0
 
+        # extract_by_mask semantics (sa_tools.py:48-136): pixels outside the
+        # AOI rectangle become nodata in every output band
+        aoi_mask = None
+        if aoi is not None:
+            xs = tx * T * ps + (np.arange(T) + 0.5) * ps
+            ys = spec.y_north - ty * T * ps - (np.arange(T) + 0.5) * ps
+            inside_x = (xs >= aoi[0]) & (xs <= aoi[2])
+            inside_y = (ys >= aoi[1]) & (ys <= aoi[3])
+            aoi_mask = ~(inside_y[:, None] & inside_x[None, :])
+            if aoi_mask.all():
+                aoi_mask = None     # fully outside: handled by cell prune
         rows = {n: [] for n in TILES_SCHEMA.names}
         for band in bands:
             core = grids[band][rs:rs + T, cs:cs + T]
+            if aoi_mask is not None:
+                core = np.where(aoi_mask, -99.0, core)
             cap = Caption(layer=f"bal_{band}", x0=tx * T * ps,
                           y0=spec.y_north - ty * T * ps, pixel_size=ps,
                           edge={"n": ty == 0, "s": ty == spec.tiles_y - 1,
@@ -150,15 +203,51 @@ def completed_cells(out_dir: str) -> set[int]:
 def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
                  veg_remap: str | None = None, fmt: str = "npz",
                  bands=ALL_BANDS, out_dir: str | None = None,
-                 resume: bool = False):
+                 resume: bool = False, extent=None):
     """Build the lazy BAL Dataset.
 
     Returns a Dataset of BAL tile rows (TILES_SCHEMA) when ``out_dir`` is
     None, else a Dataset of lineage rows (LINEAGE_SCHEMA) whose side effect
     is the partitioned parquet output under ``out_dir``; with ``resume``
-    already-committed cells are skipped before the shuffle.
+    already-committed cells are skipped before the shuffle.  ``extent``
+    (find_aoi semantics) restricts output to an AOI rectangle: cells outside
+    it never enter the shuffle, edge pixels are masked to nodata.
     """
+    aoi = None
+    if extent is not None:
+        aoi = find_aoi(extent, spec)
+        keep_cells = _aoi_cells(aoi, spec)
+        # prune input tiles BEFORE the strip emitter: a tile contributes
+        # only if it or one of its 8 neighbours is an AOI cell
+        kx = keep_cells % spec.tiles_x
+        ky = keep_cells // spec.tiles_x
+        contributors = set()
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx_, ny_ = kx + dx, ky + dy
+                ok = ((nx_ >= 0) & (nx_ < spec.tiles_x)
+                      & (ny_ >= 0) & (ny_ < spec.tiles_y))
+                contributors.update(
+                    (ny_[ok] * spec.tiles_x + nx_[ok]).tolist())
+        contrib_arr = np.array(sorted(contributors), dtype=np.int64)
+        keep_arr = keep_cells
+
+        def prune_tiles(batch: pa.Table) -> pa.Table:
+            caps = [Caption.from_json(c)
+                    for c in batch.column("caption").to_pylist()]
+            cells = np.array([spec.cell_id(c.tx, c.ty) for c in caps],
+                             dtype=np.int64)
+            return batch.filter(pa.array(np.isin(cells, contrib_arr)))
+
+        tiles_ds = tiles_ds.map_batches(prune_tiles, batch_format="pyarrow")
+
     contrib = tiles_ds.flat_map(make_strip_emitter(spec))
+    if aoi is not None:
+        def drop_non_aoi(batch: pa.Table) -> pa.Table:
+            keep = np.isin(batch.column("cell_id").to_numpy(), keep_arr)
+            return batch.filter(pa.array(keep))
+
+        contrib = contrib.map_batches(drop_non_aoi, batch_format="pyarrow")
     if out_dir is not None and resume:
         done = completed_cells(out_dir)
         if done:
@@ -169,7 +258,7 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
                 return batch.filter(pa.array(keep))
 
             contrib = contrib.map_batches(drop_done, batch_format="pyarrow")
-    fn = make_bal_group_fn(spec, fdi, veg_remap, fmt, bands, out_dir)
+    fn = make_bal_group_fn(spec, fdi, veg_remap, fmt, bands, out_dir, aoi)
     return contrib.groupby("cell_id").map_groups(fn, batch_format="pyarrow")
 
 

@@ -118,3 +118,45 @@ def test_band_histogram(ray_session):
     assert set(per_band) == set(bp.ALL_BANDS)
     for band, n in per_band.items():
         assert n == total_px, f"band {band} histogram incomplete"
+
+
+def test_aoi_extent_prunes_and_masks(ray_session, bal_rows):
+    """find_aoi/extract_by_mask parity: an AOI run produces exactly the
+    intersecting cells, pixels inside the AOI byte-match the full run,
+    pixels outside are nodata (sa_tools.py:48-136 semantics)."""
+    import ray.data
+
+    ps, T = CFG.pixel_size, CFG.tile_px
+    # rectangle covering tiles (1..2, 1..2) plus a half-tile fringe
+    xmin, xmax = 1.5 * T * ps, 2.5 * T * ps
+    ymax = SPEC.y_north - 1.5 * T * ps
+    ymin = SPEC.y_north - 2.5 * T * ps
+    extent = f"{xmin} {ymin} {xmax} {ymax}"
+
+    ds = ray.data.from_arrow(synth.tiles_table(CFG))
+    rows = bp.bal_pipeline(ds, SPEC, fdi=80, extent=extent).take_all()
+
+    cells = {Caption.from_json(r["caption"]).tx
+             + 4 * Caption.from_json(r["caption"]).ty for r in rows}
+    assert cells == {5, 6, 9, 10}          # the 2x2 tile block hit
+
+    full = {(r["image_id"]): r for r in bal_rows}
+    for r in rows:
+        cap = Caption.from_json(r["caption"])
+        got = decode_tile(r["bytes"], r["fmt"], cap)
+        ref = decode_tile(full[r["image_id"]]["bytes"],
+                          full[r["image_id"]]["fmt"], cap)
+        xs = cap.tx * T * ps + (np.arange(T) + 0.5) * ps
+        ys = SPEC.y_north - cap.ty * T * ps - (np.arange(T) + 0.5) * ps
+        inside = ((ys[:, None] >= ymin) & (ys[:, None] <= ymax)
+                  & (xs[None, :] >= xmin) & (xs[None, :] <= xmax))
+        assert_array_equal(got[inside], ref[inside])
+        assert (got[~inside] == np.float32(-99.0)).all()
+
+
+def test_find_aoi_default_and_errors():
+    assert bp.find_aoi("DEFAULT", SPEC) == bp.find_aoi(None, SPEC)
+    full = bp.find_aoi("MINOF", SPEC)
+    assert full[0] == 0.0 and full[3] == SPEC.y_north
+    with pytest.raises(ValueError):
+        bp.find_aoi((-10, -10, -5, -5), SPEC)
