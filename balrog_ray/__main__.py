@@ -44,7 +44,8 @@ def infer_grid(path: str):
 def cmd_bal(args) -> int:
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
     from .pipelines.bal_pipeline import bal_pipeline
@@ -67,14 +68,16 @@ def cmd_bal(args) -> int:
         "grid": f"{spec.tiles_x}x{spec.tiles_y}x{spec.tile_px}px",
         "fdi": args.fdi, "seconds": round(time.time() - t0, 2),
         "out": args.out}))
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
 def cmd_synth(args) -> int:
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
     import ray.data
@@ -87,7 +90,8 @@ def cmd_synth(args) -> int:
     write_image_table(ray.data.from_arrow(tiles_table(cfg)), args.out)
     print(json.dumps({"rows": 2 * args.tiles_x * args.tiles_y,
                       "out": args.out}))
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
