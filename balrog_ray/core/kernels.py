@@ -150,7 +150,8 @@ def _shift(arr: np.ndarray, dr: int, dc: int, fill) -> np.ndarray:
 
 
 def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
-          valid: np.ndarray | None = None) -> np.ndarray:
+          valid: np.ndarray | None = None,
+          veg_idx: np.ndarray | None = None) -> np.ndarray:
     """Directional neighbourhood scan: max BAL contributed by neighbours up
     to 100 m along ``a_dir``.
 
@@ -177,17 +178,38 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     if valid is not None:
         sia = np.where(valid, sia, NODATA)
         veg = np.where(valid, veg, NODATA)
-        valid_u8 = valid.astype(np.uint8)
-    else:
-        valid_u8 = np.ones(veg.shape, dtype=np.uint8)
+        veg_idx = None                  # masked veg differs per direction
+    if veg_idx is None:
+        veg_idx = class_index(veg, VEG_KEYS)
 
     # combined (slope, veg) class index 0..63 for flat LUT gathers;
     # int16 keeps the shifted copies bandwidth-friendly on wide hosts
     comb = (class_index(sia, SLOPE_KEYS) * len(VEG_KEYS)
-            + class_index(veg, VEG_KEYS)).astype(np.int16)
+            + veg_idx).astype(np.int16)
+    rows, cols = comb.shape
+    out = np.full(comb.shape, -np.inf, dtype=np.float32)
 
-    out = np.full(veg.shape, -np.inf, dtype=np.float32)
-    any_neighbour = np.zeros(veg.shape, dtype=bool)
+    if valid is None:
+        # every in-array cell is valid, so the "neighbour exists" mask for
+        # step m is just a rectangle -- pure slice arithmetic, no shifted
+        # mask copies and no masked maximum
+        for m in range(1, filter_width + 1):
+            dist = (m - 1) * dire_width + 0.5 * dire_width
+            lut = bal_lut(fdi, dist).reshape(-1)
+            dr_m, dc_m = m * dr, m * dc
+            r_lo, r_hi = max(0, -dr_m), min(rows, rows - dr_m)
+            c_lo, c_hi = max(0, -dc_m), min(cols, cols - dc_m)
+            if r_lo >= r_hi or c_lo >= c_hi:
+                break
+            dst = out[r_lo:r_hi, c_lo:c_hi]
+            src = comb[r_lo + dr_m:r_hi + dr_m, c_lo + dc_m:c_hi + dc_m]
+            np.maximum(dst, lut[src], out=dst)
+        # cells outside the 1-step rectangle have zero neighbours -> -99
+        out[np.isneginf(out)] = NODATA
+        return out
+
+    valid_u8 = valid.astype(np.uint8)
+    any_neighbour = np.zeros(comb.shape, dtype=bool)
     for m in range(1, filter_width + 1):
         dist = (m - 1) * dire_width + 0.5 * dire_width
         lut = bal_lut(fdi, dist).reshape(-1)
@@ -211,8 +233,10 @@ def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
     of classified inputs (the whole-raster orchestration of
     ``calculate_bal.py:21-101``, minus the file I/O)."""
     out = {}
+    veg_idx = None if valid is not None else \
+        class_index(np.asarray(veg_class, dtype=np.float64), VEG_KEYS)
     for a_dir in DIRECTIONS:
         out[a_dir] = convo(a_dir, veg_class, slope_class, aspect_class,
-                           pixel_width, fdi, valid=valid)
+                           pixel_width, fdi, valid=valid, veg_idx=veg_idx)
     out["max"] = max_bal([out[d] for d in DIRECTIONS])
     return out

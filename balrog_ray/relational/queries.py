@@ -534,6 +534,81 @@ where rnk <= 5
 
 
 # --------------------------------------------------------------------------
+# 19b. hopping window (60 min window, 30 min hop): each event lands in two
+#      windows -> flat_map expansion + one groupby, no event-time engine
+
+def q_hopping_window(sf_dir: str):
+    def expand(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
+        half = 1_800_000_000                    # 30 min in us
+        w0 = (ts // half) * half                # the hop grid
+        starts = np.concatenate([w0, w0 - half])
+        etype = pa.concat_arrays([b.column("event_type").combine_chunks()] * 2)
+        return pa.table({
+            "window_start": pa.array(starts.astype("datetime64[us]")),
+            "event_type": etype})
+
+    a = _agg()
+    return (_read(sf_dir, "events", ["ts", "event_type"])
+            .map_batches(expand, batch_format="pyarrow")
+            .groupby(["window_start", "event_type"])
+            .aggregate(a.Count(alias_name="n")))
+
+
+SQL_HOPPING_WINDOW = """
+select window_start, event_type, count(*) as n from (
+  select unnest([
+      cast(to_timestamp(floor(epoch(ts) / 1800) * 1800) as timestamp),
+      cast(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) as timestamp)
+    ]) as window_start, event_type
+  from events) t
+group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 19c. as-of join: each order joined to the user's latest event at or before
+#      the order date (a join shape Ray Data lacks -> union-tag + per-key
+#      sorted merge inside map_groups; one shuffle)
+
+def q_asof_join(sf_dir: str):
+    from ..stages.asof import asof_join
+
+    purchases = (_read(sf_dir, "events",
+                       ["user_id", "ts", "event_id", "event_type"])
+                 .filter(expr="event_type == 'purchase'"))
+    clicks = (_read(sf_dir, "events",
+                    ["user_id", "ts", "event_id", "event_type"])
+              .filter(expr="event_type == 'click'")
+              .select_columns(["user_id", "ts", "event_id"])
+              .rename_columns({"event_id": "click_id"}))
+    a = _agg()
+    joined = asof_join(purchases, clicks,
+                       left_key="user_id", right_key="user_id",
+                       left_ts="ts", right_ts="ts",
+                       right_payload=["click_id"])
+    return (joined.groupby("user_id")
+            .aggregate(a.Count(alias_name="n_purchases"),
+                       a.Sum("click_id", alias_name="sum_click_id"),
+                       a.Max("click_id", alias_name="max_click_id")))
+
+
+SQL_ASOF_JOIN = """
+select user_id, count(*) as n_purchases,
+       sum(click_id) as sum_click_id, max(click_id) as max_click_id
+from (
+  select p.user_id,
+         (select c.event_id from events c
+          where c.user_id = p.user_id and c.event_type = 'click'
+            and c.ts <= p.ts
+          order by c.ts desc, c.event_id desc limit 1) as click_id
+  from events p where p.event_type = 'purchase') t
+where click_id is not null
+group by user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 20. exact cosine-pair self-join (embedding near-dup, hash-verified twin of
 #     the LSH variant in functions/dedup.py)
 
@@ -578,4 +653,6 @@ SQL_CHECKED = {
     "long_docs_by_source": (q_long_docs_by_source, SQL_LONG_DOCS_BY_SOURCE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
 }

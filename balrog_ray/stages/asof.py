@@ -1,0 +1,115 @@
+"""As-of (nearest-preceding) join -- a join shape Ray Data has no primitive
+for, composed from union + one keyed shuffle + per-group sorted merge.
+
+For every left row, find the right row with the greatest ``right_ts <=
+left_ts`` for the same key (ties broken by the greatest payload tuple).
+The reference has no as-of join (SURVEY §2.3 notes the gap); this is part
+of the engine's beyond-reference surface, with semantics pinned by a DuckDB
+correlated-subquery oracle in relational/queries.py.
+
+Shape: both sides are normalized to one schema (side tag + nulls for the
+other side's columns), unioned, and shuffled ONCE by key; the per-group
+merge sorts the right rows and answers every left row with one vectorized
+``searchsorted``.  At 10^12 scale the shuffle is the only all-to-all; skew
+on a hot key is bounded by that key's own row count (salt upstream if a
+single key exceeds a block).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ts_us(col: pa.ChunkedArray) -> np.ndarray:
+    """Any temporal/numeric column -> int64 microseconds (dates become
+    midnight, matching SQL date->timestamp comparison)."""
+    if pa.types.is_date(col.type):
+        col = col.cast(pa.timestamp("us"))
+    elif pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.to_numpy().astype("datetime64[us]").astype(np.int64) \
+        if pa.types.is_timestamp(col.type) else col.to_numpy().astype(np.int64)
+
+
+def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, right_payload: list[str]):
+    """Inner as-of join; emits every left column plus ``right_payload``
+    columns of the matched right row.  Left rows with no match are dropped
+    (inner semantics)."""
+    left_schema = left_ds.schema()
+    left_cols = [c for c in left_schema.names]
+    payload_types = {}
+
+    right_schema = right_ds.schema()
+    for c in right_payload:
+        payload_types[c] = right_schema.types[right_schema.names.index(c)]
+    left_types = {c: left_schema.types[left_schema.names.index(c)]
+                  for c in left_cols}
+
+    def norm_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "__key": pa.array(b.column(left_key).to_numpy().astype(np.int64)),
+            "__ts": pa.array(_ts_us(b.column(left_ts))),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = b.column(c)
+        for c in right_payload:
+            cols[f"r_{c}"] = pa.nulls(n, payload_types[c])
+        return pa.table(cols)
+
+    def norm_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "__key": pa.array(b.column(right_key).to_numpy().astype(np.int64)),
+            "__ts": pa.array(_ts_us(b.column(right_ts))),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(n, left_types[c])
+        for c in right_payload:
+            cols[f"r_{c}"] = b.column(c)
+        return pa.table(cols)
+
+    both = (left_ds.map_batches(norm_left, batch_format="pyarrow")
+            .union(right_ds.map_batches(norm_right,
+                                        batch_format="pyarrow")))
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy()
+        ts = group.column("__ts").to_numpy()
+        is_r = side == 1
+        empty_cols = {f"l_{c}": pa.array([], left_types[c])
+                      for c in left_cols}
+        empty_cols.update({f"r_{c}": pa.array([], payload_types[c])
+                           for c in right_payload})
+        if not is_r.any() or is_r.all():
+            out = pa.table(empty_cols)
+        else:
+            right = group.filter(pa.array(is_r))
+            # sort right rows by (ts, payload...) so the last match at or
+            # before each left ts carries the greatest payload tuple
+            order = pc.sort_indices(
+                right, sort_keys=[("__ts", "ascending")]
+                + [(f"r_{c}", "ascending") for c in right_payload])
+            right = right.take(order)
+            r_ts = right.column("__ts").to_numpy()
+            left = group.filter(pa.array(~is_r))
+            l_ts = left.column("__ts").to_numpy()
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            hit = idx >= 0
+            left = left.filter(pa.array(hit))
+            idx = idx[hit]
+            cols = {f"l_{c}": left.column(f"l_{c}") for c in left_cols}
+            for c in right_payload:
+                cols[f"r_{c}"] = right.column(f"r_{c}").take(
+                    pa.array(idx, pa.int64()))
+            out = pa.table(cols)
+        renames = {f"l_{c}": c for c in left_cols}
+        renames.update({f"r_{c}": c for c in right_payload})
+        return out.rename_columns([renames[n] for n in out.schema.names])
+
+    return both.groupby("__key").map_groups(merge, batch_format="pyarrow")

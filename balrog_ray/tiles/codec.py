@@ -113,7 +113,8 @@ def png16_decode(data: bytes) -> np.ndarray:
         pass
     elif np.all(ftypes == 2) or (ftypes[0] == 0 and np.all(ftypes[1:] == 2)):
         # invert the Up filter: per-byte cumulative sum down the columns
-        data = np.cumsum(data.astype(np.int64), axis=0).astype(np.uint8)
+        # (uint8 accumulation wraps mod 256 -- exactly the filter inverse)
+        data = np.cumsum(data, axis=0, dtype=np.uint8)
     else:
         raise ValueError("only filter types 0/2 supported")
     return data.view(">u2").reshape(h, w).astype(np.uint16)

@@ -133,3 +133,31 @@ def test_zonal_stats_matches_oracle(ray_session, world):
             assert_allclose(res["slope_avg"], vals.mean(), rtol=1e-5, atol=1e-5)
             assert_allclose(res["slope_med"], np.median(vals), rtol=1e-5, atol=1e-5)
             assert_allclose(res["slope_std"], vals.std(), rtol=1e-4, atol=1e-5)
+
+
+def test_asof_join_semantics(ray_session):
+    """Tie-break = greatest payload at the latest ts; lefts before any
+    right are dropped (inner as-of)."""
+    import pyarrow as pa
+    import ray.data
+
+    from balrog_ray.stages.asof import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([5, 10, 2, 7, 9], pa.int64()),
+        "lid": pa.array([100, 101, 102, 103, 104], pa.int64())})
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "t": pa.array([3, 5, 5, 8, 9], pa.int64()),
+        "rid": pa.array([7, 8, 9, 6, 5], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_key="k", right_key="k", left_ts="t", right_ts="t",
+                    right_payload=["rid"]).take_all()
+    got = {r["lid"]: r["rid"] for r in out}
+    # lid=100 (t=5): rights at t<=5 are {3:7, 5:8, 5:9} -> tie at t=5 -> 9
+    # lid=101 (t=10): latest right t=8 -> 6
+    # lid=102 (t=2): no right at or before -> dropped
+    # lid=103 (k=2, t=7): right t=9 is later -> dropped
+    # lid=104 (k=3): no rights for key -> dropped
+    assert got == {100: 9, 101: 6}
