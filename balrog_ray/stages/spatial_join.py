@@ -61,6 +61,13 @@ class _PolyIndex:
         self.tree = STRtree(boxes)
 
     def join_points(self, site_id, x, y, max_dist: float) -> pa.Table:
+        """Vectorized candidate refinement: the (site, polygon) candidate
+        pairs from the STR-tree are grouped BY POLYGON, so the exact
+        point-in-polygon / distance kernels run once per polygon over an
+        array of sites instead of once per pair (the per-site scalar loop
+        was the hot spot at 200k+ sites/batch).  Winner selection follows
+        the scalar semantics exactly: lowest gid among minimum-distance
+        candidates; lowest gid among containing polygons."""
         n = len(x)
         in_gid = np.full(n, -1, dtype=np.int64)
         in_cls = np.full(n, -1, dtype=np.int16)
@@ -68,27 +75,53 @@ class _PolyIndex:
         near_cls = np.full(n, -1, dtype=np.int16)
         dist = np.full(n, OUT_OF_AREA, dtype=np.float64)
         azim = np.full(n, OUT_OF_AREA, dtype=np.float64)
+
+        pair_i, pair_j = [], []
         for i in range(n):
             px, py = float(x[i]), float(y[i])
             cands = self.tree.query((px - max_dist, py - max_dist,
                                      px + max_dist, py + max_dist))
-            if len(cands) == 0:
-                continue
-            best_d, best_j, best_near = np.inf, -1, None
-            pt = np.array([[px, py]])
-            for j in sorted(cands):          # gid order => deterministic
-                d, nearest, inside = polygon_distance(pt, self.polys[j])
-                if inside[0] and in_gid[i] < 0:
-                    in_gid[i] = self.gids[j]
-                    in_cls[i] = self.classes[j]
-                if d[0] < best_d:
-                    best_d, best_j, best_near = float(d[0]), j, nearest[0]
-            if best_j >= 0 and best_d <= max_dist:
-                near_gid[i] = self.gids[best_j]
-                near_cls[i] = self.classes[best_j]
-                dist[i] = best_d
-                azim[i] = (0.0 if best_d == 0.0
-                           else float(azimuth_deg(pt, best_near[None, :])[0]))
+            pair_i.append(np.full(len(cands), i, dtype=np.int64))
+            pair_j.append(cands)
+        I = np.concatenate(pair_i) if pair_i else np.empty(0, np.int64)
+        J = np.concatenate(pair_j) if pair_j else np.empty(0, np.int64)
+        if len(I):
+            pts = np.column_stack([np.asarray(x, dtype=np.float64),
+                                   np.asarray(y, dtype=np.float64)])
+            D = np.empty(len(I), dtype=np.float64)
+            NEAR = np.empty((len(I), 2), dtype=np.float64)
+            INS = np.empty(len(I), dtype=bool)
+            order_j = np.argsort(J, kind="stable")
+            Js, Is_ = J[order_j], I[order_j]
+            bounds = np.searchsorted(Js, np.arange(len(self.polys) + 1))
+            for j in np.unique(Js):
+                lo, hi = bounds[j], bounds[j + 1]
+                rows = order_j[lo:hi]
+                d, nearest, inside = polygon_distance(pts[Is_[lo:hi]],
+                                                      self.polys[j])
+                D[rows], NEAR[rows], INS[rows] = d, nearest, inside
+
+            # containing polygon: lowest gid (== lowest j) per site
+            if INS.any():
+                ii, jj = I[INS], J[INS]
+                first = np.lexsort((jj, ii))
+                keep = np.concatenate([[True], ii[first][1:] != ii[first][:-1]])
+                win = first[keep]
+                in_gid[ii[win]] = self.gids[jj[win]]
+                in_cls[ii[win]] = self.classes[jj[win]]
+
+            # nearest polygon: min distance, tie -> lowest gid
+            first = np.lexsort((J, D, I))
+            keep = np.concatenate([[True], I[first][1:] != I[first][:-1]])
+            win = first[keep]
+            ok = D[win] <= max_dist
+            win = win[ok]
+            wi, wj, wd = I[win], J[win], D[win]
+            near_gid[wi] = self.gids[wj]
+            near_cls[wi] = self.classes[wj]
+            dist[wi] = wd
+            az = azimuth_deg(pts[wi], NEAR[win])
+            azim[wi] = np.where(wd == 0.0, 0.0, az)
         return pa.table({
             "site_id": site_id, "x": x, "y": y,
             "in_gid": in_gid, "in_bal_number": in_cls,

@@ -124,6 +124,26 @@ def run_bal(cfg, out_dir: str) -> dict:
             "bal_pixels_per_sec": round(n_cells * cfg.tile_px ** 2 / dt)}
 
 
+def run_spatial(cfg) -> dict:
+    """Secondary headline: broadcast STR-tree spatial join (point-in-polygon
+    + kNN distance-to-veg) of N sites against the bench world's polygons."""
+    import ray.data
+
+    from balrog_ray.stages.spatial_join import broadcast_spatial_join
+    from balrog_ray.tiles.synth import sites_table, veg_polygon_table
+
+    n_sites = 200_000
+    sites = sites_table(cfg, n=n_sites)
+    veg = veg_polygon_table(cfg)
+    t0 = time.time()
+    ds = ray.data.from_arrow(sites).repartition(NUM_CPUS * 2)
+    n = broadcast_spatial_join(
+        ds, veg, concurrency=(NUM_CPUS // 2, NUM_CPUS)).count()
+    dt = time.time() - t0
+    return {"join_seconds": round(dt, 3), "join_sites": n_sites,
+            "join_rows": n, "join_sites_per_sec": round(n_sites / dt)}
+
+
 def run_queries() -> dict:
     from balrog_ray.relational.queries import SQL_CHECKED
 
@@ -147,15 +167,18 @@ def main_bench(bal_only: bool = False):
                  include_dashboard=False)
     cfg = bench_cfg()
     bal = run_bal(cfg, f"/tmp/balrog_bench/out_{NUM_CPUS}")
+    spatial = {} if bal_only else run_spatial(cfg)
     queries = {} if bal_only else run_queries()
     out = {
         "metric": "e2e_seconds",
-        "value": bal["bal_seconds"] + sum(queries.values()),
+        "value": round(bal["bal_seconds"] + spatial.get("join_seconds", 0)
+                       + sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "num_cpus": NUM_CPUS,
         **bal,
+        **spatial,
         "bench_grid": f"{cfg.tiles_x}x{cfg.tiles_y}x{cfg.tile_px}px",
     }
     print(json.dumps(out))
