@@ -151,7 +151,8 @@ def _shift(arr: np.ndarray, dr: int, dc: int, fill) -> np.ndarray:
 
 def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
           valid: np.ndarray | None = None,
-          veg_idx: np.ndarray | None = None) -> np.ndarray:
+          veg_idx: np.ndarray | None = None,
+          slope_idx: np.ndarray | None = None) -> np.ndarray:
     """Directional neighbourhood scan: max BAL contributed by neighbours up
     to 100 m along ``a_dir``.
 
@@ -174,18 +175,29 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     filter_width = int(np.ceil(100.0 / dire_width))
     dr, dc = DIR_OFFSETS[a_dir]
 
-    sia = slope_in_aspect(slope, aspect, DIRE_ASPECT[a_dir])
-    if valid is not None:
-        sia = np.where(valid, sia, NODATA)
-        veg = np.where(valid, veg, NODATA)
-        veg_idx = None                  # masked veg differs per direction
-    if veg_idx is None:
-        veg_idx = class_index(veg, VEG_KEYS)
+    if valid is None and slope_idx is not None:
+        # slope_in_aspect as pure index arithmetic (no per-direction
+        # searchsorted): aspect match -> the slope's own class index,
+        # else index of -1 ("upslope", SLOPE_KEYS[1]) unless the slope is
+        # nodata (SLOPE_KEYS[0]) -- exactly slope_in_aspect's value map
+        if veg_idx is None:
+            veg_idx = class_index(veg, VEG_KEYS)
+        sia_idx = np.where(aspect == DIRE_ASPECT[a_dir], slope_idx,
+                           np.where(slope == NODATA, 0, 1))
+        comb = (sia_idx * len(VEG_KEYS) + veg_idx).astype(np.int16)
+    else:
+        sia = slope_in_aspect(slope, aspect, DIRE_ASPECT[a_dir])
+        if valid is not None:
+            sia = np.where(valid, sia, NODATA)
+            veg = np.where(valid, veg, NODATA)
+            veg_idx = None              # masked veg differs per direction
+        if veg_idx is None:
+            veg_idx = class_index(veg, VEG_KEYS)
 
-    # combined (slope, veg) class index 0..63 for flat LUT gathers;
-    # int16 keeps the shifted copies bandwidth-friendly on wide hosts
-    comb = (class_index(sia, SLOPE_KEYS) * len(VEG_KEYS)
-            + veg_idx).astype(np.int16)
+        # combined (slope, veg) class index 0..63 for flat LUT gathers;
+        # int16 keeps the shifted copies bandwidth-friendly on wide hosts
+        comb = (class_index(sia, SLOPE_KEYS) * len(VEG_KEYS)
+                + veg_idx).astype(np.int16)
     rows, cols = comb.shape
     out = np.full(comb.shape, -np.inf, dtype=np.float32)
 
@@ -233,10 +245,15 @@ def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
     of classified inputs (the whole-raster orchestration of
     ``calculate_bal.py:21-101``, minus the file I/O)."""
     out = {}
-    veg_idx = None if valid is not None else \
-        class_index(np.asarray(veg_class, dtype=np.float64), VEG_KEYS)
+    veg_idx = slope_idx = None
+    if valid is None:
+        veg_idx = class_index(np.asarray(veg_class, dtype=np.float64),
+                              VEG_KEYS)
+        slope_idx = class_index(np.asarray(slope_class, dtype=np.float64),
+                                SLOPE_KEYS)
     for a_dir in DIRECTIONS:
         out[a_dir] = convo(a_dir, veg_class, slope_class, aspect_class,
-                           pixel_width, fdi, valid=valid, veg_idx=veg_idx)
+                           pixel_width, fdi, valid=valid, veg_idx=veg_idx,
+                           slope_idx=slope_idx)
     out["max"] = max_bal([out[d] for d in DIRECTIONS])
     return out

@@ -18,7 +18,6 @@ the data -- the same order as any keyed repartition.
 
 from __future__ import annotations
 
-import io
 import zlib
 from dataclasses import dataclass
 
@@ -67,10 +66,13 @@ class GridSpec:
         return r0, r1, c0, c1
 
 
-def _np_bytes(arr: np.ndarray) -> bytes:
-    buf = io.BytesIO()
-    np.save(buf, np.ascontiguousarray(arr, dtype=np.float32))
-    return zlib.compress(buf.getvalue(), 1)
+def _raw_bytes(arr: np.ndarray) -> bytes:
+    """Strip payloads are internal to the shuffle: raw deflated float32
+    (shape rides in the row's h/w columns), skipping the npy container
+    whose header parse (ast.literal_eval inside np.load) costs more than
+    the strip decompress itself."""
+    return zlib.compress(
+        np.ascontiguousarray(arr, dtype=np.float32).tobytes(), 1)
 
 
 def make_strip_emitter(spec: GridSpec):
@@ -118,7 +120,7 @@ def make_strip_emitter(spec: GridSpec):
                     "layer": cap.layer,
                     "row0": np.int32(ir0), "col0": np.int32(ic0),
                     "h": np.int32(ir1 - ir0), "w": np.int32(ic1 - ic0),
-                    "payload": _np_bytes(strip), "fmt": "npz",
+                    "payload": _raw_bytes(strip), "fmt": "rawz",
                     "caption": row["caption"],
                     "is_core": False,
                 })
@@ -138,8 +140,14 @@ def assemble_window(group: dict[str, list], spec: GridSpec, layer: str,
     for i in range(len(group["layer"])):
         if group["layer"][i] != layer:
             continue
-        cap = Caption.from_json(group["caption"][i])
-        arr = decode_tile(group["payload"][i], group["fmt"][i], cap)
+        if group["fmt"][i] == "rawz":
+            arr = np.frombuffer(
+                zlib.decompress(group["payload"][i]),
+                dtype=np.float32).reshape(int(group["h"][i]),
+                                          int(group["w"][i]))
+        else:
+            cap = Caption.from_json(group["caption"][i])
+            arr = decode_tile(group["payload"][i], group["fmt"][i], cap)
         rr = int(group["row0"][i]) - r0
         cc = int(group["col0"][i]) - c0
         canvas[rr:rr + arr.shape[0], cc:cc + arr.shape[1]] = arr
