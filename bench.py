@@ -43,6 +43,11 @@ def bench_cfg():
                        tile_px=BENCH_TILE_PX, n_polygons=512, fmt="png")
 
 
+#: bump when tiles/synth.py output changes -- stale cached tile tables from
+#: an older generator would otherwise be silently reused across rounds
+SYNTH_VERSION = "v1"
+
+
 def tiles_dir(cfg) -> str:
     return (f"/tmp/balrog_bench/tiles_{cfg.tiles_x}x{cfg.tiles_y}"
             f"_{cfg.tile_px}px_{cfg.fmt}")
@@ -54,7 +59,8 @@ def ensure_tiles(cfg) -> str:
 
     path = tiles_dir(cfg)
     marker = os.path.join(path, "_DONE")
-    if os.path.exists(marker):
+    if (os.path.exists(marker)
+            and open(marker).read().strip() == SYNTH_VERSION):
         return path
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
@@ -83,7 +89,7 @@ def ensure_tiles(cfg) -> str:
     (ray.data.from_items(index)
      .map_batches(gen, batch_format="numpy", batch_size=16)
      .write_parquet(path))
-    open(marker, "w").write("ok")
+    open(marker, "w").write(SYNTH_VERSION)
     return path
 
 
