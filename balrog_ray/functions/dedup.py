@@ -258,24 +258,40 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
 
 def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.95, n_planes: int = 12,
-                        seed: int = 23):
-    """Cosine near-dup pairs via random-hyperplane LSH buckets + exact
-    verify.  Multi-probe: each vector lands in its sign bucket only, so
-    recall < 1 for borderline pairs; raise n_probe by lowering n_planes."""
+                        threshold: float = 0.95, n_planes: int = 8,
+                        n_bands: int = 8, seed: int = 23):
+    """Cosine near-dup pairs via banded random-hyperplane LSH + exact
+    verify.
+
+    ``n_bands`` independent hash tables of ``n_planes`` hyperplanes each
+    (AND within a band, OR across bands): a pair at angle theta collides in
+    one band with p = (1 - theta/pi)^n_planes, overall recall
+    1 - (1 - p)^n_bands.  Tune n_planes up for tight thresholds (selective
+    buckets), n_bands up for recall; precision is always 1 because every
+    candidate is cosine-verified.  One shuffle keyed by (band, signbits)."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1], n_planes))
-        signs = (vecs @ planes) > 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for b in range(n_planes):
-            bucket = (bucket << 1) | signs[:, b]
+        planes = rng.standard_normal((vecs.shape[1], n_bands * n_planes))
+        signs = (vecs @ planes) > 0                     # (n, bands*planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        buckets, ids, vecs_out = [], [], []
+        id_arr = batch.column(id_col)
+        vec_arr = batch.column(vec_col)
+        for b in range(n_bands):
+            bits = signs[:, b * n_planes:(b + 1) * n_planes] @ weights
+            buckets.append((np.int64(b) << 48) | bits.astype(np.int64))
+            ids.append(id_arr)
+            vecs_out.append(vec_arr)
         return pa.table({
-            "bucket": pa.array(bucket),
-            id_col: batch.column(id_col),
-            vec_col: batch.column(vec_col)})
+            "bucket": pa.array(np.concatenate(buckets)),
+            id_col: pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in ids]),
+            vec_col: pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in vecs_out])})
 
     def verify_group(group: pa.Table) -> pa.Table:
         ids = np.array(group.column(id_col).to_pylist())
@@ -296,6 +312,11 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
                          "id_b": pa.array(out["id_b"], pa.int64()),
                          "cosine": pa.array(out["cosine"], pa.float64())})
 
+    import ray.data.aggregate as agg
+
+    # a pair can collide in several bands -> dedup by (id_a, id_b)
     return (emb_ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(verify_group, batch_format="pyarrow"))
+            .map_groups(verify_group, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(agg.Max("cosine", alias_name="cosine")))

@@ -144,12 +144,17 @@ def q_simhash_pairs_docs(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
+    """LSH-bucketed cosine pairs at the same threshold as the SQL-checked
+    exact variant (``cosine_pairs``) -- the candidates it surfaces are a
+    recall-limited subset of that oracle (tested in test_functions.py)."""
     import ray.data
 
     from ..functions.dedup import embedding_dup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dup_pairs(ds, threshold=0.95)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.45, n_planes=4,
+                               n_bands=8)
 
 
 def q_ivf_ann(sf_dir: str):

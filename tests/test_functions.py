@@ -202,3 +202,23 @@ def test_multimodal_decode_and_resize(ray_session):
                     "fmt": ["jpeg"], "caption": ["{}"], "phash": [0]})
     with pytest.raises(NotImplementedError):
         actor(bad)
+
+
+def test_lsh_embedding_pairs_subset_of_exact(ray_session):
+    """Every LSH-surfaced pair must appear in the exact broadcast join at
+    the same threshold (precision 1; recall < 1 is expected and measured)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = dedup.cosine_pairs_exact(ds, threshold=0.45).take_all()
+    lsh = dedup.embedding_dup_pairs(ds, threshold=0.45, n_planes=4,
+                                    n_bands=8).take_all()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh}
+    assert lsh_pairs <= exact_pairs
+    assert len(exact_pairs) > 0
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.5         # 8 bands x 4 planes: ~0.8 expected
