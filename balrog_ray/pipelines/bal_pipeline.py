@@ -3,7 +3,7 @@
 Dataflow (all streaming, one all-to-all shuffle):
 
     read tiles (dem + veg layers)
-      -> flat_map: strip emitter (self payload + 8 halo strips, keyed by
+      -> map_batches: strip emitter (self payload + 8 halo strips, keyed by
          receiving cell)                                  [stages/halo.py]
       -> groupby(cell_id).map_groups: assemble tile+halo window ->
          slope/aspect (gradient + nodata fill) -> reclass (aspect 9-class,
@@ -31,7 +31,8 @@ from ..core.kernels import DIRECTIONS, compute_bal, slope_aspect
 from ..core.remap import ASPECT_RECLASS, apply_remap, parse_remap, slope_reclass
 from ..tiles.codec import Caption, encode_tile, phash64
 from ..tiles.synth import TILES_SCHEMA
-from ..stages.halo import GridSpec, assemble_window, make_strip_emitter
+from ..stages.halo import (GridSpec, assemble_window,
+                           make_strip_emitter_batch)
 
 ALL_BANDS = DIRECTIONS + ("max",)
 
@@ -241,7 +242,8 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
 
         tiles_ds = tiles_ds.map_batches(prune_tiles, batch_format="pyarrow")
 
-    contrib = tiles_ds.flat_map(make_strip_emitter(spec))
+    contrib = tiles_ds.map_batches(make_strip_emitter_batch(spec),
+                                   batch_format="pyarrow")
     if aoi is not None:
         def drop_non_aoi(batch: pa.Table) -> pa.Table:
             keep = np.isin(batch.column("cell_id").to_numpy(), keep_arr)

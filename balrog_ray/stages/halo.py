@@ -129,6 +129,34 @@ def make_strip_emitter(spec: GridSpec):
     return emit
 
 
+def make_strip_emitter_batch(spec: GridSpec):
+    """Batched strip emitter: one ``map_batches`` call per block, columnar
+    output (pyarrow Table), no per-row plumbing -- the hot-path form of
+    :func:`make_strip_emitter` (kept for row-level composition/tests)."""
+    import pyarrow as pa
+
+    emit = make_strip_emitter(spec)
+    schema = pa.schema([
+        ("cell_id", pa.int64()), ("layer", pa.string()),
+        ("row0", pa.int32()), ("col0", pa.int32()),
+        ("h", pa.int32()), ("w", pa.int32()),
+        ("payload", pa.binary()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("is_core", pa.bool_()),
+    ])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {n: [] for n in schema.names}
+        for row in batch.to_pylist():
+            for out in emit(row):
+                for n in schema.names:
+                    cols[n].append(out[n])
+        return pa.table(
+            {n: pa.array(cols[n], schema.field(n).type)
+             for n in schema.names}, schema=schema)
+
+    return fn
+
+
 def assemble_window(group: dict[str, list], spec: GridSpec, layer: str,
                     tx: int, ty: int) -> np.ndarray | None:
     """Rebuild the (tile + halo) pixel window for one layer from the
