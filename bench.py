@@ -165,12 +165,21 @@ def run_queries() -> dict:
     return timings
 
 
+def _quiet_data_context():
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
 def main_bench(bal_only: bool = False):
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
-                 include_dashboard=False)
+                 include_dashboard=False, logging_level="ERROR")
+    _quiet_data_context()
     cfg = bench_cfg()
     bal = run_bal(cfg, f"/tmp/balrog_bench/out_{NUM_CPUS}")
     spatial = {} if bal_only else run_spatial(cfg)
