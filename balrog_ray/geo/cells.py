@@ -69,6 +69,37 @@ class CellGrid:
         gx, gy = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
         return (gy * self.nx + gx).reshape(-1).astype(np.int64)
 
+    def hilbert_id(self, cell_id):
+        """Hilbert-curve index of a cell (vectorized) -- the spatial sort
+        key for output layout.  Sorting partitions by this key clusters
+        spatially-adjacent cells into the same files/row-groups, the
+        ``CLUSTER ON gist-index`` analogue of the reference
+        (``03_explode_multipolygons_and_classify.sql:79-80``): a later bbox
+        range read touches O(perimeter) files instead of O(area)."""
+        cx, cy = self.cell_xy(np.asarray(cell_id, dtype=np.int64))
+        order = max(int(np.ceil(np.log2(max(self.nx, self.ny, 2)))), 1)
+        x = cx.astype(np.int64).copy()
+        y = cy.astype(np.int64).copy()
+        rx = np.zeros_like(x)
+        ry = np.zeros_like(y)
+        d = np.zeros_like(x)
+        s = np.int64(1 << (order - 1))
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            # rotate quadrant
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            x_f, y_f = x.copy(), y.copy()
+            x = np.where(flip, s - 1 - x_f, x_f)
+            y = np.where(flip, s - 1 - y_f, y_f)
+            x2, y2 = x.copy(), y.copy()
+            x = np.where(swap, y2, x2)
+            y = np.where(swap, x2, y2)
+            s >>= 1
+        return d
+
     def neighbours(self, cell_id: int) -> dict[str, int]:
         """The 8 compass neighbours (missing ones omitted) -- the halo
         exchange's shuffle targets."""

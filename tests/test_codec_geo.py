@@ -188,3 +188,19 @@ def test_image_table_source_roundtrip(ray_session, tmp_path):
     import pytest as _pt
     with _pt.raises((NotImplementedError, ImportError)):
         read_image_table("/tmp/nope.lance", fmt="lance")
+
+
+def test_hilbert_id_locality_and_bijection():
+    from balrog_ray.geo.cells import CellGrid
+
+    g = CellGrid(x0=0.0, y0=160.0, cell_size=10.0, nx=16, ny=16)
+    cells = np.arange(16 * 16, dtype=np.int64)
+    h = g.hilbert_id(cells)
+    # bijective over the grid
+    assert len(set(h.tolist())) == len(cells)
+    assert h.min() == 0 and h.max() == 16 * 16 - 1
+    # locality: consecutive hilbert indices are always grid neighbours
+    order = np.argsort(h)
+    cx, cy = g.cell_xy(cells[order])
+    steps = np.abs(np.diff(cx)) + np.abs(np.diff(cy))
+    assert (steps == 1).all()
