@@ -1,0 +1,128 @@
+"""Vegetation data-prep pipeline: the reference's Gen-2 polygon flow
+re-expressed Ray-Data-first.
+
+Reference flow (PostGIS, serial, 9.5 h + 36 h):
+  explode multipolygons + validity fix      03_explode_multipolygons_and_classify.sql:2-31
+  NVIS MVG -> BAL class lookup UPDATE       02_create_nvis_bal_map_table.sql:54-101
+  st_union group by class (partial/final)   04_merge_geometries.py:129-205
+  st_subdivide big polygons (skew fix)      03_explode_multipolygons_and_classify.sql:66-80
+
+Here: one streaming pass of ``map_batches`` stages and ONE ``groupby``:
+
+  raw (src_id, mvg_number, geom WKB poly/multipoly)
+    -> explode: 1 row in -> N polygon rows (drop degenerate parts)
+    -> classify: MVG -> AS 3959 class 1..7 via the broadcast NVIS map;
+       'not applicable' classes (-99, e.g. mangroves) dropped
+    -> subdivide: halve big polygons until <= max_vertices / max_extent
+    -> groupby(bal_number): partial per-block (count/area/bbox) reduced
+       by a final per-class merge -- the partial/final aggregate shape of
+       the reference's chunked union.  The geometric st_union itself is
+       deliberately NOT reproduced: downstream (spatial join, rasterize)
+       consumes the subdivided parts directly, which is both cheaper and
+       skew-free; the per-class roll-up carries the same bookkeeping
+       (polygon count, total area, class bbox).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.remap import NVIS_RECLASS, apply_remap
+from ..geo.geometry import Polygon, subdivide
+from ..geo.wkb import from_wkb, polygon_to_wkb
+
+PREPPED_SCHEMA = pa.schema([
+    ("part_id", pa.int64()),        # dense, deterministic within a block
+    ("src_id", pa.int64()),
+    ("bal_number", pa.int16()),
+    ("area_m2", pa.float64()),
+    ("n_points", pa.int32()),
+    ("geom", pa.binary()),
+])
+
+CLASS_SCHEMA = pa.schema([
+    ("bal_number", pa.int16()),
+    ("n_polygons", pa.int64()),
+    ("total_area_m2", pa.float64()),
+    ("xmin", pa.float64()), ("ymin", pa.float64()),
+    ("xmax", pa.float64()), ("ymax", pa.float64()),
+])
+
+
+def explode_classify_subdivide(max_vertices: int = 64,
+                               max_extent: float | None = None,
+                               mvg_remap: str = NVIS_RECLASS):
+    """Batch fn: raw rows -> prepped polygon part rows (PREPPED_SCHEMA)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src_ids = batch.column("src_id").to_pylist()
+        mvgs = np.asarray(batch.column("mvg_number").to_pylist(),
+                          dtype=np.float64)
+        classes = apply_remap(mvgs, mvg_remap, out_dtype=np.int64)
+        out = {n: [] for n in PREPPED_SCHEMA.names}
+        part_id = 0
+        for src, cls, wkb in zip(src_ids, classes,
+                                 batch.column("geom").to_pylist()):
+            if cls <= 0 or cls > 7:          # 'not applicable' -> dropped
+                continue
+            geom = from_wkb(wkb)
+            parts = geom if isinstance(geom, list) else [geom]
+            for p in parts:
+                if not isinstance(p, Polygon) or len(p.exterior) < 4 \
+                        or p.area <= 0:      # degenerate, st_makevalid role
+                    continue
+                for piece in subdivide(p, max_vertices=max_vertices,
+                                       max_extent=max_extent):
+                    out["part_id"].append(part_id)
+                    out["src_id"].append(int(src))
+                    out["bal_number"].append(int(cls))
+                    out["area_m2"].append(float(piece.area))
+                    out["n_points"].append(len(piece.exterior))
+                    out["geom"].append(polygon_to_wkb(piece))
+                    part_id += 1
+        return pa.table(out, schema=PREPPED_SCHEMA)
+
+    return fn
+
+
+def _class_partial(batch: pa.Table) -> pa.Table:
+    """Per-block partial roll-up (the 'chunk union' pass 1)."""
+    cls = batch.column("bal_number").to_numpy()
+    area = batch.column("area_m2").to_numpy()
+    boxes = np.array([from_wkb(w).bbox
+                      for w in batch.column("geom").to_pylist()]) \
+        if batch.num_rows else np.empty((0, 4))
+    out = {n: [] for n in CLASS_SCHEMA.names}
+    for c in np.unique(cls):
+        m = cls == c
+        out["bal_number"].append(int(c))
+        out["n_polygons"].append(int(m.sum()))
+        out["total_area_m2"].append(float(area[m].sum()))
+        out["xmin"].append(float(boxes[m, 0].min()))
+        out["ymin"].append(float(boxes[m, 1].min()))
+        out["xmax"].append(float(boxes[m, 2].max()))
+        out["ymax"].append(float(boxes[m, 3].max()))
+    return pa.table(out, schema=CLASS_SCHEMA)
+
+
+def veg_prep_pipeline(raw_ds, max_vertices: int = 64,
+                      max_extent: float | None = None,
+                      mvg_remap: str = NVIS_RECLASS):
+    """raw polygon Dataset -> (prepped parts Dataset, per-class summary
+    Dataset).  Both are lazy; the summary costs one small groupby."""
+    import ray.data.aggregate as agg
+
+    prepped = raw_ds.map_batches(
+        explode_classify_subdivide(max_vertices, max_extent, mvg_remap),
+        batch_format="pyarrow")
+    summary = (prepped.map_batches(_class_partial, batch_format="pyarrow")
+               .groupby("bal_number")
+               .aggregate(agg.Sum("n_polygons", alias_name="n_polygons"),
+                          agg.Sum("total_area_m2",
+                                  alias_name="total_area_m2"),
+                          agg.Min("xmin", alias_name="xmin"),
+                          agg.Min("ymin", alias_name="ymin"),
+                          agg.Max("xmax", alias_name="xmax"),
+                          agg.Max("ymax", alias_name="ymax")))
+    return prepped, summary

@@ -157,6 +157,22 @@ def q_embedding_dups(sf_dir: str):
                                n_bands=8)
 
 
+def q_veg_prep(sf_dir: str):
+    """Gen-2 data-prep flow: explode multipolygons -> NVIS classify ->
+    subdivide -> per-class partial/final roll-up (ops 29-33)."""
+    import ray.data
+
+    from ..pipelines.veg_prep import veg_prep_pipeline
+    from ..tiles.synth import raw_nvis_table
+
+    from ..tiles.synth import SynthConfig
+
+    cfg = SynthConfig(tiles_x=4, tiles_y=4, tile_px=64, n_polygons=96)
+    raw = ray.data.from_arrow(raw_nvis_table(cfg))
+    _, summary = veg_prep_pipeline(raw, max_vertices=32)
+    return summary
+
+
 def q_ivf_ann(sf_dir: str):
     import ray.data
 
@@ -183,4 +199,5 @@ ROWS_ONLY = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "embedding_dups": q_embedding_dups,
     "ivf_ann": q_ivf_ann,
+    "veg_prep": q_veg_prep,
 }

@@ -212,3 +212,37 @@ def sites_table(cfg: SynthConfig, n: int = 64) -> pa.Table:
         "x": pa.array(x, pa.float64()),
         "y": pa.array(y, pa.float64()),
     })
+
+
+def raw_nvis_table(cfg: SynthConfig) -> pa.Table:
+    """Raw vegetation input for the prep pipeline (veg_prep.py): the
+    pre-classification shape of the reference's NVIS import -- multipolygon
+    WKB rows carrying an NVIS major-vegetation-group number, including MVGs
+    that map to 'not applicable' (24/25/27/28, the mangrove-fix family)."""
+    from ..geo.geometry import Polygon
+    from ..geo.wkb import multipolygon_to_wkb
+
+    polys = [p for p in make_veg_polygons(cfg)]
+    rows = {"src_id": [], "mvg_number": [], "geom": []}
+    i, src = 0, 0
+    while i < len(polys):
+        k = 1 + (src % 3)                # 1..3 parts per multipolygon
+        parts = []
+        for p in polys[i:i + k]:
+            from ..geo.wkb import from_wkb
+            g = from_wkb(p["geom"])
+            parts.extend(g if isinstance(g, list) else [g])
+        # throw in a degenerate sliver part (validity-fix path)
+        if src % 4 == 0:
+            parts.append(Polygon(np.array([[0.0, 0.0], [1.0, 0.0],
+                                           [2.0, 0.0]])))
+        rows["src_id"].append(src)
+        rows["mvg_number"].append((src % 32) + 1)
+        rows["geom"].append(multipolygon_to_wkb(parts))
+        i += k
+        src += 1
+    return pa.table({
+        "src_id": pa.array(rows["src_id"], pa.int64()),
+        "mvg_number": pa.array(rows["mvg_number"], pa.int32()),
+        "geom": pa.array(rows["geom"], pa.binary()),
+    })

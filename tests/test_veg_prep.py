@@ -1,0 +1,62 @@
+"""Veg data-prep pipeline: explode / classify / subdivide / roll-up
+parity with a driver-side oracle over the same raw table."""
+
+import numpy as np
+import pyarrow as pa
+
+from balrog_ray.core.remap import NVIS_RECLASS, apply_remap
+from balrog_ray.geo.geometry import Polygon
+from balrog_ray.geo.wkb import from_wkb
+from balrog_ray.pipelines.veg_prep import veg_prep_pipeline
+from balrog_ray.tiles.synth import SynthConfig, raw_nvis_table
+
+CFG = SynthConfig(tiles_x=4, tiles_y=4, tile_px=64)
+
+
+def oracle(raw: pa.Table, max_vertices=32):
+    """Scalar reference computation of the per-class roll-up."""
+    per_class = {}
+    for src, mvg, wkb in zip(raw.column("src_id").to_pylist(),
+                             raw.column("mvg_number").to_pylist(),
+                             raw.column("geom").to_pylist()):
+        cls = int(apply_remap(np.array([float(mvg)]), NVIS_RECLASS)[0])
+        if cls <= 0 or cls > 7:
+            continue
+        g = from_wkb(wkb)
+        for p in (g if isinstance(g, list) else [g]):
+            if not isinstance(p, Polygon) or len(p.exterior) < 4 \
+                    or p.area <= 0:
+                continue
+            e = per_class.setdefault(cls, {"n": 0, "area": 0.0,
+                                           "bb": [np.inf, np.inf,
+                                                  -np.inf, -np.inf]})
+            e["area"] += p.area
+            bb = p.bbox
+            e["bb"] = [min(e["bb"][0], bb[0]), min(e["bb"][1], bb[1]),
+                       max(e["bb"][2], bb[2]), max(e["bb"][3], bb[3])]
+    return per_class
+
+
+def test_veg_prep_rollup_matches_oracle(ray_session):
+    import ray.data
+
+    raw = raw_nvis_table(CFG)
+    prepped, summary = veg_prep_pipeline(ray.data.from_arrow(raw),
+                                         max_vertices=32)
+    rows = {r["bal_number"]: r for r in summary.take_all()}
+    exp = oracle(raw)
+    assert set(rows) == set(exp)
+    for cls, e in exp.items():
+        r = rows[cls]
+        # subdivision preserves total area (rectangle clips are exact
+        # up to float round-off) and the class bbox
+        assert abs(r["total_area_m2"] - e["area"]) / e["area"] < 1e-6
+        assert np.allclose([r["xmin"], r["ymin"], r["xmax"], r["ymax"]],
+                           e["bb"], atol=1e-6)
+
+    parts = prepped.take_all()
+    # every part obeys the vertex bound (+1 for ring closure slack)
+    assert all(p["n_points"] <= 33 for p in parts)
+    # degenerate slivers and not-applicable MVGs never survive
+    assert all(1 <= p["bal_number"] <= 7 and p["area_m2"] > 0
+               for p in parts)
