@@ -109,52 +109,113 @@ def minhash_signature(shingles: np.ndarray, n_perm: int = 64,
 def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                       text_col: str = "text", n_perm: int = 64,
                       bands: int = 16, k: int = 5,
-                      threshold: float = 0.8):
-    """Candidate generation by banded minhash + exact-Jaccard verify.
+                      threshold: float = 0.8, est_slack: float = 0.15):
+    """Near-dup pairs by banded minhash, signature-verified in-bucket and
+    exact-Jaccard verified in a final candidates-only pass.
+
+    Scale design: what moves through the band-bucket shuffle is the FIXED
+    512-byte signature, never the document text (shipping text to every
+    band multiplies shuffle volume by ``bands``).  In-bucket, Jaccard is
+    estimated from the signatures (unbiased, stderr ~ sqrt(t(1-t)/n_perm));
+    pairs estimated above ``threshold - est_slack`` become candidates, and
+    only those few pairs get their texts re-read (column-pruned second
+    pass over the docs table) for an exact-Jaccard filter at ``threshold``.
     Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b."""
+    import ray
+    import ray.data
+    import ray.data.aggregate as agg
+
     rows_per_band = n_perm // bands
 
-    def to_buckets(row: dict) -> list[dict]:
-        sh = shingle_set(row[text_col], k)
-        sig = minhash_signature(sh, n_perm)
-        out = []
-        for band in range(bands):
-            chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
-            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            bucket = (band << 56) ^ (int.from_bytes(digest, "big") >> 8)
-            out.append({"bucket": np.int64(bucket - (1 << 62)),
-                        "doc_id": row[id_col], "text": row[text_col]})
-        return out
+    def sig_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_bucket, out_id, out_sig = [], [], []
+        for i, text in zip(ids, texts):
+            sig = minhash_signature(shingle_set(text, k), n_perm)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+                digest = hashlib.blake2b(chunk.tobytes(),
+                                         digest_size=8).digest()
+                bucket = (band << 56) ^ (int.from_bytes(digest, "big") >> 8)
+                out_bucket.append(np.int64(bucket - (1 << 62)))
+                out_id.append(i)
+                out_sig.append(sig.view(np.int64))
+        return pa.table({
+            "bucket": pa.array(out_bucket, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+            "sig": pa.array([s.tolist() for s in out_sig],
+                            pa.list_(pa.int64(), n_perm))})
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        texts = group.column("text").to_pylist()
-        out = {"id_a": [], "id_b": [], "jaccard": []}
+    est_floor = threshold - est_slack
+
+    def estimate_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        out = {"id_a": [], "id_b": [], "est": []}
         if len(ids) > 1:
-            order = np.argsort(ids)
-            shingles = {i: shingle_set(texts[i], k) for i in order}
-            for ii in range(len(order)):
-                for jj in range(ii + 1, len(order)):
-                    a, b = order[ii], order[jj]
-                    if ids[a] == ids[b]:
-                        continue
-                    j = jaccard(shingles[a], shingles[b])
-                    if j >= threshold:
-                        out["id_a"].append(ids[a])
-                        out["id_b"].append(ids[b])
-                        out["jaccard"].append(j)
+            sigs = np.array(group.column("sig").to_pylist(), dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids, sigs = ids[order], sigs[order]
+            for a in range(len(ids)):
+                eq = (sigs[a + 1:] == sigs[a]).mean(axis=1)
+                hit = np.nonzero((eq >= est_floor)
+                                 & (ids[a + 1:] != ids[a]))[0]
+                for h in hit:
+                    out["id_a"].append(int(ids[a]))
+                    out["id_b"].append(int(ids[a + 1 + h]))
+                    out["est"].append(float(eq[h]))
+        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
+                         "id_b": pa.array(out["id_b"], pa.int64()),
+                         "est": pa.array(out["est"], pa.float64())})
+
+    cand = (docs_ds.map_batches(sig_buckets, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(estimate_group, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(agg.Max("est", alias_name="est")))
+
+    # candidates-only exact verify: pull the candidate pair list (small by
+    # construction), re-read just those docs' texts, broadcast the shingle
+    # sets, filter at the exact threshold
+    ctabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if not ctabs:
+        return ray.data.from_arrow(empty)
+    ctab = pa.concat_tables(ctabs)
+    need = np.unique(np.concatenate([ctab.column("id_a").to_numpy(),
+                                     ctab.column("id_b").to_numpy()]))
+    need_ref = ray.put(need)
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+
+    docs = pa.concat_tables([
+        t for t in ray.get(
+            docs_ds.map_batches(keep_needed, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows])
+    shingles = {int(i): shingle_set(t, k)
+                for i, t in zip(docs.column(id_col).to_pylist(),
+                                docs.column(text_col).to_pylist())}
+    sh_ref = ray.put(shingles)
+
+    def exact_verify(batch: pa.Table) -> pa.Table:
+        sh = ray.get(sh_ref)
+        out = {"id_a": [], "id_b": [], "jaccard": []}
+        for a, b in zip(batch.column("id_a").to_pylist(),
+                        batch.column("id_b").to_pylist()):
+            j = jaccard(sh[a], sh[b])
+            if j >= threshold:
+                out["id_a"].append(a)
+                out["id_b"].append(b)
+                out["jaccard"].append(j)
         return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
                          "id_b": pa.array(out["id_b"], pa.int64()),
                          "jaccard": pa.array(out["jaccard"], pa.float64())})
 
-    pairs = (docs_ds.flat_map(to_buckets)
-             .groupby("bucket")
-             .map_groups(verify_group, batch_format="pyarrow"))
-    # a pair can match in several bands -> dedup by (id_a, id_b)
-    import ray.data.aggregate as agg
-
-    return (pairs.groupby(["id_a", "id_b"])
-            .aggregate(agg.Max("jaccard", alias_name="jaccard")))
+    return cand.map_batches(exact_verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash
