@@ -629,6 +629,53 @@ where list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """
 
 
+# --------------------------------------------------------------------------
+# 21. bbox -> covered-cells expansion (polygons_to_cells' shape, SURVEY op
+#     38's tile-to-cell assignment, on arithmetic bboxes so SQL can check)
+
+def q_cell_cover(sf_dir: str):
+    def expand(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        x = (sk * 53) % 1000
+        y = (sk * 97) % 1000
+        r = 30 + (sk % 5) * 10
+        cx0 = np.maximum((x - r) // 100, 0)
+        cx1 = np.minimum((x + r) // 100, 9)
+        cy0 = np.maximum((y - r) // 100, 0)
+        cy1 = np.minimum((y + r) // 100, 9)
+        out_cx, out_cy = [], []
+        for a0, a1, b0, b1 in zip(cx0, cx1, cy0, cy1):
+            xs = np.arange(a0, a1 + 1)
+            ys = np.arange(b0, b1 + 1)
+            gx, gy = np.meshgrid(xs, ys)
+            out_cx.append(gx.ravel())
+            out_cy.append(gy.ravel())
+        return pa.table({
+            "cx": pa.array(np.concatenate(out_cx), pa.int64()),
+            "cy": pa.array(np.concatenate(out_cy), pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(expand, batch_format="pyarrow")
+            .groupby(["cx", "cy"])
+            .aggregate(a.Count(alias_name="n")))
+
+
+SQL_CELL_COVER = """
+select cx, cy, count(*) as n from (
+  select unnest(range(greatest((y - r) // 100, 0),
+                      least((y + r) // 100, 9) + 1)) as cy, cx
+  from (
+    select unnest(range(greatest((x - r) // 100, 0),
+                        least((x + r) // 100, 9) + 1)) as cx, y, r
+    from (select (s_suppkey * 53) % 1000 as x,
+                 (s_suppkey * 97) % 1000 as y,
+                 30 + (s_suppkey % 5) * 10 as r
+          from supplier) t0) t1) t2
+group by cx, cy
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -655,4 +702,5 @@ SQL_CHECKED = {
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "cell_cover": (q_cell_cover, SQL_CELL_COVER),
 }
