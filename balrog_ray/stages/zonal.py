@@ -50,30 +50,75 @@ def circular_median(values: np.ndarray) -> float:
 
 
 class ZonalStatsActor:
-    def __init__(self, dem_tiles_ref, spec, buffer_m: float = 100.0):
+    """Holds the ENCODED tile dictionary plus a bounded LRU of decoded
+    tiles; each site decodes only the tiles its buffer window touches.
+    Memory is O(cache_tiles x tile), not O(mosaic) -- the whole-mosaic
+    decode of a naive broadcast would be gigabytes per actor at the bench
+    grid and impossible at continental scale, while the reference's own
+    pattern is open-once + window-reads-per-feature
+    (``02_get_slope_from_buffer.py:204-206``).  Slope/aspect are derived
+    per window with a 1-px pad, so centered differences (and the one-sided
+    ones at true mosaic borders) match a whole-mosaic computation exactly
+    (caveat: interior NODATA regions wider than a window fill from
+    window-local neighbours rather than mosaic-global ones -- raise the pad
+    if an input carries such gaps).
+    """
+
+    def __init__(self, dem_tiles_ref, spec, buffer_m: float = 100.0,
+                 cache_tiles: int = 256):
         import ray
 
         table = dem_tiles_ref if isinstance(dem_tiles_ref, pa.Table) \
             else ray.get(dem_tiles_ref)
         self.spec = spec
         self.buffer_m = buffer_m
-        T = spec.tile_px
-        dem = np.full((spec.tiles_y * T, spec.tiles_x * T), -99.0)
+        self.cache_tiles = cache_tiles
+        self.tiles = {}
         for row in table.to_pylist():
             cap = Caption.from_json(row["caption"])
             if cap.layer != "dem":
                 continue
-            dem[cap.ty * T:(cap.ty + 1) * T,
-                cap.tx * T:(cap.tx + 1) * T] = \
-                decode_tile(row["bytes"], row["fmt"], cap)
-        self.slope, self.aspect = slope_aspect(dem, spec.pixel_size,
-                                               spec.pixel_size)
+            self.tiles[(cap.tx, cap.ty)] = (row["bytes"], row["fmt"], cap)
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+
+    def _tile(self, tx: int, ty: int) -> np.ndarray | None:
+        key = (tx, ty)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        ent = self.tiles.get(key)
+        if ent is None:
+            return None
+        arr = decode_tile(ent[0], ent[1], ent[2])
+        self._cache[key] = arr
+        if len(self._cache) > self.cache_tiles:
+            self._cache.popitem(last=False)
+        return arr
+
+    def _dem_window(self, r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
+        """Assemble [r0:r1, c0:c1) of the mosaic from cached tiles."""
+        T = self.spec.tile_px
+        out = np.full((r1 - r0, c1 - c0), -99.0)
+        for ty in range(r0 // T, (r1 - 1) // T + 1):
+            for tx in range(c0 // T, (c1 - 1) // T + 1):
+                arr = self._tile(tx, ty)
+                if arr is None:
+                    continue
+                tr0, tc0 = ty * T, tx * T
+                ir0, ir1 = max(r0, tr0), min(r1, tr0 + T)
+                ic0, ic1 = max(c0, tc0), min(c1, tc0 + T)
+                if ir0 < ir1 and ic0 < ic1:
+                    out[ir0 - r0:ir1 - r0, ic0 - c0:ic1 - c0] = \
+                        arr[ir0 - tr0:ir1 - tr0, ic0 - tc0:ic1 - tc0]
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
         ps = spec.pixel_size
-        rows_total = self.slope.shape[0]
-        cols_total = self.slope.shape[1]
+        rows_total = spec.tiles_y * spec.tile_px
+        cols_total = spec.tiles_x * spec.tile_px
         out = {name: [] for name in ZONAL_SCHEMA.names}
         ids = batch.column("site_id").to_pylist()
         xs = batch.column("x").to_numpy()
@@ -90,8 +135,15 @@ class ZonalStatsActor:
             r0c, r1c = max(0, r0), min(rows_total, r1)
             vals = np.empty(0)
             if c0c < c1c and r0c < r1c:
-                window = self.slope[r0c:r1c, c0c:c1c]
-                awin = self.aspect[r0c:r1c, c0c:c1c]
+                # 1-px pad (clipped at mosaic borders) so the gradient's
+                # centered/one-sided choice per cell matches a whole-mosaic
+                # computation
+                p_r0, p_r1 = max(0, r0c - 1), min(rows_total, r1c + 1)
+                p_c0, p_c1 = max(0, c0c - 1), min(cols_total, c1c + 1)
+                dem = self._dem_window(p_r0, p_r1, p_c0, p_c1)
+                sw, aw = slope_aspect(dem, ps, ps)
+                window = sw[r0c - p_r0:r1c - p_r0, c0c - p_c0:c1c - p_c0]
+                awin = aw[r0c - p_r0:r1c - p_r0, c0c - p_c0:c1c - p_c0]
                 cc = (np.arange(c0c, c1c) + 0.5) - col
                 rr = (np.arange(r0c, r1c) + 0.5) - row
                 gx, gy = np.meshgrid(cc, rr)
