@@ -676,6 +676,35 @@ group by cx, cy
 """
 
 
+# --------------------------------------------------------------------------
+# 22. deterministic hash sampling (reproducible %-sample, the scalable
+#     alternative to random_sample for resumable pipelines)
+
+def q_hash_sample(sf_dir: str):
+    def sample(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy()
+        keep = ((ok * 2654435761) % 2147483647) % 100 < 5
+        return pa.table({"o_orderkey": pa.array(ok[keep], pa.int64())})
+
+    a = _agg()
+    row = (_read(sf_dir, "orders", ["o_orderkey"])
+           .map_batches(sample, batch_format="pyarrow")
+           .aggregate(a.Count(alias_name="n_sampled"),
+                      a.Min("o_orderkey", alias_name="min_key"),
+                      a.Max("o_orderkey", alias_name="max_key")))
+    return pa.table({"n_sampled": pa.array([row["n_sampled"]], pa.int64()),
+                     "min_key": pa.array([row["min_key"]], pa.int64()),
+                     "max_key": pa.array([row["max_key"]], pa.int64())})
+
+
+SQL_HASH_SAMPLE = """
+select count(*) as n_sampled, min(o_orderkey) as min_key,
+       max(o_orderkey) as max_key
+from orders
+where ((o_orderkey * 2654435761) % 2147483647) % 100 < 5
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -703,4 +732,5 @@ SQL_CHECKED = {
     "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "cell_cover": (q_cell_cover, SQL_CELL_COVER),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
 }
