@@ -40,6 +40,11 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     (inner semantics)."""
     left_schema = left_ds.schema()
     left_cols = [c for c in left_schema.names]
+    clash = set(left_cols) & set(right_payload)
+    if clash:
+        raise ValueError(
+            f"right_payload columns {sorted(clash)} collide with left "
+            "columns; rename one side before joining")
     payload_types = {}
 
     right_schema = right_ds.schema()
