@@ -138,6 +138,8 @@ def run_spatial(cfg) -> dict:
     from balrog_ray.stages.spatial_join import broadcast_spatial_join
     from balrog_ray.tiles.synth import sites_table, veg_polygon_table
 
+    from balrog_ray.stages.spatial_join import partitioned_spatial_join
+
     n_sites = 200_000
     sites = sites_table(cfg, n=n_sites)
     veg = veg_polygon_table(cfg)
@@ -146,8 +148,14 @@ def run_spatial(cfg) -> dict:
     n = broadcast_spatial_join(
         ds, veg, concurrency=(NUM_CPUS // 2, NUM_CPUS)).count()
     dt = time.time() - t0
+    t1 = time.time()
+    ds2 = ray.data.from_arrow(sites).repartition(NUM_CPUS * 2)
+    n2 = partitioned_spatial_join(ds2, veg, cfg.grid).count()
+    dt2 = time.time() - t1
     return {"join_seconds": round(dt, 3), "join_sites": n_sites,
-            "join_rows": n, "join_sites_per_sec": round(n_sites / dt)}
+            "join_rows": n, "join_sites_per_sec": round(n_sites / dt),
+            "pjoin_seconds": round(dt2, 3), "pjoin_rows": n2,
+            "pjoin_sites_per_sec": round(n_sites / dt2)}
 
 
 def run_queries() -> dict:

@@ -160,3 +160,24 @@ def test_find_aoi_default_and_errors():
     assert full[0] == 0.0 and full[3] == SPEC.y_north
     with pytest.raises(ValueError):
         bp.find_aoi((-10, -10, -5, -5), SPEC)
+
+
+def test_veg_remap_path_matches_oracle(ray_session):
+    """bal_pipeline(veg_remap=...) applies the reclass DSL to the veg layer
+    before classification, identically to a whole-raster run."""
+    import ray.data
+
+    remap = "1 2;2 3;3 1;4 4;5 5;6 6;7 7"     # permute classes 1..3
+    ds = ray.data.from_arrow(synth.tiles_table(CFG))
+    rows = bp.bal_pipeline(ds, SPEC, fdi=80, veg_remap=remap).take_all()
+
+    dem, veg = synth.global_arrays(CFG)
+    from balrog_ray.core.remap import apply_remap as _ar
+    veg_r = _ar(veg, remap).astype(np.float64)
+    slope, aspect = slope_aspect(dem, CFG.pixel_size, CFG.pixel_size)
+    aspect_c = apply_remap(aspect, ASPECT_RECLASS).astype(np.float64)
+    slope_c = apply_remap(slope, slope_reclass()).astype(np.float64)
+    expect = compute_bal(veg_r, slope_c, aspect_c, CFG.pixel_size, 80)
+
+    got = reassemble(rows, "max", CFG)
+    assert_array_equal(got, expect["max"].astype(np.float32))
