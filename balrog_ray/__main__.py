@@ -48,7 +48,7 @@ def cmd_bal(args) -> int:
     if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
-    from .pipelines.bal_pipeline import bal_pipeline
+    from .pipelines.bal_pipeline import _aoi_cells, bal_pipeline, find_aoi
     from .sources import read_image_table
 
     spec = infer_grid(args.tiles)
@@ -62,9 +62,14 @@ def cmd_bal(args) -> int:
         else args.extent)
     rows = lineage.take_all()
     done = sum(1 for r in rows if r["status"] == "done")
+    # target = AOI cells when an extent restricts the run, else the grid
+    if args.extent in (None, "DEFAULT", "MAXOF", "MINOF"):
+        n_target = spec.tiles_x * spec.tiles_y
+    else:
+        n_target = len(_aoi_cells(find_aoi(args.extent, spec), spec))
     print(json.dumps({
         "cells_done": done, "cells_skipped_resume": 0 if not args.resume
-        else spec.tiles_x * spec.tiles_y - done,
+        else n_target - done,
         "grid": f"{spec.tiles_x}x{spec.tiles_y}x{spec.tile_px}px",
         "fdi": args.fdi, "seconds": round(time.time() - t0, 2),
         "out": args.out}))

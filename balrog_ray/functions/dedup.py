@@ -127,6 +127,8 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
 
     rows_per_band = n_perm // bands
 
+    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
+
     def sig_buckets(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
@@ -143,14 +145,14 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                 out_sig.append(sig.view(np.int64))
         return pa.table({
             "bucket": pa.array(out_bucket, pa.int64()),
-            "doc_id": pa.array(out_id, pa.int64()),
+            "doc_id": pa.array(out_id, id_type),
             "sig": pa.array([s.tolist() for s in out_sig],
                             pa.list_(pa.int64(), n_perm))})
 
     est_floor = threshold - est_slack
 
     def estimate_group(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64)
+        ids = np.asarray(group.column("doc_id").to_pylist())
         out = {"id_a": [], "id_b": [], "est": []}
         if len(ids) > 1:
             sigs = np.array(group.column("sig").to_pylist(), dtype=np.int64)
@@ -161,11 +163,11 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                 hit = np.nonzero((eq >= est_floor)
                                  & (ids[a + 1:] != ids[a]))[0]
                 for h in hit:
-                    out["id_a"].append(int(ids[a]))
-                    out["id_b"].append(int(ids[a + 1 + h]))
+                    out["id_a"].append(ids[a])
+                    out["id_b"].append(ids[a + 1 + h])
                     out["est"].append(float(eq[h]))
-        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
-                         "id_b": pa.array(out["id_b"], pa.int64()),
+        return pa.table({"id_a": pa.array(list(out["id_a"]), id_type),
+                         "id_b": pa.array(list(out["id_b"]), id_type),
                          "est": pa.array(out["est"], pa.float64())})
 
     cand = (docs_ds.map_batches(sig_buckets, batch_format="pyarrow")
@@ -178,25 +180,28 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
     # construction), re-read just those docs' texts, broadcast the shingle
     # sets, filter at the exact threshold
     ctabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
                       "jaccard": pa.array([], pa.float64())})
     if not ctabs:
         return ray.data.from_arrow(empty)
     ctab = pa.concat_tables(ctabs)
-    need = np.unique(np.concatenate([ctab.column("id_a").to_numpy(),
-                                     ctab.column("id_b").to_numpy()]))
+    import pyarrow.compute as pc
+
+    need = pc.unique(pa.concat_arrays(
+        [ctab.column("id_a").combine_chunks(),
+         ctab.column("id_b").combine_chunks()]))
     need_ref = ray.put(need)
 
     def keep_needed(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        return batch.filter(pa.array(np.isin(ids, ray.get(need_ref))))
+        return batch.filter(pc.is_in(batch.column(id_col),
+                                     value_set=ray.get(need_ref)))
 
     docs = pa.concat_tables([
         t for t in ray.get(
             docs_ds.map_batches(keep_needed, batch_format="pyarrow")
             .to_arrow_refs()) if t.num_rows])
-    shingles = {int(i): shingle_set(t, k)
+    shingles = {i: shingle_set(t, k)
                 for i, t in zip(docs.column(id_col).to_pylist(),
                                 docs.column(text_col).to_pylist())}
     sh_ref = ray.put(shingles)
@@ -211,11 +216,14 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                 out["id_a"].append(a)
                 out["id_b"].append(b)
                 out["jaccard"].append(j)
-        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
-                         "id_b": pa.array(out["id_b"], pa.int64()),
+        return pa.table({"id_a": pa.array(out["id_a"], id_type),
+                         "id_b": pa.array(out["id_b"], id_type),
                          "jaccard": pa.array(out["jaccard"], pa.float64())})
 
-    return cand.map_batches(exact_verify, batch_format="pyarrow")
+    # candidates already live on the driver (ctab); verifying from them
+    # avoids re-executing the whole LSH DAG when the result is consumed
+    return ray.data.from_arrow(ctab).map_batches(exact_verify,
+                                                 batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash

@@ -146,8 +146,10 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
             inside_x = (xs >= aoi[0]) & (xs <= aoi[2])
             inside_y = (ys >= aoi[1]) & (ys <= aoi[3])
             aoi_mask = ~(inside_y[:, None] & inside_x[None, :])
-            if aoi_mask.all():
-                aoi_mask = None     # fully outside: handled by cell prune
+            # NB: keep the mask even when it covers the whole tile -- a
+            # sub-pixel AOI sliver intersects the tile bbox (so the cell
+            # survives the prune) yet contains no pixel centers, and must
+            # emit an all-nodata tile, not an unmasked one
         rows = {n: [] for n in TILES_SCHEMA.names}
         for band in bands:
             core = grids[band][rs:rs + T, cs:cs + T]

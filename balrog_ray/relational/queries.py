@@ -643,6 +643,9 @@ def q_cell_cover(sf_dir: str):
         cx1 = np.minimum((x + r) // 100, 9)
         cy0 = np.maximum((y - r) // 100, 0)
         cy1 = np.minimum((y + r) // 100, 9)
+        if len(sk) == 0:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64())})
         out_cx, out_cy = [], []
         for a0, a1, b0, b1 in zip(cx0, cx1, cy0, cy1):
             xs = np.arange(a0, a1 + 1)

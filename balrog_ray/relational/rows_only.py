@@ -163,9 +163,7 @@ def q_veg_prep(sf_dir: str):
     import ray.data
 
     from ..pipelines.veg_prep import veg_prep_pipeline
-    from ..tiles.synth import raw_nvis_table
-
-    from ..tiles.synth import SynthConfig
+    from ..tiles.synth import SynthConfig, raw_nvis_table
 
     cfg = SynthConfig(tiles_x=4, tiles_y=4, tile_px=64, n_polygons=96)
     raw = ray.data.from_arrow(raw_nvis_table(cfg))

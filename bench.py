@@ -135,10 +135,9 @@ def run_spatial(cfg) -> dict:
     + kNN distance-to-veg) of N sites against the bench world's polygons."""
     import ray.data
 
-    from balrog_ray.stages.spatial_join import broadcast_spatial_join
+    from balrog_ray.stages.spatial_join import (broadcast_spatial_join,
+                                                partitioned_spatial_join)
     from balrog_ray.tiles.synth import sites_table, veg_polygon_table
-
-    from balrog_ray.stages.spatial_join import partitioned_spatial_join
 
     n_sites = 200_000
     sites = sites_table(cfg, n=n_sites)

@@ -222,3 +222,18 @@ def test_lsh_embedding_pairs_subset_of_exact(ray_session):
     assert len(exact_pairs) > 0
     recall = len(lsh_pairs) / len(exact_pairs)
     assert recall >= 0.5         # 8 bands x 4 planes: ~0.8 expected
+
+
+def test_minhash_string_ids(ray_session):
+    """id_col is schema-generic: string doc ids survive the whole LSH +
+    exact-verify path (regression: ids were force-cast to int64)."""
+    import pyarrow as pa
+    import ray.data
+
+    tbl = docs_table()
+    tbl = tbl.set_column(0, "doc_id", pa.array(
+        [f"d{i}" for i in range(tbl.num_rows)], pa.string()))
+    pairs = dedup.minhash_lsh_pairs(ray.data.from_arrow(tbl),
+                                    threshold=0.7).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("d0", "d1") in found

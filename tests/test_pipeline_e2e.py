@@ -181,3 +181,23 @@ def test_veg_remap_path_matches_oracle(ray_session):
 
     got = reassemble(rows, "max", CFG)
     assert_array_equal(got, expect["max"].astype(np.float32))
+
+
+def test_aoi_subpixel_sliver_emits_all_nodata(ray_session):
+    """An AOI that intersects a tile's bbox but contains no pixel centers
+    must emit that tile fully masked, never unmasked (regression: the
+    empty-mask case was treated as 'handled by cell prune')."""
+    import ray.data
+
+    ps, T = CFG.pixel_size, CFG.tile_px
+    # sliver over tile (1,1): inside its bbox, between pixel centers
+    x_edge = 1 * T * ps
+    extent = (x_edge + 0.05 * ps, SPEC.y_north - 2 * T * ps + 0.05 * ps,
+              x_edge + 0.4 * ps, SPEC.y_north - 1 * T * ps - 0.05 * ps)
+    ds = ray.data.from_arrow(synth.tiles_table(CFG))
+    rows = bp.bal_pipeline(ds, SPEC, fdi=80, extent=extent).take_all()
+    assert rows, "sliver AOI intersects tile bbox -> cell must be emitted"
+    for r in rows:
+        cap = Caption.from_json(r["caption"])
+        arr = decode_tile(r["bytes"], r["fmt"], cap)
+        assert (arr == np.float32(-99.0)).all()
