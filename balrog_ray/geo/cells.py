@@ -32,6 +32,17 @@ class CellGrid:
         ok = (cx >= 0) & (cx < self.nx) & (cy >= 0) & (cy < self.ny)
         return np.where(ok, cy * self.nx + cx, -1)
 
+    def cell_of_clamped(self, x, y):
+        """Point -> nearest in-window cell id (out-of-window points snap to
+        the border cell).  The partitioned join keys probes with this so a
+        site just outside the window still meets boundary polygons, whose
+        padded covers extend through the border cells."""
+        cx = np.clip(np.floor((np.asarray(x) - self.x0) / self.cell_size),
+                     0, self.nx - 1).astype(np.int64)
+        cy = np.clip(np.floor((self.y0 - np.asarray(y)) / self.cell_size),
+                     0, self.ny - 1).astype(np.int64)
+        return cy * self.nx + cx
+
     def cell_id(self, cx: int, cy: int) -> int:
         return cy * self.nx + cx
 

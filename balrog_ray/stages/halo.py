@@ -49,7 +49,16 @@ class GridSpec:
 
     @property
     def halo(self) -> int:
-        """filter_width for the scan + 1 px for the slope gradient."""
+        """filter_width for the scan + 1 px for the slope gradient.
+
+        Parity caveat: ``edge_fill_nodata`` forward-fills nodata regions
+        from arbitrarily far away in the whole-raster reference, but a
+        tiled window can only fill from within tile+halo.  Exact parity
+        therefore requires interior nodata gaps narrower than the halo
+        (the synthetic worlds satisfy this by construction); inputs with
+        wide interior voids (lakes/ocean masks) need a larger halo --
+        subclass/override this property, paying proportionally more
+        shuffle volume."""
         return self.filter_width + 1
 
     def cell_id(self, tx: int, ty: int) -> int:

@@ -53,9 +53,16 @@ class _PolyIndex:
     """Decoded polygon set + STR-tree; built once, probed many times."""
 
     def __init__(self, veg_table: pa.Table):
-        self.gids = veg_table.column("gid").to_numpy()
-        self.classes = veg_table.column("bal_number").to_numpy()
-        self.polys = [from_wkb(w) for w in veg_table.column("geom").to_pylist()]
+        gids = veg_table.column("gid").to_numpy()
+        # sort by gid so row index order == gid order: winner selection
+        # below tie-breaks on row index, and group/row order coming out of
+        # a shuffle is NOT gid-sorted -- without this the partitioned plan
+        # would be polygon-order-dependent
+        order = np.argsort(gids, kind="stable")
+        self.gids = gids[order]
+        self.classes = veg_table.column("bal_number").to_numpy()[order]
+        geoms = veg_table.column("geom").to_pylist()
+        self.polys = [from_wkb(geoms[i]) for i in order]
         boxes = (np.stack([p.bbox for p in self.polys])
                  if self.polys else np.empty((0, 4)))
         self.tree = STRtree(boxes)
@@ -180,56 +187,79 @@ def polygons_to_cells(veg_table: pa.Table, grid, pad: float = 0.0) -> pa.Table:
                      "cell_id": pa.array(cells, pa.int64())})
 
 
-def partitioned_spatial_join(sites_ds, veg_table: pa.Table, grid,
+def partitioned_spatial_join(sites_ds, veg_table, grid,
                              max_dist: float = 100.0,
                              hot_cell_threshold: int = 64,
                              n_salt: int = 4):
     """Shuffle-join plan for polygon sets too big to broadcast.
 
-    Polygons are flat-mapped to the padded cells they cover (so any probe
-    within ``max_dist`` of a polygon shares a key with it); sites take their
-    own cell.  Cells whose polygon count exceeds ``hot_cell_threshold`` are
-    salted: sites hash into ``n_salt`` sub-keys, polygons replicate to all.
+    Polygons are expanded to the padded cells they cover (so any probe
+    within ``max_dist`` of a polygon shares a key with it); sites take
+    their nearest in-window cell (clamped, so just-outside probes still
+    meet boundary polygons).  Cells whose polygon count exceeds
+    ``hot_cell_threshold`` are salted: sites hash into ``n_salt`` sub-keys,
+    polygons replicate to all.  Both the cover-count pass and the polygon
+    expansion run as Ray stages over the polygon Dataset -- nothing
+    polygon-sized is materialised on the driver (only the per-cell count
+    table, O(#cells), comes back to plan the salting).
     """
     import ray.data
+    import ray.data.aggregate as agg
 
-    cover = polygons_to_cells(veg_table, grid, pad=max_dist)
-    counts = {}
-    for c in cover.column("cell_id").to_numpy():
-        counts[int(c)] = counts.get(int(c), 0) + 1
-    hot = {c for c, n in counts.items() if n > hot_cell_threshold}
+    veg_ds = ray.data.from_arrow(veg_table) \
+        if isinstance(veg_table, pa.Table) else veg_table
 
-    by_gid = {int(g): i for i, g in
-              enumerate(veg_table.column("gid").to_pylist())}
-    veg_rows = veg_table.to_pylist()
+    def cover_cells_batch(batch: pa.Table) -> pa.Table:
+        gids, cells = [], []
+        for gid, wkb_bytes in zip(batch.column("gid").to_pylist(),
+                                  batch.column("geom").to_pylist()):
+            bb = from_wkb(wkb_bytes).bbox
+            cs = grid.cells_for_bbox(bb[0], bb[1], bb[2], bb[3],
+                                     pad=max_dist)
+            gids.extend([gid] * len(cs))
+            cells.extend(cs.tolist())
+        return pa.table({"gid": pa.array(gids, pa.int64()),
+                         "cell_id": pa.array(cells, pa.int64())})
 
-    poly_items = {"key": [], "kind": [], "site_id": [], "x": [], "y": [],
-                  "gid": [], "bal_number": [], "geom": []}
-    for gid, cell in zip(cover.column("gid").to_pylist(),
-                         cover.column("cell_id").to_pylist()):
-        row = veg_rows[by_gid[gid]]
-        salts = range(n_salt) if cell in hot else (0,)
-        for s in salts:
-            poly_items["key"].append(int(cell) * n_salt + s)
-            poly_items["kind"].append("poly")
-            poly_items["site_id"].append("")
-            poly_items["x"].append(0.0)
-            poly_items["y"].append(0.0)
-            poly_items["gid"].append(gid)
-            poly_items["bal_number"].append(row["bal_number"])
-            poly_items["geom"].append(row["geom"])
+    # distributed cover counts; only the tiny (cell_id, n) table returns
+    counts = (veg_ds.map_batches(cover_cells_batch, batch_format="pyarrow")
+              .groupby("cell_id")
+              .aggregate(agg.Count(alias_name="n")).take_all())
+    hot = frozenset(int(r["cell_id"]) for r in counts
+                    if r["n"] > hot_cell_threshold)
+
     tagged_schema = pa.schema([
         ("key", pa.int64()), ("kind", pa.string()), ("site_id", pa.string()),
         ("x", pa.float64()), ("y", pa.float64()), ("gid", pa.int64()),
         ("bal_number", pa.int16()), ("geom", pa.binary())])
-    poly_ds = ray.data.from_arrow(pa.table(poly_items, schema=tagged_schema))
+
+    def expand_polys(batch: pa.Table) -> pa.Table:
+        cols = {n: [] for n in tagged_schema.names}
+        for gid, cls, wkb_bytes in zip(batch.column("gid").to_pylist(),
+                                       batch.column("bal_number").to_pylist(),
+                                       batch.column("geom").to_pylist()):
+            bb = from_wkb(wkb_bytes).bbox
+            for cell in grid.cells_for_bbox(bb[0], bb[1], bb[2], bb[3],
+                                            pad=max_dist):
+                for s in (range(n_salt) if int(cell) in hot else (0,)):
+                    cols["key"].append(int(cell) * n_salt + s)
+                    cols["kind"].append("poly")
+                    cols["site_id"].append("")
+                    cols["x"].append(0.0)
+                    cols["y"].append(0.0)
+                    cols["gid"].append(gid)
+                    cols["bal_number"].append(cls)
+                    cols["geom"].append(wkb_bytes)
+        return pa.table(cols, schema=tagged_schema)
+
+    poly_ds = veg_ds.map_batches(expand_polys, batch_format="pyarrow")
 
     def site_key(batch: pa.Table) -> pa.Table:
         import zlib
 
         x = batch.column("x").to_numpy()
         y = batch.column("y").to_numpy()
-        cell = grid.cell_of(x, y)
+        cell = grid.cell_of_clamped(x, y)
         ids = batch.column("site_id").to_pylist()
         # stable salt (crc32, not hash()) so partitioning is reproducible
         salt = np.array([zlib.crc32(i.encode()) % n_salt

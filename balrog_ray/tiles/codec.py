@@ -51,6 +51,9 @@ class Caption:
     offset: float = 0.0
     tx: int = 0
     ty: int = 0
+    #: PNG codec: quantized value 0 is reserved for nodata cells (valid
+    #: data occupies 1..65535).  Old payloads lack this key -> False.
+    nodata_q0: bool = False
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -135,10 +138,22 @@ def encode_tile(arr: np.ndarray, fmt: str = "npy",
         np.save(buf, a)
         return zlib.compress(buf.getvalue(), 1), caption
     if fmt == "png":
-        lo, hi = float(a.min()), float(a.max())
-        scale = (hi - lo) / 65535.0 if hi > lo else 1.0
-        q = np.round((a - lo) / scale).astype(np.uint16)
+        # q=0 is reserved for nodata so the sentinel survives quantization
+        # exactly even when the tile's minimum is below it (a real DEM can
+        # dip under -99 m; an off-by-epsilon nodata breaks every
+        # `== NODATA` mask downstream)
+        nodata = np.float32(caption.nodata)
+        valid = a != nodata
+        if valid.any():
+            lo = float(a[valid].min())
+            hi = float(a[valid].max())
+        else:
+            lo = hi = 0.0
+        scale = (hi - lo) / 65534.0 if hi > lo else 1.0
+        q = np.zeros(a.shape, dtype=np.uint16)
+        q[valid] = (np.round((a[valid] - lo) / scale) + 1).astype(np.uint16)
         caption.scale, caption.offset = scale, lo
+        caption.nodata_q0 = True
         return png16_encode(q), caption
     raise ValueError(f"unknown tile format {fmt!r}")
 
@@ -151,9 +166,14 @@ def decode_tile(payload: bytes, fmt: str,
         return np.load(io.BytesIO(zlib.decompress(payload)))
     if fmt == "png":
         q = png16_decode(payload).astype(np.float32)
-        if caption is not None:
-            return q * np.float32(caption.scale) + np.float32(caption.offset)
-        return q
+        if caption is None:
+            return q
+        if caption.nodata_q0:
+            out = ((q - 1.0) * np.float32(caption.scale)
+                   + np.float32(caption.offset))
+            out[q == 0] = np.float32(caption.nodata)
+            return out
+        return q * np.float32(caption.scale) + np.float32(caption.offset)
     raise ValueError(f"unknown tile format {fmt!r}")
 
 
@@ -161,6 +181,12 @@ def phash64(arr: np.ndarray) -> int:
     """Deterministic 64-bit perceptual hash: 8x8 block means vs their mean."""
     a = np.asarray(arr, dtype=np.float64)
     h, w = a.shape
+    # arrays thinner than 8 px in a dimension would produce zero-height
+    # blocks (NaN means -> constant hash); upsample by repetition first
+    if h < 8 or w < 8:
+        a = np.repeat(np.repeat(a, -(-8 // max(h, 1)), axis=0),
+                      -(-8 // max(w, 1)), axis=1)
+        h, w = a.shape
     if h % 8 == 0 and w % 8 == 0:
         blocks = a.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
     else:
