@@ -40,12 +40,41 @@ def slope_reclass(max_slope: float = 90.0) -> str:
             f"20.0001 {max_slope} 6")
 
 
-#: canonical NVIS major-vegetation-group -> AS 3959 class 1..7 remap
-#: (docs/userguide/examples.rst:42-43; same mapping as the PostGIS lookup in
-#: data_prep/vegetation/02_create_nvis_bal_map_table.sql:40-47).
+#: the Gen-1 toolbox's NVIS remap STRING (docs/userguide/examples.rst:42-43)
+#: -- NB under the toolbox's SEQUENTIAL application (sa_tools.py:174-194)
+#: entry "1 6" maps MVG 1 to 6, which the later "5 13 2" range re-captures
+#: to 2; use :data:`NVIS_LOOKUP` for the value-keyed Gen-2 semantics.
 NVIS_RECLASS = ("1 6;2 1;3 1;4 1;5 13 2;14 5;15 18 3;19 22 7;23 4;"
                 "24 25 NODATA;26 4;27 28 NODATA;29 4;30 1;31 2;32 5;"
                 "99 NODATA")
+
+#: value-keyed NVIS MVG -> AS 3959 class, exactly the PostGIS lookup UPDATEs
+#: (02_create_nvis_bal_map_table.sql:15-62, incl. the mangrove fix: 23 is
+#: 'not applicable', not scrub); -9999 = not applicable.
+NVIS_NA = -9999
+NVIS_LOOKUP = {
+    1: 6,
+    **{m: 1 for m in (2, 3, 4, 30)},
+    **{m: 2 for m in (5, 6, 7, 8, 9, 10, 11, 12, 13, 31)},
+    **{m: 3 for m in (15, 16, 17, 18)},
+    **{m: 4 for m in (26, 29)},
+    **{m: 5 for m in (14, 32)},
+    **{m: 7 for m in (19, 20, 21, 22)},
+    **{m: NVIS_NA for m in (23, 24, 25, 27, 28, 99)},
+}
+
+
+def apply_nvis_lookup(mvg: np.ndarray) -> np.ndarray:
+    """Vectorized value-keyed MVG -> BAL class; unknown MVGs -> -9999
+    (the SQL's NULL-visibility convention)."""
+    lut = np.full(100, NVIS_NA, dtype=np.int64)
+    for m, c in NVIS_LOOKUP.items():
+        lut[m] = c
+    m = np.asarray(mvg, dtype=np.int64)
+    out = np.full(m.shape, NVIS_NA, dtype=np.int64)
+    ok = (m >= 0) & (m < 100)
+    out[ok] = lut[m[ok]]
+    return out
 
 
 @dataclass(frozen=True)

@@ -33,13 +33,14 @@ PAIRS_SCHEMA = pa.schema([
 
 
 def _partial_topk_fn(queries_ref, id_col, vec_col, k):
-    import ray
-
-    q = queries_ref if isinstance(queries_ref, np.ndarray) \
-        else ray.get(queries_ref)
-    qunit = _unit(np.asarray(q, dtype=np.float64))
-
     def fn(batch: pa.Table) -> pa.Table:
+        import ray
+
+        # resolve the broadcast INSIDE the worker: the closure ships only
+        # the ObjectRef, the matrix travels via the object store
+        q = queries_ref if isinstance(queries_ref, np.ndarray) \
+            else ray.get(queries_ref)
+        qunit = _unit(np.asarray(q, dtype=np.float64))
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         sims = _unit(vecs) @ qunit.T                      # (n, q)

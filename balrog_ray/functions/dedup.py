@@ -95,9 +95,11 @@ def _perm_params(n_perm: int, seed: int = 17):
 
 
 def minhash_signature(shingles: np.ndarray, n_perm: int = 64,
-                      seed: int = 17) -> np.ndarray:
-    """(a*x + b) mod p universal-hash minhash, vectorized over shingles."""
-    a, b = _perm_params(n_perm, seed)
+                      seed: int = 17, params=None) -> np.ndarray:
+    """(a*x + b) mod p universal-hash minhash, vectorized over shingles.
+    Pass ``params`` (from :func:`_perm_params`) in hot loops to avoid
+    re-deriving the identical seeded arrays per document."""
+    a, b = params if params is not None else _perm_params(n_perm, seed)
     if len(shingles) == 0:
         return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -132,9 +134,11 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
     def sig_buckets(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
+        params = _perm_params(n_perm)          # once per batch, not per doc
         out_bucket, out_id, out_sig = [], [], []
         for i, text in zip(ids, texts):
-            sig = minhash_signature(shingle_set(text, k), n_perm)
+            sig = minhash_signature(shingle_set(text, k), n_perm,
+                                    params=params)
             for band in range(bands):
                 chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
                 digest = hashlib.blake2b(chunk.tobytes(),
@@ -248,6 +252,8 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     (pigeonhole: hamming <= 3 implies one identical chunk), verify
     Hamming distance exactly."""
 
+    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
+
     def to_buckets(row: dict) -> list[dict]:
         h = simhash64(row[text_col], k)
         uh = h & 0xFFFFFFFFFFFFFFFF
@@ -263,7 +269,7 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
         hashes = np.array(group.column("simhash").to_pylist(),
                           dtype=np.int64).astype(np.uint64)
         out = {"id_a": [], "id_b": [], "hamming": []}
-        order = np.argsort(ids)
+        order = np.argsort(ids, kind="stable")
         for ii in range(len(order)):
             for jj in range(ii + 1, len(order)):
                 a, b = order[ii], order[jj]
@@ -271,11 +277,11 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                     continue
                 d = int(bin(int(hashes[a] ^ hashes[b])).count("1"))
                 if d <= max_hamming:
-                    out["id_a"].append(int(ids[a]))
-                    out["id_b"].append(int(ids[b]))
+                    out["id_a"].append(ids[a])
+                    out["id_b"].append(ids[b])
                     out["hamming"].append(d)
-        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
-                         "id_b": pa.array(out["id_b"], pa.int64()),
+        return pa.table({"id_a": pa.array(list(out["id_a"]), id_type),
+                         "id_b": pa.array(list(out["id_b"]), id_type),
                          "hamming": pa.array(out["hamming"], pa.int64())})
 
     import ray.data.aggregate as agg
@@ -336,9 +342,9 @@ def cosine_pairs_exact(emb_ds, id_col: str = "vec_id",
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    return mat / norms[:, None]
+    from .ann import _unit
+
+    return _unit(mat)
 
 
 def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",

@@ -80,8 +80,18 @@ class ImageResizeActor:
             cap = Caption.from_json(row["caption"])
             arr = decode_tile(row["bytes"], row["fmt"], cap)
             h, w = arr.shape
-            small = arr[:h - h % f, :w - w % f].reshape(
-                h // f, f, w // f, f).mean(axis=(1, 3))
+            # nodata-aware block mean: the sentinel must never blend into
+            # data values (a block's mean covers only its valid pixels;
+            # an all-nodata block stays nodata)
+            nod = np.float64(cap.nodata)
+            a = arr[:h - h % f, :w - w % f].astype(np.float64)
+            blocks = a.reshape(h // f, f, w // f, f)
+            valid = blocks != nod
+            n_valid = valid.sum(axis=(1, 3))
+            sums = np.where(valid, blocks, 0.0).sum(axis=(1, 3))
+            with np.errstate(invalid="ignore"):
+                small = np.where(n_valid > 0, sums / np.maximum(n_valid, 1),
+                                 nod)
             cap.pixel_size *= f
             payload, cap = encode_tile(small, row["fmt"], cap)
             rows["image_id"].append(row["image_id"])

@@ -196,14 +196,19 @@ def subdivide(poly: Polygon, max_vertices: int = 128,
     """Recursively halve a polygon along its bbox's long axis until each
     part is small -- the engine's ``st_subdivide`` analogue for skew
     mitigation.  Splitting is done with two rectangle clips."""
-    out, stack = [], [poly]
+    # a rectangle clip adds up to ~2 vertices per crossed edge, so very
+    # small max_vertices can never be satisfied -- each split must make
+    # measurable progress (shrink the long axis) and depth is bounded so
+    # the recursion terminates on any input
+    out, stack = [], [(poly, 0)]
+    max_depth = 64
     while stack:
-        p = stack.pop()
+        p, depth = stack.pop()
         bb = p.bbox
         w, h = bb[2] - bb[0], bb[3] - bb[1]
         small = len(p.exterior) - 1 <= max_vertices and (
             max_extent is None or max(w, h) <= max_extent)
-        if small:
+        if small or depth >= max_depth:
             out.append(p)
             continue
         if w >= h:
@@ -218,7 +223,13 @@ def subdivide(poly: Polygon, max_vertices: int = 128,
         if len(parts) <= 1:           # degenerate; cannot split further
             out.append(p)
             continue
-        stack.extend(parts)
+        # no-progress guard: if no child got smaller in vertex count and
+        # the extent constraint (if any) is already met, emit as-is
+        if (max_extent is None or max(w, h) <= max_extent) and all(
+                len(q.exterior) >= len(p.exterior) for q in parts):
+            out.append(p)
+            continue
+        stack.extend((q, depth + 1) for q in parts)
     return out
 
 

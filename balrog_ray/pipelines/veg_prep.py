@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..core.remap import NVIS_RECLASS, apply_remap
+from ..core.remap import apply_nvis_lookup
 from ..geo.geometry import Polygon, subdivide
 from ..geo.wkb import from_wkb, polygon_to_wkb
 
@@ -38,6 +38,10 @@ PREPPED_SCHEMA = pa.schema([
     ("bal_number", pa.int16()),
     ("area_m2", pa.float64()),
     ("n_points", pa.int32()),
+    # part bbox emitted at explode time: the per-class summary then needs
+    # no second WKB decode pass over the whole dataset
+    ("xmin", pa.float64()), ("ymin", pa.float64()),
+    ("xmax", pa.float64()), ("ymax", pa.float64()),
     ("geom", pa.binary()),
 ])
 
@@ -52,14 +56,14 @@ CLASS_SCHEMA = pa.schema([
 
 def explode_classify_subdivide(max_vertices: int = 64,
                                max_extent: float | None = None,
-                               mvg_remap: str = NVIS_RECLASS):
+                               classify=apply_nvis_lookup):
     """Batch fn: raw rows -> prepped polygon part rows (PREPPED_SCHEMA)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         src_ids = batch.column("src_id").to_pylist()
         mvgs = np.asarray(batch.column("mvg_number").to_pylist(),
-                          dtype=np.float64)
-        classes = apply_remap(mvgs, mvg_remap, out_dtype=np.int64)
+                          dtype=np.int64)
+        classes = classify(mvgs)
         out = {n: [] for n in PREPPED_SCHEMA.names}
         part_id = 0
         for src, cls, wkb in zip(src_ids, classes,
@@ -74,11 +78,16 @@ def explode_classify_subdivide(max_vertices: int = 64,
                     continue
                 for piece in subdivide(p, max_vertices=max_vertices,
                                        max_extent=max_extent):
+                    bb = piece.bbox
                     out["part_id"].append(part_id)
                     out["src_id"].append(int(src))
                     out["bal_number"].append(int(cls))
                     out["area_m2"].append(float(piece.area))
                     out["n_points"].append(len(piece.exterior))
+                    out["xmin"].append(float(bb[0]))
+                    out["ymin"].append(float(bb[1]))
+                    out["xmax"].append(float(bb[2]))
+                    out["ymax"].append(float(bb[3]))
                     out["geom"].append(polygon_to_wkb(piece))
                     part_id += 1
         return pa.table(out, schema=PREPPED_SCHEMA)
@@ -86,41 +95,21 @@ def explode_classify_subdivide(max_vertices: int = 64,
     return fn
 
 
-def _class_partial(batch: pa.Table) -> pa.Table:
-    """Per-block partial roll-up (the 'chunk union' pass 1)."""
-    cls = batch.column("bal_number").to_numpy()
-    area = batch.column("area_m2").to_numpy()
-    boxes = np.array([from_wkb(w).bbox
-                      for w in batch.column("geom").to_pylist()]) \
-        if batch.num_rows else np.empty((0, 4))
-    out = {n: [] for n in CLASS_SCHEMA.names}
-    for c in np.unique(cls):
-        m = cls == c
-        out["bal_number"].append(int(c))
-        out["n_polygons"].append(int(m.sum()))
-        out["total_area_m2"].append(float(area[m].sum()))
-        out["xmin"].append(float(boxes[m, 0].min()))
-        out["ymin"].append(float(boxes[m, 1].min()))
-        out["xmax"].append(float(boxes[m, 2].max()))
-        out["ymax"].append(float(boxes[m, 3].max()))
-    return pa.table(out, schema=CLASS_SCHEMA)
-
-
 def veg_prep_pipeline(raw_ds, max_vertices: int = 64,
                       max_extent: float | None = None,
-                      mvg_remap: str = NVIS_RECLASS):
+                      classify=apply_nvis_lookup):
     """raw polygon Dataset -> (prepped parts Dataset, per-class summary
-    Dataset).  Both are lazy; the summary costs one small groupby."""
+    Dataset).  Both are lazy; the summary costs one small groupby over the
+    bbox/area columns already present on the prepped rows."""
     import ray.data.aggregate as agg
 
     prepped = raw_ds.map_batches(
-        explode_classify_subdivide(max_vertices, max_extent, mvg_remap),
+        explode_classify_subdivide(max_vertices, max_extent, classify),
         batch_format="pyarrow")
-    summary = (prepped.map_batches(_class_partial, batch_format="pyarrow")
+    summary = (prepped
                .groupby("bal_number")
-               .aggregate(agg.Sum("n_polygons", alias_name="n_polygons"),
-                          agg.Sum("total_area_m2",
-                                  alias_name="total_area_m2"),
+               .aggregate(agg.Count(alias_name="n_polygons"),
+                          agg.Sum("area_m2", alias_name="total_area_m2"),
                           agg.Min("xmin", alias_name="xmin"),
                           agg.Min("ymin", alias_name="ymin"),
                           agg.Max("xmax", alias_name="xmax"),

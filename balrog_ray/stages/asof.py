@@ -53,10 +53,18 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
     left_types = {c: left_schema.types[left_schema.names.index(c)]
                   for c in left_cols}
 
+    # keys keep their own type (string/int/...); rows with NULL keys are
+    # dropped on both sides (SQL inner-join semantics), and the right key
+    # is cast to the left key's type so the union schema agrees
+    key_type = left_schema.types[left_schema.names.index(left_key)]
+
     def norm_left(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column(left_key)))
         n = b.num_rows
         cols = {
-            "__key": pa.array(b.column(left_key).to_numpy().astype(np.int64)),
+            "__key": b.column(left_key).cast(key_type),
             "__ts": pa.array(_ts_us(b.column(left_ts))),
             "__side": pa.array(np.zeros(n, dtype=np.int8)),
         }
@@ -67,9 +75,12 @@ def asof_join(left_ds, right_ds, *, left_key: str, right_key: str,
         return pa.table(cols)
 
     def norm_right(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.is_valid(b.column(right_key)))
         n = b.num_rows
         cols = {
-            "__key": pa.array(b.column(right_key).to_numpy().astype(np.int64)),
+            "__key": b.column(right_key).cast(key_type),
             "__ts": pa.array(_ts_us(b.column(right_ts))),
             "__side": pa.array(np.ones(n, dtype=np.int8)),
         }

@@ -237,3 +237,41 @@ def test_minhash_string_ids(ray_session):
                                     threshold=0.7).take_all()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ("d0", "d1") in found
+
+
+def test_simhash_string_ids(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    tbl = docs_table()
+    tbl = tbl.set_column(0, "doc_id", pa.array(
+        [f"d{i}" for i in range(tbl.num_rows)], pa.string()))
+    pairs = dedup.simhash_pairs(ray.data.from_arrow(tbl),
+                                max_hamming=3).take_all()
+    assert ("d0", "d1") in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_resize_preserves_nodata(ray_session):
+    """Block-mean must never blend the nodata sentinel into data values:
+    mixed blocks average only valid pixels, all-nodata blocks stay nodata."""
+    import pyarrow as pa
+    import ray.data
+
+    from balrog_ray.tiles.codec import Caption, decode_tile, encode_tile
+
+    arr = np.full((8, 8), 10.0, dtype=np.float32)
+    arr[:2, :2] = -99.0             # one all-nodata 2x2 block
+    arr[0, 4] = -99.0               # one mixed block
+    cap = Caption(layer="dem", x0=0, y0=0, pixel_size=25)
+    payload, cap = encode_tile(arr, "npy", cap)
+    tbl = pa.table({"image_id": ["t"], "bytes": [payload], "w": [8],
+                    "h": [8], "fmt": ["npy"], "caption": [cap.to_json()],
+                    "phash": [0]})
+    out = ray.data.from_arrow(tbl).map_batches(
+        ImageResizeActor, fn_constructor_args=(2,),
+        batch_format="pyarrow", concurrency=(1, 1)).take_all()[0]
+    small = decode_tile(out["bytes"], out["fmt"],
+                        Caption.from_json(out["caption"]))
+    assert small[0, 0] == np.float32(-99.0)       # all-nodata block
+    assert small[0, 2] == np.float32(10.0)        # mixed block: valid mean
+    assert (small[1:, :] == np.float32(10.0)).all()

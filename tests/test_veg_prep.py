@@ -4,7 +4,7 @@ parity with a driver-side oracle over the same raw table."""
 import numpy as np
 import pyarrow as pa
 
-from balrog_ray.core.remap import NVIS_RECLASS, apply_remap
+from balrog_ray.core.remap import NVIS_LOOKUP, apply_nvis_lookup
 from balrog_ray.geo.geometry import Polygon
 from balrog_ray.geo.wkb import from_wkb
 from balrog_ray.pipelines.veg_prep import veg_prep_pipeline
@@ -19,7 +19,7 @@ def oracle(raw: pa.Table, max_vertices=32):
     for src, mvg, wkb in zip(raw.column("src_id").to_pylist(),
                              raw.column("mvg_number").to_pylist(),
                              raw.column("geom").to_pylist()):
-        cls = int(apply_remap(np.array([float(mvg)]), NVIS_RECLASS)[0])
+        cls = NVIS_LOOKUP.get(int(mvg), -9999)
         if cls <= 0 or cls > 7:
             continue
         g = from_wkb(wkb)
@@ -60,3 +60,11 @@ def test_veg_prep_rollup_matches_oracle(ray_session):
     # degenerate slivers and not-applicable MVGs never survive
     assert all(1 <= p["bal_number"] <= 7 and p["area_m2"] > 0
                for p in parts)
+
+
+def test_nvis_lookup_is_value_keyed():
+    """MVG 1 -> class 6 (rainforest): the sequential Gen-1 remap string
+    would re-capture it into class 2; the pipeline must use the value-keyed
+    Gen-2 lookup (02_create_nvis_bal_map_table.sql:46-49)."""
+    got = apply_nvis_lookup(np.array([1, 2, 5, 14, 15, 19, 23, 26, 99, 50]))
+    assert got.tolist() == [6, 1, 2, 5, 3, 7, -9999, 4, -9999, -9999]
