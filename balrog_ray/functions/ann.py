@@ -36,6 +36,9 @@ def _partial_topk_fn(queries_ref, id_col, vec_col, k):
     def fn(batch: pa.Table) -> pa.Table:
         import ray
 
+        if batch.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names},
+                            schema=PAIRS_SCHEMA)
         # resolve the broadcast INSIDE the worker: the closure ships only
         # the ObjectRef, the matrix travels via the object store
         q = queries_ref if isinstance(queries_ref, np.ndarray) \
@@ -130,6 +133,9 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(qunit)
 
     def assign_and_search(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names},
+                            schema=PAIRS_SCHEMA)
         cents_l = ray.get(cents_ref)
         l2q = ray.get(l2q_ref)
         qmat = ray.get(q_ref)

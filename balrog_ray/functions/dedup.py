@@ -326,10 +326,15 @@ def cosine_pairs_exact(emb_ds, id_col: str = "vec_id",
     bcast = ray.put((all_ids, all_unit))
 
     def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         ids_g, unit_g = ray.get(bcast)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         unit = _unit_rows(np.array(batch.column(vec_col).to_pylist(),
-                                   dtype=np.float64))
+                                   dtype=np.float64).reshape(batch.num_rows,
+                                                             -1))
         sims = unit @ unit_g.T                          # (batch, n)
         hit = (sims >= threshold) & (ids[:, None] < ids_g[None, :])
         ia, ib = np.nonzero(hit)

@@ -216,6 +216,12 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
     (find_aoi semantics) restricts output to an AOI rectangle: cells outside
     it never enter the shuffle, edge pixels are masked to nodata.
     """
+    if spec.halo > spec.tile_px:
+        raise ValueError(
+            f"halo ({spec.halo}px) exceeds tile size ({spec.tile_px}px): "
+            "the strip emitter only reaches the 8 adjacent tiles, so this "
+            "grid would assemble windows with silent nodata padding -- use "
+            "larger tiles or a finer pixel size")
     aoi = None
     if extent is not None:
         aoi = find_aoi(extent, spec)

@@ -62,7 +62,7 @@ select case
   when l_quantity >= 21 and l_quantity < 30.0001 then 103
   when l_quantity >= 31 and l_quantity < 40.0001 then 104
   when l_quantity >= 41 and l_quantity < 50.0001 then 105
-  else cast(l_quantity as bigint) end as qty_class,
+  else cast(trunc(l_quantity) as bigint) end as qty_class,
   count(*) as n
 from lineitem group by 1
 """
@@ -172,6 +172,9 @@ def q_knn_min_dist(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         sk = b.column("s_suppkey").to_numpy()
+        if len(sk) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "min_dist_sq": pa.array([], pa.int64())})
         sx = (sk * 53) % 1000
         sy = (sk * 97) % 1000
         d2 = ((sx[:, None] - qx[None, :]) ** 2
@@ -558,8 +561,8 @@ def q_hopping_window(sf_dir: str):
 SQL_HOPPING_WINDOW = """
 select window_start, event_type, count(*) as n from (
   select unnest([
-      cast(to_timestamp(floor(epoch(ts) / 1800) * 1800) as timestamp),
-      cast(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) as timestamp)
+      make_timestamp(cast(floor(epoch(ts) / 1800) * 1800 as bigint) * 1000000),
+      make_timestamp(cast(floor(epoch(ts) / 1800) * 1800 - 1800 as bigint) * 1000000)
     ]) as window_start, event_type
   from events) t
 group by 1, 2

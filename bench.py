@@ -15,7 +15,7 @@ plus efficiency = thr(32) / (4 * thr(8)) -- the sandbox evidence for the
 north rule's N -> 4N criterion.
 
 Env knobs: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR,
-GRAFT_BENCH_TILES (grid side, default 32), GRAFT_BENCH_TILE_PX (default 256).
+GRAFT_BENCH_TILES (grid side, default 128), GRAFT_BENCH_TILE_PX (default 256).
 """
 
 from __future__ import annotations
@@ -226,8 +226,14 @@ def main_scaling():
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--bal-only"],
                 capture_output=True, text=True, env=env, cwd=REPO)
-            line = [ln for ln in proc.stdout.splitlines()
-                    if ln.startswith("{")][-1]
+            json_lines = [ln for ln in proc.stdout.splitlines()
+                          if ln.startswith("{")]
+            if proc.returncode != 0 or not json_lines:
+                sys.stderr.write(
+                    f"child bench (num_cpus={cpus}) failed "
+                    f"rc={proc.returncode}\n{proc.stderr[-2000:]}\n")
+                raise RuntimeError(f"scaling child run failed at {cpus} cpus")
+            line = json_lines[-1]
             r = json.loads(line)
             if best is None or r["bal_tiles_per_sec"] > best["bal_tiles_per_sec"]:
                 best = r

@@ -19,7 +19,6 @@ def to_arrow(result):
         tables = result.to_arrow_refs()
         import ray as _r
         tabs = [t for t in _r.get(tables)]
-        tabs = [t for t in tabs if t.num_rows >= 0]
         return pa.concat_tables(tabs, promote_options="permissive") \
             if tabs else pa.table({})
     if isinstance(result, pd.DataFrame):
