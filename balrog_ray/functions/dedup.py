@@ -4,14 +4,16 @@ Every variant is expressed Ray-Data-first:
 
 * **exact**      -- content hash -> ``groupby(hash)`` -> keep min doc_id
   (hash-partitioned first-wins, the ``select distinct`` shape).
-* **minhash LSH**-- shingle -> 64-perm minhash -> band buckets via
-  ``flat_map`` -> ``groupby(bucket)`` -> candidate pairs -> exact-Jaccard
-  verify.  One shuffle keyed by band bucket; no O(n^2) stage.
+* **minhash LSH**-- shingle -> 64-perm minhash -> fixed-size signatures
+  shuffled to band buckets -> in-bucket signature-estimated Jaccard ->
+  candidates-only exact-Jaccard verify.  One shuffle keyed by band
+  bucket carrying 512 B/doc/band; no O(n^2) stage, no text duplication.
 * **simhash**    -- 64-bit simhash, bucketed by 16-bit chunks (Hamming <= 3
   guarantee via pigeonhole across 4 chunks).
 * **n-gram Jaccard** -- the exact verifier, also usable standalone.
 * **embedding cosine** -- near-dup pairs over an embedding column via
-  random-hyperplane LSH buckets + exact cosine verify.
+  banded random-hyperplane LSH (AND-within-band / OR-across-bands) +
+  exact cosine verify, plus an exact broadcast-matmul variant.
 
 All hashing is seeded and deterministic across processes.
 """
