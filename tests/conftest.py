@@ -8,11 +8,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def ray_session():
-    """One Ray session for the whole test run (local mode, 4 CPUs)."""
+    """One Ray session for the whole test run (local mode, 4 CPUs);
+    only shuts down a session it started itself."""
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  ignore_reinit_error=True)
     yield
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()

@@ -39,6 +39,7 @@ def test_quality_and_langid_deterministic():
     assert all(0 <= v <= 1 for v in out.column("stopword_ratio").to_pylist())
     lang = text.langid_batch(docs_table()).column("lang_pred").to_pylist()
     assert lang == text.langid_batch(docs_table()).column("lang_pred").to_pylist()
+    assert lang.count("en") >= 4          # English fixtures classify as en
     assert text.langid_heuristic("你好世界 这是中文文本") == "zh"
 
 
@@ -82,7 +83,7 @@ def test_simhash_pairs(ray_session):
     pairs = dedup.simhash_pairs(ds, max_hamming=3).take_all()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in found
-    assert not any(3 in p and 4 in p for p in found)
+    assert not any(3 in p or 4 in p or 5 in p for p in found)
 
 
 def test_jaccard_exact():
@@ -204,6 +205,8 @@ def test_multimodal_decode_and_resize(ray_session):
         actor(bad)
 
 
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/testdata/sf0.001"),
+                    reason="driver testdata not present")
 def test_lsh_embedding_pairs_subset_of_exact(ray_session):
     """Every LSH-surfaced pair must appear in the exact broadcast join at
     the same threshold (precision 1; recall < 1 is expected and measured)."""

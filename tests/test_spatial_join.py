@@ -10,7 +10,8 @@ from balrog_ray.geo.geometry import polygon_distance
 from balrog_ray.geo.wkb import from_wkb
 from balrog_ray.stages import spatial_join as sj
 from balrog_ray.stages.halo import GridSpec
-from balrog_ray.stages.zonal import circular_median, zonal_stats
+from balrog_ray.stages.zonal import (OUT_OF_AREA as ZONAL_OOA,
+                                     circular_median, zonal_stats)
 from balrog_ray.core.kernels import slope_aspect
 from balrog_ray.tiles import synth
 
@@ -21,7 +22,9 @@ MAX_DIST = 100.0
 
 def oracle_join(sites, veg):
     """Brute-force reference: PIP (lowest gid wins) + exact nearest within
-    MAX_DIST (lowest gid on ties)."""
+    MAX_DIST (lowest gid on ties), incl. azimuth to the nearest point."""
+    from balrog_ray.geo.geometry import azimuth_deg
+
     polys = [from_wkb(w) for w in veg.column("geom").to_pylist()]
     gids = veg.column("gid").to_pylist()
     classes = veg.column("bal_number").to_pylist()
@@ -29,17 +32,23 @@ def oracle_join(sites, veg):
     for r in sites.to_pylist():
         pt = np.array([[r["x"], r["y"]]])
         in_gid, in_cls = -1, -1
-        best = (np.inf, -1, -1)
+        best = (np.inf, -1, -1, None)
         for gid, cls, poly in zip(gids, classes, polys):
-            d, _, inside = polygon_distance(pt, poly)
+            d, nearest, inside = polygon_distance(pt, poly)
             if inside[0] and in_gid < 0:
                 in_gid, in_cls = gid, cls
             if d[0] < best[0]:
-                best = (float(d[0]), gid, cls)
-        near = best if best[0] <= MAX_DIST else (sj.OUT_OF_AREA, -1, -1)
+                best = (float(d[0]), gid, cls, nearest[0])
+        if best[0] <= MAX_DIST:
+            az = 0.0 if best[0] == 0.0 else \
+                float(azimuth_deg(pt, best[3][None, :])[0])
+            near = (best[0], best[1], best[2], az)
+        else:
+            near = (sj.OUT_OF_AREA, -1, -1, sj.OUT_OF_AREA)
         rows.append({"site_id": r["site_id"], "in_gid": in_gid,
                      "in_bal_number": in_cls, "near_gid": near[1],
-                     "near_bal_number": near[2], "distance_m": near[0]})
+                     "near_bal_number": near[2], "distance_m": near[0],
+                     "azimuth_deg": near[3]})
     return {r["site_id"]: r for r in rows}
 
 
@@ -55,7 +64,9 @@ def check_against_oracle(result_rows, oracle):
         assert r["in_gid"] == o["in_gid"], r["site_id"]
         assert r["in_bal_number"] == o["in_bal_number"]
         assert r["near_gid"] == o["near_gid"], r["site_id"]
+        assert r["near_bal_number"] == o["near_bal_number"]
         assert np.isclose(r["distance_m"], o["distance_m"], atol=1e-9)
+        assert np.isclose(r["azimuth_deg"], o["azimuth_deg"], atol=1e-9)
 
 
 def test_broadcast_join_matches_oracle(ray_session, world):
@@ -127,7 +138,7 @@ def test_zonal_stats_matches_oracle(ray_session, world):
             vals = slope[r0c:r1c, c0c:c1c][m]
         if len(vals) == 0:
             assert res["pixel_count"] == 0
-            assert res["slope_avg"] == sj.OUT_OF_AREA
+            assert res["slope_avg"] == ZONAL_OOA
         else:
             assert res["pixel_count"] == len(vals)
             assert_allclose(res["slope_avg"], vals.mean(), rtol=1e-5, atol=1e-5)
