@@ -99,6 +99,8 @@ def edge_fill_nodata(elev: np.ndarray, nodata: float = NODATA) -> np.ndarray:
     single step from above / left (with the index-0 wraparound quirk).
     """
     a = np.array(elev, dtype=np.float64, copy=True)
+    if not (a == nodata).any():     # common case: nothing to fill
+        return a
     a = _ffill_axis(a, 0, nodata)
     a = _ffill_axis(a, 1, nodata)
     _single_step_fill(a, 0, nodata)
