@@ -206,7 +206,11 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     if valid is None:
         # every in-array cell is valid, so the "neighbour exists" mask for
         # step m is just a rectangle -- pure slice arithmetic, no shifted
-        # mask copies and no masked maximum
+        # mask copies and no masked maximum.  The gather temp is one reused
+        # scratch buffer: materializing lut[src] fresh each step costs a
+        # ~1 MB allocation x 28 steps per cell, pure memory-bandwidth churn
+        # at full core counts
+        scratch = np.empty(comb.shape, dtype=np.float32)
         for m in range(1, filter_width + 1):
             dist = (m - 1) * dire_width + 0.5 * dire_width
             lut = bal_lut(fdi, dist).reshape(-1)
@@ -217,7 +221,9 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
                 break
             dst = out[r_lo:r_hi, c_lo:c_hi]
             src = comb[r_lo + dr_m:r_hi + dr_m, c_lo + dc_m:c_hi + dc_m]
-            np.maximum(dst, lut[src], out=dst)
+            t = scratch[:r_hi - r_lo, :c_hi - c_lo]
+            np.take(lut, src, out=t)
+            np.maximum(dst, t, out=dst)
         # cells outside the 1-step rectangle have zero neighbours -> -99
         out[np.isneginf(out)] = NODATA
         return out

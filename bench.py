@@ -217,27 +217,32 @@ def main_scaling():
     ensure_tiles(cfg)
     ray.shutdown()
 
+    def run_child(cpus):
+        time.sleep(3)            # let the previous Ray session fully clear
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--bal-only"],
+            capture_output=True, text=True, env=env, cwd=REPO)
+        json_lines = [ln for ln in proc.stdout.splitlines()
+                      if ln.startswith("{")]
+        if proc.returncode != 0 or not json_lines:
+            sys.stderr.write(
+                f"child bench (num_cpus={cpus}) failed "
+                f"rc={proc.returncode}\n{proc.stderr[-2000:]}\n")
+            raise RuntimeError(f"scaling child run failed at {cpus} cpus")
+        return json.loads(json_lines[-1])
+
+    # interleave the trials (8,32,8,32,...) so slow thermal/load drift on
+    # the host hits both parallelism levels equally instead of biasing the
+    # side measured later; best-of-3 per side bounds trial variance
     results = {}
-    for cpus in (8, 32):
-        best = None
-        for _trial in range(2):
-            time.sleep(3)        # let the previous Ray session fully clear
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--bal-only"],
-                capture_output=True, text=True, env=env, cwd=REPO)
-            json_lines = [ln for ln in proc.stdout.splitlines()
-                          if ln.startswith("{")]
-            if proc.returncode != 0 or not json_lines:
-                sys.stderr.write(
-                    f"child bench (num_cpus={cpus}) failed "
-                    f"rc={proc.returncode}\n{proc.stderr[-2000:]}\n")
-                raise RuntimeError(f"scaling child run failed at {cpus} cpus")
-            line = json_lines[-1]
-            r = json.loads(line)
-            if best is None or r["bal_tiles_per_sec"] > best["bal_tiles_per_sec"]:
-                best = r
-        results[cpus] = best
+    for _trial in range(3):
+        for cpus in (8, 32):
+            r = run_child(cpus)
+            if (cpus not in results
+                    or r["bal_tiles_per_sec"]
+                    > results[cpus]["bal_tiles_per_sec"]):
+                results[cpus] = r
     thr8 = results[8]["bal_tiles_per_sec"]
     thr32 = results[32]["bal_tiles_per_sec"]
     out = {
