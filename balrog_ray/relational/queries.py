@@ -286,7 +286,7 @@ def q_sessionize(sf_dir: str):
 
 SQL_SESSIONIZE = """
 select user_id, count(*) as n_events,
-       1 + sum(case when gap > 1800 then 1 else 0 end) as n_sessions
+       cast(1 + sum(case when gap > 1800 then 1 else 0 end) as bigint) as n_sessions
 from (select user_id,
              epoch(ts) - lag(epoch(ts)) over
                (partition by user_id order by ts, event_id) as gap
@@ -387,7 +387,7 @@ def q_buffer_bbox_area(sf_dir: str):
 
 SQL_BUFFER_BBOX_AREA = """
 select s_nationkey,
-       sum((2*(s_suppkey%7)) * (2*(s_suppkey%7))) as sum_area
+       cast(sum((2*(s_suppkey%7)) * (2*(s_suppkey%7))) as bigint) as sum_area
 from supplier group by s_nationkey
 """
 
@@ -476,7 +476,7 @@ def q_token_stats_by_lang(sf_dir: str):
 
 
 SQL_TOKEN_STATS_BY_LANG = """
-select lang, sum(len(string_split(text, ' '))) as sum_tokens,
+select lang, cast(sum(len(string_split(text, ' '))) as bigint) as sum_tokens,
        count(*) as n_docs
 from documents group by lang
 """
@@ -598,7 +598,7 @@ def q_asof_join(sf_dir: str):
 
 SQL_ASOF_JOIN = """
 select user_id, count(*) as n_purchases,
-       sum(click_id) as sum_click_id, max(click_id) as max_click_id
+       cast(sum(click_id) as bigint) as sum_click_id, max(click_id) as max_click_id
 from (
   select p.user_id,
          (select c.event_id from events c

@@ -145,13 +145,28 @@ def encode_tile(arr: np.ndarray, fmt: str = "npy",
         nodata = np.float32(caption.nodata)
         valid = a != nodata
         if valid.any():
-            lo = float(a[valid].min())
-            hi = float(a[valid].max())
+            vals = a[valid]
+            lo = float(vals.min())
+            hi = float(vals.max())
+            # Categorical rasters (veg classes, BAL bands) must round-trip
+            # value-exact: an affine scale of (hi-lo)/65534 decodes class 3
+            # as 3.0000305, which an exact searchsorted class_index then
+            # misclassifies.  When every valid value is an integer and the
+            # range fits the 16-bit code space, use scale 1 -- (q-1)+lo is
+            # then exact in float32.
+            integral = bool(np.all(vals == np.round(vals)))
         else:
             lo = hi = 0.0
-        scale = (hi - lo) / 65534.0 if hi > lo else 1.0
+            integral = True
+        if integral and hi - lo <= 65534.0:
+            scale = 1.0
+        else:
+            scale = (hi - lo) / 65534.0 if hi > lo else 1.0
         q = np.zeros(a.shape, dtype=np.uint16)
-        q[valid] = (np.round((a[valid] - lo) / scale) + 1).astype(np.uint16)
+        # quantize in float64 and clip: float32 division by a subnormal
+        # scale can land at 65536, and round()+1 would wrap uint16 to 1
+        qv = np.round((a[valid].astype(np.float64) - lo) / scale)
+        q[valid] = (np.clip(qv, 0.0, 65534.0) + 1.0).astype(np.uint16)
         caption.scale, caption.offset = scale, lo
         caption.nodata_q0 = True
         return png16_encode(q), caption

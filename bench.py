@@ -50,7 +50,7 @@ def bench_cfg():
 
 #: bump when tiles/synth.py output changes -- stale cached tile tables from
 #: an older generator would otherwise be silently reused across rounds
-SYNTH_VERSION = "v1"
+SYNTH_VERSION = "v2"  # v2: exact-integer PNG scale for categorical tiles
 
 
 def tiles_dir(cfg) -> str:

@@ -27,10 +27,12 @@ def test_png16_roundtrip_psnr():
     payload, cap = encode_tile(a, "png", Caption("dem", 0, 0, 25.0))
     out = decode_tile(payload, "png", cap)
     assert psnr(a, out) >= 40.0
-    # integer class rasters survive png16 exactly
+    # integer class rasters survive png16 VALUE-EXACT (categorical veg
+    # classes feed an exact searchsorted class_index; 3.0000305 -> class 4)
     classes = rng.integers(1, 8, (32, 32)).astype(np.float64)
+    classes[0, :4] = -99.0  # nodata cells stay exact too
     payload, cap = encode_tile(classes, "png", Caption("veg", 0, 0, 25.0))
-    assert_allclose(decode_tile(payload, "png", cap), classes, atol=1e-2)
+    assert_array_equal(decode_tile(payload, "png", cap), classes)
 
 
 def test_phash_deterministic_and_sensitive():

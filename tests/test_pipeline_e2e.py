@@ -183,6 +183,42 @@ def test_veg_remap_path_matches_oracle(ray_session):
     assert_array_equal(got, expect["max"].astype(np.float32))
 
 
+def test_png_tiles_match_oracle_on_decoded_layers(ray_session):
+    """PNG-encoded input parity (regression: affine quantization decoded
+    veg class 3 as 3.0000305 -> class_index misclassified it as 4).  The
+    oracle runs on the DECODED tile layers, so any codec drift that changes
+    classification fails exactly."""
+    import ray.data
+
+    cfg = synth.SynthConfig(tiles_x=4, tiles_y=4, tile_px=64, fmt="png")
+    spec = GridSpec.from_synth(cfg)
+    tiles = synth.tiles_table(cfg)
+
+    # reassemble the decoded dem/veg exactly as the pipeline will see them
+    T = cfg.tile_px
+    layers = {"dem": np.full(cfg.world_px, np.nan),
+              "veg": np.full(cfg.world_px, np.nan)}
+    for row in tiles.to_pylist():
+        cap = Caption.from_json(row["caption"])
+        arr = decode_tile(row["bytes"], row["fmt"], cap)
+        layers[cap.layer][cap.ty * T:(cap.ty + 1) * T,
+                          cap.tx * T:(cap.tx + 1) * T] = arr
+    # veg classes must decode value-exact (the codec contract)
+    veg = layers["veg"]
+    valid = veg != -99.0
+    assert_array_equal(veg[valid], np.round(veg[valid]))
+
+    slope, aspect = slope_aspect(layers["dem"], cfg.pixel_size, cfg.pixel_size)
+    aspect_c = apply_remap(aspect, ASPECT_RECLASS).astype(np.float64)
+    slope_c = apply_remap(slope, slope_reclass()).astype(np.float64)
+    expected = compute_bal(veg, slope_c, aspect_c, cfg.pixel_size, 80)
+
+    rows = bp.bal_pipeline(ray.data.from_arrow(tiles), spec,
+                           fdi=80).take_all()
+    got = reassemble(rows, "max", cfg)
+    assert_array_equal(got, expected["max"].astype(np.float32))
+
+
 def test_aoi_subpixel_sliver_emits_all_nodata(ray_session):
     """An AOI that intersects a tile's bbox but contains no pixel centers
     must emit that tile fully masked, never unmasked (regression: the
