@@ -32,6 +32,18 @@ PAIRS_SCHEMA = pa.schema([
 ])
 
 
+def _topk_rows(col: np.ndarray, ids: np.ndarray, kth_row: int,
+               kk: int) -> np.ndarray:
+    """Exact per-block top-kk rows of ``col`` with (cosine desc, id asc)
+    tie-break.  Raw argpartition drops arbitrary members of a tie straddling
+    the k boundary, which can disagree with the oracle's deterministic
+    ordering; expanding to every row >= the kth value and lexsorting makes
+    the partial exact for any tie pattern."""
+    thresh = col[kth_row]
+    cand = np.nonzero(col >= thresh)[0]
+    return cand[np.lexsort((ids[cand], -col[cand]))[:kk]]
+
+
 def _partial_topk_fn(queries_ref, id_col, vec_col, k):
     def fn(batch: pa.Table) -> pa.Table:
         import ray
@@ -48,10 +60,10 @@ def _partial_topk_fn(queries_ref, id_col, vec_col, k):
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         sims = _unit(vecs) @ qunit.T                      # (n, q)
         kk = min(k, len(ids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, q)
+        part = np.argpartition(-sims, kk - 1, axis=0)      # (n, q)
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for qi in range(qunit.shape[0]):
-            rows = top[:, qi]
+            rows = _topk_rows(sims[:, qi], ids, part[kk - 1, qi], kk)
             out["query_id"].extend([qi] * len(rows))
             out["vec_id"].extend(ids[rows].tolist())
             out["cosine"].extend(sims[rows, qi].tolist())
@@ -112,14 +124,35 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
              sample_size: int = 2048):
     """IVF: assign vectors to centroid lists, probe n_probe lists/query.
 
-    The codebook is fit on a limited sample (one ``limit`` pass); the
+    The codebook is fit on a deterministic hash-bottom-k sample -- the
+    ``sample_size`` rows with the smallest id hashes, gathered as a
+    per-block partial bottom-k plus a tiny driver merge.  Unlike a
+    ``limit(n)`` first-N pass, this is uniform over the whole dataset
+    regardless of row order/clustering, at the same one-pass cost.  The
     assignment is a stateless map keyed by centroid; the search probes
     selected lists only -- at scale each list is its own partition.
     """
     import ray
 
-    sample = np.array([r[vec_col] for r in
-                       emb_ds.limit(sample_size).take_all()])
+    def sample_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             vec_col: batch.column(vec_col)})
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        h = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        order = np.argsort(h, kind="stable")[:sample_size]
+        return pa.table({"h": pa.array(h[order].view(np.int64), pa.int64()),
+                         vec_col: batch.column(vec_col).take(
+                             pa.array(order))})
+
+    stabs = [t for t in ray.get(
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(sample_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    stab = pa.concat_tables(stabs)
+    pick = np.argsort(stab.column("h").to_numpy(), kind="stable")[:sample_size]
+    sample = np.array(stab.column(vec_col).take(pa.array(pick)).to_pylist(),
+                      dtype=np.float64)
     cents = kmeans_lite(sample, n_centroids)
     qunit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qunit @ cents.T), axis=1)[:, :n_probe]  # (q, p)
@@ -152,9 +185,9 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
             sims = vecs[members] @ qmat[qids].T       # (m, |qids|)
             mids = ids[members]
             kk = min(k, len(mids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            part = np.argpartition(-sims, kk - 1, axis=0)
             for col, qi in enumerate(qids):
-                rows = top[:, col]
+                rows = _topk_rows(sims[:, col], mids, part[kk - 1, col], kk)
                 out["query_id"].extend([int(qi)] * len(rows))
                 out["vec_id"].extend(mids[rows].tolist())
                 out["cosine"].extend(sims[rows, col].tolist())

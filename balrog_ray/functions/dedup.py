@@ -182,42 +182,59 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
             .groupby(["id_a", "id_b"])
             .aggregate(agg.Max("est", alias_name="est")))
 
-    # candidates-only exact verify: pull the candidate pair list (small by
-    # construction), re-read just those docs' texts, broadcast the shingle
-    # sets, filter at the exact threshold
-    ctabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    # Candidates-only exact verify, distributed: no document TEXT (or
+    # shingle dict) ever lands on the driver.  Only the candidate pair id
+    # list (~24 B/pair, bounded by output size) is pulled -- to broadcast
+    # the semi-join id filter and to avoid re-executing the LSH DAG.
+    # Shingle sets are computed in a column-pruned second pass over the
+    # docs table and meet their pairs through two candidate-scale joins.
+    ctabs = [t for t in ray.get(
+        cand.select_columns(["id_a", "id_b"]).to_arrow_refs()) if t.num_rows]
     empty = pa.table({"id_a": pa.array([], id_type),
                       "id_b": pa.array([], id_type),
                       "jaccard": pa.array([], pa.float64())})
     if not ctabs:
         return ray.data.from_arrow(empty)
-    ctab = pa.concat_tables(ctabs)
+    ctab = pa.concat_tables(ctabs).combine_chunks()
+    import logging
+
     import pyarrow.compute as pc
 
     need = pc.unique(pa.concat_arrays(
         [ctab.column("id_a").combine_chunks(),
          ctab.column("id_b").combine_chunks()]))
+    logging.getLogger(__name__).info(
+        "minhash_lsh: %d candidate pairs over %d docs to exact-verify",
+        ctab.num_rows, len(need))
     need_ref = ray.put(need)
 
-    def keep_needed(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column(id_col),
+    def shingles_for_needed(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.is_in(batch.column(id_col),
                                      value_set=ray.get(need_ref)))
+        # raw little-endian uint64 bytes: Arrow's hash join supports binary
+        # payload columns but not list<int64>
+        shs = [shingle_set(t, k).tobytes()
+               for t in keep.column(text_col).to_pylist()]
+        return pa.table({
+            id_col: keep.column(id_col),
+            "sh": pa.array(shs, pa.binary())})
 
-    docs = pa.concat_tables([
-        t for t in ray.get(
-            docs_ds.map_batches(keep_needed, batch_format="pyarrow")
-            .to_arrow_refs()) if t.num_rows])
-    shingles = {i: shingle_set(t, k)
-                for i, t in zip(docs.column(id_col).to_pylist(),
-                                docs.column(text_col).to_pylist())}
-    sh_ref = ray.put(shingles)
+    # candidate-doc-scale intermediate; materialize so the two join probes
+    # below don't re-scan (and re-shingle) the full docs table twice
+    sh_ds = (docs_ds.select_columns([id_col, text_col])
+             .map_batches(shingles_for_needed, batch_format="pyarrow")
+             .materialize())
+    sh_a = sh_ds.rename_columns({id_col: "id_a", "sh": "sh_a"})
+    sh_b = sh_ds.rename_columns({id_col: "id_b", "sh": "sh_b"})
 
     def exact_verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
         out = {"id_a": [], "id_b": [], "jaccard": []}
-        for a, b in zip(batch.column("id_a").to_pylist(),
-                        batch.column("id_b").to_pylist()):
-            j = jaccard(sh[a], sh[b])
+        for a, b, sa, sb in zip(batch.column("id_a").to_pylist(),
+                                batch.column("id_b").to_pylist(),
+                                batch.column("sh_a").to_pylist(),
+                                batch.column("sh_b").to_pylist()):
+            j = jaccard(np.frombuffer(sa, dtype=np.uint64),
+                        np.frombuffer(sb, dtype=np.uint64))
             if j >= threshold:
                 out["id_a"].append(a)
                 out["id_b"].append(b)
@@ -226,10 +243,11 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                          "id_b": pa.array(out["id_b"], id_type),
                          "jaccard": pa.array(out["jaccard"], pa.float64())})
 
-    # candidates already live on the driver (ctab); verifying from them
-    # avoids re-executing the whole LSH DAG when the result is consumed
-    return ray.data.from_arrow(ctab).map_batches(exact_verify,
-                                                 batch_format="pyarrow")
+    pairs = ray.data.from_arrow(ctab)
+    return (pairs
+            .join(sh_a, "inner", num_partitions=8, on=("id_a",))
+            .join(sh_b, "inner", num_partitions=8, on=("id_b",))
+            .map_batches(exact_verify, batch_format="pyarrow"))
 
 
 # -------------------------------------------------------------- simhash
@@ -368,7 +386,14 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
     buckets), n_bands up for recall; precision is always 1 because every
     candidate is cosine-verified.  One shuffle keyed by (band, signbits)."""
 
+    schema = emb_ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: batch.column(id_col),
+                             vec_col: batch.column(vec_col)})
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((vecs.shape[1], n_bands * n_planes))
@@ -402,12 +427,17 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
             sims = unit @ unit.T
             ia, ib = np.where(np.triu(sims >= threshold, k=1))
             for a, b in zip(ia, ib):
-                lo, hi = sorted((int(ids[a]), int(ids[b])))
+                # preserve the id column's dtype (a string vec_id must not
+                # be forced through int()); order the pair id_a < id_b
+                lo, hi = sorted((ids[a].item() if hasattr(ids[a], "item")
+                                 else ids[a],
+                                 ids[b].item() if hasattr(ids[b], "item")
+                                 else ids[b]))
                 out["id_a"].append(lo)
                 out["id_b"].append(hi)
                 out["cosine"].append(float(sims[a, b]))
-        return pa.table({"id_a": pa.array(out["id_a"], pa.int64()),
-                         "id_b": pa.array(out["id_b"], pa.int64()),
+        return pa.table({"id_a": pa.array(out["id_a"], id_type),
+                         "id_b": pa.array(out["id_b"], id_type),
                          "cosine": pa.array(out["cosine"], pa.float64())})
 
     import ray.data.aggregate as agg

@@ -75,6 +75,32 @@ class STRtree:
             nodes = children[children < len(self.levels[level - 1])]
         return self.order[nodes]
 
+    def query_many(self, qboxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Batch query: all (query, box) intersections for (Q, 4) query
+        boxes, descending every tree level for ALL live (query, node)
+        frontier pairs at once -- no per-query Python loop.  Returns
+        parallel arrays (query_index, input_box_index)."""
+        qboxes = np.asarray(qboxes, dtype=np.float64).reshape(-1, 4)
+        nq = len(qboxes)
+        if self.n == 0 or nq == 0:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        qi = np.arange(nq, dtype=np.int64)
+        nodes = np.zeros(nq, dtype=np.int64)
+        for level in range(len(self.levels) - 1, -1, -1):
+            b = self.levels[level][nodes]
+            qb = qboxes[qi]
+            hit = ((b[:, 0] <= qb[:, 2]) & (b[:, 2] >= qb[:, 0])
+                   & (b[:, 1] <= qb[:, 3]) & (b[:, 3] >= qb[:, 1]))
+            qi, nodes = qi[hit], nodes[hit]
+            if level == 0 or len(nodes) == 0:
+                break
+            children = (nodes[:, None] * self.cap
+                        + np.arange(self.cap)[None, :]).reshape(-1)
+            qi = np.repeat(qi, self.cap)
+            keep = children < len(self.levels[level - 1])
+            qi, nodes = qi[keep], children[keep]
+        return qi, self.order[nodes]
+
     def query_point(self, x: float, y: float) -> np.ndarray:
         return self.query((x, y, x, y))
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..geo.geometry import azimuth_deg, polygon_contains, polygon_distance
+from ..geo.geometry import azimuth_deg
 from ..geo.strtree import STRtree
 from ..geo.wkb import from_wkb
 
@@ -54,18 +54,54 @@ class _PolyIndex:
 
     def __init__(self, veg_table: pa.Table):
         gids = veg_table.column("gid").to_numpy()
+        classes = veg_table.column("bal_number").to_numpy()
         # sort by gid so row index order == gid order: winner selection
         # below tie-breaks on row index, and group/row order coming out of
         # a shuffle is NOT gid-sorted -- without this the partitioned plan
         # would be polygon-order-dependent
         order = np.argsort(gids, kind="stable")
-        self.gids = gids[order]
-        self.classes = veg_table.column("bal_number").to_numpy()[order]
         geoms = veg_table.column("geom").to_pylist()
-        self.polys = [from_wkb(geoms[i]) for i in order]
+        # MultiPolygon WKB decodes to a list of parts: explode, each part
+        # carrying its row's gid/class (winner selection stays gid-correct
+        # because parts of one gid are adjacent after the sort)
+        polys, gid_out, cls_out = [], [], []
+        for i in order:
+            g = from_wkb(geoms[i])
+            for p in (g if isinstance(g, list) else [g]):
+                polys.append(p)
+                gid_out.append(gids[i])
+                cls_out.append(classes[i])
+        self.polys = polys
+        self.gids = np.asarray(gid_out, dtype=np.int64)
+        self.classes = np.asarray(cls_out, dtype=np.int16)
         boxes = (np.stack([p.bbox for p in self.polys])
                  if self.polys else np.empty((0, 4)))
         self.tree = STRtree(boxes)
+        # flattened "edge soup": every ring edge (exterior + holes) of every
+        # polygon in contiguous per-polygon runs, so candidate refinement is
+        # ONE vectorized pass over all (site, polygon) pairs instead of a
+        # numpy-kernel call per polygon (the per-call fixed overhead was the
+        # hot spot: ~15 pairs/call at bench density)
+        a_parts, d_parts = [], []
+        starts = np.zeros(len(polys) + 1, dtype=np.int64)
+        for j, p in enumerate(polys):
+            e = 0
+            for ring in (p.exterior, *p.holes):
+                a_parts.append(ring[:-1])
+                d_parts.append(ring[1:] - ring[:-1])
+                e += len(ring) - 1
+            starts[j + 1] = starts[j] + e
+        self.edge_starts = starts
+        if a_parts:
+            self.edge_a = np.concatenate(a_parts)
+            self.edge_d = np.concatenate(d_parts)
+            len2 = (self.edge_d * self.edge_d).sum(axis=1)
+            len2[len2 == 0] = 1.0
+            self.edge_len2 = len2
+        else:
+            self.edge_a = np.empty((0, 2))
+            self.edge_d = np.empty((0, 2))
+            self.edge_len2 = np.empty(0)
 
     def join_points(self, site_id, x, y, max_dist: float) -> pa.Table:
         """Vectorized candidate refinement: the (site, polygon) candidate
@@ -83,30 +119,68 @@ class _PolyIndex:
         dist = np.full(n, OUT_OF_AREA, dtype=np.float64)
         azim = np.full(n, OUT_OF_AREA, dtype=np.float64)
 
-        pair_i, pair_j = [], []
-        for i in range(n):
-            px, py = float(x[i]), float(y[i])
-            cands = self.tree.query((px - max_dist, py - max_dist,
-                                     px + max_dist, py + max_dist))
-            pair_i.append(np.full(len(cands), i, dtype=np.int64))
-            pair_j.append(cands)
-        I = np.concatenate(pair_i) if pair_i else np.empty(0, np.int64)
-        J = np.concatenate(pair_j) if pair_j else np.empty(0, np.int64)
+        xs = np.asarray(x, dtype=np.float64)
+        ys = np.asarray(y, dtype=np.float64)
+        qboxes = np.column_stack([xs - max_dist, ys - max_dist,
+                                  xs + max_dist, ys + max_dist])
+        I, J = self.tree.query_many(qboxes)
         if len(I):
-            pts = np.column_stack([np.asarray(x, dtype=np.float64),
-                                   np.asarray(y, dtype=np.float64)])
-            D = np.empty(len(I), dtype=np.float64)
-            NEAR = np.empty((len(I), 2), dtype=np.float64)
-            INS = np.empty(len(I), dtype=bool)
-            order_j = np.argsort(J, kind="stable")
-            Js, Is_ = J[order_j], I[order_j]
-            bounds = np.searchsorted(Js, np.arange(len(self.polys) + 1))
-            for j in np.unique(Js):
-                lo, hi = bounds[j], bounds[j + 1]
-                rows = order_j[lo:hi]
-                d, nearest, inside = polygon_distance(pts[Is_[lo:hi]],
-                                                      self.polys[j])
-                D[rows], NEAR[rows], INS[rows] = d, nearest, inside
+            # exact bbox-distance prune: the tree's padded-box test admits
+            # corner pairs up to sqrt(2)*max_dist away; any pair with bbox
+            # distance > max_dist can neither contain the site (it is
+            # outside the bbox) nor beat an accepted nearest winner (true
+            # distance >= bbox distance > max_dist)
+            bb = self.tree.boxes[J]
+            dx = np.maximum(np.maximum(bb[:, 0] - xs[I], 0.0), xs[I] - bb[:, 2])
+            dy = np.maximum(np.maximum(bb[:, 1] - ys[I], 0.0), ys[I] - bb[:, 3])
+            keep = dx * dx + dy * dy <= max_dist * max_dist
+            I, J = I[keep], J[keep]
+        if len(I):
+            pts = np.column_stack([xs, ys])
+            # expand every candidate pair to its polygon's edge rows:
+            # (pair p, edge e of poly J[p]); segments are contiguous per
+            # pair, so reduceat / first-of-run reductions replace any
+            # per-polygon loop
+            counts = self.edge_starts[J + 1] - self.edge_starts[J]
+            nr = int(counts.sum())
+            pair_ptr = np.concatenate([[0], np.cumsum(counts)])
+            pair_of_row = np.repeat(np.arange(len(I)), counts)
+            row_local = np.arange(nr) - np.repeat(pair_ptr[:-1], counts)
+            e_idx = np.repeat(self.edge_starts[J], counts) + row_local
+            P = pts[I][pair_of_row]                     # (R, 2)
+            A = self.edge_a[e_idx]
+            Dd = self.edge_d[e_idx]
+            # nearest point on each edge segment (same kernel as
+            # geometry._seg_nearest, flattened across polygons)
+            t = np.clip(((P - A) * Dd).sum(axis=1) / self.edge_len2[e_idx],
+                        0.0, 1.0)
+            proj = A + t[:, None] * Dd
+            dvec = P - proj
+            dist2 = (dvec * dvec).sum(axis=1)
+            # min edge per pair (segments are contiguous): reduceat min,
+            # then first row matching the min per segment -- O(R), no sort;
+            # tie -> first edge (deterministic)
+            minv = np.minimum.reduceat(dist2, pair_ptr[:-1])
+            eq_rows = np.flatnonzero(dist2 == minv[pair_of_row])
+            pair_eq = pair_of_row[eq_rows]
+            first = np.concatenate(
+                [[True], pair_eq[1:] != pair_eq[:-1]])
+            wrow = eq_rows[first]                       # one row per pair
+            D = np.sqrt(dist2[wrow])
+            NEAR = proj[wrow]
+            # containment: even-odd crossing count over ALL rings (holes
+            # included) -- identical semantics to geometry.ring_contains
+            # (half-open convention), summed per pair with reduceat
+            py, px = P[:, 1], P[:, 0]
+            y0 = A[:, 1]
+            y1 = A[:, 1] + Dd[:, 1]
+            crosses = (y0 > py) != (y1 > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xin = A[:, 0] + (py - y0) * Dd[:, 0] / Dd[:, 1]
+            hits = crosses & (px < xin)
+            INS = (np.add.reduceat(hits, pair_ptr[:-1]) % 2).astype(bool)
+            D = np.where(INS, 0.0, D)
+            NEAR = np.where(INS[:, None], pts[I], NEAR)
 
             # containing polygon: lowest gid (== lowest j) per site
             if INS.any():

@@ -144,7 +144,9 @@ def run_spatial(cfg) -> dict:
                                                 partitioned_spatial_join)
     from balrog_ray.tiles.synth import sites_table, veg_polygon_table
 
-    n_sites = 200_000
+    # 1M sites: enough work to amortize actor-pool spin-up (~1 s) so the
+    # metric measures join throughput, not fixed startup
+    n_sites = 1_000_000
     sites = sites_table(cfg, n=n_sites)
     veg = veg_polygon_table(cfg)
     t0 = time.time()

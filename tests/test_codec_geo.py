@@ -113,6 +113,27 @@ def test_strtree_query_matches_bruteforce():
         assert set(tree.query(qbox)) == set(brute)
 
 
+def test_strtree_query_many_matches_single():
+    rng = np.random.default_rng(6)
+    lo = rng.uniform(0, 100, (257, 2))       # non-multiple of node capacity
+    sz = rng.uniform(1, 10, (257, 2))
+    boxes = np.column_stack([lo, lo + sz])
+    tree = STRtree(boxes)
+    q_lo = rng.uniform(-5, 105, (40, 2))
+    q_sz = rng.uniform(0.5, 15, (40, 2))
+    qboxes = np.column_stack([q_lo, q_lo + q_sz])
+    qi, idx = tree.query_many(qboxes)
+    got = {}
+    for a, b in zip(qi, idx):
+        got.setdefault(int(a), set()).add(int(b))
+    for i, qb in enumerate(qboxes):
+        assert got.get(i, set()) == set(tree.query(tuple(qb)).tolist()), i
+    # empty inputs
+    assert tree.query_many(np.empty((0, 4)))[0].size == 0
+    e0, e1 = STRtree(np.empty((0, 4))).query_many(qboxes)
+    assert e0.size == 0 and e1.size == 0
+
+
 def test_strtree_nearest():
     boxes = np.array([[i * 10.0, 0, i * 10.0 + 1, 1] for i in range(20)])
     tree = STRtree(boxes)

@@ -76,6 +76,35 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     assert not any(3 in p or 5 in p for p in found)
 
 
+def test_minhash_loose_threshold_many_candidates(ray_session):
+    """Loose threshold -> near-all-pairs candidates: the exact verify must
+    still produce correct jaccard-filtered pairs (the verify path is a
+    distributed semi-join; candidate explosion must not change results)."""
+    import ray.data
+
+    # 20 docs in two families of high mutual similarity
+    base_a = "the quick brown fox jumps over the lazy dog " * 6
+    base_b = "pack my box with five dozen liquor jugs today " * 6
+    texts = [base_a + f"tail {i}" for i in range(10)] \
+        + [base_b + f"tail {i}" for i in range(10)]
+    tbl = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                    "text": pa.array(texts)})
+    pairs = dedup.minhash_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.5, est_slack=0.4).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact-jaccard oracle over all pairs
+    sh = [dedup.shingle_set(t) for t in texts]
+    expected = {(i, j) for i in range(20) for j in range(i + 1, 20)
+                if dedup.jaccard(sh[i], sh[j]) >= 0.5}
+    # verify output must be a subset of truth (precision 1) and catch the
+    # in-family mass (recall of LSH at this band config)
+    assert found <= expected
+    assert len(found) >= 0.8 * len(expected)
+    for r in pairs:
+        assert np.isclose(r["jaccard"],
+                          dedup.jaccard(sh[r["id_a"]], sh[r["id_b"]]))
+
+
 def test_simhash_pairs(ray_session):
     import ray.data
 
@@ -105,6 +134,47 @@ def test_embedding_dup_pairs(ray_session):
     pairs = dedup.embedding_dup_pairs(ray.data.from_arrow(tbl),
                                       threshold=0.98).take_all()
     assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(3, 7)}
+
+
+def test_embedding_dup_pairs_string_ids_and_empty_blocks(ray_session):
+    """Regressions: bucketize crashed on a zero-row pyarrow block, and
+    verify_group forced ids through int() (string vec_id crashed)."""
+    import ray.data
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((24, 16))
+    vecs[5] = vecs[2] + rng.standard_normal(16) * 0.005
+    tbl = pa.table({"vec_id": pa.array([f"doc-{i:03d}" for i in range(24)]),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float32()))})
+    # tiny override_num_blocks -> some empty blocks after repartition
+    ds = ray.data.from_arrow(tbl).repartition(40)
+    pairs = dedup.embedding_dup_pairs(ds, threshold=0.98).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {("doc-002", "doc-005")}
+    for r in pairs:
+        assert isinstance(r["id_a"], str) and r["id_a"] < r["id_b"]
+
+
+def test_brute_force_topk_tie_break_across_blocks(ray_session):
+    """More than k cosine-tied vectors split across blocks: the merged
+    top-k must keep the LOWEST vec_ids (the oracle's (cosine desc, id asc)
+    order), which raw per-block argpartition violated."""
+    import ray.data
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal(8)
+    # 30 identical vectors (all cosine 1.0 vs the query) + 10 decoys
+    vecs = np.vstack([np.tile(base, (30, 1)),
+                      rng.standard_normal((10, 8))])
+    ids = np.arange(40)
+    rng.shuffle(ids)        # ids NOT aligned with row order
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs.tolist(),
+                                          pa.list_(pa.float32()))})
+    got = ann.brute_force_topk(ray.data.from_arrow(tbl), base[None, :],
+                               k=10, batch_size=7).take_all()
+    tied_ids = sorted(ids[:30].tolist())
+    assert sorted(r["vec_id"] for r in got) == tied_ids[:10]
 
 
 def test_cosine_pairs_exact_matches_numpy(ray_session):

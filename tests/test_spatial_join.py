@@ -88,6 +88,37 @@ def test_partitioned_join_matches_oracle(ray_session, world):
     check_against_oracle(got, oracle_join(sites, veg))
 
 
+def test_broadcast_join_multipolygon_parts(ray_session):
+    """A MultiPolygon WKB row must behave as the union of its parts (the
+    _PolyIndex explode path): containment in any part wins, nearest
+    distance is the min over parts."""
+    import ray.data
+
+    from balrog_ray.geo.geometry import Polygon
+    from balrog_ray.geo.wkb import multipolygon_to_wkb
+
+    part_a = Polygon(np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]))
+    part_b = Polygon(np.array([[50.0, 0], [60, 0], [60, 10], [50, 10]]))
+    veg = pa.table({
+        "gid": pa.array([7], pa.int64()),
+        "bal_number": pa.array([3], pa.int16()),
+        "geom": pa.array([multipolygon_to_wkb([part_a, part_b])],
+                         pa.binary())})
+    sites = pa.table({
+        "site_id": pa.array(["inside_a", "inside_b", "between", "far"]),
+        "x": pa.array([5.0, 55.0, 30.0, 500.0], pa.float64()),
+        "y": pa.array([5.0, 5.0, 5.0, 500.0], pa.float64())})
+    got = {r["site_id"]: r for r in sj.broadcast_spatial_join(
+        ray.data.from_arrow(sites), veg, max_dist=MAX_DIST).take_all()}
+    assert got["inside_a"]["in_gid"] == 7 and got["inside_b"]["in_gid"] == 7
+    assert got["between"]["in_gid"] == -1
+    assert got["between"]["near_gid"] == 7
+    # nearest part is part_a's east edge (x=10) or part_b's west (x=50): 20 m
+    assert np.isclose(got["between"]["distance_m"], 20.0)
+    assert got["far"]["near_gid"] == -1
+    assert got["far"]["distance_m"] == sj.OUT_OF_AREA
+
+
 def test_polygons_to_cells_cover(world):
     _, veg = world
     cover = sj.polygons_to_cells(veg, CFG.grid)
