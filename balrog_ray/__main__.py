@@ -4,7 +4,7 @@
     python -m balrog_ray synth --out /tmp/tiles --tiles-x 8 --tiles-y 8
     python -m balrog_ray bal --tiles /tmp/tiles --out /tmp/bal \
         [--fdi 80] [--extent "xmin ymin xmax ymax" | DEFAULT] \
-        [--veg-remap "1 1 1;..."] [--fmt npz] [--resume]
+        [--veg-remap "1 1 1;..."] [--fmt palz] [--resume]
 
 ``bal`` reads any image+caption tile table (layers ``dem`` + ``veg``),
 infers the grid from the captions, runs the streaming BAL pipeline and
@@ -113,7 +113,8 @@ def main(argv=None) -> int:
                    help='"xmin ymin xmax ymax" or DEFAULT/MAXOF/MINOF')
     b.add_argument("--veg-remap", default=None,
                    help='reclass DSL "lo hi new;..." for the veg layer')
-    b.add_argument("--fmt", default="npz", choices=("npz", "png", "npy"))
+    b.add_argument("--fmt", default="palz",
+                   choices=("palz", "npz", "png", "npy"))
     b.add_argument("--resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=8)
     b.set_defaults(fn=cmd_bal)

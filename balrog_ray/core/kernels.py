@@ -98,7 +98,9 @@ def edge_fill_nodata(elev: np.ndarray, nodata: float = NODATA) -> np.ndarray:
     Sweeps 1-2 propagate valid values fully down / right; sweeps 3-4 copy a
     single step from above / left (with the index-0 wraparound quirk).
     """
-    a = np.array(elev, dtype=np.float64, copy=True)
+    a = np.array(elev, copy=True)   # preserves dtype: float32 in the tiled
+    if not np.issubdtype(a.dtype, np.floating):     # hot path, float64 in
+        a = a.astype(np.float64)                    # scalar parity tests
     if not (a == nodata).any():     # common case: nothing to fill
         return a
     a = _ffill_axis(a, 0, nodata)
@@ -115,9 +117,14 @@ def slope_aspect(elev: np.ndarray, pixel_w: float, pixel_h: float,
     Centered differences inside, one-sided at array edges (``np.gradient``),
     i.e. Horn-style finite differences as the reference computes them.
     Nodata cells are edge-filled first and masked back afterwards.
+
+    Computes in float32 (the engine's raster precision: payloads are stored
+    float32, so float64 here would add traffic without information).  Any
+    float64 input is cast first, which keeps a whole-raster oracle run
+    bit-identical to the tiled pipeline's decoded-float32 path.
     """
-    elev = np.asarray(elev, dtype=np.float64)
-    mask = elev == nodata
+    elev = np.asarray(elev, dtype=np.float32)
+    mask = elev == np.float32(nodata)
     filled = edge_fill_nodata(elev, nodata)
     dzdx, dzdy = np.gradient(filled, pixel_w, pixel_h)
     slope = np.arctan(np.hypot(dzdx, dzdy)) / RADIANS_PER_DEGREE
@@ -168,9 +175,9 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     Diagonal step length uses the reference's literal 1.414 factor
     (calculate_bal.py:167).
     """
-    veg = np.asarray(veg_data, dtype=np.float64)
-    slope = np.asarray(slope_data, dtype=np.float64)
-    aspect = np.asarray(aspect_data, dtype=np.float64)
+    veg = np.asarray(veg_data)      # any float dtype: values are classes
+    slope = np.asarray(slope_data)  # (exact in float32), so no upcast
+    aspect = np.asarray(aspect_data)
 
     dire_width = pixel_width if a_dir in ("w", "e", "n", "s") \
         else pixel_width * 1.414
@@ -186,7 +193,7 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
             veg_idx = class_index(veg, VEG_KEYS)
         sia_idx = np.where(aspect == DIRE_ASPECT[a_dir], slope_idx,
                            np.where(slope == NODATA, 0, 1))
-        comb = (sia_idx * len(VEG_KEYS) + veg_idx).astype(np.int16)
+        comb = (sia_idx * len(VEG_KEYS) + veg_idx).astype(np.int8)
     else:
         sia = slope_in_aspect(slope, aspect, DIRE_ASPECT[a_dir])
         if valid is not None:
@@ -197,9 +204,9 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
             veg_idx = class_index(veg, VEG_KEYS)
 
         # combined (slope, veg) class index 0..63 for flat LUT gathers;
-        # int16 keeps the shifted copies bandwidth-friendly on wide hosts
+        # int8 keeps the shifted copies bandwidth-friendly on wide hosts
         comb = (class_index(sia, SLOPE_KEYS) * len(VEG_KEYS)
-                + veg_idx).astype(np.int16)
+                + veg_idx).astype(np.int8)
     rows, cols = comb.shape
     out = np.full(comb.shape, -np.inf, dtype=np.float32)
 
@@ -211,6 +218,7 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
         # ~1 MB allocation x 28 steps per cell, pure memory-bandwidth churn
         # at full core counts
         scratch = np.empty(comb.shape, dtype=np.float32)
+        steps = []
         for m in range(1, filter_width + 1):
             dist = (m - 1) * dire_width + 0.5 * dire_width
             lut = bal_lut(fdi, dist).reshape(-1)
@@ -219,11 +227,24 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
             c_lo, c_hi = max(0, -dc_m), min(cols, cols - dc_m)
             if r_lo >= r_hi or c_lo >= c_hi:
                 break
-            dst = out[r_lo:r_hi, c_lo:c_hi]
-            src = comb[r_lo + dr_m:r_hi + dr_m, c_lo + dc_m:c_hi + dc_m]
-            t = scratch[:r_hi - r_lo, :c_hi - c_lo]
-            np.take(lut, src, out=t)
-            np.maximum(dst, t, out=dst)
+            steps.append((lut, dr_m, dc_m, r_lo, r_hi, c_lo, c_hi))
+        # cache blocking: run every filter step over one ~64-row chunk
+        # before moving on, so the chunk's out/comb/scratch rows stay in L2
+        # across steps instead of streaming the full arrays from DRAM
+        # filter_width times -- the ratio-killer when all cores share one
+        # memory bus
+        blk = 64
+        for rb in range(0, rows, blk):
+            rb_hi = min(rows, rb + blk)
+            for lut, dr_m, dc_m, r_lo, r_hi, c_lo, c_hi in steps:
+                lo, hi = max(r_lo, rb), min(r_hi, rb_hi)
+                if lo >= hi:
+                    continue
+                dst = out[lo:hi, c_lo:c_hi]
+                src = comb[lo + dr_m:hi + dr_m, c_lo + dc_m:c_hi + dc_m]
+                t = scratch[:hi - lo, :c_hi - c_lo]
+                np.take(lut, src, out=t)
+                np.maximum(dst, t, out=dst)
         # cells outside the 1-step rectangle have zero neighbours -> -99
         out[np.isneginf(out)] = NODATA
         return out
@@ -255,10 +276,8 @@ def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
     out = {}
     veg_idx = slope_idx = None
     if valid is None:
-        veg_idx = class_index(np.asarray(veg_class, dtype=np.float64),
-                              VEG_KEYS)
-        slope_idx = class_index(np.asarray(slope_class, dtype=np.float64),
-                                SLOPE_KEYS)
+        veg_idx = class_index(np.asarray(veg_class), VEG_KEYS)
+        slope_idx = class_index(np.asarray(slope_class), SLOPE_KEYS)
     for a_dir in DIRECTIONS:
         out[a_dir] = convo(a_dir, veg_class, slope_class, aspect_class,
                            pixel_width, fdi, valid=valid, veg_idx=veg_idx,

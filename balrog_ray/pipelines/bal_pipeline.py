@@ -43,6 +43,9 @@ BAL_LABELS = {-99.0: "NODATA", 12.5: "BAL-12.5", 19.0: "BAL-19",
               29.0: "BAL-29", 40.0: "BAL-40", 100.0: "BAL-FZ",
               200.0: "BAL-FZ"}
 
+#: the only values a BAL band can hold -- the palz codec's fixed palette
+BAL_PALETTE = np.array(sorted(BAL_LABELS), dtype=np.float32)
+
 LINEAGE_SCHEMA = pa.schema([
     ("cell_id", pa.int64()),
     ("tx", pa.int32()),
@@ -94,9 +97,9 @@ def _aoi_cells(aoi, spec: GridSpec) -> np.ndarray:
 
 
 def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
-                      veg_remap: str | None = None, fmt: str = "npz",
+                      veg_remap: str | None = None, fmt: str = "palz",
                       bands=ALL_BANDS, out_dir: str | None = None,
-                      aoi=None):
+                      aoi=None, mask_polys=None):
     """Per-cell compute: contributions table -> BAL tile rows (or, when
     ``out_dir`` is set, writes the rows itself and returns a lineage row)."""
     aspect_spec = parse_remap(ASPECT_RECLASS)
@@ -126,9 +129,9 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
                          schema=LINEAGE_SCHEMA)
 
         slope, aspect = slope_aspect(dem, ps, ps)
-        aspect_c = apply_remap(aspect, aspect_spec).astype(np.float64)
-        slope_c = apply_remap(slope, slope_spec).astype(np.float64)
-        veg_c = (apply_remap(veg, veg_spec).astype(np.float64)
+        aspect_c = apply_remap(aspect, aspect_spec).astype(np.float32)
+        slope_c = apply_remap(slope, slope_spec).astype(np.float32)
+        veg_c = (apply_remap(veg, veg_spec).astype(np.float32)
                  if veg_spec else veg)
 
         grids = compute_bal(veg_c, slope_c, aspect_c, ps, fdi)
@@ -150,6 +153,15 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
             # sub-pixel AOI sliver intersects the tile bbox (so the cell
             # survives the prune) yet contains no pixel centers, and must
             # emit an all-nodata tile, not an unmasked one
+        if mask_polys is not None:
+            # arbitrary-polygon extract_by_mask (sa_tools.py:48-136):
+            # pixel centers outside every mask polygon become nodata
+            from ..geo.geometry import rasterize
+            inside = rasterize(mask_polys, [1.0] * len(mask_polys),
+                               tx * T * ps, spec.y_north - ty * T * ps,
+                               ps, T, T, fill=0.0)
+            pm = inside == 0.0
+            aoi_mask = pm if aoi_mask is None else (aoi_mask | pm)
         rows = {n: [] for n in TILES_SCHEMA.names}
         for band in bands:
             core = grids[band][rs:rs + T, cs:cs + T]
@@ -160,7 +172,9 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
                           edge={"n": ty == 0, "s": ty == spec.tiles_y - 1,
                                 "w": tx == 0, "e": tx == spec.tiles_x - 1},
                           tx=tx, ty=ty)
-            payload, cap = encode_tile(core, fmt, cap)
+            payload, cap = encode_tile(
+                core, fmt, cap,
+                palette=BAL_PALETTE if fmt == "palz" else None)
             rows["image_id"].append(f"bal_{band}/{tx}/{ty}")
             rows["bytes"].append(payload)
             rows["w"].append(T)
@@ -203,10 +217,36 @@ def completed_cells(out_dir: str) -> set[int]:
     return done
 
 
+def _as_mask_polys(mask) -> list:
+    """Normalize a mask argument (WKB bytes, Polygon, or list) to parts."""
+    from ..geo.geometry import Polygon
+    from ..geo.wkb import from_wkb
+
+    if isinstance(mask, (bytes, bytearray)):
+        mask = from_wkb(bytes(mask))
+    if isinstance(mask, Polygon):
+        return [mask]
+    return list(mask)
+
+
+def _mask_cells(polys, spec: GridSpec) -> np.ndarray:
+    """Cells whose tile bbox intersects any mask part's bbox."""
+    cells: set[int] = set()
+    for p in polys:
+        bb = p.bbox
+        try:
+            box = find_aoi((bb[0], bb[1], bb[2], bb[3]), spec)
+        except ValueError:
+            continue
+        cells.update(_aoi_cells(box, spec).tolist())
+    return np.array(sorted(cells), dtype=np.int64)
+
+
 def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
-                 veg_remap: str | None = None, fmt: str = "npz",
+                 veg_remap: str | None = None, fmt: str = "palz",
                  bands=ALL_BANDS, out_dir: str | None = None,
-                 resume: bool = False, extent=None):
+                 resume: bool = False, extent=None, veg_ds=None,
+                 mask=None):
     """Build the lazy BAL Dataset.
 
     Returns a Dataset of BAL tile rows (TILES_SCHEMA) when ``out_dir`` is
@@ -215,7 +255,19 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
     already-committed cells are skipped before the shuffle.  ``extent``
     (find_aoi semantics) restricts output to an AOI rectangle: cells outside
     it never enter the shuffle, edge pixels are masked to nodata.
+    ``veg_ds``: a vegetation tile Dataset on a DIFFERENT grid/resolution --
+    it is nearest-neighbour resampled onto ``spec`` (the reference's
+    ProjectRaster step, bal.py:55-57) and unioned with ``tiles_ds``, which
+    then must carry only the dem layer.
+    ``mask``: arbitrary-polygon extract_by_mask (sa_tools.py:48-136) -- WKB
+    bytes, a Polygon, or a list of parts; cells outside the mask bboxes are
+    pruned before the shuffle and pixels outside the polygons become
+    nodata.  Composes with ``extent`` (intersection).
     """
+    if veg_ds is not None:
+        from ..stages.regrid import regrid_to_grid
+
+        tiles_ds = tiles_ds.union(regrid_to_grid(veg_ds, spec, layer="veg"))
     if spec.halo > spec.tile_px:
         raise ValueError(
             f"halo ({spec.halo}px) exceeds tile size ({spec.tile_px}px): "
@@ -223,9 +275,19 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
             "grid would assemble windows with silent nodata padding -- use "
             "larger tiles or a finer pixel size")
     aoi = None
+    mask_polys = None
+    keep_cells = None
     if extent is not None:
         aoi = find_aoi(extent, spec)
         keep_cells = _aoi_cells(aoi, spec)
+    if mask is not None:
+        mask_polys = _as_mask_polys(mask)
+        mcells = _mask_cells(mask_polys, spec)
+        keep_cells = mcells if keep_cells is None \
+            else np.intersect1d(keep_cells, mcells)
+    if keep_cells is not None and keep_cells.size == 0:
+        raise ValueError("AOI mask does not intersect the grid")
+    if keep_cells is not None:
         # prune input tiles BEFORE the strip emitter: a tile contributes
         # only if it or one of its 8 neighbours is an AOI cell
         kx = keep_cells % spec.tiles_x
@@ -252,7 +314,7 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
 
     contrib = tiles_ds.map_batches(make_strip_emitter_batch(spec),
                                    batch_format="pyarrow")
-    if aoi is not None:
+    if keep_cells is not None:
         def drop_non_aoi(batch: pa.Table) -> pa.Table:
             keep = np.isin(batch.column("cell_id").to_numpy(), keep_arr)
             return batch.filter(pa.array(keep))
@@ -268,7 +330,8 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
                 return batch.filter(pa.array(keep))
 
             contrib = contrib.map_batches(drop_done, batch_format="pyarrow")
-    fn = make_bal_group_fn(spec, fdi, veg_remap, fmt, bands, out_dir, aoi)
+    fn = make_bal_group_fn(spec, fdi, veg_remap, fmt, bands, out_dir, aoi,
+                           mask_polys)
     return contrib.groupby("cell_id").map_groups(fn, batch_format="pyarrow")
 
 

@@ -16,11 +16,14 @@ Here: one streaming pass of ``map_batches`` stages and ONE ``groupby``:
     -> subdivide: halve big polygons until <= max_vertices / max_extent
     -> groupby(bal_number): partial per-block (count/area/bbox) reduced
        by a final per-class merge -- the partial/final aggregate shape of
-       the reference's chunked union.  The geometric st_union itself is
-       deliberately NOT reproduced: downstream (spatial join, rasterize)
-       consumes the subdivided parts directly, which is both cheaper and
-       skew-free; the per-class roll-up carries the same bookkeeping
-       (polygon count, total area, class bbox).
+       the reference's chunked union.
+
+The GEOMETRIC st_union tree-reduce is :func:`class_union_pipeline`:
+per-block partial dissolve (geo/boolean.union_all) + one groupby-final
+merge per class -- the reference's two-level chunked ``ST_Union`` shape
+(``04_merge_geometries.py:129-205``) with holes preserved through WKB.
+Downstream consumers (spatial join, rasterize) may still use the
+subdivided parts directly, which is cheaper and skew-free.
 """
 
 from __future__ import annotations
@@ -93,6 +96,73 @@ def explode_classify_subdivide(max_vertices: int = 64,
         return pa.table(out, schema=PREPPED_SCHEMA)
 
     return fn
+
+
+UNION_SCHEMA = pa.schema([
+    ("bal_number", pa.int16()),
+    ("n_parts", pa.int64()),          # disjoint polygons in the dissolve
+    ("n_holes", pa.int64()),
+    ("union_area_m2", pa.float64()),
+    ("geom", pa.binary()),            # MultiPolygon WKB, holes preserved
+])
+
+
+def _union_to_row(cls: int, polys: list[Polygon]) -> dict:
+    from ..geo.boolean import union_all
+    from ..geo.wkb import multipolygon_to_wkb
+
+    merged = union_all(polys)
+    return {
+        "bal_number": int(cls),
+        "n_parts": len(merged),
+        "n_holes": sum(len(p.holes) for p in merged),
+        "union_area_m2": float(sum(p.area for p in merged)),
+        "geom": multipolygon_to_wkb(merged),
+    }
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    return pa.table({n: [r[n] for r in rows] for n in UNION_SCHEMA.names},
+                    schema=UNION_SCHEMA)
+
+
+def class_union_pipeline(prepped_ds):
+    """Geometric per-class union as the reference's chunked partial/final
+    ``ST_Union`` tree (``04_merge_geometries.py:129-205``):
+
+    * **partial** -- each block unions ITS polygons per class inside
+      ``map_batches`` (bounded input, embarrassingly parallel -- the
+      reference's per-chunk union);
+    * **final**   -- one ``groupby(bal_number)`` merges the partial
+      multipolygons per class (the reference's union-of-chunks; one task
+      per class, fed pre-dissolved geometry whose size is bounded by the
+      merged boundary complexity, not the raw polygon count).
+
+    Returns a Dataset of UNION_SCHEMA rows, one per class.
+    """
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        by_cls: dict[int, list[Polygon]] = {}
+        for cls, wkb in zip(batch.column("bal_number").to_pylist(),
+                            batch.column("geom").to_pylist()):
+            g = from_wkb(wkb)
+            for p in (g if isinstance(g, list) else [g]):
+                by_cls.setdefault(int(cls), []).append(p)
+        return _rows_to_table(
+            [_union_to_row(c, ps) for c, ps in sorted(by_cls.items())])
+
+    def final_fn(group: pa.Table) -> pa.Table:
+        cls = int(group.column("bal_number")[0].as_py())
+        polys: list[Polygon] = []
+        for wkb in group.column("geom").to_pylist():
+            g = from_wkb(wkb)
+            polys.extend(g if isinstance(g, list) else [g])
+        return _rows_to_table([_union_to_row(cls, polys)])
+
+    return (prepped_ds
+            .map_batches(partial_fn, batch_format="pyarrow")
+            .groupby("bal_number")
+            .map_groups(final_fn, batch_format="pyarrow"))
 
 
 def veg_prep_pipeline(raw_ds, max_vertices: int = 64,

@@ -108,20 +108,47 @@ group by r_name
 # 3. zonal-style group stats incl. exact median (SURVEY op 36)
 
 def q_zonal_group_stats(sf_dir: str):
-    def stats(group: pa.Table) -> pa.Table:
-        q = group.column("l_quantity").to_numpy()
-        return pa.table({
-            "l_returnflag": [group.column("l_returnflag")[0].as_py()],
-            "n": pa.array([len(q)], pa.int64()),
-            "min_qty": pa.array([float(q.min())], pa.float64()),
-            "max_qty": pa.array([float(q.max())], pa.float64()),
-            "med_qty": pa.array([float(np.median(q))], pa.float64()),
-            "sum_qty": pa.array([float(q.sum())], pa.float64()),
-        })
+    """Exact per-group stats incl. median, scale-safe: the shuffle is keyed
+    by the COMPOSITE (group, value) pair -- no task ever holds a whole
+    3-key group (lineitem/3 at scale).  The driver sees only the value-count
+    table, bounded by #groups x #distinct values (l_quantity is a small
+    discrete domain; a continuous column would use a fixed-width histogram
+    + refine pass instead)."""
+    a = _agg()
+    vc = (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+          .groupby(["l_returnflag", "l_quantity"])
+          .aggregate(a.Count(alias_name="vn")))
+    import ray
 
-    return (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-            .groupby("l_returnflag")
-            .map_groups(stats, batch_format="pyarrow"))
+    tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(tabs)
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    vals = tab.column("l_quantity").to_numpy().astype(np.float64)
+    cnts = tab.column("vn").to_numpy().astype(np.int64)
+    out = {"l_returnflag": [], "n": [], "min_qty": [], "max_qty": [],
+           "med_qty": [], "sum_qty": []}
+    for flag in sorted(set(flags.tolist())):
+        sel = flags == flag
+        v, c = vals[sel], cnts[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = v[np.searchsorted(cum, (n - 1) // 2 + 1)]
+        hi = v[np.searchsorted(cum, n // 2 + 1)]
+        out["l_returnflag"].append(flag)
+        out["n"].append(n)
+        out["min_qty"].append(float(v[0]))
+        out["max_qty"].append(float(v[-1]))
+        out["med_qty"].append((lo + hi) / 2.0)
+        out["sum_qty"].append(float((v * c).sum()))
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "min_qty": pa.array(out["min_qty"], pa.float64()),
+        "max_qty": pa.array(out["max_qty"], pa.float64()),
+        "med_qty": pa.array(out["med_qty"], pa.float64()),
+        "sum_qty": pa.array(out["sum_qty"], pa.float64())})
 
 
 SQL_ZONAL_GROUP_STATS = """
@@ -222,16 +249,16 @@ from documents group by text
 # 7. distinct count per group
 
 def q_distinct_customers(sf_dir: str):
-    def nunique(group: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderstatus": [group.column("o_orderstatus")[0].as_py()],
-            "n_cust": pa.array(
-                [len(set(group.column("o_custkey").to_pylist()))], pa.int64()),
-        })
-
+    """count(distinct) as a two-level groupby: level 1 dedups on the
+    composite (status, custkey) key -- hash-partitioned across the cluster,
+    so no task ever materializes a whole status group -- level 2 counts the
+    surviving pairs per status."""
+    a = _agg()
     return (_read(sf_dir, "orders", ["o_orderstatus", "o_custkey"])
+            .groupby(["o_orderstatus", "o_custkey"])
+            .aggregate(a.Count(alias_name="_dups"))
             .groupby("o_orderstatus")
-            .map_groups(nunique, batch_format="pyarrow"))
+            .aggregate(a.Count(alias_name="n_cust")))
 
 
 SQL_DISTINCT_CUSTOMERS = """

@@ -32,6 +32,45 @@ def q_bal_band_histogram(sf_dir: str):
     return band_histogram(bal_pipeline(ds, GridSpec.from_synth(cfg)))
 
 
+def q_bal_polygon_mask(sf_dir: str):
+    """BAL engine restricted to an arbitrary polygon AOI (extract_by_mask,
+    sa_tools.py:48-136): histogram over the masked output."""
+    import ray.data
+
+    from ..geo.geometry import Polygon
+    from ..geo.wkb import polygon_to_wkb
+    from ..pipelines.bal_pipeline import bal_pipeline, band_histogram
+    from ..stages.halo import GridSpec
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    W = cfg.tiles_x * cfg.tile_px * cfg.pixel_size
+    H = cfg.tiles_y * cfg.tile_px * cfg.pixel_size
+    poly = Polygon(np.array([
+        [0.3 * W, 0.25 * H], [0.7 * W, 0.3 * H], [0.75 * W, 0.65 * H],
+        [0.45 * W, 0.8 * H], [0.25 * W, 0.55 * H]]))
+    ds = ray.data.from_arrow(tiles_table(cfg))
+    return band_histogram(bal_pipeline(ds, GridSpec.from_synth(cfg),
+                                       mask=polygon_to_wkb(poly)))
+
+
+def q_bal_offgrid_veg(sf_dir: str):
+    """BAL engine fed half-resolution vegetation via the NN regrid stage
+    (ProjectRaster analogue, bal.py:55-57)."""
+    import ray.data
+
+    from ..pipelines.bal_pipeline import bal_pipeline, band_histogram
+    from ..stages.halo import GridSpec
+    from ..tiles.synth import SynthConfig, tiles_table
+
+    cfg = _t1_cfg()
+    veg_cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=64, pixel_size=50.0)
+    dem = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    veg = ray.data.from_arrow(tiles_table(veg_cfg, layers=("veg",)))
+    return band_histogram(bal_pipeline(dem, GridSpec.from_synth(cfg),
+                                       veg_ds=veg))
+
+
 def q_spatial_join_sites(sf_dir: str):
     import ray.data
 
@@ -171,6 +210,22 @@ def q_veg_prep(sf_dir: str):
     return summary
 
 
+def q_veg_class_union(sf_dir: str):
+    """Geometric per-class union (chunked partial/final ST_Union tree,
+    reference 04_merge_geometries.py:129-205): one merged multipolygon row
+    per BAL class with exact dissolve area."""
+    import ray.data
+
+    from ..pipelines.veg_prep import class_union_pipeline, veg_prep_pipeline
+    from ..tiles.synth import SynthConfig, raw_nvis_table
+
+    cfg = SynthConfig(tiles_x=4, tiles_y=4, tile_px=64, n_polygons=96)
+    raw = ray.data.from_arrow(raw_nvis_table(cfg))
+    prepped, _ = veg_prep_pipeline(raw, max_vertices=32)
+    return (class_union_pipeline(prepped)
+            .drop_columns(["geom"]))       # driver check: counts/areas
+
+
 def q_ivf_ann(sf_dir: str):
     import ray.data
 
@@ -186,6 +241,8 @@ def q_ivf_ann(sf_dir: str):
 
 ROWS_ONLY = {
     "bal_band_histogram": q_bal_band_histogram,
+    "bal_polygon_mask": q_bal_polygon_mask,
+    "bal_offgrid_veg": q_bal_offgrid_veg,
     "spatial_join_sites": q_spatial_join_sites,
     "partitioned_join_sites": q_partitioned_join_sites,
     "polygon_cell_cover": q_polygon_cell_cover,
@@ -198,4 +255,5 @@ ROWS_ONLY = {
     "embedding_dups": q_embedding_dups,
     "ivf_ann": q_ivf_ann,
     "veg_prep": q_veg_prep,
+    "veg_class_union": q_veg_class_union,
 }

@@ -16,6 +16,7 @@ output stays partitioned (many files, resumable) — never one giant file.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 #: the driver-specified logical schema (BASELINE.json input_hint)
@@ -64,8 +65,37 @@ def read_image_table(path: str, *, fmt: str = "auto", columns=None,
     raise ValueError(f"unknown image-table format: {fmt!r}")
 
 
-def write_image_table(ds, path: str, *, fmt: str = "auto") -> None:
-    """Write a Dataset of image rows, partitioned (one file per block)."""
+def hilbert_cluster(ds, grid):
+    """Sort an image-tile Dataset by the Hilbert index of each row's tile
+    -- the output-layout analogue of the reference's ``CLUSTER ON``
+    gist-index (``03_explode_multipolygons_and_classify.sql:79-80``).
+    Spatially adjacent tiles land in the same output files/row-groups, so a
+    later bbox read touches O(perimeter) files instead of O(area).  One
+    all-to-all sort; apply at write time only."""
+    from ..tiles.codec import Caption
+
+    def key(batch: pa.Table) -> pa.Table:
+        caps = [Caption.from_json(c)
+                for c in batch.column("caption").to_pylist()]
+        cells = np.array([c.ty * grid.nx + c.tx for c in caps],
+                         dtype=np.int64)
+        h = grid.hilbert_id(cells) if len(cells) else cells
+        return batch.append_column("hilbert_key", pa.array(h, pa.int64()))
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+            .sort("hilbert_key")
+            .drop_columns(["hilbert_key"]))
+
+
+def write_image_table(ds, path: str, *, fmt: str = "auto",
+                      cluster_grid=None) -> None:
+    """Write a Dataset of image rows, partitioned (one file per block).
+
+    ``cluster_grid`` (a ``geo.cells.CellGrid``): spatially cluster the
+    output by Hilbert index before writing (see :func:`hilbert_cluster`).
+    """
+    if cluster_grid is not None:
+        ds = hilbert_cluster(ds, cluster_grid)
     if fmt == "auto":
         fmt = _detect_fmt(path)
     if fmt == "lance":

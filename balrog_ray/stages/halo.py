@@ -172,7 +172,10 @@ def assemble_window(group: dict[str, list], spec: GridSpec, layer: str,
     contribution rows of a group.  Returns None when the layer's core tile
     is missing (partial datasets)."""
     r0, r1, c0, c1 = spec.assembled_window(tx, ty)
-    canvas = np.full((r1 - r0, c1 - c0), NODATA, dtype=np.float64)
+    # float32 end-to-end: tile payloads decode to float32 and every
+    # downstream kernel runs in float32 -- a float64 canvas would double
+    # the per-cell memory traffic, the binding resource at full core counts
+    canvas = np.full((r1 - r0, c1 - c0), NODATA, dtype=np.float32)
     seen_core = False
     for i in range(len(group["layer"])):
         if group["layer"][i] != layer:

@@ -35,6 +35,24 @@ def test_png16_roundtrip_psnr():
     assert_array_equal(decode_tile(payload, "png", cap), classes)
 
 
+def test_palz_roundtrip_lossless():
+    rng = np.random.default_rng(4)
+    vals = np.array([-99.0, 12.5, 19.0, 29.0, 40.0, 100.0, 200.0],
+                    dtype=np.float32)
+    a = vals[rng.integers(0, len(vals), (64, 48))]
+    payload, cap = encode_tile(a, "palz", Caption("bal_max", 0, 0, 25.0))
+    out = decode_tile(payload, "palz", cap)
+    assert out.dtype == np.float32 and out.shape == a.shape
+    assert_array_equal(out, a)
+    # caption json roundtrip keeps the palette
+    cap2 = Caption.from_json(cap.to_json())
+    assert_array_equal(decode_tile(payload, "palz", cap2), a)
+    # >256 distinct values is a loud error, not silent corruption
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        encode_tile(np.arange(300, dtype=np.float32).reshape(10, 30), "palz")
+
+
 def test_phash_deterministic_and_sensitive():
     a = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
     assert phash64(a) == phash64(a.copy())
@@ -211,6 +229,46 @@ def test_image_table_source_roundtrip(ray_session, tmp_path):
     import pytest as _pt
     with _pt.raises((NotImplementedError, ImportError)):
         read_image_table("/tmp/nope.lance", fmt="lance")
+
+
+def test_hilbert_clustered_write_colocates_adjacent_cells(ray_session,
+                                                          tmp_path):
+    """write_image_table(cluster_grid=...) is the CLUSTER ON analogue
+    (reference 03_explode...sql:79-80): every output file holds one
+    CONTIGUOUS hilbert range, so spatially adjacent tiles co-locate."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from balrog_ray.sources import write_image_table
+    from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=8, tiles_y=8, tile_px=16)
+    grid = cfg.grid
+    ds = ray.data.from_arrow(tiles_table(cfg, layers=("dem",))) \
+        .repartition(8)
+    out = str(tmp_path / "clustered")
+    write_image_table(ds, out, cluster_grid=grid)
+
+    files = sorted(_glob.glob(out + "/*.parquet"))
+    assert files
+    ranges = []
+    total = 0
+    for f in files:
+        t = _pq.read_table(f, columns=["caption"])
+        caps = [Caption.from_json(c) for c in t.column("caption").to_pylist()]
+        cells = np.array([c.ty * grid.nx + c.tx for c in caps])
+        h = np.sort(grid.hilbert_id(cells))
+        total += len(h)
+        # contiguous hilbert range within the file = adjacency preserved
+        assert_array_equal(h, np.arange(h[0], h[0] + len(h)))
+        ranges.append((int(h[0]), int(h[-1])))
+    assert total == 64
+    # files cover disjoint, non-interleaved ranges
+    ranges.sort()
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
 
 
 def test_hilbert_id_locality_and_bijection():

@@ -144,14 +144,68 @@ def test_aoi_extent_prunes_and_masks(ray_session, bal_rows):
     for r in rows:
         cap = Caption.from_json(r["caption"])
         got = decode_tile(r["bytes"], r["fmt"], cap)
-        ref = decode_tile(full[r["image_id"]]["bytes"],
-                          full[r["image_id"]]["fmt"], cap)
+        fr = full[r["image_id"]]
+        ref = decode_tile(fr["bytes"], fr["fmt"],
+                          Caption.from_json(fr["caption"]))
         xs = cap.tx * T * ps + (np.arange(T) + 0.5) * ps
         ys = SPEC.y_north - cap.ty * T * ps - (np.arange(T) + 0.5) * ps
         inside = ((ys[:, None] >= ymin) & (ys[:, None] <= ymax)
                   & (xs[None, :] >= xmin) & (xs[None, :] <= xmax))
         assert_array_equal(got[inside], ref[inside])
         assert (got[~inside] == np.float32(-99.0)).all()
+
+
+def test_polygon_mask_matches_whole_raster_mask(ray_session, bal_rows):
+    """Arbitrary-polygon extract_by_mask (sa_tools.py:48-136): pixels with
+    centers inside the polygon byte-match the full run, outside are nodata,
+    and cells outside the polygon bbox are pruned from the shuffle."""
+    import ray.data
+
+    from balrog_ray.geo.geometry import Polygon, polygon_contains
+    from balrog_ray.geo.wkb import polygon_to_wkb
+
+    ps, T = CFG.pixel_size, CFG.tile_px
+    W = CFG.tiles_x * T * ps
+    H = SPEC.y_north
+    # pentagon over the middle of the world (crosses tile borders)
+    poly = Polygon(np.array([
+        [0.30 * W, 0.25 * H], [0.70 * W, 0.30 * H], [0.75 * W, 0.65 * H],
+        [0.45 * W, 0.80 * H], [0.25 * W, 0.55 * H]]))
+
+    ds = ray.data.from_arrow(synth.tiles_table(CFG))
+    rows = bp.bal_pipeline(ds, SPEC, fdi=80,
+                           mask=polygon_to_wkb(poly)).take_all()
+    assert rows
+    # pruning: only cells whose tile bbox intersects the polygon bbox
+    emitted = {Caption.from_json(r["caption"]).tx
+               + CFG.tiles_x * Caption.from_json(r["caption"]).ty
+               for r in rows}
+    bb = poly.bbox
+    for cell in emitted:
+        tx, ty = cell % CFG.tiles_x, cell // CFG.tiles_x
+        x0, x1 = tx * T * ps, (tx + 1) * T * ps
+        y1 = SPEC.y_north - ty * T * ps
+        y0 = y1 - T * ps
+        assert x0 <= bb[2] and x1 >= bb[0] and y0 <= bb[3] and y1 >= bb[1]
+
+    full = {r["image_id"]: r for r in bal_rows}
+    for r in rows:
+        cap = Caption.from_json(r["caption"])
+        got = decode_tile(r["bytes"], r["fmt"], cap)
+        fr = full[r["image_id"]]
+        ref = decode_tile(fr["bytes"], fr["fmt"],
+                          Caption.from_json(fr["caption"]))
+        xs = cap.tx * T * ps + (np.arange(T) + 0.5) * ps
+        ys = SPEC.y_north - cap.ty * T * ps - (np.arange(T) + 0.5) * ps
+        gx, gy = np.meshgrid(xs, ys)
+        inside = polygon_contains(
+            np.column_stack([gx.ravel(), gy.ravel()]), poly).reshape(T, T)
+        assert_array_equal(got[inside], ref[inside])
+        assert (got[~inside] == np.float32(-99.0)).all()
+
+    with pytest.raises(ValueError):
+        bp.bal_pipeline(ds, SPEC, mask=polygon_to_wkb(Polygon(np.array(
+            [[-500.0, -500.0], [-400.0, -500.0], [-400.0, -400.0]]))))
 
 
 def test_find_aoi_default_and_errors():

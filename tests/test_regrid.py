@@ -1,0 +1,93 @@
+"""Grid alignment (veg -> DEM resample, reference bal.py:55-57): NN
+resample parity with a direct numpy oracle, identity on the same grid, and
+the wired bal_pipeline(veg_ds=...) path."""
+
+import numpy as np
+import pyarrow as pa
+from numpy.testing import assert_array_equal
+
+from balrog_ray.core.kernels import compute_bal, slope_aspect
+from balrog_ray.core.remap import ASPECT_RECLASS, apply_remap, slope_reclass
+from balrog_ray.pipelines import bal_pipeline as bp
+from balrog_ray.stages.halo import GridSpec
+from balrog_ray.stages.regrid import regrid_to_grid
+from balrog_ray.tiles import synth
+from balrog_ray.tiles.codec import Caption, decode_tile
+
+# DEM world: 4x4 tiles of 64 px at 25 m; veg world: SAME extent but 2x2
+# tiles of 64 px at 50 m (half resolution, different tiling)
+CFG = synth.SynthConfig(tiles_x=4, tiles_y=4, tile_px=64, pixel_size=25.0)
+CFG_VEG = synth.SynthConfig(tiles_x=2, tiles_y=2, tile_px=64,
+                            pixel_size=50.0)
+SPEC = GridSpec.from_synth(CFG)
+
+
+def nn_resampled_veg() -> np.ndarray:
+    """Direct numpy oracle: coarse veg sampled at DEM pixel centers."""
+    coarse = synth.veg_window(CFG_VEG, synth.make_veg_polygons(CFG_VEG),
+                              0, 0, *CFG_VEG.world_px)
+    rows, cols = CFG.world_px
+    cc = np.floor((np.arange(cols) + 0.5) * 25.0 / 50.0).astype(int)
+    rr = np.floor((np.arange(rows) + 0.5) * 25.0 / 50.0).astype(int)
+    return coarse[np.ix_(rr, cc)].astype(np.float32)
+
+
+def test_regrid_matches_numpy_oracle(ray_session):
+    import ray.data
+
+    veg_tiles = synth.tiles_table(CFG_VEG, layers=("veg",))
+    out = regrid_to_grid(ray.data.from_arrow(veg_tiles), SPEC).take_all()
+    assert len(out) == CFG.tiles_x * CFG.tiles_y
+    got = np.full(CFG.world_px, np.nan, dtype=np.float32)
+    T = CFG.tile_px
+    for r in out:
+        cap = Caption.from_json(r["caption"])
+        assert cap.layer == "veg" and cap.pixel_size == 25.0
+        arr = decode_tile(r["bytes"], r["fmt"], cap)
+        got[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+    assert_array_equal(got, nn_resampled_veg())
+
+
+def test_regrid_same_grid_is_identity(ray_session):
+    import ray.data
+
+    tiles = synth.tiles_table(CFG, layers=("veg",))
+    out = {r["image_id"]: r
+           for r in regrid_to_grid(ray.data.from_arrow(tiles),
+                                   SPEC).take_all()}
+    for row in tiles.to_pylist():
+        cap = Caption.from_json(row["caption"])
+        src = decode_tile(row["bytes"], row["fmt"], cap)
+        back = out[row["image_id"]]
+        assert_array_equal(
+            decode_tile(back["bytes"], back["fmt"],
+                        Caption.from_json(back["caption"])),
+            np.asarray(src, dtype=np.float32))
+
+
+def test_bal_pipeline_with_offgrid_veg(ray_session):
+    """bal_pipeline(veg_ds=...) on half-resolution veg matches the
+    whole-raster oracle computed on the NN-resampled array."""
+    import ray.data
+
+    dem_tiles = synth.tiles_table(CFG, layers=("dem",))
+    veg_tiles = synth.tiles_table(CFG_VEG, layers=("veg",))
+    rows = bp.bal_pipeline(ray.data.from_arrow(dem_tiles), SPEC, fdi=80,
+                           veg_ds=ray.data.from_arrow(veg_tiles)).take_all()
+
+    dem, _ = synth.global_arrays(CFG)
+    slope, aspect = slope_aspect(dem, 25.0, 25.0)
+    aspect_c = apply_remap(aspect, ASPECT_RECLASS).astype(np.float64)
+    slope_c = apply_remap(slope, slope_reclass()).astype(np.float64)
+    expected = compute_bal(nn_resampled_veg(), slope_c, aspect_c, 25.0, 80)
+
+    T = CFG.tile_px
+    got = np.full(CFG.world_px, np.nan, dtype=np.float32)
+    for r in rows:
+        cap = Caption.from_json(r["caption"])
+        if cap.layer != "bal_max":
+            continue
+        arr = decode_tile(r["bytes"], r["fmt"], cap)
+        got[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+    assert not np.isnan(got).any()
+    assert_array_equal(got, expected["max"].astype(np.float32))

@@ -19,10 +19,12 @@ def test_slope_of_plane():
     elev = tilted_plane(16, 16, gx=0.1, gy=0.2)
     slope, aspect = kernels.slope_aspect(elev, 25.0, 25.0)
     exp = np.degrees(np.arctan(np.hypot(0.2, 0.1)))
-    # interior cells (centered differences are exact for a plane)
-    assert_allclose(slope[1:-1, 1:-1], exp, atol=1e-9)
+    # interior cells (centered differences are exact for a plane); the
+    # kernel computes in float32 (the engine's raster precision), so the
+    # bound is float32 roundoff, not exactness
+    assert_allclose(slope[1:-1, 1:-1], exp, atol=1e-4)
     # one-sided edges are also exact on a plane
-    assert_allclose(slope, exp, atol=1e-9)
+    assert_allclose(slope, exp, atol=1e-4)
 
 
 def test_aspect_compass_convention():
@@ -35,7 +37,7 @@ def test_aspect_compass_convention():
         _, aspect = kernels.slope_aspect(elev, 25.0, 25.0)
         dzdx, dzdy = gy, gx  # axis0 gradient, axis1 gradient
         exp = np.mod(450.0 - np.degrees(np.arctan2(dzdy, -dzdx)), 360.0)
-        assert_allclose(aspect[2:-2, 2:-2], exp, atol=1e-9)
+        assert_allclose(aspect[2:-2, 2:-2], exp, atol=1e-4)
 
 
 def test_nodata_masked_back():
@@ -46,7 +48,7 @@ def test_nodata_masked_back():
     assert np.all(aspect[4:6, 4:6] == -99.0)
     # cells away from the hole keep the plane slope
     assert_allclose(slope[1, 1], np.degrees(np.arctan(np.hypot(0.1, 0.1))),
-                    atol=1e-9)
+                    atol=1e-4)
 
 
 def scalar_edge_fill(elev, nodata=-99.0):
