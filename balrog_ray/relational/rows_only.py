@@ -95,6 +95,20 @@ def q_partitioned_join_sites(sf_dir: str):
         veg_polygon_table(cfg), cfg.grid, hot_cell_threshold=3, n_salt=2)
 
 
+def q_buffer_clip_areas(sf_dir: str):
+    """Per-site buffer ^ vegetation intersection areas per class (SURVEY
+    op 39, reference xx_fiona_testing.py:155-170) on the boolean kit."""
+    import ray.data
+
+    from ..stages.spatial_join import buffer_intersection_areas
+    from ..tiles.synth import sites_table, veg_polygon_table
+
+    cfg = _t1_cfg()
+    return buffer_intersection_areas(
+        ray.data.from_arrow(sites_table(cfg, n=48)),
+        veg_polygon_table(cfg), radius=150.0)
+
+
 def q_polygon_cell_cover(sf_dir: str):
     from ..stages.spatial_join import polygons_to_cells
     from ..tiles.synth import veg_polygon_table
@@ -246,6 +260,7 @@ ROWS_ONLY = {
     "spatial_join_sites": q_spatial_join_sites,
     "partitioned_join_sites": q_partitioned_join_sites,
     "polygon_cell_cover": q_polygon_cell_cover,
+    "buffer_clip_areas": q_buffer_clip_areas,
     "zonal_sites": q_zonal_sites,
     "multimodal_features": q_multimodal_features,
     "langid_docs": q_langid_docs,

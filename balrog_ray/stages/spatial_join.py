@@ -245,6 +245,86 @@ def broadcast_spatial_join(sites_ds, veg_table: pa.Table,
         concurrency=concurrency)
 
 
+AREAS_SCHEMA = pa.schema([
+    ("site_id", pa.string()),
+    ("gid", pa.int64()),
+    ("bal_number", pa.int16()),
+    ("clip_area_m2", pa.float64()),    # buffer ^ this polygon's overlap
+])
+
+
+class BufferClipActor:
+    """Actor-pool stage: per-site circular buffer intersected with every
+    candidate veg polygon, overlap area summed per class -- the reference's
+    ``buffer.intersection(veg_geom)`` + per-class report
+    (``xx_fiona_testing.py:155-170``) on the Greiner-Hormann kit.
+
+    The buffer circle is a regular ``n_seg``-gon inscribed at the exact
+    radius (documented approximation; raise ``n_seg`` for tighter areas).
+    Geometry per (site, candidate) pair is inherently scalar work; the
+    STR-tree bounds candidates and the actor pool spreads sites."""
+
+    def __init__(self, veg_ref, radius: float = 100.0, n_seg: int = 32):
+        import ray
+
+        table = ray.get(veg_ref) if not isinstance(veg_ref, pa.Table) \
+            else veg_ref
+        self.index = _PolyIndex(table)
+        self.radius = radius
+        ang = np.linspace(0.0, 2 * np.pi, n_seg, endpoint=False)
+        self.ring = np.column_stack([np.cos(ang), np.sin(ang)]) * radius
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geo.geometry import Polygon
+        from ..geo.boolean import intersection_area
+
+        ids = batch.column("site_id").to_pylist()
+        xs = batch.column("x").to_numpy()
+        ys = batch.column("y").to_numpy()
+        r = self.radius
+        qboxes = np.column_stack([xs - r, ys - r, xs + r, ys + r])
+        I, J = self.index.tree.query_many(qboxes)
+        out = {"site_id": [], "gid": [], "bal_number": [],
+               "clip_area_m2": []}
+        for i in np.unique(I):
+            buf = Polygon(self.ring + np.array([xs[i], ys[i]]))
+            # one row per (site, veg polygon), like the reference's
+            # per-polygon report -- same-class overlaps are NOT dissolved
+            per_gid: dict[int, float] = {}
+            for j in J[I == i]:
+                # polygon first: intersection_area subtracts the FIRST
+                # argument's holes (the buffer n-gon has none)
+                a = intersection_area(self.index.polys[j], buf)
+                if a > 0.0:       # multipolygon parts share a gid: sum
+                    per_gid[int(j)] = per_gid.get(int(j), 0.0) + a
+            by_gid: dict[int, tuple[int, float]] = {}
+            for j, a in per_gid.items():
+                g = int(self.index.gids[j])
+                cls = int(self.index.classes[j])
+                prev = by_gid.get(g, (cls, 0.0))
+                by_gid[g] = (cls, prev[1] + a)
+            for g in sorted(by_gid):
+                cls, a = by_gid[g]
+                out["site_id"].append(ids[int(i)])
+                out["gid"].append(g)
+                out["bal_number"].append(cls)
+                out["clip_area_m2"].append(a)
+        return pa.table(out, schema=AREAS_SCHEMA)
+
+
+def buffer_intersection_areas(sites_ds, veg_table: pa.Table,
+                              radius: float = 100.0, n_seg: int = 32,
+                              concurrency=(1, 4), batch_size: int = 1024):
+    """Broadcast plan for the per-site buffer-clip report (SURVEY op 39)."""
+    import ray
+
+    veg_ref = ray.put(veg_table)
+    return sites_ds.map_batches(
+        BufferClipActor, fn_constructor_args=(veg_ref, radius, n_seg),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def polygons_to_cells(veg_table: pa.Table, grid, pad: float = 0.0) -> pa.Table:
     """(gid, cell_id) cover rows: every grid cell a polygon's bbox
     (padded by ``pad``) intersects -- the tile-to-cell assignment side of

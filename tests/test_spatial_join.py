@@ -133,6 +133,91 @@ def test_polygons_to_cells_cover(world):
     assert max(len(v) for v in per_gid.values()) <= 16
 
 
+def test_buffer_intersection_areas(ray_session):
+    """Buffer-clip report (SURVEY op 39, xx_fiona_testing.py:155-170):
+    exact area when the buffer is fully inside one polygon; rasterized
+    estimate parity for partial overlaps."""
+    import ray.data
+
+    from balrog_ray.geo.geometry import Polygon, rasterize
+    from balrog_ray.geo.wkb import from_wkb
+
+    sites, veg = synth.sites_table(CFG, n=24), synth.veg_polygon_table(CFG)
+    radius, n_seg = 150.0, 64
+    rows = sj.buffer_intersection_areas(
+        ray.data.from_arrow(sites), veg, radius=radius,
+        n_seg=n_seg).take_all()
+    assert rows
+    ngon_area = 0.5 * n_seg * radius ** 2 * np.sin(2 * np.pi / n_seg)
+
+    polys = [from_wkb(w) for w in veg.column("geom").to_pylist()]
+    classes = veg.column("bal_number").to_pylist()
+    def _area(w):
+        g = from_wkb(w)
+        return sum(p.area for p in g) if isinstance(g, list) else g.area
+
+    areas = {g: _area(w) for g, w in zip(veg.column("gid").to_pylist(),
+                                         veg.column("geom").to_pylist())}
+    by_site = {}
+    for r in rows:
+        by_site.setdefault(r["site_id"], {})
+        cls_tot = by_site[r["site_id"]]
+        cls_tot[r["bal_number"]] = cls_tot.get(r["bal_number"], 0.0) \
+            + r["clip_area_m2"]
+        # each per-polygon clip is bounded by BOTH the buffer and the poly
+        assert 0 < r["clip_area_m2"] <= ngon_area + 1e-6
+        assert r["clip_area_m2"] <= areas[r["gid"]] + 1e-6
+
+    site_xy = {r["site_id"]: (r["x"], r["y"]) for r in sites.to_pylist()}
+    checked = 0
+    for sid, per_class in list(by_site.items())[:8]:
+        x, y = site_xy[sid]
+        # rasterized oracle at 1 m pixels over the buffer bbox
+        n = int(2 * radius) + 4
+        x0, y0 = x - radius - 2, y + radius + 2
+        ang = np.linspace(0, 2 * np.pi, n_seg, endpoint=False)
+        from balrog_ray.geo.geometry import Polygon
+        buf = Polygon(np.column_stack([x + radius * np.cos(ang),
+                                       y + radius * np.sin(ang)]))
+        bmask = rasterize([buf], [1.0], x0, y0, 1.0, n, n, fill=0.0) == 1.0
+        for cls in set(classes):
+            cls_polys = [p for p, c in zip(polys, classes) if c == cls]
+            vmask = np.zeros((n, n), dtype=bool)
+            for p in cls_polys:
+                vmask |= rasterize([p], [1.0], x0, y0, 1.0, n, n,
+                                   fill=0.0) == 1.0
+            est = float((bmask & vmask).sum())
+            got = per_class.get(cls, 0.0)
+            # per-polygon rows double-count class-internal overlap; the
+            # raster estimate dissolves it -- got must cover est (minus
+            # raster discretization slack) and be zero only when est is
+            assert got >= est - 0.02 * ngon_area - 40.0, (sid, cls)
+            if got == 0.0:
+                assert est < 0.02 * ngon_area + 40.0, (sid, cls)
+        checked += 1
+    assert checked
+
+
+def test_geodesic_helpers():
+    from balrog_ray.geo import geodesic as gd
+
+    # 1 degree of latitude ~ 111.2 km on the sphere
+    d = gd.haversine_m(0.0, 0.0, 0.0, 1.0)
+    assert abs(d - 111195) < 100
+    # due-east bearing at the equator
+    assert np.isclose(gd.sphere_azimuth_deg(0, 0, 1, 0), 90.0)
+    # buffer vertices sit at the exact great-circle radius
+    buf = gd.geodesic_point_buffer(115.8, -31.9, 5000.0, n_seg=16)
+    ring = buf.exterior[:-1]
+    dd = gd.haversine_m(115.8, -31.9, ring[:, 0], ring[:, 1])
+    assert np.allclose(dd, 5000.0, rtol=1e-6)
+    # local frame round-trips small offsets
+    xy = gd.local_meter_frame([115.81, 115.8], [-31.9, -31.89],
+                              115.8, -31.9)
+    assert abs(xy[0, 0] - gd.haversine_m(115.8, -31.9, 115.81, -31.9)) < 2
+    assert abs(xy[1, 1] - gd.haversine_m(115.8, -31.9, 115.8, -31.89)) < 2
+
+
 def test_circular_median():
     assert circular_median(np.array([10.0, 350.0, 5.0])) == pytest.approx(5.0)
     assert circular_median(np.array([100.0, 120.0, 140.0])) == 120.0
