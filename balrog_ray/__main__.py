@@ -4,12 +4,17 @@
     python -m balrog_ray synth --out /tmp/tiles --tiles-x 8 --tiles-y 8
     python -m balrog_ray bal --tiles /tmp/tiles --out /tmp/bal \
         [--fdi 80] [--extent "xmin ymin xmax ymax" | DEFAULT] \
+        [--mask-wkb mask.wkb] [--veg-tiles /other/grid/veg] \
         [--veg-remap "1 1 1;..."] [--fmt palz] [--resume]
 
 ``bal`` reads any image+caption tile table (layers ``dem`` + ``veg``),
 infers the grid from the captions, runs the streaming BAL pipeline and
 writes partitioned parquet (cell=N/bands.parquet) plus a lineage table --
-re-running with ``--resume`` skips committed cells.
+re-running with ``--resume`` skips committed cells.  ``--mask-wkb``
+restricts output to an arbitrary polygon AOI (extract_by_mask);
+``--veg-tiles`` points at a vegetation tile table on a DIFFERENT
+grid/resolution, nearest-neighbour resampled onto the DEM grid
+(ProjectRaster, reference bal.py:55-57).
 """
 
 from __future__ import annotations
@@ -48,25 +53,37 @@ def cmd_bal(args) -> int:
     if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
-    from .pipelines.bal_pipeline import _aoi_cells, bal_pipeline, find_aoi
+    from .pipelines.bal_pipeline import (_aoi_cells, _as_mask_polys,
+                                         _mask_cells, bal_pipeline, find_aoi)
+    import numpy as np
     from .sources import read_image_table
 
     spec = infer_grid(args.tiles)
     ds = read_image_table(args.tiles,
                           override_num_blocks=max(4 * args.num_cpus, 16))
+    veg_ds = None
+    if args.veg_tiles:
+        veg_ds = read_image_table(args.veg_tiles)
+    mask = None
+    if args.mask_wkb:
+        mask = open(args.mask_wkb, "rb").read()
     t0 = time.time()
     lineage = bal_pipeline(
         ds, spec, fdi=args.fdi, veg_remap=args.veg_remap, fmt=args.fmt,
         out_dir=args.out, resume=args.resume,
         extent=None if args.extent in (None, "DEFAULT", "MAXOF", "MINOF")
-        else args.extent)
+        else args.extent, veg_ds=veg_ds, mask=mask)
     rows = lineage.take_all()
     done = sum(1 for r in rows if r["status"] == "done")
-    # target = AOI cells when an extent restricts the run, else the grid
+    # target = AOI cells when an extent/mask restricts the run, else grid
     if args.extent in (None, "DEFAULT", "MAXOF", "MINOF"):
-        n_target = spec.tiles_x * spec.tiles_y
+        target = np.arange(spec.tiles_x * spec.tiles_y, dtype=np.int64)
     else:
-        n_target = len(_aoi_cells(find_aoi(args.extent, spec), spec))
+        target = _aoi_cells(find_aoi(args.extent, spec), spec)
+    if mask is not None:
+        target = np.intersect1d(target,
+                                _mask_cells(_as_mask_polys(mask), spec))
+    n_target = len(target)
     print(json.dumps({
         "cells_done": done, "cells_skipped_resume": 0 if not args.resume
         else n_target - done,
@@ -113,6 +130,12 @@ def main(argv=None) -> int:
                    help='"xmin ymin xmax ymax" or DEFAULT/MAXOF/MINOF')
     b.add_argument("--veg-remap", default=None,
                    help='reclass DSL "lo hi new;..." for the veg layer')
+    b.add_argument("--mask-wkb", default=None,
+                   help="file with polygon/multipolygon WKB: arbitrary "
+                        "AOI mask (extract_by_mask)")
+    b.add_argument("--veg-tiles", default=None,
+                   help="vegetation tile table on another grid, NN-"
+                        "resampled onto the DEM grid (ProjectRaster)")
     b.add_argument("--fmt", default="palz",
                    choices=("palz", "npz", "png", "npy"))
     b.add_argument("--resume", action="store_true")
