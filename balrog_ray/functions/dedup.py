@@ -176,11 +176,15 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                          "id_b": pa.array(list(out["id_b"]), id_type),
                          "est": pa.array(out["est"], pa.float64())})
 
+    # materialized: candidate-pair scale (bounded by output size), and any
+    # later schema()/to_arrow_refs call would otherwise re-execute the
+    # whole LSH chain a second time
     cand = (docs_ds.map_batches(sig_buckets, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(estimate_group, batch_format="pyarrow")
             .groupby(["id_a", "id_b"])
-            .aggregate(agg.Max("est", alias_name="est")))
+            .aggregate(agg.Max("est", alias_name="est"))
+            .materialize())
 
     # Candidates-only exact verify, distributed: no document TEXT (or
     # shingle dict) ever lands on the driver.  Only the candidate pair id
@@ -224,8 +228,19 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
     sh_ds = (docs_ds.select_columns([id_col, text_col])
              .map_batches(shingles_for_needed, batch_format="pyarrow")
              .materialize())
-    sh_a = sh_ds.rename_columns({id_col: "id_a", "sh": "sh_a"})
-    sh_b = sh_ds.rename_columns({id_col: "id_b", "sh": "sh_b"})
+
+    # explicit projection, not rename_columns: rename can emit zero-row
+    # blocks with the ORIGINAL schema, and mixed-schema bundles make the
+    # join's hash-shuffle aggregator fail with ArrowInvalid on concat
+    def _project(ident, sh):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({ident: b.column(id_col), sh: b.column("sh")})
+        return fn
+
+    sh_a = sh_ds.map_batches(_project("id_a", "sh_a"),
+                             batch_format="pyarrow")
+    sh_b = sh_ds.map_batches(_project("id_b", "sh_b"),
+                             batch_format="pyarrow")
 
     def exact_verify(batch: pa.Table) -> pa.Table:
         out = {"id_a": [], "id_b": [], "jaccard": []}
@@ -243,10 +258,13 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
                          "id_b": pa.array(out["id_b"], id_type),
                          "jaccard": pa.array(out["jaccard"], pa.float64())})
 
+    # partition count tracks candidate volume: tiny candidate sets don't
+    # pay 2x8 shuffle-aggregator actors, huge ones still spread out
+    nparts = max(2, min(64, ctab.num_rows // 50_000 + 2))
     pairs = ray.data.from_arrow(ctab)
     return (pairs
-            .join(sh_a, "inner", num_partitions=8, on=("id_a",))
-            .join(sh_b, "inner", num_partitions=8, on=("id_b",))
+            .join(sh_a, "inner", num_partitions=nparts, on=("id_a",))
+            .join(sh_b, "inner", num_partitions=nparts, on=("id_b",))
             .map_batches(exact_verify, batch_format="pyarrow"))
 
 
