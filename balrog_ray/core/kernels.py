@@ -161,7 +161,8 @@ def _shift(arr: np.ndarray, dr: int, dc: int, fill) -> np.ndarray:
 def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
           valid: np.ndarray | None = None,
           veg_idx: np.ndarray | None = None,
-          slope_idx: np.ndarray | None = None) -> np.ndarray:
+          slope_idx: np.ndarray | None = None,
+          out_window: tuple | None = None) -> np.ndarray:
     """Directional neighbourhood scan: max BAL contributed by neighbours up
     to 100 m along ``a_dir``.
 
@@ -174,6 +175,13 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     reproduces the border clamp of the whole-raster implementation.
     Diagonal step length uses the reference's literal 1.414 factor
     (calculate_bal.py:167).
+
+    ``out_window`` (r0, r1, c0, c1) restricts the OUTPUT to that sub-
+    rectangle of the input arrays (neighbour reads still span the full
+    arrays) and returns an array of shape (r1-r0, c1-c0).  The tiled
+    pipeline uses it to compute only the core tile of an assembled
+    tile+halo window -- identical values, ~25% fewer gather/max writes.
+    Only supported on the ``valid is None`` fast path.
     """
     veg = np.asarray(veg_data)      # any float dtype: values are classes
     slope = np.asarray(slope_data)  # (exact in float32), so no upcast
@@ -208,7 +216,11 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
         comb = (class_index(sia, SLOPE_KEYS) * len(VEG_KEYS)
                 + veg_idx).astype(np.int8)
     rows, cols = comb.shape
-    out = np.full(comb.shape, -np.inf, dtype=np.float32)
+    if out_window is not None and valid is not None:
+        raise ValueError("out_window requires the valid=None fast path")
+    wr0, wr1, wc0, wc1 = (0, rows, 0, cols) if out_window is None \
+        else out_window
+    out = np.full((wr1 - wr0, wc1 - wc0), -np.inf, dtype=np.float32)
 
     if valid is None:
         # every in-array cell is valid, so the "neighbour exists" mask for
@@ -217,30 +229,33 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
         # scratch buffer: materializing lut[src] fresh each step costs a
         # ~1 MB allocation x 28 steps per cell, pure memory-bandwidth churn
         # at full core counts
-        scratch = np.empty(comb.shape, dtype=np.float32)
+        scratch = np.empty((min(64, wr1 - wr0), wc1 - wc0),
+                           dtype=np.float32)
         steps = []
         for m in range(1, filter_width + 1):
             dist = (m - 1) * dire_width + 0.5 * dire_width
             lut = bal_lut(fdi, dist).reshape(-1)
             dr_m, dc_m = m * dr, m * dc
-            r_lo, r_hi = max(0, -dr_m), min(rows, rows - dr_m)
-            c_lo, c_hi = max(0, -dc_m), min(cols, cols - dc_m)
-            if r_lo >= r_hi or c_lo >= c_hi:
-                break
-            steps.append((lut, dr_m, dc_m, r_lo, r_hi, c_lo, c_hi))
+            r_lo, r_hi = max(0, -dr_m, wr0), min(rows, rows - dr_m, wr1)
+            c_lo, c_hi = max(0, -dc_m, wc0), min(cols, cols - dc_m, wc1)
+            if max(0, -dr_m) >= min(rows, rows - dr_m) \
+                    or max(0, -dc_m) >= min(cols, cols - dc_m):
+                break                   # no further step reaches the array
+            if r_lo < r_hi and c_lo < c_hi:
+                steps.append((lut, dr_m, dc_m, r_lo, r_hi, c_lo, c_hi))
         # cache blocking: run every filter step over one ~64-row chunk
         # before moving on, so the chunk's out/comb/scratch rows stay in L2
         # across steps instead of streaming the full arrays from DRAM
         # filter_width times -- the ratio-killer when all cores share one
         # memory bus
         blk = 64
-        for rb in range(0, rows, blk):
-            rb_hi = min(rows, rb + blk)
+        for rb in range(wr0, wr1, blk):
+            rb_hi = min(wr1, rb + blk)
             for lut, dr_m, dc_m, r_lo, r_hi, c_lo, c_hi in steps:
                 lo, hi = max(r_lo, rb), min(r_hi, rb_hi)
                 if lo >= hi:
                     continue
-                dst = out[lo:hi, c_lo:c_hi]
+                dst = out[lo - wr0:hi - wr0, c_lo - wc0:c_hi - wc0]
                 src = comb[lo + dr_m:hi + dr_m, c_lo + dc_m:c_hi + dc_m]
                 t = scratch[:hi - lo, :c_hi - c_lo]
                 np.take(lut, src, out=t)
@@ -269,10 +284,13 @@ def max_bal(bal_list) -> np.ndarray:
 
 
 def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
-                valid: np.ndarray | None = None) -> dict[str, np.ndarray]:
+                valid: np.ndarray | None = None,
+                out_window: tuple | None = None) -> dict[str, np.ndarray]:
     """All 8 directional BAL grids plus their elementwise max, from one set
     of classified inputs (the whole-raster orchestration of
-    ``calculate_bal.py:21-101``, minus the file I/O)."""
+    ``calculate_bal.py:21-101``, minus the file I/O).  ``out_window``
+    restricts every band to that (r0, r1, c0, c1) sub-rectangle (see
+    :func:`convo`)."""
     out = {}
     veg_idx = slope_idx = None
     if valid is None:
@@ -281,6 +299,6 @@ def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
     for a_dir in DIRECTIONS:
         out[a_dir] = convo(a_dir, veg_class, slope_class, aspect_class,
                            pixel_width, fdi, valid=valid, veg_idx=veg_idx,
-                           slope_idx=slope_idx)
+                           slope_idx=slope_idx, out_window=out_window)
     out["max"] = max_bal([out[d] for d in DIRECTIONS])
     return out

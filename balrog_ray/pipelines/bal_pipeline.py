@@ -134,11 +134,13 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
         veg_c = (apply_remap(veg, veg_spec).astype(np.float32)
                  if veg_spec else veg)
 
-        grids = compute_bal(veg_c, slope_c, aspect_c, ps, fdi)
-
-        # slice the core tile out of the assembled window
+        # compute only the core tile of the assembled window: neighbour
+        # reads still span the halo, but the ~25% of gather/max work that
+        # produced halo-row outputs (sliced away below) is skipped
         r0, _, c0, _ = spec.assembled_window(tx, ty)
         rs, cs = ty * T - r0, tx * T - c0
+        grids = compute_bal(veg_c, slope_c, aspect_c, ps, fdi,
+                            out_window=(rs, rs + T, cs, cs + T))
 
         # extract_by_mask semantics (sa_tools.py:48-136): pixels outside the
         # AOI rectangle become nodata in every output band
@@ -164,7 +166,7 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
             aoi_mask = pm if aoi_mask is None else (aoi_mask | pm)
         rows = {n: [] for n in TILES_SCHEMA.names}
         for band in bands:
-            core = grids[band][rs:rs + T, cs:cs + T]
+            core = grids[band]
             if aoi_mask is not None:
                 core = np.where(aoi_mask, -99.0, core)
             cap = Caption(layer=f"bal_{band}", x0=tx * T * ps,

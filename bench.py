@@ -124,7 +124,9 @@ def run_bal(cfg, out_dir: str) -> dict:
     # task/object fan-out proportional to cores, not to tile count
     from balrog_ray.sources import read_image_table
 
-    ds = read_image_table(path, override_num_blocks=max(4 * NUM_CPUS, 16))
+    n_blocks = int(os.environ.get("GRAFT_BENCH_BLOCKS",
+                                  str(max(4 * NUM_CPUS, 16))))
+    ds = read_image_table(path, override_num_blocks=n_blocks)
     bal = bal_pipeline(ds, GridSpec.from_synth(cfg))
     bal.write_parquet(out_dir)
     dt = time.time() - t0

@@ -148,3 +148,27 @@ def test_scenario_strip():
     bands = kernels.compute_bal(veg, slope, aspect, 25, 80)
     assert bands["max"].shape == (3, cols)
     assert np.all(bands["max"][:, 1:] >= out[:, 1:])
+
+
+def test_convo_out_window_matches_full():
+    """out_window computes exactly the sub-rectangle of the full result --
+    the core-tile restriction the pipeline uses to skip halo-row output."""
+    rng = np.random.default_rng(11)
+    rows, cols = 37, 29
+    veg = rng.choice([-99, 1, 2, 3, 4, 5, 6, 7],
+                     size=(rows, cols)).astype(np.float32)
+    slope = rng.choice([-99, 1, 2, 3, 4, 5, 6],
+                       size=(rows, cols)).astype(np.float32)
+    aspect = rng.choice(range(1, 10), size=(rows, cols)).astype(np.float32)
+    for win in [(5, 25, 4, 20), (0, rows, 0, cols), (30, 37, 0, 7)]:
+        r0, r1, c0, c1 = win
+        for a_dir in ["e", "n", "se", "nw"]:
+            full = kernels.convo(a_dir, veg, slope, aspect, 10.0, 80)
+            part = kernels.convo(a_dir, veg, slope, aspect, 10.0, 80,
+                                 out_window=win)
+            assert part.shape == (r1 - r0, c1 - c0)
+            assert_array_equal(part, full[r0:r1, c0:c1])
+        bands_full = kernels.compute_bal(veg, slope, aspect, 10.0, 80)
+        bands_part = kernels.compute_bal(veg, slope, aspect, 10.0, 80,
+                                         out_window=win)
+        assert_array_equal(bands_part["max"], bands_full["max"][r0:r1, c0:c1])
