@@ -284,51 +284,87 @@ def simhash64(text: str, k: int = 5) -> int:
     return value - (1 << 64) if value >= (1 << 63) else value
 
 
-def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, k: int = 5):
-    """Near-dup pairs by simhash: bucket on each of 4 16-bit chunks
-    (pigeonhole: hamming <= 3 implies one identical chunk), verify
-    Hamming distance exactly."""
+def hash64_dup_pairs(ds, id_col: str, hash_col: str,
+                     max_hamming: int = 3):
+    """Near-dup pairs over ANY int64 64-bit hash column (simhash, image
+    phash, audio fingerprint): bucket on each of 4 16-bit chunks
+    (pigeonhole: hamming <= 3 implies at least one identical chunk), then
+    exact-Hamming verify in-bucket.  One shuffle keyed by (chunk, bits)
+    carrying 16 B/row/chunk; the in-bucket verify is a vectorized
+    XOR + popcount matrix bounded by bucket size.  Returns (id_a, id_b,
+    hamming) with id_a < id_b."""
+    if max_hamming > 3:
+        raise ValueError("4x16-bit pigeonhole only guarantees recall for "
+                         f"hamming <= 3, got {max_hamming}")
 
-    id_type = docs_ds.schema().types[docs_ds.schema().names.index(id_col)]
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
 
-    def to_buckets(row: dict) -> list[dict]:
-        h = simhash64(row[text_col], k)
-        uh = h & 0xFFFFFFFFFFFFFFFF
-        out = []
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: batch.column(id_col),
+                             hash_col: batch.column(hash_col)})
+        h = batch.column(hash_col).to_numpy().astype(np.int64) \
+            .view(np.uint64)
+        ids = batch.column(id_col).combine_chunks() \
+            if isinstance(batch.column(id_col), pa.ChunkedArray) \
+            else batch.column(id_col)
+        hs = batch.column(hash_col).combine_chunks() \
+            if isinstance(batch.column(hash_col), pa.ChunkedArray) \
+            else batch.column(hash_col)
+        buckets, id_out, h_out = [], [], []
         for c in range(4):
-            chunk = (uh >> (16 * c)) & 0xFFFF
-            out.append({"bucket": np.int64((c << 16) | chunk),
-                        "doc_id": row[id_col], "simhash": np.int64(h)})
-        return out
+            chunk = ((h >> np.uint64(16 * c))
+                     & np.uint64(0xFFFF)).astype(np.int64)
+            buckets.append((np.int64(c) << np.int64(16)) | chunk)
+            id_out.append(ids)
+            h_out.append(hs)
+        return pa.table({"bucket": pa.array(np.concatenate(buckets)),
+                         id_col: pa.concat_arrays(id_out),
+                         hash_col: pa.concat_arrays(h_out)})
 
     def verify_group(group: pa.Table) -> pa.Table:
-        ids = np.array(group.column("doc_id").to_pylist())
-        hashes = np.array(group.column("simhash").to_pylist(),
-                          dtype=np.int64).astype(np.uint64)
-        out = {"id_a": [], "id_b": [], "hamming": []}
+        ids = np.asarray(group.column(id_col).to_pylist())
+        hashes = np.array(group.column(hash_col).to_pylist(),
+                          dtype=np.int64).view(np.uint64)
         order = np.argsort(ids, kind="stable")
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                a, b = order[ii], order[jj]
-                if ids[a] == ids[b]:
-                    continue
-                d = int(bin(int(hashes[a] ^ hashes[b])).count("1"))
-                if d <= max_hamming:
-                    out["id_a"].append(ids[a])
-                    out["id_b"].append(ids[b])
-                    out["hamming"].append(d)
-        return pa.table({"id_a": pa.array(list(out["id_a"]), id_type),
-                         "id_b": pa.array(list(out["id_b"]), id_type),
-                         "hamming": pa.array(out["hamming"], pa.int64())})
+        ids, hashes = ids[order], hashes[order]
+        out_a, out_b, out_d = [], [], []
+        if len(ids) > 1:
+            x = (hashes[:, None] ^ hashes[None, :]).view(np.uint8) \
+                .reshape(len(ids), len(ids), 8)
+            dist = np.unpackbits(x, axis=2).sum(axis=2)
+            ia, ib = np.nonzero(np.triu(dist <= max_hamming, k=1)
+                                & (ids[:, None] != ids[None, :]))
+            out_a = ids[ia].tolist()
+            out_b = ids[ib].tolist()
+            out_d = dist[ia, ib].tolist()
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "hamming": pa.array(out_d, pa.int64())})
 
     import ray.data.aggregate as agg
 
-    return (docs_ds.flat_map(to_buckets)
+    return (ds.map_batches(to_buckets, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(verify_group, batch_format="pyarrow")
             .groupby(["id_a", "id_b"])
             .aggregate(agg.Min("hamming", alias_name="hamming")))
+
+
+def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, k: int = 5):
+    """Near-dup pairs by text simhash: per-doc 64-bit simhash, then the
+    generic :func:`hash64_dup_pairs` pigeonhole bucket + exact verify."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        hs = [simhash64(t, k) for t in b.column(text_col).to_pylist()]
+        return pa.table({id_col: b.column(id_col),
+                         "simhash": pa.array(hs, pa.int64())})
+
+    hashed = docs_ds.map_batches(add_hash, batch_format="pyarrow")
+    return hash64_dup_pairs(hashed, id_col, "simhash", max_hamming)
 
 
 # --------------------------------------------------- embedding near-dup

@@ -738,6 +738,278 @@ where ((o_orderkey * 2654435761) % 2147483647) % 100 < 5
 """
 
 
+# --------------------------------------------------------------------------
+# 23. window rank: row_number per partition (top-N per key with exact ties)
+
+def q_rank_orders(sf_dir: str):
+    """Top-2 orders per customer by (totalprice desc, orderkey).
+
+    Scale shape: a per-batch partial top-2 per key first (vectorized
+    lexsort + run-length head), so the keyed shuffle carries at most
+    2 rows per (batch, key) instead of the whole orders table; the final
+    per-key top-2 + rank runs in ``map_groups`` over the pruned rows."""
+    def partial_top2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ck = b.column("o_custkey").to_numpy()
+        ok = b.column("o_orderkey").to_numpy()
+        price = b.column("o_totalprice").to_numpy()
+        order = np.lexsort((ok, -price, ck))
+        ck_s = ck[order]
+        new_key = np.empty(len(ck_s), dtype=bool)
+        new_key[0] = True
+        np.not_equal(ck_s[1:], ck_s[:-1], out=new_key[1:])
+        pos = np.arange(len(ck_s)) - np.maximum.accumulate(
+            np.where(new_key, np.arange(len(ck_s)), 0))
+        keep = order[pos < 2]
+        return b.take(pa.array(np.sort(keep)))
+
+    def rank2(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("o_totalprice", "descending"), ("o_orderkey", "ascending")])
+        g = group.take(order[:2])
+        return pa.table({
+            "o_custkey": g.column("o_custkey"),
+            "o_orderkey": g.column("o_orderkey"),
+            "rn": pa.array(np.arange(1, g.num_rows + 1), pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(partial_top2, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(rank2, batch_format="pyarrow"))
+
+
+SQL_RANK_ORDERS = """
+select o_custkey, o_orderkey, rn from (
+  select o_custkey, o_orderkey,
+         row_number() over (partition by o_custkey
+                            order by o_totalprice desc, o_orderkey) as rn
+  from orders) t
+where rn <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# 24. rolling window: moving max over the 3 latest events per user
+
+def q_moving_max(sf_dir: str):
+    """max(value) over (partition by user order by ts rows between
+    2 preceding and current row) -- exact (max of existing doubles, no
+    float-order sensitivity)."""
+    def roll(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        v = g.column("value").to_numpy()
+        m = v.copy()
+        if len(v) > 1:
+            np.maximum(m[1:], v[:-1], out=m[1:])
+        if len(v) > 2:
+            np.maximum(m[2:], v[:-2], out=m[2:])
+        return pa.table({"event_id": g.column("event_id"),
+                         "user_id": g.column("user_id"),
+                         "mov_max": pa.array(m, pa.float64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+            .groupby("user_id")
+            .map_groups(roll, batch_format="pyarrow"))
+
+
+SQL_MOVING_MAX = """
+select event_id, user_id,
+       max(value) over (partition by user_id order by ts, event_id
+                        rows between 2 preceding and current row) as mov_max
+from events
+"""
+
+
+# --------------------------------------------------------------------------
+# 25. exact distributed quantiles (disc) per group -- the scale-safe
+#     median/quantile shape: composite-key shuffle, driver sees only the
+#     (group x distinct-value) count table
+
+def q_quantiles_by_flag(sf_dir: str):
+    a = _agg()
+    vc = (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+          .groupby(["l_returnflag", "l_quantity"])
+          .aggregate(a.Count(alias_name="vn")))
+    import ray
+
+    tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(tabs)
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    vals = tab.column("l_quantity").to_numpy().astype(np.float64)
+    cnts = tab.column("vn").to_numpy().astype(np.int64)
+    out = {"l_returnflag": [], "p50": [], "p90": [], "p99": []}
+    for flag in sorted(set(flags.tolist())):
+        sel = flags == flag
+        v, c = vals[sel], cnts[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out["l_returnflag"].append(flag)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            # quantile_disc: element at rank ceil(q*n) (1-based)
+            rank = int(np.ceil(q * n))
+            out[col].append(float(v[np.searchsorted(cum, rank)]))
+    return pa.table({"l_returnflag": pa.array(out["l_returnflag"],
+                                              pa.string()),
+                     "p50": pa.array(out["p50"], pa.float64()),
+                     "p90": pa.array(out["p90"], pa.float64()),
+                     "p99": pa.array(out["p99"], pa.float64())})
+
+
+SQL_QUANTILES_BY_FLAG = """
+select l_returnflag,
+       quantile_disc(l_quantity, 0.50) as p50,
+       quantile_disc(l_quantity, 0.90) as p90,
+       quantile_disc(l_quantity, 0.99) as p99
+from lineitem group by l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# 26. rollup (grouping sets): per-(flag,status), per-flag and grand-total
+#     counts in one result -- subtotals derived by re-aggregating the
+#     already-tiny level-0 table, never rescanning lineitem
+
+def q_rollup_counts(sf_dir: str):
+    a = _agg()
+    base = (_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(a.Count(alias_name="n"))
+            .materialize())               # <= (#flags x #statuses) rows
+
+    def lvl0(b: pa.Table) -> pa.Table:
+        return pa.table({"rf": b.column("l_returnflag"),
+                         "ls": b.column("l_linestatus"),
+                         "n": b.column("n")})
+
+    lvl1 = (base.groupby("l_returnflag")
+            .aggregate(a.Sum("n", alias_name="n")))
+
+    def lvl1_fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"rf": b.column("l_returnflag"),
+                         "ls": pa.array(["ALL"] * b.num_rows, pa.string()),
+                         "n": b.column("n")})
+
+    total = base.aggregate(a.Sum("n", alias_name="n"))
+    import ray.data
+
+    total_ds = ray.data.from_arrow(pa.table({
+        "rf": pa.array(["ALL"], pa.string()),
+        "ls": pa.array(["ALL"], pa.string()),
+        "n": pa.array([int(total["n"])], pa.int64())}))
+    return (base.map_batches(lvl0, batch_format="pyarrow")
+            .union(lvl1.map_batches(lvl1_fmt, batch_format="pyarrow"))
+            .union(total_ds))
+
+
+SQL_ROLLUP_COUNTS = """
+select coalesce(l_returnflag, 'ALL') as rf,
+       coalesce(l_linestatus, 'ALL') as ls,
+       cast(count(*) as bigint) as n
+from lineitem group by rollup(l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# 27. set intersection: customers with orders in BOTH statuses
+#     (distinct-per-side then a 2-level groupby -- no whole-key-group task)
+
+def q_status_intersect(sf_dir: str):
+    a = _agg()
+
+    def keep_fo(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("o_orderstatus"),
+                     value_set=pa.array(["F", "O"]))
+        return b.filter(m)
+
+    both = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+            .map_batches(keep_fo, batch_format="pyarrow")
+            .groupby(["o_custkey", "o_orderstatus"])
+            .aggregate(a.Count(alias_name="_d"))
+            .groupby("o_custkey")
+            .aggregate(a.Count(alias_name="n_status")))
+
+    def only_both(b: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": b.filter(
+            pc.equal(b.column("n_status"), 2)).column("o_custkey")})
+
+    return both.map_batches(only_both, batch_format="pyarrow")
+
+
+SQL_STATUS_INTERSECT = """
+select o_custkey from orders where o_orderstatus = 'F'
+intersect
+select o_custkey from orders where o_orderstatus = 'O'
+"""
+
+
+# --------------------------------------------------------------------------
+# 28. regex extraction over a JSON-ish string column (events.props)
+
+def q_props_extract(sf_dir: str):
+    a = _agg()
+
+    def extract(b: pa.Table) -> pa.Table:
+        st = pc.extract_regex(b.column("props"), r'(?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
+        return pa.table({"k_bucket": pc.divide(k, 10), "k": k})
+
+    return (_read(sf_dir, "events", ["props"])
+            .map_batches(extract, batch_format="pyarrow")
+            .groupby("k_bucket")
+            .aggregate(a.Count(alias_name="n"),
+                       a.Min("k", alias_name="min_k"),
+                       a.Max("k", alias_name="max_k")))
+
+
+SQL_PROPS_EXTRACT = """
+select cast(regexp_extract(props, '[0-9]+') as bigint) // 10 as k_bucket,
+       cast(count(*) as bigint) as n,
+       min(cast(regexp_extract(props, '[0-9]+') as bigint)) as min_k,
+       max(cast(regexp_extract(props, '[0-9]+') as bigint)) as max_k
+from events group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 29. pivot via conditional aggregation: order counts by priority x status
+
+def q_pivot_priority(sf_dir: str):
+    a = _agg()
+
+    def indicators(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus")
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_f": pc.cast(pc.equal(st, "F"), pa.int64()),
+            "n_o": pc.cast(pc.equal(st, "O"), pa.int64()),
+            "n_p": pc.cast(pc.equal(st, "P"), pa.int64())})
+
+    return (_read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+            .map_batches(indicators, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(a.Sum("n_f", alias_name="n_f"),
+                       a.Sum("n_o", alias_name="n_o"),
+                       a.Sum("n_p", alias_name="n_p")))
+
+
+SQL_PIVOT_PRIORITY = """
+select o_orderpriority,
+       cast(sum(case when o_orderstatus = 'F' then 1 else 0 end) as bigint)
+         as n_f,
+       cast(sum(case when o_orderstatus = 'O' then 1 else 0 end) as bigint)
+         as n_o,
+       cast(sum(case when o_orderstatus = 'P' then 1 else 0 end) as bigint)
+         as n_p
+from orders group by o_orderpriority
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -766,4 +1038,11 @@ SQL_CHECKED = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "cell_cover": (q_cell_cover, SQL_CELL_COVER),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "rank_orders": (q_rank_orders, SQL_RANK_ORDERS),
+    "moving_max": (q_moving_max, SQL_MOVING_MAX),
+    "quantiles_by_flag": (q_quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "status_intersect": (q_status_intersect, SQL_STATUS_INTERSECT),
+    "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
+    "pivot_priority": (q_pivot_priority, SQL_PIVOT_PRIORITY),
 }

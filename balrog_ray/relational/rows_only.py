@@ -253,6 +253,22 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(ds, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_phash_dup_tiles(sf_dir: str):
+    """Image near-dedup over the tile table: perceptual-hash (phash)
+    pigeonhole buckets + exact Hamming verify -- the image-side analogue
+    of simhash text dedup, over the table's precomputed ``phash`` column
+    (no pixel decode in the hot path)."""
+    import ray.data
+
+    from ..functions.dedup import hash64_dup_pairs
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(tiles_table(cfg))
+    return hash64_dup_pairs(ds, id_col="image_id", hash_col="phash",
+                            max_hamming=2)
+
+
 ROWS_ONLY = {
     "bal_band_histogram": q_bal_band_histogram,
     "bal_polygon_mask": q_bal_polygon_mask,
@@ -267,6 +283,7 @@ ROWS_ONLY = {
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
+    "phash_dup_tiles": q_phash_dup_tiles,
     "embedding_dups": q_embedding_dups,
     "ivf_ann": q_ivf_ann,
     "veg_prep": q_veg_prep,

@@ -348,3 +348,48 @@ def test_resize_preserves_nodata(ray_session):
     assert small[0, 0] == np.float32(-99.0)       # all-nodata block
     assert small[0, 2] == np.float32(10.0)        # mixed block: valid mean
     assert (small[1:, :] == np.float32(10.0)).all()
+
+
+def test_hash64_dup_pairs_brute_force_parity(ray_session):
+    """Generic 64-bit-hash near-dup (the phash/simhash core) equals an
+    all-pairs Hamming scan on random hashes with planted near-dups."""
+    import ray.data
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(-2**63, 2**63 - 1, size=40, dtype=np.int64)
+    hashes = list(base)
+    # plant near-dups at hamming 1..3 of existing hashes
+    for i, bits in [(0, 1), (3, 2), (7, 3), (7, 1)]:
+        h = int(base[i])
+        for b in rng.choice(64, size=bits, replace=False):
+            h ^= (1 << int(b))
+        if h >= 2**63:
+            h -= 2**64
+        hashes.append(h)
+    ids = list(range(len(hashes)))
+    tbl = pa.table({"img_id": pa.array(ids, pa.int64()),
+                    "h64": pa.array(hashes, pa.int64())})
+
+    got = dedup.hash64_dup_pairs(ray.data.from_arrow(tbl),
+                                 id_col="img_id", hash_col="h64",
+                                 max_hamming=3).take_all()
+    got_set = {(r["id_a"], r["id_b"], r["hamming"]) for r in got}
+
+    expect = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin((int(hashes[i]) ^ int(hashes[j]))
+                    & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 3:
+                expect.add((i, j, d))
+    assert got_set == expect
+    assert len(expect) >= 4              # the planted pairs were found
+
+
+def test_phash_dup_tiles_runs(ray_session):
+    from balrog_ray.relational.rows_only import q_phash_dup_tiles
+
+    rows = q_phash_dup_tiles("unused").take_all()
+    # uniform-content tiles share a phash -> at least one pair, all exact
+    assert all(r["hamming"] <= 2 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
