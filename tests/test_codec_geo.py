@@ -285,3 +285,17 @@ def test_hilbert_id_locality_and_bijection():
     cx, cy = g.cell_xy(cells[order])
     steps = np.abs(np.diff(cx)) + np.abs(np.diff(cy))
     assert (steps == 1).all()
+
+
+def test_halo_strip_codec_roundtrip():
+    """Byte-plane shuffle + delta strip codec is bit-exact, incl. nodata
+    sentinels and NaN payloads."""
+    import numpy as np
+
+    from balrog_ray.stages.halo import _raw_bytes, _raw_decode
+
+    rng = np.random.default_rng(5)
+    for shape in [(21, 256), (256, 21), (21, 21), (1, 1)]:
+        a = (rng.standard_normal(shape) * 500).astype(np.float32)
+        a.flat[0] = np.float32(-99.0)
+        assert np.array_equal(_raw_decode(_raw_bytes(a), *shape), a)
