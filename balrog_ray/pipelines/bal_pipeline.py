@@ -81,6 +81,82 @@ def find_aoi(extent: str | tuple | None, spec: GridSpec):
     return box
 
 
+def layer_footprint(tiles_ds) -> tuple:
+    """(xmin, ymin, xmax, ymax) footprint of a tile layer, from the tile
+    CAPTIONS via a tiny distributed min/max aggregate -- no pixel payload
+    moves (the reference's get_footprint, bal.py:301-304, for the
+    rectangular-mosaic case its rasters actually are)."""
+    import ray.data.aggregate as agg
+
+    def tile_bbox(b: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption
+        caps = [Caption.from_json(c)
+                for c in b.column("caption").to_pylist()]
+        if not caps:
+            return pa.table({"xmin": pa.array([], pa.float64()),
+                             "ymin": pa.array([], pa.float64()),
+                             "xmax": pa.array([], pa.float64()),
+                             "ymax": pa.array([], pa.float64())})
+        w = b.column("w").to_numpy()
+        h = b.column("h").to_numpy()
+        x0 = np.array([c.x0 for c in caps])
+        y0 = np.array([c.y0 for c in caps])
+        ps = np.array([c.pixel_size for c in caps])
+        return pa.table({
+            "xmin": pa.array([float(x0.min())], pa.float64()),
+            "ymin": pa.array([float((y0 - h * ps).min())], pa.float64()),
+            "xmax": pa.array([float((x0 + w * ps).max())], pa.float64()),
+            "ymax": pa.array([float(y0.max())], pa.float64())})
+
+    row = (tiles_ds.select_columns(["caption", "w", "h"])
+           .map_batches(tile_bbox, batch_format="pyarrow")
+           .aggregate(agg.Min("xmin", alias_name="xmin"),
+                      agg.Min("ymin", alias_name="ymin"),
+                      agg.Max("xmax", alias_name="xmax"),
+                      agg.Max("ymax", alias_name="ymax")))
+    return (row["xmin"], row["ymin"], row["xmax"], row["ymax"])
+
+
+def find_common_area(spec: GridSpec, veg_ds) -> tuple:
+    """Common footprint of the DEM grid and an (off-grid) veg tile layer
+    -- the reference's DEFAULT/MAXOF/MINOF footprint intersection
+    (bal.py:281-323, Intersect_analysis of the two raster footprints).
+    Returns an (xmin, ymin, xmax, ymax) extent for
+    ``bal_pipeline(extent=...)``; raises if the footprints are disjoint.
+    """
+    vx0, vy0, vx1, vy1 = layer_footprint(veg_ds)
+    gx0, gy1 = 0.0, spec.y_north
+    gx1 = spec.tiles_x * spec.tile_px * spec.pixel_size
+    gy0 = spec.y_north - spec.tiles_y * spec.tile_px * spec.pixel_size
+    box = (max(vx0, gx0), max(vy0, gy0), min(vx1, gx1), min(vy1, gy1))
+    if box[0] >= box[2] or box[1] >= box[3]:
+        raise ValueError("DEM and veg footprints do not intersect")
+    return box
+
+
+def _covered_cells(spec: GridSpec, bbox: tuple) -> np.ndarray:
+    """Cells holding >= 1 pixel CENTER inside ``bbox`` -- exactly the
+    cells the regrid stage emits a resampled tile for (same index rule
+    as ``regrid._target_index_range``), so the completeness gate can
+    know which neighbours will never send a veg strip."""
+    from ..stages.regrid import _target_index_range
+    T, ps = spec.tile_px, spec.pixel_size
+    xmin, ymin, xmax, ymax = bbox
+    c_first, c_last = _target_index_range(xmin, xmax, ps)
+    r_first = int(np.ceil((spec.y_north - ymax) / ps - 0.5))
+    r_last = int(np.floor((spec.y_north - ymin - 1e-9) / ps - 0.5))
+    c_first, r_first = max(c_first, 0), max(r_first, 0)
+    c_last = min(c_last, spec.tiles_x * T - 1)
+    r_last = min(r_last, spec.tiles_y * T - 1)
+    if c_first > c_last or r_first > r_last:
+        return np.empty(0, dtype=np.int64)
+    txs = np.arange(c_first // T, c_last // T + 1)
+    tys = np.arange(r_first // T, r_last // T + 1)
+    return np.array(sorted(
+        int(spec.cell_id(tx, ty)) for ty in tys for tx in txs),
+        dtype=np.int64)
+
+
 def _aoi_cells(aoi, spec: GridSpec) -> np.ndarray:
     """Cell ids whose tile bbox intersects the AOI rectangle."""
     T, ps = spec.tile_px, spec.pixel_size
@@ -99,7 +175,7 @@ def _aoi_cells(aoi, spec: GridSpec) -> np.ndarray:
 def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
                       veg_remap: str | None = None, fmt: str = "palz",
                       bands=ALL_BANDS, out_dir: str | None = None,
-                      aoi=None, mask_polys=None):
+                      aoi=None, mask_polys=None, veg_cells=None):
     """Per-cell compute: contributions table -> BAL tile rows (or, when
     ``out_dir`` is set, writes the rows itself and returns a lineage row)."""
     aspect_spec = parse_remap(ASPECT_RECLASS)
@@ -114,11 +190,19 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
         # Completeness gate: every in-grid neighbour tile must have sent its
         # strip for BOTH layers, else the halo would silently degrade to
         # nodata padding and a resumed run would commit wrong pixels.
-        expected = 1 + sum(
-            1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-            if (dx, dy) != (0, 0) and 0 <= tx + dx < spec.tiles_x
-            and 0 <= ty + dy < spec.tiles_y)
-        complete = all(g["layer"].count(layer) == expected
+        # With a partially-covering regridded veg layer (veg_cells set),
+        # the veg expectation counts only neighbours the regrid stage
+        # actually emits a veg tile for -- an uncovered neighbour sends
+        # dem strips but can never send a veg strip.
+        neigh = [spec.cell_id(tx + dx, ty + dy)
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                 if 0 <= tx + dx < spec.tiles_x
+                 and 0 <= ty + dy < spec.tiles_y]
+        expected = {"dem": len(neigh), "veg": len(neigh)}
+        if veg_cells is not None:
+            expected["veg"] = int(np.isin(
+                np.array(neigh, dtype=np.int64), veg_cells).sum())
+        complete = all(g["layer"].count(layer) == expected[layer]
                        for layer in ("dem", "veg"))
         dem = assemble_window(g, spec, "dem", tx, ty) if complete else None
         veg = assemble_window(g, spec, "veg", tx, ty) if complete else None
@@ -266,9 +350,19 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
     pruned before the shuffle and pixels outside the polygons become
     nodata.  Composes with ``extent`` (intersection).
     """
+    veg_cells = None
     if veg_ds is not None:
         from ..stages.regrid import regrid_to_grid
 
+        common = find_common_area(spec, veg_ds)
+        if extent is None or (isinstance(extent, str) and extent.upper()
+                              in ("DEFAULT", "MAXOF", "MINOF")):
+            # reference find_aoi: the effective AOI of a multi-layer run
+            # is the footprint INTERSECTION (bal.py:281-323) -- cells the
+            # off-grid veg layer never covers are pruned before the
+            # shuffle instead of computing all-nodata tiles
+            extent = common
+        veg_cells = _covered_cells(spec, common)
         tiles_ds = tiles_ds.union(regrid_to_grid(veg_ds, spec, layer="veg"))
     if spec.halo > spec.tile_px:
         raise ValueError(
@@ -282,6 +376,12 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
     if extent is not None:
         aoi = find_aoi(extent, spec)
         keep_cells = _aoi_cells(aoi, spec)
+    if veg_cells is not None:
+        # a sliver cell whose bbox clips the AOI but holds no covered
+        # pixel CENTER never receives its own regridded veg tile; it is
+        # (sub-pixel) outside the common area -- prune it
+        keep_cells = veg_cells if keep_cells is None \
+            else np.intersect1d(keep_cells, veg_cells)
     if mask is not None:
         mask_polys = _as_mask_polys(mask)
         mcells = _mask_cells(mask_polys, spec)
@@ -333,7 +433,7 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
 
             contrib = contrib.map_batches(drop_done, batch_format="pyarrow")
     fn = make_bal_group_fn(spec, fdi, veg_remap, fmt, bands, out_dir, aoi,
-                           mask_polys)
+                           mask_polys, veg_cells)
     return contrib.groupby("cell_id").map_groups(fn, batch_format="pyarrow")
 
 

@@ -91,3 +91,50 @@ def test_bal_pipeline_with_offgrid_veg(ray_session):
         got[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
     assert not np.isnan(got).any()
     assert_array_equal(got, expected["max"].astype(np.float32))
+
+
+def test_bal_pipeline_partial_veg_coverage(ray_session):
+    """find_common_area (op 7, bal.py:281-323): veg covering only the
+    LEFT HALF of the DEM world restricts output to the footprint
+    intersection, boundary cells keep exact whole-raster parity (the
+    completeness gate counts veg strips only from covered neighbours),
+    and uncovered cells are pruned, not silently dropped mid-grid."""
+    import ray.data
+
+    cfg_half = synth.SynthConfig(tiles_x=1, tiles_y=2, tile_px=64,
+                                 pixel_size=50.0)
+    dem_tiles = synth.tiles_table(CFG, layers=("dem",))
+    veg_tiles = synth.tiles_table(cfg_half, layers=("veg",))
+    rows = bp.bal_pipeline(ray.data.from_arrow(dem_tiles), SPEC, fdi=80,
+                           veg_ds=ray.data.from_arrow(veg_tiles)).take_all()
+
+    # oracle: whole-raster compute with veg resampled where covered,
+    # nodata to the east of the veg footprint
+    coarse = synth.veg_window(cfg_half, synth.make_veg_polygons(cfg_half),
+                              0, 0, *cfg_half.world_px)
+    rows_px, cols_px = CFG.world_px
+    veg_full = np.full((rows_px, cols_px), -99.0, dtype=np.float64)
+    cov_cols = cols_px // 2
+    cc = np.floor((np.arange(cov_cols) + 0.5) * 25.0 / 50.0).astype(int)
+    rr = np.floor((np.arange(rows_px) + 0.5) * 25.0 / 50.0).astype(int)
+    veg_full[:, :cov_cols] = coarse[np.ix_(rr, cc)]
+
+    dem, _ = synth.global_arrays(CFG)
+    slope, aspect = slope_aspect(dem, 25.0, 25.0)
+    aspect_c = apply_remap(aspect, ASPECT_RECLASS).astype(np.float64)
+    slope_c = apply_remap(slope, slope_reclass()).astype(np.float64)
+    expected = compute_bal(veg_full, slope_c, aspect_c, 25.0, 80)
+
+    T = CFG.tile_px
+    seen_cells = set()
+    for r in rows:
+        cap = Caption.from_json(r["caption"])
+        seen_cells.add((cap.tx, cap.ty))
+        if cap.layer != "bal_max":
+            continue
+        arr = decode_tile(r["bytes"], r["fmt"], cap)
+        exp = expected["max"][cap.ty * T:(cap.ty + 1) * T,
+                              cap.tx * T:(cap.tx + 1) * T]
+        assert_array_equal(arr, exp.astype(np.float32)), (cap.tx, cap.ty)
+    # exactly the covered half of the grid (tx 0..1), nothing east of it
+    assert seen_cells == {(tx, ty) for tx in (0, 1) for ty in range(4)}
