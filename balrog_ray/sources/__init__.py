@@ -119,3 +119,80 @@ def validate_image_schema(schema: pa.Schema) -> None:
         raise ValueError(
             f"image table missing columns {missing}; expected at least "
             f"{list(IMAGE_TABLE_COLUMNS)}")
+
+
+def write_url_bundles(table: pa.Table, out_dir: str,
+                      tiles_per_zip: int = 16) -> list[str]:
+    """Pack an image-tile table into zip archives (one manifest.json per
+    zip mapping member name -> full tile row metadata) and return
+    ``file://`` URLs -- the writer half of the reference's zipped-DEM
+    distribution model (``data_prep/images/nsw_dcs``: one DEM archive per
+    index row, fetched by URL)."""
+    import json
+    import os
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    urls = []
+    rows = table.to_pylist()
+    for zi in range(0, len(rows), tiles_per_zip):
+        zpath = os.path.join(out_dir, f"tiles_{zi // tiles_per_zip:05d}.zip")
+        manifest = {}
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+            for j, row in enumerate(rows[zi:zi + tiles_per_zip]):
+                member = f"tile_{j:04d}.bin"
+                zf.writestr(member, row["bytes"])
+                manifest[member] = {k: row[k] for k in IMAGE_TABLE_COLUMNS
+                                    if k != "bytes"}
+            zf.writestr("manifest.json", json.dumps(manifest))
+        urls.append("file://" + os.path.abspath(zpath))
+    return urls
+
+
+def read_url_tiles(urls, *, override_num_blocks: int | None = None):
+    """URL-list tile source: the reference's download+unzip ingest
+    (``data_prep/images/nsw_dcs_dem_urls``: a manifest of archive URLs,
+    each downloaded, unzipped and ingested) as a streaming Ray pipeline.
+
+    Each URL row is fetched INSIDE ``map_batches`` (``urllib``: file://
+    always; http(s):// wherever the environment has network -- this
+    sandbox does not, so tests exercise the identical code path with
+    file:// bundles), unzipped in memory via ``zipfile``, and every
+    member listed in the zip's manifest.json becomes an image-table row.
+    Downloads fan out across the cluster with the Dataset's block
+    parallelism; no archive ever lands on the driver."""
+    import ray.data
+
+    kw = {}
+    if override_num_blocks is not None:
+        kw["override_num_blocks"] = override_num_blocks
+    url_ds = ray.data.from_items([{"url": u} for u in urls], **kw)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import io
+        import json
+        import urllib.request
+        import zipfile
+
+        out = {n: [] for n in IMAGE_TABLE_COLUMNS}
+        for url in batch.column("url").to_pylist():
+            with urllib.request.urlopen(url) as resp:
+                blob = resp.read()
+            with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                manifest = json.loads(zf.read("manifest.json"))
+                for member, meta in manifest.items():
+                    out["bytes"].append(zf.read(member))
+                    for k in IMAGE_TABLE_COLUMNS:
+                        if k != "bytes":
+                            out[k].append(meta[k])
+        return pa.table({
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "bytes": pa.array(out["bytes"], pa.binary()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+            "fmt": pa.array(out["fmt"], pa.string()),
+            "caption": pa.array(out["caption"], pa.string()),
+            "phash": pa.array(out["phash"], pa.int64()),
+        })
+
+    return url_ds.map_batches(fetch, batch_format="pyarrow")

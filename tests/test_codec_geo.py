@@ -299,3 +299,36 @@ def test_halo_strip_codec_roundtrip():
         a = (rng.standard_normal(shape) * 500).astype(np.float32)
         a.flat[0] = np.float32(-99.0)
         assert np.array_equal(_raw_decode(_raw_bytes(a), *shape), a)
+
+
+def test_url_bundle_roundtrip_and_bal(ray_session, tmp_path):
+    """URL-list source (SURVEY ops 22-23): tile table -> zip bundles ->
+    file:// fetch+unzip inside map_batches -> identical rows, and the
+    result feeds bal_pipeline unchanged."""
+    import ray.data
+
+    from balrog_ray.pipelines.bal_pipeline import bal_pipeline
+    from balrog_ray.sources import read_url_tiles, write_url_bundles
+    from balrog_ray.stages.halo import GridSpec
+    from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32, pixel_size=25.0)
+    tab = tiles_table(cfg)
+    urls = write_url_bundles(tab, str(tmp_path / "bundles"),
+                             tiles_per_zip=3)
+    assert len(urls) > 1                       # multi-archive fan-out
+    got = read_url_tiles(urls).take_all()
+    want = {r["image_id"]: r for r in tab.to_pylist()}
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r["image_id"]]
+        assert r["bytes"] == w["bytes"] and r["caption"] == w["caption"]
+        assert (r["w"], r["h"], r["fmt"], r["phash"]) == \
+            (w["w"], w["h"], w["fmt"], w["phash"])
+
+    spec = GridSpec.from_synth(cfg)
+    direct = bal_pipeline(ray.data.from_arrow(tab), spec).take_all()
+    via_url = bal_pipeline(read_url_tiles(urls), spec).take_all()
+    d = {r["image_id"]: r["bytes"] for r in direct}
+    u = {r["image_id"]: r["bytes"] for r in via_url}
+    assert d == u
