@@ -1,0 +1,68 @@
+"""Approximate distinct counting via a KMV (k-minimum-values) sketch.
+
+The reference has no sketch/approx aggregates at all (SURVEY.md §2.3);
+at 100 TB an exact ``count(distinct)`` over a high-cardinality key is a
+full shuffle of every distinct value, while a KMV sketch moves a FIXED
+``k * 8`` bytes per block regardless of input size: each block keeps its
+k smallest 64-bit hash values, partials merge by keeping the k smallest
+of the union, and the estimator is ``(k - 1) / t`` where ``t`` is the
+k-th smallest hash mapped to (0, 1)  (Bar-Yossef et al. 2002, the
+standard KMV estimator).  Deterministic: same input -> same estimate.
+
+Relative error ~ 1/sqrt(k); k = 1024 gives ~3%.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_FULL = np.float64((1 << 64) - 1)
+_MULT = np.uint64(0x9E3779B97F4A7C15)        # Fibonacci multiplier
+
+
+def _hash64(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of a pyarrow array (vectorized for
+    integer dtypes, blake2b for everything else)."""
+    if pa.types.is_integer(values.type):
+        v = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = v * _MULT
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        return h
+    return np.array([
+        int.from_bytes(hashlib.blake2b(
+            str(x).encode(), digest_size=8).digest(), "big")
+        for x in values.to_pylist()], dtype=np.uint64)
+
+
+def kmv_distinct(ds, col: str, k: int = 1024):
+    """Approximate ``count(distinct col)``: returns a 1-row pyarrow Table
+    ``(estimate: int64, k: int64)``.
+
+    Dataflow: per-batch partial = k smallest unique hashes (``k*8`` bytes
+    whatever the batch size) -> a single ``sort + limit(k)`` over the
+    tiny partial rows -> driver-side estimator on k values.  No stage
+    ever holds the distinct-value set."""
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h = np.unique(_hash64(b.column(col)))     # sorted unique
+        return pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+    mins = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .sort("h")
+            .limit(k)
+            .take_all())
+    hs = np.unique(np.array([r["h"] for r in mins], dtype=np.uint64))[:k]
+    if len(hs) < k:                               # saw fewer than k hashes
+        est = len(hs)                             # exact in this regime
+    else:
+        t = float(hs[-1]) / _FULL                 # k-th min in (0, 1)
+        est = int(round((k - 1) / t))
+    return pa.table({"estimate": pa.array([est], pa.int64()),
+                     "k": pa.array([np.int64(k)], pa.int64())})

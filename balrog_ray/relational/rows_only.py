@@ -253,6 +253,20 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(ds, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV distinct-count sketch over lineitem.l_partkey -- the fixed-
+    size-partial approx aggregate (no sketch exists in the reference;
+    SURVEY.md §2.3). Deterministic, so the driver's rows-only check is
+    stable; the pytest asserts the error bound against the exact count."""
+    import ray.data
+
+    from ..functions.sketch import kmv_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])
+    return kmv_distinct(ds, "l_partkey", k=1024)
+
+
 def q_phash_dup_tiles(sf_dir: str):
     """Image near-dedup over the tile table: perceptual-hash (phash)
     pigeonhole buckets + exact Hamming verify -- the image-side analogue
@@ -284,6 +298,7 @@ ROWS_ONLY = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
+    "kmv_distinct": q_kmv_distinct,
     "embedding_dups": q_embedding_dups,
     "ivf_ann": q_ivf_ann,
     "veg_prep": q_veg_prep,

@@ -393,3 +393,38 @@ def test_phash_dup_tiles_runs(ray_session):
     # uniform-content tiles share a phash -> at least one pair, all exact
     assert all(r["hamming"] <= 2 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_kmv_distinct_error_bound(ray_session):
+    """KMV sketch estimate within ~4 standard errors of the exact
+    distinct count, and exact below the k threshold."""
+    import ray.data
+
+    from balrog_ray.functions.sketch import kmv_distinct
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50_000, size=200_000)
+    exact = len(np.unique(vals))
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    k = 1024
+    est = kmv_distinct(ds, "v", k=k).column("estimate")[0].as_py()
+    assert abs(est - exact) / exact < 4.0 / np.sqrt(k)
+
+    # fewer distincts than k -> exact answer
+    small = ray.data.from_arrow(pa.table(
+        {"v": pa.array(rng.integers(0, 100, size=5_000), pa.int64())}))
+    est_small = kmv_distinct(small, "v", k=k).column("estimate")[0].as_py()
+    assert est_small == len(np.unique(
+        np.array(small.to_pandas()["v"])))
+
+
+def test_kmv_distinct_string_column(ray_session):
+    import ray.data
+
+    from balrog_ray.functions.sketch import kmv_distinct
+
+    tbl = pa.table({"s": pa.array([f"user-{i % 37}" for i in range(1000)],
+                                  pa.string())})
+    est = kmv_distinct(ray.data.from_arrow(tbl), "s",
+                       k=256).column("estimate")[0].as_py()
+    assert est == 37                      # below k -> exact
