@@ -38,12 +38,21 @@ def _detect_fmt(path: str) -> str:
 
 
 def read_image_table(path: str, *, fmt: str = "auto", columns=None,
-                     override_num_blocks: int | None = None):
+                     override_num_blocks: int | None = None,
+                     bbox=None, cluster_grid=None):
     """Read an image+caption table as a ``ray.data.Dataset``.
 
     ``columns`` prunes at the read (only requested columns leave storage);
     ``override_num_blocks`` sizes the block count to the cluster, keeping
     downstream shuffle fan-out proportional to cores rather than files.
+
+    ``bbox=(xmin, ymin, xmax, ymax)`` with ``cluster_grid``: spatial
+    range read over a Hilbert-clustered layout written with
+    ``keep_key=True`` -- the covering cells' Hilbert ids become a parquet
+    predicate, so row-group min/max stats on the (sorted) key column
+    prune whole row groups before any payload byte is read: the
+    O(perimeter)-files promise of the CLUSTER-ON layout made real at
+    the read.
     """
     import ray.data
 
@@ -52,6 +61,16 @@ def read_image_table(path: str, *, fmt: str = "auto", columns=None,
     kw = {}
     if override_num_blocks is not None:
         kw["override_num_blocks"] = override_num_blocks
+    if bbox is not None:
+        if cluster_grid is None:
+            raise ValueError("bbox read requires cluster_grid (the grid "
+                             "the layout was Hilbert-clustered on)")
+        import pyarrow.compute as pc
+
+        cells = cluster_grid.cells_for_bbox(*bbox)
+        keys = cluster_grid.hilbert_id(cells)
+        kw["filter"] = pc.field("hilbert_key").isin(
+            pa.array(np.sort(keys), pa.int64()))
     if fmt == "lance":
         if not _have_lance():
             raise NotImplementedError(
@@ -65,13 +84,16 @@ def read_image_table(path: str, *, fmt: str = "auto", columns=None,
     raise ValueError(f"unknown image-table format: {fmt!r}")
 
 
-def hilbert_cluster(ds, grid):
+def hilbert_cluster(ds, grid, keep_key: bool = False):
     """Sort an image-tile Dataset by the Hilbert index of each row's tile
     -- the output-layout analogue of the reference's ``CLUSTER ON``
     gist-index (``03_explode_multipolygons_and_classify.sql:79-80``).
     Spatially adjacent tiles land in the same output files/row-groups, so a
     later bbox read touches O(perimeter) files instead of O(area).  One
-    all-to-all sort; apply at write time only."""
+    all-to-all sort; apply at write time only.  ``keep_key`` leaves the
+    ``hilbert_key`` column in place so parquet row-group min/max stats can
+    drive bbox predicate pushdown at read time (:func:`read_image_table`
+    with ``bbox=``)."""
     from ..tiles.codec import Caption
 
     def key(batch: pa.Table) -> pa.Table:
@@ -82,20 +104,21 @@ def hilbert_cluster(ds, grid):
         h = grid.hilbert_id(cells) if len(cells) else cells
         return batch.append_column("hilbert_key", pa.array(h, pa.int64()))
 
-    return (ds.map_batches(key, batch_format="pyarrow")
-            .sort("hilbert_key")
-            .drop_columns(["hilbert_key"]))
+    out = ds.map_batches(key, batch_format="pyarrow").sort("hilbert_key")
+    return out if keep_key else out.drop_columns(["hilbert_key"])
 
 
 def write_image_table(ds, path: str, *, fmt: str = "auto",
-                      cluster_grid=None) -> None:
+                      cluster_grid=None, keep_key: bool = False) -> None:
     """Write a Dataset of image rows, partitioned (one file per block).
 
     ``cluster_grid`` (a ``geo.cells.CellGrid``): spatially cluster the
-    output by Hilbert index before writing (see :func:`hilbert_cluster`).
+    output by Hilbert index before writing (see :func:`hilbert_cluster`);
+    with ``keep_key`` the sort key column is persisted so later bbox
+    reads can prune parquet row groups via predicate pushdown.
     """
     if cluster_grid is not None:
-        ds = hilbert_cluster(ds, cluster_grid)
+        ds = hilbert_cluster(ds, cluster_grid, keep_key=keep_key)
     if fmt == "auto":
         fmt = _detect_fmt(path)
     if fmt == "lance":

@@ -332,3 +332,36 @@ def test_url_bundle_roundtrip_and_bal(ray_session, tmp_path):
     d = {r["image_id"]: r["bytes"] for r in direct}
     u = {r["image_id"]: r["bytes"] for r in via_url}
     assert d == u
+
+
+def test_bbox_read_prunes_to_covering_cells(ray_session, tmp_path):
+    """read_image_table(bbox=...) over a Hilbert-clustered keep_key layout
+    returns exactly the tiles whose cells intersect the bbox (predicate
+    pushdown on the persisted hilbert_key column)."""
+    import ray.data
+
+    from balrog_ray.sources import read_image_table, write_image_table
+    from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=8, tiles_y=8, tile_px=16)
+    grid = cfg.grid
+    ds = ray.data.from_arrow(tiles_table(cfg, layers=("dem",))) \
+        .repartition(8)
+    out = str(tmp_path / "clustered_key")
+    write_image_table(ds, out, cluster_grid=grid, keep_key=True)
+
+    # bbox covering cells (tx, ty) in [2..4] x [1..2]
+    cs = cfg.tile_px * cfg.pixel_size
+    bbox = (2 * cs + 1, cfg.y_north - 3 * cs + 1,
+            5 * cs - 1, cfg.y_north - 1 * cs - 1)
+    got = read_image_table(out, bbox=bbox, cluster_grid=grid).take_all()
+    cells = {(Caption.from_json(r["caption"]).tx,
+              Caption.from_json(r["caption"]).ty) for r in got}
+    assert cells == {(tx, ty) for tx in (2, 3, 4) for ty in (1, 2)}
+    # schema contract intact apart from the key column
+    assert all(r["fmt"] for r in got)
+
+    # missing cluster_grid is a hard error, not a silent full scan
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_image_table(out, bbox=bbox)
