@@ -324,33 +324,63 @@ def hash64_dup_pairs(ds, id_col: str, hash_col: str,
                          id_col: pa.concat_arrays(id_out),
                          hash_col: pa.concat_arrays(h_out)})
 
+    # 16-bit popcount LUT (64 KB, built once per task): 4 flat 2-D
+    # gathers per block beat both an unpackbits tensor (64 B/pair) and a
+    # 3-D uint8 LUT gather (whose fancy-index path is ~100x slower)
+    popcnt16 = np.unpackbits(
+        np.arange(1 << 16, dtype=np.uint16).view(np.uint8)[:, None],
+        axis=1).astype(np.uint16).reshape(1 << 16, 16).sum(axis=1) \
+        .astype(np.uint8)
+
     def verify_group(group: pa.Table) -> pa.Table:
         ids = np.asarray(group.column(id_col).to_pylist())
         hashes = np.array(group.column(hash_col).to_pylist(),
                           dtype=np.int64).view(np.uint64)
+        # this bucket's chunk index: a near pair collides in EVERY chunk
+        # where its hashes agree, so the pair is owned by (emitted from)
+        # only the FIRST such chunk -- globally exactly-once output with
+        # no cross-bucket dedup aggregate afterwards
+        chunk = int(group.column("bucket")[0].as_py()) >> 16
         order = np.argsort(ids, kind="stable")
         ids, hashes = ids[order], hashes[order]
-        out_a, out_b, out_d = [], [], []
-        if len(ids) > 1:
-            x = (hashes[:, None] ^ hashes[None, :]).view(np.uint8) \
-                .reshape(len(ids), len(ids), 8)
-            dist = np.unpackbits(x, axis=2).sum(axis=2)
-            ia, ib = np.nonzero(np.triu(dist <= max_hamming, k=1)
-                                & (ids[:, None] != ids[None, :]))
-            out_a = ids[ia].tolist()
-            out_b = ids[ib].tolist()
-            out_d = dist[ia, ib].tolist()
-        return pa.table({"id_a": pa.array(out_a, id_type),
-                         "id_b": pa.array(out_b, id_type),
-                         "hamming": pa.array(out_d, pa.int64())})
-
-    import ray.data.aggregate as agg
+        n = len(ids)
+        outs = []
+        # row-blocked: peak memory is O(block * n) whatever the bucket
+        # skew (a low-entropy 16-bit chunk -- e.g. the all-zero plane of
+        # uniform images -- can concentrate a large share of the rows
+        # into one bucket)
+        blk = max(1, min(n, (1 << 22) // max(n, 1)))   # ~32 MB peak
+        for r0 in range(0, n, blk):
+            r1 = min(n, r0 + blk)
+            x = hashes[r0:r1, None] ^ hashes[None, :]
+            v = x.view(np.uint16).reshape(r1 - r0, n, 4)
+            dist = popcnt16[v[:, :, 0]].astype(np.int16)
+            for kk in range(1, 4):
+                dist += popcnt16[v[:, :, kk]]
+            hit = dist <= max_hamming
+            for cp in range(chunk):        # an earlier chunk owns these
+                hit &= v[:, :, cp] != 0
+            # strict upper triangle in GLOBAL index space + distinct ids
+            cols = np.arange(n)[None, :]
+            hit &= cols > np.arange(r0, r1)[:, None]
+            hit &= ids[r0:r1, None] != ids[None, :]
+            ia, ib = np.nonzero(hit)
+            outs.append((ids[r0 + ia], ids[ib],
+                         dist[ia, ib].astype(np.int64)))
+        if outs:
+            a = np.concatenate([o[0] for o in outs])
+            b = np.concatenate([o[1] for o in outs])
+            d = np.concatenate([o[2] for o in outs])
+        else:
+            a = b = np.empty(0, dtype=object)
+            d = np.empty(0, dtype=np.int64)
+        return pa.table({"id_a": pa.array(a.tolist(), id_type),
+                         "id_b": pa.array(b.tolist(), id_type),
+                         "hamming": pa.array(d, pa.int64())})
 
     return (ds.map_batches(to_buckets, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(verify_group, batch_format="pyarrow")
-            .groupby(["id_a", "id_b"])
-            .aggregate(agg.Min("hamming", alias_name="hamming")))
+            .map_groups(verify_group, batch_format="pyarrow"))
 
 
 def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",

@@ -47,18 +47,31 @@ def kmv_distinct(ds, col: str, k: int = 1024):
     whatever the batch size) -> a single ``sort + limit(k)`` over the
     tiny partial rows -> driver-side estimator on k values.  No stage
     ever holds the distinct-value set."""
+    import ray.data.aggregate as agg
+
+    top = np.uint64(1 << 63)
+
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.uint64())})
+            return pa.table({"h": pa.array([], pa.int64())})
         h = np.unique(_hash64(b.column(col)))     # sorted unique
-        return pa.table({"h": pa.array(h[:k], pa.uint64())})
+        # order-preserving uint64 -> int64 (XOR the sign bit): Ray's sort
+        # and hash shuffle handle int64 natively, uint64 falls back to
+        # pickled objects which cannot be sorted
+        return pa.table({"h": pa.array((h[:k] ^ top).view(np.int64))})
 
+    # distinct-merge BEFORE the limit: the same value hashing identically
+    # in several blocks must count once -- a bare sort+limit(k) would let
+    # duplicate hashes crowd out genuine minima and collapse the estimate
     mins = (ds.select_columns([col])
             .map_batches(partial, batch_format="pyarrow")
+            .groupby("h")
+            .aggregate(agg.Count(alias_name="_c"))
             .sort("h")
             .limit(k)
             .take_all())
-    hs = np.unique(np.array([r["h"] for r in mins], dtype=np.uint64))[:k]
+    hs = np.unique(np.array([r["h"] for r in mins],
+                            dtype=np.int64).view(np.uint64) ^ top)[:k]
     if len(hs) < k:                               # saw fewer than k hashes
         est = len(hs)                             # exact in this regime
     else:

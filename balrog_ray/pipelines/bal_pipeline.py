@@ -125,36 +125,13 @@ def find_common_area(spec: GridSpec, veg_ds) -> tuple:
     ``bal_pipeline(extent=...)``; raises if the footprints are disjoint.
     """
     vx0, vy0, vx1, vy1 = layer_footprint(veg_ds)
-    gx0, gy1 = 0.0, spec.y_north
-    gx1 = spec.tiles_x * spec.tile_px * spec.pixel_size
-    gy0 = spec.y_north - spec.tiles_y * spec.tile_px * spec.pixel_size
+    gx0, gy0, gx1, gy1 = find_aoi(None, spec)      # the grid bbox
     box = (max(vx0, gx0), max(vy0, gy0), min(vx1, gx1), min(vy1, gy1))
     if box[0] >= box[2] or box[1] >= box[3]:
         raise ValueError("DEM and veg footprints do not intersect")
     return box
 
 
-def _covered_cells(spec: GridSpec, bbox: tuple) -> np.ndarray:
-    """Cells holding >= 1 pixel CENTER inside ``bbox`` -- exactly the
-    cells the regrid stage emits a resampled tile for (same index rule
-    as ``regrid._target_index_range``), so the completeness gate can
-    know which neighbours will never send a veg strip."""
-    from ..stages.regrid import _target_index_range
-    T, ps = spec.tile_px, spec.pixel_size
-    xmin, ymin, xmax, ymax = bbox
-    c_first, c_last = _target_index_range(xmin, xmax, ps)
-    r_first = int(np.ceil((spec.y_north - ymax) / ps - 0.5))
-    r_last = int(np.floor((spec.y_north - ymin - 1e-9) / ps - 0.5))
-    c_first, r_first = max(c_first, 0), max(r_first, 0)
-    c_last = min(c_last, spec.tiles_x * T - 1)
-    r_last = min(r_last, spec.tiles_y * T - 1)
-    if c_first > c_last or r_first > r_last:
-        return np.empty(0, dtype=np.int64)
-    txs = np.arange(c_first // T, c_last // T + 1)
-    tys = np.arange(r_first // T, r_last // T + 1)
-    return np.array(sorted(
-        int(spec.cell_id(tx, ty)) for ty in tys for tx in txs),
-        dtype=np.int64)
 
 
 def _aoi_cells(aoi, spec: GridSpec) -> np.ndarray:
@@ -352,9 +329,15 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
     """
     veg_cells = None
     if veg_ds is not None:
-        from ..stages.regrid import regrid_to_grid
+        from ..stages.regrid import covered_target_cells, regrid_to_grid
 
-        common = find_common_area(spec, veg_ds)
+        # ONE materialized metadata pass (captions + shapes only, columns
+        # pruned at the read) feeds both the footprint intersection and
+        # the coverage set; the full-payload scan happens exactly once,
+        # inside regrid
+        veg_meta = (veg_ds.select_columns(["caption", "w", "h"])
+                    .materialize())
+        common = find_common_area(spec, veg_meta)
         if extent is None or (isinstance(extent, str) and extent.upper()
                               in ("DEFAULT", "MAXOF", "MINOF")):
             # reference find_aoi: the effective AOI of a multi-layer run
@@ -362,7 +345,10 @@ def bal_pipeline(tiles_ds, spec: GridSpec, fdi: int = 80,
             # off-grid veg layer never covers are pruned before the
             # shuffle instead of computing all-nodata tiles
             extent = common
-        veg_cells = _covered_cells(spec, common)
+        # per-source-tile coverage, NOT the hull bbox: a hole in a
+        # non-rectangular veg mosaic must count as uncovered or the gate
+        # waits forever for its veg strip and drops the neighbourhood
+        veg_cells = covered_target_cells(spec, veg_meta)
         tiles_ds = tiles_ds.union(regrid_to_grid(veg_ds, spec, layer="veg"))
     if spec.halo > spec.tile_px:
         raise ValueError(

@@ -45,6 +45,59 @@ def _target_index_range(lo: float, hi: float, ps: float) -> tuple[int, int]:
     return first, last
 
 
+def target_pixel_span(spec: GridSpec, sx0: float, sy0: float,
+                      sh: int, sw: int, ps_s: float):
+    """Clipped [r_first, r_last] x [c_first, c_last] target pixel span
+    whose centers fall inside a source tile (top-left ``(sx0, sy0)``,
+    shape ``(sh, sw)``, pixel ``ps_s``).  THE single source of truth for
+    'which target pixels does a source tile cover' -- the patch emitter
+    and the pipeline's completeness gate must agree exactly, or partial
+    coverage turns into silently dropped cells.  Empty when
+    first > last."""
+    T, ps_t = spec.tile_px, spec.pixel_size
+    c_first, c_last = _target_index_range(sx0, sx0 + sw * ps_s, ps_t)
+    r_first = int(np.ceil((spec.y_north - sy0) / ps_t - 0.5))
+    r_last = int(np.floor(
+        (spec.y_north - (sy0 - sh * ps_s) - 1e-9) / ps_t - 0.5))
+    c_first, r_first = max(c_first, 0), max(r_first, 0)
+    c_last = min(c_last, spec.tiles_x * T - 1)
+    r_last = min(r_last, spec.tiles_y * T - 1)
+    return r_first, r_last, c_first, c_last
+
+
+def covered_target_cells(spec: GridSpec, tiles_ds) -> np.ndarray:
+    """Target cells receiving >= 1 resampled pixel from ``tiles_ds`` --
+    computed from the ACTUAL source tile captions (a hole in a
+    non-rectangular mosaic counts as uncovered, a hull bbox would not),
+    with :func:`target_pixel_span`'s exact pixel-center rule.  One
+    column-pruned metadata pass; result bounded by the grid cell count."""
+    import pyarrow as _pa
+
+    T = spec.tile_px
+
+    def cover(b: _pa.Table) -> _pa.Table:
+        cells: set[int] = set()
+        for cap_json, h, w in zip(b.column("caption").to_pylist(),
+                                  b.column("h").to_pylist(),
+                                  b.column("w").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            r0, r1, c0, c1 = target_pixel_span(
+                spec, cap.x0, cap.y0, int(h), int(w), cap.pixel_size)
+            if r0 > r1 or c0 > c1:
+                continue
+            for ty in range(r0 // T, r1 // T + 1):
+                for tx in range(c0 // T, c1 // T + 1):
+                    cells.add(int(spec.cell_id(tx, ty)))
+        return _pa.table({"cell_id": _pa.array(sorted(cells),
+                                               _pa.int64())})
+
+    parts = (tiles_ds.select_columns(["caption", "h", "w"])
+             .map_batches(cover, batch_format="pyarrow")
+             .take_all())
+    return np.unique(np.array([r["cell_id"] for r in parts],
+                              dtype=np.int64))
+
+
 def make_patch_emitter(spec: GridSpec):
     """Source tile rows -> nearest-neighbour patches keyed by target cell."""
     T, ps_t = spec.tile_px, spec.pixel_size
@@ -58,17 +111,10 @@ def make_patch_emitter(spec: GridSpec):
             sh, sw = src.shape
             ps_s = cap.pixel_size
             sx0, sy0 = cap.x0, cap.y0            # top-left corner
-            # global target pixel index ranges covered by this source tile
-            c_first, c_last = _target_index_range(sx0, sx0 + sw * ps_s, ps_t)
-            # y axis: row r center y = y_north - (r + 0.5) * ps_t, in
-            # (sy0 - sh*ps_s, sy0]
-            r_first = int(np.ceil((spec.y_north - sy0) / ps_t - 0.5))
-            r_last = int(np.floor(
-                (spec.y_north - (sy0 - sh * ps_s) - 1e-9) / ps_t - 0.5))
-            c_first = max(c_first, 0)
-            r_first = max(r_first, 0)
-            c_last = min(c_last, spec.tiles_x * T - 1)
-            r_last = min(r_last, spec.tiles_y * T - 1)
+            # global target pixel span covered by this source tile
+            # (shared with the completeness gate -- see target_pixel_span)
+            r_first, r_last, c_first, c_last = target_pixel_span(
+                spec, sx0, sy0, sh, sw, ps_s)
             if c_first > c_last or r_first > r_last:
                 continue
             for ty in range(r_first // T, r_last // T + 1):

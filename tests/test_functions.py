@@ -405,14 +405,18 @@ def test_kmv_distinct_error_bound(ray_session):
     rng = np.random.default_rng(3)
     vals = rng.integers(0, 50_000, size=200_000)
     exact = len(np.unique(vals))
-    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    # multi-block on purpose: duplicate hashes across blocks must merge
+    # distinct (the single-block version hid a collapse-to-tiny-estimate bug)
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(vals, pa.int64())})).repartition(8)
     k = 1024
     est = kmv_distinct(ds, "v", k=k).column("estimate")[0].as_py()
     assert abs(est - exact) / exact < 4.0 / np.sqrt(k)
 
     # fewer distincts than k -> exact answer
     small = ray.data.from_arrow(pa.table(
-        {"v": pa.array(rng.integers(0, 100, size=5_000), pa.int64())}))
+        {"v": pa.array(rng.integers(0, 100, size=5_000),
+                       pa.int64())})).repartition(6)
     est_small = kmv_distinct(small, "v", k=k).column("estimate")[0].as_py()
     assert est_small == len(np.unique(
         np.array(small.to_pandas()["v"])))
@@ -428,3 +432,31 @@ def test_kmv_distinct_string_column(ray_session):
     est = kmv_distinct(ray.data.from_arrow(tbl), "s",
                        k=256).column("estimate")[0].as_py()
     assert est == 37                      # below k -> exact
+
+
+def test_hash64_dup_pairs_skewed_bucket_blocked_verify(ray_session):
+    """3000 rows sharing one 16-bit chunk land in a single bucket: the
+    row-blocked popcount verify (peak memory capped) must still find
+    exactly the planted near pairs."""
+    import ray.data
+
+    n = 3000
+    hashes = [((i << 20) | 0x0ABC) for i in range(n)]
+    hashes[100] = hashes[7] ^ (1 << 40)           # hamming 1
+    hashes[2500] = hashes[2499] ^ (1 << 33) ^ (1 << 50)   # hamming 2
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hashes]
+    tbl = pa.table({"img_id": pa.array(range(n), pa.int64()),
+                    "h64": pa.array(signed, pa.int64())})
+    got = dedup.hash64_dup_pairs(ray.data.from_arrow(tbl),
+                                 id_col="img_id", hash_col="h64",
+                                 max_hamming=3).take_all()
+    expect = set()
+    for i in range(n):
+        for j in (7, 100, 2499, 2500):
+            if i < j and bin(hashes[i] ^ hashes[j]).count("1") <= 3:
+                expect.add((i, j))
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs >= {(7, 100), (2499, 2500)}
+    # no false positives: every reported pair is a true near pair
+    for a, b in pairs:
+        assert bin(hashes[a] ^ hashes[b]).count("1") <= 3

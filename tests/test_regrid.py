@@ -138,3 +138,46 @@ def test_bal_pipeline_partial_veg_coverage(ray_session):
         assert_array_equal(arr, exp.astype(np.float32)), (cap.tx, cap.ty)
     # exactly the covered half of the grid (tx 0..1), nothing east of it
     assert seen_cells == {(tx, ty) for tx in (0, 1) for ty in range(4)}
+
+
+def test_bal_pipeline_veg_mosaic_hole(ray_session):
+    """Non-rectangular veg coverage (a missing interior mosaic tile):
+    coverage comes from actual source captions, not the hull bbox, so
+    the hole's cells are pruned while every covered cell -- including
+    the hole's neighbours -- keeps exact whole-raster parity."""
+    import ray.data
+
+    dem_tiles = synth.tiles_table(CFG, layers=("dem",))
+    veg_tab = synth.tiles_table(CFG_VEG, layers=("veg",))
+    keep = [i for i, cap_json in enumerate(
+        veg_tab.column("caption").to_pylist())
+        if not (Caption.from_json(cap_json).tx == 1
+                and Caption.from_json(cap_json).ty == 1)]
+    veg_holed = veg_tab.take(keep)          # drop bottom-right veg tile
+
+    rows = bp.bal_pipeline(ray.data.from_arrow(dem_tiles), SPEC, fdi=80,
+                           veg_ds=ray.data.from_arrow(veg_holed)).take_all()
+
+    veg_full = nn_resampled_veg().astype(np.float64)
+    half_r, half_c = (CFG.world_px[0] // 2, CFG.world_px[1] // 2)
+    veg_full[half_r:, half_c:] = -99.0       # the hole
+
+    dem, _ = synth.global_arrays(CFG)
+    slope, aspect = slope_aspect(dem, 25.0, 25.0)
+    aspect_c = apply_remap(aspect, ASPECT_RECLASS).astype(np.float64)
+    slope_c = apply_remap(slope, slope_reclass()).astype(np.float64)
+    expected = compute_bal(veg_full, slope_c, aspect_c, 25.0, 80)
+
+    T = CFG.tile_px
+    seen = set()
+    for r in rows:
+        cap = Caption.from_json(r["caption"])
+        seen.add((cap.tx, cap.ty))
+        if cap.layer != "bal_max":
+            continue
+        arr = decode_tile(r["bytes"], r["fmt"], cap)
+        exp = expected["max"][cap.ty * T:(cap.ty + 1) * T,
+                              cap.tx * T:(cap.tx + 1) * T]
+        assert_array_equal(arr, exp.astype(np.float32))
+    hole = {(tx, ty) for tx in (2, 3) for ty in (2, 3)}
+    assert seen == {(tx, ty) for tx in range(4) for ty in range(4)} - hole
