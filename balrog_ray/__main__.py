@@ -117,6 +117,55 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """URL-manifest ingest (reference data_prep/images: download archive
+    per URL, unzip, ingest) -> partitioned image table, optionally
+    Hilbert-clustered for later bbox reads."""
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    from .sources import read_url_tiles, write_image_table
+
+    urls = [ln.strip() for ln in open(args.urls)
+            if ln.strip() and not ln.startswith("#")]
+    ds = read_url_tiles(urls)
+    grid = None
+    if args.cluster:
+        from .geo.cells import CellGrid
+
+        ds = ds.materialize()
+        spec = infer_grid_from_rows(ds)
+        grid = CellGrid(x0=0.0, y0=spec.y_north,
+                        cell_size=spec.tile_px * spec.pixel_size,
+                        nx=spec.tiles_x, ny=spec.tiles_y)
+    write_image_table(ds, args.out, cluster_grid=grid,
+                      keep_key=bool(grid))
+    print(json.dumps({"urls": len(urls), "out": args.out,
+                      "clustered": bool(grid)}))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
+def infer_grid_from_rows(ds):
+    """GridSpec from a Dataset's caption rows (ingest has no parquet
+    footer to read yet)."""
+    from .stages.halo import GridSpec
+    from .tiles.codec import Caption
+
+    rows = ds.select_columns(["caption", "w"]).take_all()
+    caps = [Caption.from_json(r["caption"]) for r in rows]
+    tiles_x = max(c.tx for c in caps) + 1
+    tiles_y = max(c.ty for c in caps) + 1
+    c0 = caps[0]
+    tile_px = int(rows[0]["w"])
+    return GridSpec(tiles_x, tiles_y, tile_px, c0.pixel_size,
+                    c0.y0 + c0.ty * tile_px * c0.pixel_size)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="balrog_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -150,6 +199,17 @@ def main(argv=None) -> int:
     s.add_argument("--tile-fmt", default="png", choices=("png", "npz", "npy"))
     s.add_argument("--num-cpus", type=int, default=8)
     s.set_defaults(fn=cmd_synth)
+
+    i = sub.add_parser("ingest", help="download+unzip URL-manifest "
+                                      "archives into an image table")
+    i.add_argument("--urls", required=True,
+                   help="text file: one archive URL per line")
+    i.add_argument("--out", required=True)
+    i.add_argument("--cluster", action="store_true",
+                   help="Hilbert-cluster the output (keeps the sort key "
+                        "for bbox predicate-pushdown reads)")
+    i.add_argument("--num-cpus", type=int, default=8)
+    i.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -27,3 +27,35 @@ def test_cli_synth_bal_resume(ray_session, tmp_path, capsys):
     assert main(["bal", "--tiles", tiles, "--out", out, "--resume"]) == 0
     r2 = json.loads(capsys.readouterr().out.strip())
     assert r2["cells_done"] == 1 and r2["cells_skipped_resume"] == 8
+
+
+def test_cli_ingest_roundtrip(ray_session, tmp_path):
+    """ingest: URL manifest -> clustered image table -> bal runs on it."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from balrog_ray.__main__ import main
+    from balrog_ray.sources import write_url_bundles
+    from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32, pixel_size=25.0)
+    tab = tiles_table(cfg)
+    urls = write_url_bundles(tab, str(tmp_path / "bundles"),
+                             tiles_per_zip=3)
+    manifest = tmp_path / "urls.txt"
+    manifest.write_text("\n".join(urls) + "\n")
+    out = tmp_path / "ingested"
+    rc = main(["ingest", "--urls", str(manifest), "--out", str(out),
+               "--cluster", "--num-cpus", "4"])
+    assert rc == 0
+
+    import pyarrow.dataset as pads
+    t = pads.dataset(str(out), format="parquet").to_table()
+    assert t.num_rows == tab.num_rows
+    assert "hilbert_key" in t.column_names
+
+    bal_out = tmp_path / "bal"
+    rc = main(["bal", "--tiles", str(out), "--out", str(bal_out),
+               "--num-cpus", "4"])
+    assert rc == 0
