@@ -166,6 +166,33 @@ def infer_grid_from_rows(ds):
                     c0.y0 + c0.ty * tile_px * c0.pixel_size)
 
 
+def cmd_pyramid(args) -> int:
+    """Overview pyramid build (reference BuildPyramidsandStatistics,
+    calculate_bal.py:89-91): one partition directory per level."""
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    from .sources import read_image_table
+    from .stages.overviews import write_overviews
+
+    spec = infer_grid(args.tiles)
+    ds = read_image_table(args.tiles)
+    t0 = time.time()
+    built = write_overviews(ds, spec, args.out, args.levels,
+                            fmt=args.fmt)
+    print(json.dumps({
+        "levels": [{"level": lv,
+                    "grid": f"{sp.tiles_x}x{sp.tiles_y}x{sp.tile_px}px"}
+                   for lv, sp in built],
+        "seconds": round(time.time() - t0, 2), "out": args.out}))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="balrog_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -210,6 +237,15 @@ def main(argv=None) -> int:
                         "for bbox predicate-pushdown reads)")
     i.add_argument("--num-cpus", type=int, default=8)
     i.set_defaults(fn=cmd_ingest)
+
+    y = sub.add_parser("pyramid", help="build 2x overview levels "
+                                       "(BuildPyramids analogue)")
+    y.add_argument("--tiles", required=True)
+    y.add_argument("--out", required=True)
+    y.add_argument("--levels", type=int, default=3)
+    y.add_argument("--fmt", default="npz")
+    y.add_argument("--num-cpus", type=int, default=8)
+    y.set_defaults(fn=cmd_pyramid)
 
     args = p.parse_args(argv)
     return args.fn(args)

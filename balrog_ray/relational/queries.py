@@ -639,6 +639,36 @@ group by user_id
 
 
 # --------------------------------------------------------------------------
+# 19d. interval (range) join: per click event, how many views the same user
+#      made in the preceding 24 h (the OTHER join shape Ray Data lacks ->
+#      time-band replication + one (key, band) shuffle, stages/range_join)
+
+def q_range_join_clicks(sf_dir: str):
+    from ..stages.range_join import interval_count_join
+
+    clicks = (_read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                       "event_type"])
+              .filter(expr="event_type == 'click'"))
+    views = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+             .filter(expr="event_type == 'view'"))
+    day_us = 24 * 3600 * 1_000_000
+    return interval_count_join(
+        clicks, views, probe_key="user_id", build_key="user_id",
+        probe_ts="ts", build_ts="ts", lo_us=-day_us, hi_us=0,
+        probe_id="event_id", out_col="n_views")
+
+
+SQL_RANGE_JOIN_CLICKS = """
+select c.event_id, count(v.ts) as n_views
+from events c left join events v
+  on v.user_id = c.user_id and v.event_type = 'view'
+ and v.ts >= c.ts - interval 24 hour and v.ts < c.ts
+where c.event_type = 'click'
+group by c.event_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 20. exact cosine-pair self-join (embedding near-dup, hash-verified twin of
 #     the LSH variant in functions/dedup.py)
 
@@ -1036,6 +1066,7 @@ SQL_CHECKED = {
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "hopping_window": (q_hopping_window, SQL_HOPPING_WINDOW),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join_clicks": (q_range_join_clicks, SQL_RANGE_JOIN_CLICKS),
     "cell_cover": (q_cell_cover, SQL_CELL_COVER),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "rank_orders": (q_rank_orders, SQL_RANK_ORDERS),

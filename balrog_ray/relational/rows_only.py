@@ -283,7 +283,58 @@ def q_phash_dup_tiles(sf_dir: str):
                             max_hamming=2)
 
 
+def q_tile_pyramid(sf_dir: str):
+    """Overview pyramid (SURVEY op 20 BuildPyramidsandStatistics): two
+    2x levels over the t1 world (mean for dem, majority for veg), reduced
+    to deterministic per-level/per-layer stats rows."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.overviews import build_overviews
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    levels = build_overviews(ray.data.from_arrow(tiles_table(cfg)),
+                             GridSpec.from_synth(cfg), levels=2)
+
+    def stats(batch: pa.Table, *, level: int) -> pa.Table:
+        rows = {}
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            n, vp, s = rows.get(cap.layer, (0, 0, 0.0))
+            rows[cap.layer] = (n + 1, vp + int(valid.sum()),
+                               s + float(arr[valid].sum()))
+        return pa.table({
+            "level": pa.array([level] * len(rows), pa.int64()),
+            "layer": list(rows),
+            "n_tiles": pa.array([v[0] for v in rows.values()], pa.int64()),
+            "valid_px": pa.array([v[1] for v in rows.values()], pa.int64()),
+            "px_sum": pa.array([round(v[2], 2) for v in rows.values()],
+                               pa.float64())})
+
+    import functools
+    import ray.data.aggregate as agg
+
+    parts = [ds.map_batches(functools.partial(stats, level=lv),
+                            batch_format="pyarrow")
+             for lv, _, ds in levels]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    return (merged.groupby(["level", "layer"])
+            .aggregate(agg.Sum("n_tiles", alias_name="n_tiles"),
+                       agg.Sum("valid_px", alias_name="valid_px"),
+                       agg.Sum("px_sum", alias_name="px_sum")))
+
+
 ROWS_ONLY = {
+    "tile_pyramid": q_tile_pyramid,
     "bal_band_histogram": q_bal_band_histogram,
     "bal_polygon_mask": q_bal_polygon_mask,
     "bal_offgrid_veg": q_bal_offgrid_veg,

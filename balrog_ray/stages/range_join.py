@@ -1,0 +1,192 @@
+"""Banded interval (range) join -- the second join shape Ray Data has no
+primitive for (alongside :mod:`.asof`).  For every probe row, match build
+rows with the same key whose timestamp falls in ``[probe_ts + lo,
+probe_ts + hi)``.
+
+The reference has no interval join (SURVEY §2.3 notes the gap); this is
+engine surface beyond it, with semantics pinned by a DuckDB range-predicate
+join oracle in relational/queries.py.
+
+Shape -- the standard time-bucket replication scheme:
+
+* band width ``W = hi - lo`` (the window length).  Every build row belongs
+  to exactly ONE band ``ts // W``; every probe row's window spans at most
+  TWO consecutive bands, so the probe side is replicated <=2x (tagged
+  union, same trick as the as-of join) and shuffled ONCE by
+  ``(key, band)``.
+* inside a group the build timestamps are sorted once and every probe row
+  is answered with two vectorized ``searchsorted`` calls.  A (probe,
+  build) pair can only meet in the build row's own band, so matches are
+  exactly-once by construction -- no dedup pass.
+* probe replicas emit a partial-count row even when zero build rows match,
+  so the final tiny ``groupby(id).sum`` preserves left-join zero counts
+  without a join-back against the probe table.
+
+At 10^12 scale the banded shuffle is the only payload-bearing all-to-all
+(volume <= probes x 2 + builds); the count merge moves two ints per probe
+replica.  Skew on a hot (key, band) is bounded by that bucket's own rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .asof import _ts_us
+
+
+def interval_count_join(probe_ds, build_ds, *, probe_key: str,
+                        build_key: str, probe_ts: str, build_ts: str,
+                        lo_us: int, hi_us: int, probe_id: str,
+                        out_col: str = "n_matches"):
+    """Left range-join count: one output row per probe row --
+    ``(probe_id, out_col)`` where ``out_col`` counts build rows with the
+    probe's key and ``build_ts`` in ``[probe_ts + lo_us, probe_ts +
+    hi_us)``.  Unmatched probe rows count 0 (left semantics)."""
+    lo_us, hi_us = int(lo_us), int(hi_us)
+    if hi_us <= lo_us:
+        raise ValueError("interval join needs hi_us > lo_us")
+    W = hi_us - lo_us
+    probe_schema = probe_ds.schema()
+    id_type = probe_schema.types[probe_schema.names.index(probe_id)]
+    key_type = probe_schema.types[probe_schema.names.index(probe_key)]
+
+    def norm_probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(probe_key)))
+        ts = _ts_us(b.column(probe_ts))
+        b0 = (ts + lo_us) // W
+        b1 = (ts + hi_us - 1) // W
+        two = b1 != b0
+        idx = np.concatenate([np.arange(len(ts)), np.flatnonzero(two)])
+        bands = np.concatenate([b0, b1[two]])
+        t = b.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "__key": t.column(probe_key).cast(key_type),
+            "__band": pa.array(bands, pa.int64()),
+            "__side": pa.array(np.zeros(len(bands), dtype=np.int8)),
+            "__ts": pa.array(np.concatenate([ts, ts[two]]), pa.int64()),
+            "__id": t.column(probe_id),
+        })
+
+    def norm_build(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(build_key)))
+        ts = _ts_us(b.column(build_ts))
+        return pa.table({
+            "__key": b.column(build_key).cast(key_type),
+            "__band": pa.array(ts // W, pa.int64()),
+            "__side": pa.array(np.ones(len(ts), dtype=np.int8)),
+            "__ts": pa.array(ts, pa.int64()),
+            "__id": pa.nulls(len(ts), id_type),
+        })
+
+    both = (probe_ds.map_batches(norm_probe, batch_format="pyarrow")
+            .union(build_ds.map_batches(norm_build,
+                                        batch_format="pyarrow")))
+
+    def count(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy()
+        ts = group.column("__ts").to_numpy()
+        is_p = side == 0
+        if not is_p.any():
+            return pa.table({"__id": pa.array([], id_type),
+                             "__n": pa.array([], pa.int64())})
+        p_ts = ts[is_p]
+        ids = group.column("__id").filter(pa.array(is_p))
+        b_ts = np.sort(ts[~is_p])
+        n = (np.searchsorted(b_ts, p_ts + hi_us, side="left")
+             - np.searchsorted(b_ts, p_ts + lo_us, side="left"))
+        return pa.table({"__id": ids,
+                         "__n": pa.array(n.astype(np.int64), pa.int64())})
+
+    import ray.data.aggregate as agg
+
+    out = (both.groupby(["__key", "__band"])
+           .map_groups(count, batch_format="pyarrow")
+           .groupby("__id")
+           .aggregate(agg.Sum("__n", alias_name=out_col)))
+    return out.rename_columns({"__id": probe_id})
+
+
+def interval_join_pairs(probe_ds, build_ds, *, probe_key: str,
+                        build_key: str, probe_ts: str, build_ts: str,
+                        lo_us: int, hi_us: int, probe_id: str,
+                        build_id: str):
+    """Inner range join emitting the matched ``(probe_id, build_id)``
+    pairs.  Same banded shuffle as :func:`interval_count_join`; pair
+    volume is the true join cardinality (no dedup needed -- a pair meets
+    only in the build row's band)."""
+    lo_us, hi_us = int(lo_us), int(hi_us)
+    if hi_us <= lo_us:
+        raise ValueError("interval join needs hi_us > lo_us")
+    W = hi_us - lo_us
+    probe_schema = probe_ds.schema()
+    build_schema = build_ds.schema()
+    pid_type = probe_schema.types[probe_schema.names.index(probe_id)]
+    bid_type = build_schema.types[build_schema.names.index(build_id)]
+    key_type = probe_schema.types[probe_schema.names.index(probe_key)]
+
+    def norm_probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(probe_key)))
+        ts = _ts_us(b.column(probe_ts))
+        b0 = (ts + lo_us) // W
+        b1 = (ts + hi_us - 1) // W
+        two = b1 != b0
+        idx = np.concatenate([np.arange(len(ts)), np.flatnonzero(two)])
+        bands = np.concatenate([b0, b1[two]])
+        t = b.take(pa.array(idx, pa.int64()))
+        return pa.table({
+            "__key": t.column(probe_key).cast(key_type),
+            "__band": pa.array(bands, pa.int64()),
+            "__side": pa.array(np.zeros(len(bands), dtype=np.int8)),
+            "__ts": pa.array(np.concatenate([ts, ts[two]]), pa.int64()),
+            "__pid": t.column(probe_id),
+            "__bid": pa.nulls(len(bands), bid_type),
+        })
+
+    def norm_build(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(build_key)))
+        ts = _ts_us(b.column(build_ts))
+        return pa.table({
+            "__key": b.column(build_key).cast(key_type),
+            "__band": pa.array(ts // W, pa.int64()),
+            "__side": pa.array(np.ones(len(ts), dtype=np.int8)),
+            "__ts": pa.array(ts, pa.int64()),
+            "__pid": pa.nulls(len(ts), pid_type),
+            "__bid": b.column(build_id),
+        })
+
+    both = (probe_ds.map_batches(norm_probe, batch_format="pyarrow")
+            .union(build_ds.map_batches(norm_build,
+                                        batch_format="pyarrow")))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy()
+        ts = group.column("__ts").to_numpy()
+        is_p = side == 0
+        empty = pa.table({"probe_id": pa.array([], pid_type),
+                          "build_id": pa.array([], bid_type)})
+        if not is_p.any() or is_p.all():
+            return empty
+        build = group.filter(pa.array(~is_p))
+        order = pc.sort_indices(build, sort_keys=[("__ts", "ascending")])
+        build = build.take(order)
+        b_ts = build.column("__ts").to_numpy()
+        p_ts = ts[is_p]
+        pids = group.column("__pid").filter(pa.array(is_p))
+        s = np.searchsorted(b_ts, p_ts + lo_us, side="left")
+        e = np.searchsorted(b_ts, p_ts + hi_us, side="left")
+        cnt = e - s
+        if not cnt.any():
+            return empty
+        p_idx = np.repeat(np.arange(len(p_ts)), cnt)
+        b_idx = np.concatenate(
+            [np.arange(a, b) for a, b in zip(s, e) if b > a])
+        return pa.table({
+            "probe_id": pids.take(pa.array(p_idx, pa.int64())),
+            "build_id": build.column("__bid").take(
+                pa.array(b_idx, pa.int64())),
+        }).rename_columns(["probe_id", "build_id"])
+
+    return (both.groupby(["__key", "__band"])
+            .map_groups(pairs, batch_format="pyarrow"))

@@ -59,3 +59,23 @@ def test_cli_ingest_roundtrip(ray_session, tmp_path):
     rc = main(["bal", "--tiles", str(out), "--out", str(bal_out),
                "--num-cpus", "4"])
     assert rc == 0
+
+
+def test_cli_pyramid(ray_session, tmp_path, capsys):
+    import json
+
+    from balrog_ray.__main__ import main
+
+    tiles = str(tmp_path / "tiles")
+    assert main(["synth", "--out", tiles, "--tiles-x", "4", "--tiles-y",
+                 "4", "--tile-px", "32", "--num-cpus", "4"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "pyr")
+    assert main(["pyramid", "--tiles", tiles, "--out", out,
+                 "--levels", "3", "--num-cpus", "4"]) == 0
+    r = json.loads(capsys.readouterr().out.strip())
+    # 4x4 -> 2x2 -> 1x1: the build stops once a level is a single tile
+    assert [lv["grid"] for lv in r["levels"]] == ["2x2x32px", "1x1x32px"]
+    import pyarrow.dataset as pads
+    assert pads.dataset(out + "/level=1",
+                        format="parquet").to_table().num_rows == 8
