@@ -79,3 +79,68 @@ def kmv_distinct(ds, col: str, k: int = 1024):
         est = int(round((k - 1) / t))
     return pa.table({"estimate": pa.array([est], pa.int64()),
                      "k": pa.array([np.int64(k)], pa.int64())})
+
+
+def histogram_quantiles(ds, col: str, qs, nbins: int = 4096):
+    """Approximate quantiles via a fixed-width histogram sketch -- the
+    continuous-domain sibling of :func:`kmv_distinct` (the reference has
+    no approx aggregates, SURVEY.md §2.3; the exact distributed quantile
+    lives in relational/queries.q_quantiles_by_flag).
+
+    Two streaming passes, each moving O(nbins) ints per block whatever
+    the input size: (1) global min/max aggregate; (2) per-batch partial
+    ``np.bincount`` into ``nbins`` fixed bins, merged by one tiny
+    ``groupby(bin).sum``.  The driver interpolates inside the target bin,
+    so the estimate is within one bin width ``(max-min)/nbins`` of the
+    exact quantile.  Deterministic: same input -> same estimate.
+
+    Returns a pyarrow Table ``(q: float64, estimate: float64)``.
+    """
+    import ray.data.aggregate as agg
+
+    qs = [float(q) for q in qs]
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    base = ds.select_columns([col])
+    stats = base.aggregate(agg.Min(col, alias_name="lo"),
+                           agg.Max(col, alias_name="hi"),
+                           agg.Count(alias_name="n"))
+    lo, hi, n = stats["lo"], stats["hi"], stats["n"]
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "estimate": pa.array([], pa.float64())})
+    lo, hi = float(lo), float(hi)
+    if hi == lo:
+        return pa.table({"q": pa.array(qs, pa.float64()),
+                         "estimate": pa.array([lo] * len(qs),
+                                              pa.float64())})
+    width = (hi - lo) / nbins
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, nbins - 1)
+        counts = np.bincount(idx, minlength=nbins)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "c": pa.array(counts[nz], pa.int64())})
+
+    rows = (base.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(agg.Sum("c", alias_name="c"))
+            .take_all())
+    hist = np.zeros(nbins, dtype=np.int64)
+    for r in rows:
+        hist[r["bin"]] = r["c"]
+    cum = np.cumsum(hist)
+    est = []
+    for q in qs:
+        rank = q * n
+        b = int(np.searchsorted(cum, max(rank, 1), side="left"))
+        prev = cum[b - 1] if b else 0
+        c = hist[b]
+        frac = (rank - prev) / c if c else 0.0
+        est.append(lo + (b + min(max(frac, 0.0), 1.0)) * width)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "estimate": pa.array(est, pa.float64())})

@@ -769,6 +769,56 @@ where ((o_orderkey * 2654435761) % 2147483647) % 100 < 5
 
 
 # --------------------------------------------------------------------------
+# 22b. stratified deterministic sample: k rows per group, chosen by a
+#      shared multiplicative hash so engine and oracle agree exactly.
+#      Scale shape: per-block partial top-k per group inside map_batches
+#      (each block emits <= k rows per group it sees), then a tiny
+#      groupby(group).map_groups final top-k -- the partial/final pattern;
+#      no task ever holds a whole stratum.
+
+def q_stratified_sample(sf_dir: str, k: int = 8):
+    def partial(b: pa.Table) -> pa.Table:
+        status = np.asarray(b.column("o_orderstatus").to_pylist())
+        ok = b.column("o_orderkey").to_numpy()
+        h = (ok * 2654435761) % 2147483647
+        out_s, out_k, out_h = [], [], []
+        for s in np.unique(status):
+            m = status == s
+            order = np.lexsort((ok[m], h[m]))[:k]
+            out_s.extend([s] * len(order))
+            out_k.append(ok[m][order])
+            out_h.append(h[m][order])
+        return pa.table({
+            "o_orderstatus": pa.array(out_s, pa.string()),
+            "o_orderkey": pa.array(np.concatenate(out_k) if out_k
+                                   else np.array([], np.int64), pa.int64()),
+            "h": pa.array(np.concatenate(out_h) if out_h
+                          else np.array([], np.int64), pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        ok = g.column("o_orderkey").to_numpy()
+        h = g.column("h").to_numpy()
+        order = np.lexsort((ok, h))[:k]
+        return pa.table({
+            "o_orderstatus": g.column("o_orderstatus").take(
+                pa.array(order, pa.int64())),
+            "o_orderkey": pa.array(ok[order], pa.int64())})
+
+    return (_read(sf_dir, "orders", ["o_orderstatus", "o_orderkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .map_groups(final, batch_format="pyarrow"))
+
+
+SQL_STRATIFIED_SAMPLE = """
+select o_orderstatus, o_orderkey from orders
+qualify row_number() over (
+  partition by o_orderstatus
+  order by (o_orderkey * 2654435761) % 2147483647, o_orderkey) <= 8
+"""
+
+
+# --------------------------------------------------------------------------
 # 23. window rank: row_number per partition (top-N per key with exact ties)
 
 def q_rank_orders(sf_dir: str):
@@ -1069,6 +1119,7 @@ SQL_CHECKED = {
     "range_join_clicks": (q_range_join_clicks, SQL_RANGE_JOIN_CLICKS),
     "cell_cover": (q_cell_cover, SQL_CELL_COVER),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "rank_orders": (q_rank_orders, SQL_RANK_ORDERS),
     "moving_max": (q_moving_max, SQL_MOVING_MAX),
     "quantiles_by_flag": (q_quantiles_by_flag, SQL_QUANTILES_BY_FLAG),

@@ -267,6 +267,21 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(ds, "l_partkey", k=1024)
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Histogram-sketch quantiles over lineitem.l_extendedprice -- the
+    fixed-size-partial approx aggregate for continuous domains (exact
+    twin: SQL-checked ``quantiles_by_flag``).  Deterministic; the pytest
+    asserts the one-bin-width error bound against np.quantile."""
+    import ray.data
+
+    from ..functions.sketch import histogram_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    return histogram_quantiles(ds, "l_extendedprice",
+                               qs=(0.25, 0.5, 0.75, 0.95), nbins=2048)
+
+
 def q_phash_dup_tiles(sf_dir: str):
     """Image near-dedup over the tile table: perceptual-hash (phash)
     pigeonhole buckets + exact Hamming verify -- the image-side analogue
@@ -350,6 +365,7 @@ ROWS_ONLY = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
+    "approx_quantiles": q_approx_quantiles,
     "embedding_dups": q_embedding_dups,
     "ivf_ann": q_ivf_ann,
     "veg_prep": q_veg_prep,

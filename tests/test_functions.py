@@ -460,3 +460,56 @@ def test_hash64_dup_pairs_skewed_bucket_blocked_verify(ray_session):
     # no false positives: every reported pair is a true near pair
     for a, b in pairs:
         assert bin(hashes[a] ^ hashes[b]).count("1") <= 3
+
+
+def test_histogram_quantiles_error_bound(ray_session):
+    """Histogram-sketch quantile within one bin width of np.quantile,
+    across multiple blocks, plus the degenerate constant/empty cases."""
+    import ray.data
+
+    from balrog_ray.functions.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(mean=3.0, sigma=1.0, size=100_000)
+    ds = ray.data.from_arrow(pa.table(
+        {"v": pa.array(vals, pa.float64())})).repartition(7)
+    nbins = 2048
+    qs = (0.1, 0.25, 0.5, 0.9, 0.99)
+    out = histogram_quantiles(ds, "v", qs=qs, nbins=nbins)
+    width = (vals.max() - vals.min()) / nbins
+    for q, est in zip(out.column("q").to_pylist(),
+                      out.column("estimate").to_pylist()):
+        assert abs(est - np.quantile(vals, q)) <= width + 1e-9
+
+    const = ray.data.from_arrow(pa.table(
+        {"v": pa.array([5.0] * 100, pa.float64())}))
+    out = histogram_quantiles(const, "v", qs=(0.0, 0.5, 1.0))
+    assert out.column("estimate").to_pylist() == [5.0, 5.0, 5.0]
+
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert histogram_quantiles(empty, "v", qs=(0.5,)).num_rows == 0
+
+    with pytest.raises(ValueError):
+        histogram_quantiles(const, "v", qs=(1.5,))
+
+
+def test_stratified_sample_matches_oracle_per_group(ray_session):
+    """q_stratified_sample: exactly k rows per stratum, and the chosen
+    keys equal the k smallest by the shared multiplicative hash --
+    the same rule the SQL oracle's row_number() applies."""
+    import duckdb
+
+    from balrog_ray.relational.queries import (SQL_STRATIFIED_SAMPLE,
+                                               q_stratified_sample)
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = q_stratified_sample(sf_dir).take_all()
+    con = duckdb.connect()
+    con.execute(f"create view orders as select * from "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    want = con.execute(SQL_STRATIFIED_SAMPLE).fetchall()
+    got_set = {(r["o_orderstatus"], r["o_orderkey"]) for r in got}
+    assert got_set == set(want)
+    from collections import Counter
+    per = Counter(s for s, _ in got_set)
+    assert all(v == 8 for v in per.values())
