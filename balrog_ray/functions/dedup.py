@@ -397,6 +397,97 @@ def simhash_pairs(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     return hash64_dup_pairs(hashed, id_col, "simhash", max_hamming)
 
 
+# ------------------------------------------------ exact n-gram Jaccard
+
+def ngram_jaccard_pairs(docs_ds, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_df: int | None = None):
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index
+    (the non-approximate sibling of :func:`minhash_lsh_pairs`).
+
+    Shape: per-doc distinct word n-gram shingles fan out as
+    ``(shingle, id, ns)`` rows; ONE shuffle keyed by shingle builds the
+    inverted index; each shingle's posting list expands to its
+    co-occurring id pairs (cost sum(df^2), bounded per shingle); a tiny
+    ``groupby(pair)`` count gives the intersection size, and
+    ``|A inter B| / (|A| + |B| - |A inter B|)`` is exact -- no candidate
+    can be missed because any pair above ``threshold > 0`` shares at
+    least one shingle.  No doc text moves after stage 1 and no task ever
+    holds more than one posting list.
+
+    ``max_df`` (off by default, keeping the operator exact) drops
+    stopword-shingles with document frequency above the cap before pair
+    expansion -- the standard guard against the df^2 blowup on hot
+    shingles at corpus scale; dropped shingles can only lower recall for
+    pairs whose ONLY shared shingles are hot ones.
+
+    Returns a Dataset of (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    import ray.data.aggregate as agg
+
+    schema = docs_ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+
+    def shingle_rows(b: pa.Table) -> pa.Table:
+        ids, out_s, out_ns = [], [], []
+        idv = b.column(id_col).to_pylist()
+        for i, t in enumerate(b.column(text_col).to_pylist()):
+            words = t.split(" ")
+            sh = {" ".join(words[j:j + n])
+                  for j in range(len(words) - n + 1)}
+            out_s.extend(sh)
+            ids.extend([idv[i]] * len(sh))
+            out_ns.extend([len(sh)] * len(sh))
+        return pa.table({"s": pa.array(out_s, pa.string()),
+                         "_id": pa.array(ids, id_type),
+                         "ns": pa.array(out_ns, pa.int64())})
+
+    def expand_postings(g: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type),
+                          "na": pa.array([], pa.int64()),
+                          "nb": pa.array([], pa.int64())})
+        m = g.num_rows
+        if m < 2 or (max_df is not None and m > max_df):
+            return empty
+        ids = g.column("_id").to_numpy(zero_copy_only=False)
+        ns = g.column("ns").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        ia, ib = np.triu_indices(m, k=1)
+        return pa.table({"id_a": pa.array(ids[ia], id_type),
+                         "id_b": pa.array(ids[ib], id_type),
+                         "na": pa.array(ns[ia], pa.int64()),
+                         "nb": pa.array(ns[ib], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], id_type),
+                          "id_b": pa.array([], id_type),
+                          "jaccard": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        shared = b.column("shared").to_numpy().astype(np.float64)
+        na = b.column("na").to_numpy().astype(np.float64)
+        nb = b.column("nb").to_numpy().astype(np.float64)
+        jac = shared / (na + nb - shared)
+        keep = np.flatnonzero(jac >= threshold)
+        return pa.table({
+            "id_a": b.column("id_a").take(pa.array(keep, pa.int64())),
+            "id_b": b.column("id_b").take(pa.array(keep, pa.int64())),
+            "jaccard": pa.array(jac[keep], pa.float64())})
+
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(shingle_rows, batch_format="pyarrow")
+            .groupby("s")
+            .map_groups(expand_postings, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(agg.Count(alias_name="shared"),
+                       agg.Min("na", alias_name="na"),
+                       agg.Min("nb", alias_name="nb"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
 # --------------------------------------------------- embedding near-dup
 
 def cosine_pairs_exact(emb_ds, id_col: str = "vec_id",

@@ -246,6 +246,43 @@ from documents group by text
 
 
 # --------------------------------------------------------------------------
+# 6b. exact n-gram Jaccard near-dup pairs (the non-approximate sibling of
+#     minhash_pairs_docs, SQL-checkable end to end): shingle inverted
+#     index -> per-shingle pair expansion -> pair-count = |A inter B|.
+
+def q_ngram_jaccard_docs(sf_dir: str):
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD_DOCS = """
+with w as (
+  select doc_id, string_split(text, ' ') as words from documents
+),
+sh as (
+  select distinct doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] as s
+  from w, unnest(range(1, len(words) - 1)) as t(i)
+),
+n as (select doc_id, count(*) as ns from sh group by doc_id),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+  from sh a join sh b using (s)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+)
+select id_a, id_b,
+       shared / (na.ns + nb.ns - shared)::double as jaccard
+from p
+join n na on na.doc_id = p.id_a
+join n nb on nb.doc_id = p.id_b
+where shared / (na.ns + nb.ns - shared)::double >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
 # 7. distinct count per group
 
 def q_distinct_customers(sf_dir: str):
@@ -1098,6 +1135,7 @@ SQL_CHECKED = {
     "cell_assignment": (q_cell_assignment, SQL_CELL_ASSIGNMENT),
     "knn_min_dist": (q_knn_min_dist, SQL_KNN_MIN_DIST),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "ngram_jaccard_docs": (q_ngram_jaccard_docs, SQL_NGRAM_JACCARD_DOCS),
     "distinct_customers": (q_distinct_customers, SQL_DISTINCT_CUSTOMERS),
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

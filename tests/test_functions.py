@@ -513,3 +513,48 @@ def test_stratified_sample_matches_oracle_per_group(ray_session):
     from collections import Counter
     per = Counter(s for s, _ in got_set)
     assert all(v == 8 for v in per.values())
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """ngram_jaccard_pairs finds EXACTLY the pairs a brute-force
+    all-pairs Jaccard finds -- no approximation -- and max_df only
+    drops pairs, never invents them."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(40)]
+    texts[10] = texts[3]                                   # exact dup
+    near = texts[7].split(" ")
+    near[5] = "zz"                                         # near dup
+    texts[20] = " ".join(near)
+    texts[30] = "a b"                                      # < n words
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    def shset(t, n=3):
+        w = t.split(" ")
+        return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+
+    thr = 0.5
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shset(texts[a]), shset(texts[b])
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= thr:
+                expect[(a, b)] = inter / (len(sa) + len(sb) - inter)
+
+    got = dedup.ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl).repartition(4),
+        threshold=thr).take_all()
+    got_map = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert set(got_map) == set(expect)
+    assert (3, 10) in got_map and got_map[(3, 10)] == 1.0
+    assert (7, 20) in got_map
+    for k, v in expect.items():
+        assert abs(got_map[k] - v) < 1e-12
+
+    capped = dedup.ngram_jaccard_pairs(
+        ray.data.from_arrow(tbl), threshold=thr, max_df=2).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in capped} <= set(expect)
