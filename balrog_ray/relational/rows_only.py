@@ -210,6 +210,35 @@ def q_embedding_dups(sf_dir: str):
                                n_bands=8)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table -> per-cluster
+    row counts.  Broadcast-centroid partial/final aggregate; deterministic
+    (seeded k-means++ on a hash sample, fixed-order combine)."""
+    import ray.data
+    import ray.data.aggregate as agg
+
+    from ..functions.cluster import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, 8, iters=8, sample_size=512)
+    return (kmeans_assign(ds, cents)
+            .groupby("cluster_id").aggregate(agg.Count(alias_name="n")))
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means partition then exact within-cluster cosine pairs
+    -- recall-limited subset of the SQL-checked exact ``cosine_pairs``
+    oracle (subset relation asserted in test_cluster.py)."""
+    import ray.data
+
+    from ..functions.cluster import semantic_dedup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return semantic_dedup_pairs(ds, k=8, threshold=0.45, sample_size=512)
+
+
 def q_veg_prep(sf_dir: str):
     """Gen-2 data-prep flow: explode multipolygons -> NVIS classify ->
     subdivide -> per-class partial/final roll-up (ops 29-33)."""
@@ -367,6 +396,8 @@ ROWS_ONLY = {
     "kmv_distinct": q_kmv_distinct,
     "approx_quantiles": q_approx_quantiles,
     "embedding_dups": q_embedding_dups,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "semantic_dedup": q_semantic_dedup,
     "ivf_ann": q_ivf_ann,
     "veg_prep": q_veg_prep,
     "veg_class_union": q_veg_class_union,
