@@ -34,6 +34,44 @@ def _agg():
     return agg
 
 
+def _partial_count_sums(ds, key: str, sum_cols: dict[str, str],
+                        count_alias: str | None = None):
+    """Low-cardinality groupby pushed partial: each batch collapses to
+    <= n_distinct(key) rows (count + integer-exact sums per key) via an
+    in-batch Arrow group_by, so the trailing shuffle moves O(batches*keys)
+    tiny rows instead of the full table -- the combiner-before-groupby
+    shape the 100 TB bar requires (and the same partial/final pattern as
+    the reference's chunked union, 04_merge_geometries.py:129-205).
+
+    ``sum_cols`` maps input column -> output alias.  Summed columns keep
+    their input arithmetic type (int sums stay int64 when cast upstream).
+    """
+    names = ([count_alias] if count_alias else []) + list(sum_cols.values())
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            cols = {key: b.column(key)}
+            if count_alias:
+                cols[count_alias] = pa.array([], pa.int64())
+            for c, alias in sum_cols.items():
+                cols[alias] = b.column(c)
+            return pa.table(cols)
+        aggs = ([([], "count_all")] if count_alias else []) + \
+            [(c, "sum") for c in sum_cols]
+        g = b.group_by(key).aggregate(aggs)
+        out = {key: g.column(key)}
+        if count_alias:
+            out[count_alias] = g.column("count_all")
+        for c, alias in sum_cols.items():
+            out[alias] = g.column(f"{c}_sum")
+        return pa.table(out)
+
+    a = _agg()
+    finals = [a.Sum(n, alias_name=n) for n in names]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key).aggregate(*finals))
+
+
 # --------------------------------------------------------------------------
 # 1. reclassify: range-remap DSL over a numeric column (SURVEY op 3)
 
@@ -464,10 +502,9 @@ def q_join_orders_lineitem(sf_dir: str):
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     joined = orders.join(lineitem, "inner", num_partitions=8,
                          on=("o_orderkey",), right_on=("l_orderkey",))
-    a = _agg()
-    return (joined.groupby("o_orderstatus")
-            .aggregate(a.Count(alias_name="n_items"),
-                       a.Sum("l_quantity", alias_name="sum_qty")))
+    return _partial_count_sums(joined, "o_orderstatus",
+                               {"l_quantity": "sum_qty"},
+                               count_alias="n_items")
 
 
 SQL_JOIN_ORDERS_LINEITEM = """
@@ -487,11 +524,10 @@ def q_customers_without_orders(sf_dir: str):
     orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
               .filter(expr="o_orderstatus == 'F'")
               .select_columns(["o_custkey"]))
-    a = _agg()
-    return (customer.join(orders, "left_anti", num_partitions=8,
-                          on=("c_custkey",), right_on=("o_custkey",))
-            .groupby("c_nationkey")
-            .aggregate(a.Count(alias_name="n_customers")))
+    joined = customer.join(orders, "left_anti", num_partitions=8,
+                           on=("c_custkey",), right_on=("o_custkey",))
+    return _partial_count_sums(joined, "c_nationkey", {},
+                               count_alias="n_customers")
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """
