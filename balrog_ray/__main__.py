@@ -19,6 +19,11 @@ grid/resolution, nearest-neighbour resampled onto the DEM grid
 
 from __future__ import annotations
 
+import os
+
+# single-threaded BLAS before numpy loads (see bench.py rationale)
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
 import argparse
 import json
 import sys

@@ -136,3 +136,86 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     counts = pc.list_value_length(
         pc.split_pattern(batch.column(text_col), " "))
     return batch.append_column("n_tokens", pc.cast(counts, pa.int64()))
+
+
+def term_freq_batch(batch: pa.Table, *, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Explode single-space tokens and count per (doc, token) -- each doc
+    lives wholly in one row, so per-doc term frequency is exact within the
+    batch (no shuffle).  Emits (id_col, token, tf:int64)."""
+    toks = pc.split_pattern(batch.column(text_col), " ")
+    parent = pc.list_parent_indices(toks)
+    exploded = pa.table({
+        id_col: batch.column(id_col).take(parent),
+        "token": pc.list_flatten(toks)})
+    g = exploded.group_by([id_col, "token"]).aggregate([([], "count_all")])
+    return g.rename_columns([id_col, "token", "tf"])
+
+
+def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    max_df_frac: float = 1.0):
+    """Per-document top-``k`` TF-IDF terms.
+
+    One keyed shuffle total: document frequency is a hash aggregate over
+    the (doc, token) tf rows (count per token == df exactly, since tf rows
+    are distinct per doc).  The vocab-sized df table is broadcast once
+    (``ray.put`` of a sorted token array + df array; ``max_df_frac`` < 1
+    drops stopword-scale tokens and bounds the broadcast — at open-web
+    vocab scale swap the broadcast for a ``Dataset.join`` on token, the
+    rest is unchanged).  Scoring and the per-doc top-k are then a single
+    stateless ``map_batches``: every doc's tf rows were emitted by the
+    batch that held the doc, so the per-doc top-k never crosses a block
+    boundary — no second shuffle, no per-group Python.
+
+    Tie-break: (score desc, token asc), deterministic.  The reference has
+    no text scoring; this completes the SURVEY §2.3 training-data text
+    family (tokens/fingerprints -> relevance scoring).
+    """
+    import functools
+
+    import ray
+    import ray.data.aggregate as agg
+
+    n_docs = docs_ds.count()
+    tf = docs_ds.map_batches(
+        functools.partial(term_freq_batch, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow").materialize()
+
+    df_rows = tf.groupby("token").aggregate(
+        agg.Count(alias_name="df")).take_all()
+    vocab = np.asarray([r["token"] for r in df_rows])
+    dfs = np.asarray([r["df"] for r in df_rows], dtype=np.float64)
+    order = np.argsort(vocab)
+    vocab, dfs = vocab[order], dfs[order]
+    keep = dfs <= max_df_frac * n_docs
+    idf_ref = ray.put((vocab, np.where(keep, np.log(n_docs / dfs), np.nan)))
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: batch.column(id_col).slice(0, 0),
+                          "token": pa.array([], pa.string()),
+                          "tfidf": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        voc, idf = ray.get(idf_ref)
+        toks = np.asarray(batch.column("token").to_pylist())
+        scores = (batch.column("tf").to_numpy().astype(np.float64)
+                  * idf[np.searchsorted(voc, toks)])
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(scores)              # dropped stopword-scale tokens
+        if not ok.all():
+            ids, toks, scores = ids[ok], toks[ok], scores[ok]
+        if not len(ids):
+            return empty
+        srt = np.lexsort((toks, -scores, ids))
+        ids, toks, scores = ids[srt], toks[srt], scores[srt]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        ends = np.r_[starts[1:], len(ids)]
+        pick = np.concatenate([np.arange(s, min(s + k, e))
+                               for s, e in zip(starts, ends)])
+        return pa.table({
+            id_col: pa.array(ids[pick]).cast(batch.schema.field(id_col).type),
+            "token": pa.array(toks[pick].tolist(), pa.string()),
+            "tfidf": pa.array(np.round(scores[pick], 6), pa.float64())})
+
+    return tf.map_batches(score_topk, batch_format="pyarrow")

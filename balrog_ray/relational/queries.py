@@ -1163,6 +1163,39 @@ from orders group by o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# 35. TF-IDF relevance scoring (inverted-index posting-list shuffle)
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms; posting-list groupby(token) computes
+    exact df + idf, per-doc top-k with (score desc, token asc) tie-break."""
+    from ..functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           k=3)
+
+
+SQL_TFIDF_TERMS = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as token from documents
+),
+tf as (select doc_id, token, count(*) as tf from tok group by 1, 2),
+df as (select token, count(distinct doc_id) as df from tok group by 1),
+n as (select count(*) as n from documents),
+ranked as (
+  select tf.doc_id, tf.token,
+         tf.tf * ln(n.n::double / df.df) as score,
+         row_number() over (
+           partition by tf.doc_id
+           order by tf.tf * ln(n.n::double / df.df) desc, tf.token)
+           as rk
+  from tf join df using (token) cross join n
+)
+select doc_id, token, round(score, 6) as tfidf
+from ranked where rk <= 3
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1201,4 +1234,5 @@ SQL_CHECKED = {
     "status_intersect": (q_status_intersect, SQL_STATUS_INTERSECT),
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "pivot_priority": (q_pivot_priority, SQL_PIVOT_PRIORITY),
+    "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
 }

@@ -27,6 +27,14 @@ from __future__ import annotations
 
 import json
 import os
+
+# Before numpy loads: this host's pthreads OpenBLAS (MAX_THREADS=2,
+# ignores OMP_NUM_THREADS) pays a measured 0.8-6 s spin-up on the FIRST
+# dgemm of every process when threaded; single-threaded BLAS is what we
+# want under Ray's process-level parallelism anyway.  Set here so every
+# Ray worker inherits it via ray.init.
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
 import shutil
 import subprocess
 import sys

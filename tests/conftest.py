@@ -1,6 +1,10 @@
 import os
 import sys
 
+# before numpy loads: threaded OpenBLAS costs 0.8-6 s on each process's
+# first dgemm on this host; Ray workers inherit the var via ray.init
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -3,6 +3,11 @@ entry and compare against oracle_sql() via DuckDB (row count + schema +
 order-insensitive values).  Usage: python tools/check_oracle.py [sf_dir]
 """
 
+import os
+
+# single-threaded BLAS before numpy loads (see bench.py rationale)
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+
 import sys
 import time
 
