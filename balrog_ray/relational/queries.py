@@ -34,8 +34,9 @@ def _agg():
     return agg
 
 
-def _partial_count_sums(ds, key: str, sum_cols: dict[str, str],
-                        count_alias: str | None = None):
+def _partial_count_sums(ds, key: str | list[str], sum_cols: dict[str, str],
+                        count_alias: str | None = None,
+                        max_cols: dict[str, str] | None = None):
     """Low-cardinality groupby pushed partial: each batch collapses to
     <= n_distinct(key) rows (count + integer-exact sums per key) via an
     in-batch Arrow group_by, so the trailing shuffle moves O(batches*keys)
@@ -46,30 +47,40 @@ def _partial_count_sums(ds, key: str, sum_cols: dict[str, str],
     ``sum_cols`` maps input column -> output alias.  Summed columns keep
     their input arithmetic type (int sums stay int64 when cast upstream).
     """
-    names = ([count_alias] if count_alias else []) + list(sum_cols.values())
+    keys = [key] if isinstance(key, str) else list(key)
+    max_cols = max_cols or {}
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            cols = {key: b.column(key)}
+            cols = {k: b.column(k) for k in keys}
             if count_alias:
                 cols[count_alias] = pa.array([], pa.int64())
             for c, alias in sum_cols.items():
                 cols[alias] = b.column(c)
+            for c, alias in max_cols.items():
+                cols[alias] = b.column(c)
             return pa.table(cols)
         aggs = ([([], "count_all")] if count_alias else []) + \
-            [(c, "sum") for c in sum_cols]
-        g = b.group_by(key).aggregate(aggs)
-        out = {key: g.column(key)}
+            [(c, "sum") for c in sum_cols] + \
+            [(c, "max") for c in max_cols]
+        g = b.group_by(keys).aggregate(aggs)
+        out = {k: g.column(k) for k in keys}
         if count_alias:
             out[count_alias] = g.column("count_all")
         for c, alias in sum_cols.items():
             out[alias] = g.column(f"{c}_sum")
+        for c, alias in max_cols.items():
+            out[alias] = g.column(f"{c}_max")
         return pa.table(out)
 
     a = _agg()
-    finals = [a.Sum(n, alias_name=n) for n in names]
+    finals = ([a.Sum(count_alias, alias_name=count_alias)]
+              if count_alias else []) + \
+        [a.Sum(n, alias_name=n) for n in sum_cols.values()] + \
+        [a.Max(n, alias_name=n) for n in max_cols.values()]
     return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key).aggregate(*finals))
+            .groupby(keys if len(keys) > 1 else keys[0])
+            .aggregate(*finals))
 
 
 # --------------------------------------------------------------------------
@@ -86,11 +97,10 @@ def q_reclassify_bins(sf_dir: str):
                           out_dtype=np.int64)
         return pa.table({"qty_class": pa.array(cls, pa.int64())})
 
-    a = _agg()
-    return (_read(sf_dir, "lineitem", ["l_quantity"])
-            .map_batches(remap_batch, batch_format="pyarrow")
-            .groupby("qty_class")
-            .aggregate(a.Count(alias_name="n")))
+    return _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(remap_batch, batch_format="pyarrow"),
+        "qty_class", {}, count_alias="n")
 
 
 SQL_RECLASSIFY = """
@@ -152,10 +162,9 @@ def q_zonal_group_stats(sf_dir: str):
     table, bounded by #groups x #distinct values (l_quantity is a small
     discrete domain; a continuous column would use a fixed-width histogram
     + refine pass instead)."""
-    a = _agg()
-    vc = (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-          .groupby(["l_returnflag", "l_quantity"])
-          .aggregate(a.Count(alias_name="vn")))
+    vc = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {}, count_alias="vn")
     import ray
 
     tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
@@ -406,12 +415,11 @@ def q_tumbling_window(sf_dir: str):
         return pa.table({"hour": hour, "event_type": b.column("event_type"),
                          "value": b.column("value")})
 
-    a = _agg()
-    return (_read(sf_dir, "events", ["ts", "event_type", "value"])
-            .map_batches(trunc, batch_format="pyarrow")
-            .groupby(["hour", "event_type"])
-            .aggregate(a.Count(alias_name="n"),
-                       a.Max("value", alias_name="max_value")))
+    return _partial_count_sums(
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(trunc, batch_format="pyarrow"),
+        ["hour", "event_type"], {}, count_alias="n",
+        max_cols={"value": "max_value"})
 
 
 SQL_TUMBLING_WINDOW = """
@@ -566,13 +574,12 @@ from lineitem
 def q_token_stats_by_lang(sf_dir: str):
     from ..functions.text import token_count_batch
 
-    a = _agg()
-    return (_read(sf_dir, "documents", ["lang", "text"])
-            .map_batches(lambda b: token_count_batch(b).drop_columns(["text"]),
-                         batch_format="pyarrow")
-            .groupby("lang")
-            .aggregate(a.Sum("n_tokens", alias_name="sum_tokens"),
-                       a.Count(alias_name="n_docs")))
+    return _partial_count_sums(
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(lambda b: token_count_batch(b).drop_columns(["text"]),
+                     batch_format="pyarrow"),
+        "lang", {"n_tokens": "sum_tokens"}, count_alias="n_docs"
+    ).select_columns(["lang", "sum_tokens", "n_docs"])
 
 
 SQL_TOKEN_STATS_BY_LANG = """
@@ -983,10 +990,9 @@ from events
 #     (group x distinct-value) count table
 
 def q_quantiles_by_flag(sf_dir: str):
-    a = _agg()
-    vc = (_read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
-          .groupby(["l_returnflag", "l_quantity"])
-          .aggregate(a.Count(alias_name="vn")))
+    vc = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {}, count_alias="vn")
     import ray
 
     tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
@@ -1030,10 +1036,10 @@ from lineitem group by l_returnflag
 
 def q_rollup_counts(sf_dir: str):
     a = _agg()
-    base = (_read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(a.Count(alias_name="n"))
-            .materialize())               # <= (#flags x #statuses) rows
+    base = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+        ["l_returnflag", "l_linestatus"], {}, count_alias="n"
+    ).materialize()                       # <= (#flags x #statuses) rows
 
     def lvl0(b: pa.Table) -> pa.Table:
         return pa.table({"rf": b.column("l_returnflag"),
