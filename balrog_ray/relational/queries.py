@@ -1202,6 +1202,286 @@ from ranked where rk <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# 36. CDC-style compaction: latest record per key.  The keep-newest-version
+#     shape every incremental ingest needs (reference analogue: the
+#     re-list-and-skip restart helpers, nsw_dcs/03_...py:107-122, which keep
+#     only the newest intermediate per tile).  Per-batch partial compaction
+#     (vectorized lexsort keep-last per key) bounds the shuffle at <= 1 row
+#     per (batch, key); the final per-key pick sees compacted rows only.
+
+def q_latest_event(sf_dir: str):
+    def partial_last(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        u = b.column("user_id").to_numpy()
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        eid = b.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        last = np.ones(len(u_s), dtype=bool)
+        last[:-1] = u_s[1:] != u_s[:-1]
+        return b.take(pa.array(np.sort(order[last])))
+
+    def pick(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[
+            ("ts", "descending"), ("event_id", "descending")])
+        g2 = g.take(order[:1])
+        return pa.table({"user_id": g2.column("user_id"),
+                         "event_id": g2.column("event_id"),
+                         "ts": g2.column("ts"),
+                         "value": g2.column("value")})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+            .map_batches(partial_last, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(pick, batch_format="pyarrow"))
+
+
+SQL_LATEST_EVENT = """
+select user_id, event_id, ts, value from events
+qualify row_number() over (partition by user_id
+                           order by ts desc, event_id desc) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 37. mode per group (most frequent value, smallest-value tie-break):
+#     same composite-key pushed-partial count table as the quantile op --
+#     the driver only ever sees (#groups x #distinct values) rows
+
+def q_mode_per_flag(sf_dir: str):
+    vc = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {}, count_alias="vn")
+    import ray
+
+    tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
+    tab = pa.concat_tables(tabs)
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    vals = tab.column("l_quantity").to_numpy()
+    cnts = tab.column("vn").to_numpy()
+    out_f, out_v, out_n = [], [], []
+    for flag in sorted(set(flags.tolist())):
+        sel = flags == flag
+        v, c = vals[sel], cnts[sel]
+        top = np.lexsort((v, -c))[0]
+        out_f.append(flag)
+        out_v.append(float(v[top]))
+        out_n.append(int(c[top]))
+    return pa.table({"l_returnflag": pa.array(out_f, pa.string()),
+                     "mode_qty": pa.array(out_v, pa.float64()),
+                     "n": pa.array(out_n, pa.int64())})
+
+
+SQL_MODE_PER_FLAG = """
+select l_returnflag, l_quantity as mode_qty, cast(count(*) as bigint) as n
+from lineitem group by 1, 2
+qualify row_number() over (partition by l_returnflag
+                           order by count(*) desc, l_quantity) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 38. set difference (EXCEPT): customers with an 'O' order and no 'F'
+#     order, as per-key boolean indicators folded through the pushed
+#     partial (max of 0/1 flags) -- one keyed shuffle of tiny rows,
+#     no distinct-materialize per side
+
+def q_status_except(sf_dir: str):
+    def ind(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus")
+        return pa.table({
+            "o_custkey": b.column("o_custkey"),
+            "has_f": pc.cast(pc.equal(st, "F"), pa.int64()),
+            "has_o": pc.cast(pc.equal(st, "O"), pa.int64())})
+
+    g = _partial_count_sums(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(ind, batch_format="pyarrow"),
+        "o_custkey", {}, max_cols={"has_f": "has_f", "has_o": "has_o"})
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(b.column("has_o"), 1),
+                    pc.equal(b.column("has_f"), 0))
+        return pa.table({"o_custkey": b.filter(m).column("o_custkey")})
+
+    return g.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_STATUS_EXCEPT = """
+select o_custkey from orders where o_orderstatus = 'O'
+except
+select o_custkey from orders where o_orderstatus = 'F'
+"""
+
+
+# --------------------------------------------------------------------------
+# 39. multi-hop join aggregate: tiny dim broadcast (nation, 25 rows ->
+#     closure dict) into customer, then a large-large hash join against
+#     orders, then the pushed partial aggregate -- the
+#     broadcast-then-shuffle-join chain of a star query
+
+def q_nation_orders(sf_dir: str):
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    n_name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                      nation.column("n_name").to_pylist()))
+
+    def add_name(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_pylist()
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "n_name": pa.array([n_name[k] for k in nk], pa.string())})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(add_name, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, "inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    return _partial_count_sums(joined, "n_name", {},
+                               count_alias="n_orders",
+                               max_cols={"o_totalprice": "max_price"})
+
+
+SQL_NATION_ORDERS = """
+select n_name, cast(count(*) as bigint) as n_orders,
+       max(o_totalprice) as max_price
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# 40. distributed exact correlation: one-pass sufficient statistics.
+#     Each batch emits ONE row of integer moment sums (price scaled to
+#     cents; the y^2 sum carried as hi/lo int64 halves so nothing
+#     overflows); the driver combines the tiny per-batch table with
+#     arbitrary-precision Python ints and applies the closed form.  The
+#     oracle computes the identical formula from identical hugeint sums,
+#     so the doubles agree bit-for-bit.
+
+def q_corr_qty_price(sf_dir: str):
+    def moments(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ("n", "sx", "sy", "sxx", "sxy",
+                              "syy_hi", "syy_lo")})
+        x = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np.rint(b.column("l_extendedprice").to_numpy() * 100.0)
+        y = y.astype(np.int64)
+        y2 = y * y
+        row = {"n": len(x), "sx": int(x.sum()), "sy": int(y.sum()),
+               "sxx": int((x * x).sum()), "sxy": int((x * y).sum()),
+               "syy_hi": int((y2 >> 32).sum()),
+               "syy_lo": int((y2 & 0xFFFFFFFF).sum())}
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in row.items()})
+
+    import ray
+
+    tabs = [t for t in ray.get(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(moments, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    tab = pa.concat_tables(tabs)
+    tot = {c: sum(int(v) for v in tab.column(c).to_pylist())
+           for c in tab.column_names}
+    n, sx, sy = tot["n"], tot["sx"], tot["sy"]
+    sxx, sxy = tot["sxx"], tot["sxy"]
+    syy = (tot["syy_hi"] << 32) + tot["syy_lo"]
+    import math
+
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    return pa.table({"corr_qp": pa.array([round(num / den, 6)],
+                                         pa.float64())})
+
+
+SQL_CORR_QTY_PRICE = """
+with m as (
+  select cast(count(*) as hugeint) as n,
+         cast(sum(cast(l_quantity as bigint)) as hugeint) as sx,
+         cast(sum(cast(round(l_extendedprice * 100) as bigint))
+              as hugeint) as sy,
+         cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint))
+              as hugeint) as sxx,
+         cast(sum(cast(l_quantity as bigint)
+                  * cast(round(l_extendedprice * 100) as bigint))
+              as hugeint) as sxy,
+         cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                  * cast(round(l_extendedprice * 100) as bigint))
+              as hugeint) as syy
+  from lineitem)
+select round(cast(n * sxy - sx * sy as double)
+             / sqrt(cast(n * sxx - sx * sx as double)
+                    * cast(n * syy - sy * sy as double)), 6) as corr_qp
+from m
+"""
+
+
+# --------------------------------------------------------------------------
+# 41. calendar truncation + exact distinct-count: orders per month with
+#     distinct customers, as the two-level groupby (month, cust) -> month
+#     -- the scale-safe count-distinct shape (no whole-month group task)
+
+def q_monthly_orders(sf_dir: str):
+    def trunc(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(b.column("o_orderdate"),
+                                       unit="month"),
+            "o_custkey": b.column("o_custkey")})
+
+    lvl = _partial_count_sums(
+        _read(sf_dir, "orders", ["o_orderdate", "o_custkey"])
+        .map_batches(trunc, batch_format="pyarrow"),
+        ["month", "o_custkey"], {}, count_alias="n_ev")
+    return (_partial_count_sums(lvl, "month", {"n_ev": "n_orders"},
+                                count_alias="n_cust")
+            .select_columns(["month", "n_cust", "n_orders"]))
+
+
+SQL_MONTHLY_ORDERS = """
+select cast(date_trunc('month', o_orderdate) as timestamp) as month,
+       cast(count(distinct o_custkey) as bigint) as n_cust,
+       cast(count(*) as bigint) as n_orders
+from orders group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 42. text normalization + exact near-identical dedup count: the
+#     lowercase/strip-punctuation canonicalization every LLM-corpus clean
+#     pass runs, counted per lang via the two-level distinct shape (at
+#     100 TB the canonical string would be pre-hashed to 64-bit before the
+#     shuffle; here the strings themselves are the exactness contract)
+
+def q_norm_text_dedup(sf_dir: str):
+    def norm(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(b.column("text"))
+        t = pc.replace_substring_regex(t, "[^a-z0-9 ]", "")
+        return pa.table({"lang": b.column("lang"), "norm": t})
+
+    lvl = _partial_count_sums(
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(norm, batch_format="pyarrow"),
+        ["lang", "norm"], {}, count_alias="n_copies")
+    return (_partial_count_sums(lvl, "lang", {"n_copies": "n_docs"},
+                                count_alias="n_distinct")
+            .select_columns(["lang", "n_distinct", "n_docs"]))
+
+
+SQL_NORM_TEXT_DEDUP = """
+with n as (select lang,
+                  regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') as norm
+           from documents)
+select lang, cast(count(distinct norm) as bigint) as n_distinct,
+       cast(count(*) as bigint) as n_docs
+from n group by lang
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1241,4 +1521,11 @@ SQL_CHECKED = {
     "props_extract": (q_props_extract, SQL_PROPS_EXTRACT),
     "pivot_priority": (q_pivot_priority, SQL_PIVOT_PRIORITY),
     "tfidf_terms": (q_tfidf_terms, SQL_TFIDF_TERMS),
+    "latest_event": (q_latest_event, SQL_LATEST_EVENT),
+    "mode_per_flag": (q_mode_per_flag, SQL_MODE_PER_FLAG),
+    "status_except": (q_status_except, SQL_STATUS_EXCEPT),
+    "nation_orders": (q_nation_orders, SQL_NATION_ORDERS),
+    "corr_qty_price": (q_corr_qty_price, SQL_CORR_QTY_PRICE),
+    "monthly_orders": (q_monthly_orders, SQL_MONTHLY_ORDERS),
+    "norm_text_dedup": (q_norm_text_dedup, SQL_NORM_TEXT_DEDUP),
 }
