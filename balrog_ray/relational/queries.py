@@ -1482,6 +1482,57 @@ from n group by lang
 """
 
 
+# --------------------------------------------------------------------------
+# 43. near-dup connected components: n-gram Jaccard pairs -> distributed
+#     union-find contraction -> (doc, component=min member).  Completes
+#     the dedup pipeline (pairs alone don't dedup anything); oracle is a
+#     recursive-CTE transitive closure over the identical pair set.
+
+def q_dedup_components(sf_dir: str):
+    from ..functions.components import connected_components
+    from ..functions.dedup import ngram_jaccard_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = """
+with recursive w as (
+  select doc_id, string_split(text, ' ') as words from documents
+),
+sh as (
+  select distinct doc_id,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] as s
+  from w, unnest(range(1, len(words) - 1)) as t(i)
+),
+n as (select doc_id, count(*) as ns from sh group by doc_id),
+p as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+  from sh a join sh b using (s)
+  where a.doc_id < b.doc_id
+  group by 1, 2
+),
+pr as (
+  select id_a, id_b from p
+  join n na on na.doc_id = p.id_a
+  join n nb on nb.doc_id = p.id_b
+  where shared / (na.ns + nb.ns - shared)::double >= 0.8
+),
+edges as (
+  select id_a as a, id_b as b from pr
+  union
+  select id_b as a, id_a as b from pr
+),
+reach as (
+  select a as v, a as r from edges
+  union
+  select e.b as v, reach.r from reach join edges e on e.a = reach.v
+)
+select v as doc_id, min(r) as component_id from reach group by v
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1528,4 +1579,5 @@ SQL_CHECKED = {
     "corr_qty_price": (q_corr_qty_price, SQL_CORR_QTY_PRICE),
     "monthly_orders": (q_monthly_orders, SQL_MONTHLY_ORDERS),
     "norm_text_dedup": (q_norm_text_dedup, SQL_NORM_TEXT_DEDUP),
+    "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
 }

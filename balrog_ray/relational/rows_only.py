@@ -186,6 +186,25 @@ def q_minhash_pairs_docs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.9)
 
 
+def q_dedup_survivor_docs(sf_dir: str):
+    """The full industrial near-dup pipeline: MinHash LSH pairs ->
+    distributed union-find components -> keep the min-id canonical doc
+    per component plus every unpaired doc (anti-join; the corpus streams,
+    only the victim table is dup-sized)."""
+    import ray.data
+
+    from ..functions.components import connected_components, dedup_survivors
+    from ..functions.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    texts = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(texts, threshold=0.9)
+    comp = connected_components(pairs)
+    return dedup_survivors(ds, comp, id_col="doc_id")
+
+
 def q_simhash_pairs_docs(sf_dir: str):
     import ray.data
 
@@ -391,6 +410,7 @@ ROWS_ONLY = {
     "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
+    "dedup_survivor_docs": q_dedup_survivor_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
