@@ -71,6 +71,29 @@ def q_bal_offgrid_veg(sf_dir: str):
                                        veg_ds=veg))
 
 
+def q_tile_quarantine(sf_dir: str):
+    """Poison-pill ingest gate: the t1 tile table with 4 deterministically
+    corrupted rows (truncated payload, garbled caption JSON, wrong format
+    tag, lying dimensions) -> per-row quarantine/quality report.  Every
+    row is accounted for; no decode error kills a task (SURVEY §4's
+    per-row poison-pill handling, vs the reference's silent
+    ``except: return None`` at ga_5m/01_...py:241-242)."""
+    import ray.data
+
+    from ..stages.quarantine import validate_tiles
+    from ..tiles.synth import tiles_table
+
+    tab = tiles_table(_t1_cfg()).combine_chunks()
+    cols = {c: tab.column(c).to_pylist() for c in tab.column_names}
+    cols["bytes"][3] = cols["bytes"][3][:7]              # truncated payload
+    cols["caption"][5] = cols["caption"][5][:-4]         # broken JSON
+    cols["fmt"][8] = "npz" if cols["fmt"][8] != "npz" else "png"
+    cols["w"][11] = cols["w"][11] + 1                    # lying dimensions
+    bad = pa.table({c: pa.array(cols[c], tab.schema.field(c).type)
+                    for c in tab.column_names})
+    return validate_tiles(ray.data.from_arrow(bad))
+
+
 def q_spatial_join_sites(sf_dir: str):
     import ray.data
 
@@ -398,6 +421,7 @@ def q_tile_pyramid(sf_dir: str):
 
 ROWS_ONLY = {
     "tile_pyramid": q_tile_pyramid,
+    "tile_quarantine": q_tile_quarantine,
     "bal_band_histogram": q_bal_band_histogram,
     "bal_polygon_mask": q_bal_polygon_mask,
     "bal_offgrid_veg": q_bal_offgrid_veg,

@@ -1,0 +1,64 @@
+"""TileValidator quarantine: corrupt rows become error rows (never task
+failures), good rows carry exact pixel stats, and drop_quarantined
+streams the source minus exactly the bad ids."""
+
+import numpy as np
+import pyarrow as pa
+
+from balrog_ray.stages.quarantine import (TileValidator, drop_quarantined,
+                                          validate_tiles)
+from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+
+def _corrupt(tab: pa.Table):
+    cols = {c: tab.column(c).to_pylist() for c in tab.column_names}
+    cols["bytes"][0] = cols["bytes"][0][:5]
+    cols["caption"][1] = "{not json"
+    cols["fmt"][2] = "bogus_fmt"
+    cols["w"][3] = cols["w"][3] + 7
+    return pa.table({c: pa.array(cols[c], tab.schema.field(c).type)
+                     for c in tab.column_names})
+
+
+def test_validator_classifies_and_stats():
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    tab = _corrupt(tiles_table(cfg).combine_chunks())
+    out = TileValidator()(tab)
+    ok = out.column("ok").to_pylist()
+    err = out.column("error").to_pylist()
+    assert ok[:4] == [False, False, False, False]
+    assert all(ok[4:])
+    assert err[0].startswith("decode:")
+    assert err[1].startswith("caption_parse:")
+    assert err[2].startswith("decode:")
+    assert err[3].startswith("shape_mismatch:")
+    assert all(e == "" for e in err[4:])
+
+    # stats parity on one good row against a direct decode
+    from balrog_ray.tiles.codec import Caption, decode_tile
+    i = 5
+    arr = decode_tile(tab.column("bytes")[i].as_py(),
+                      tab.column("fmt")[i].as_py(),
+                      Caption.from_json(tab.column("caption")[i].as_py()))
+    valid = arr != np.float32(Caption.from_json(
+        tab.column("caption")[i].as_py()).nodata)
+    assert out.column("vmin")[i].as_py() == float(arr[valid].min())
+    assert out.column("vmax")[i].as_py() == float(arr[valid].max())
+    assert abs(out.column("nodata_frac")[i].as_py()
+               - (1.0 - valid.mean())) < 1e-12
+
+
+def test_drop_quarantined_streams_good_rows(ray_session):
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    tab = _corrupt(tiles_table(cfg).combine_chunks())
+    ds = ray.data.from_arrow(tab)
+    report = validate_tiles(ds).materialize()
+    assert report.count() == tab.num_rows
+
+    bad_ids = {r["image_id"] for r in report.take_all() if not r["ok"]}
+    assert len(bad_ids) == 4
+    good = drop_quarantined(ds, report).take_all()
+    assert {r["image_id"] for r in good} \
+        == set(tab.column("image_id").to_pylist()) - bad_ids
