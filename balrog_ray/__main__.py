@@ -198,6 +198,34 @@ def cmd_pyramid(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Ingest-time quarantine scan: per-tile decode/quality report; bad
+    rows become error rows, never task failures (SURVEY §4 poison-pill
+    handling vs the reference's silent except at ga_5m/01_...py:241-242)."""
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    from .sources import read_image_table
+    from .stages.quarantine import validate_tiles
+
+    ds = read_image_table(args.tiles)
+    t0 = time.time()
+    report = validate_tiles(ds).materialize()
+    if args.out:
+        report.write_parquet(args.out)
+    n = report.count()
+    n_bad = report.filter(expr="ok == False").count()
+    print(json.dumps({"tiles": n, "quarantined": n_bad,
+                      "seconds": round(time.time() - t0, 2),
+                      "out": args.out}))
+    if owns_ray:
+        ray.shutdown()
+    return 1 if (n_bad and args.strict) else 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="balrog_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -251,6 +279,16 @@ def main(argv=None) -> int:
     y.add_argument("--fmt", default="npz")
     y.add_argument("--num-cpus", type=int, default=8)
     y.set_defaults(fn=cmd_pyramid)
+
+    v = sub.add_parser("validate", help="quarantine scan: per-tile "
+                                        "decode/quality report")
+    v.add_argument("--tiles", required=True)
+    v.add_argument("--out", default=None,
+                   help="write the report as parquet")
+    v.add_argument("--strict", action="store_true",
+                   help="exit 1 if any tile is quarantined")
+    v.add_argument("--num-cpus", type=int, default=8)
+    v.set_defaults(fn=cmd_validate)
 
     args = p.parse_args(argv)
     return args.fn(args)

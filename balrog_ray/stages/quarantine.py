@@ -79,9 +79,14 @@ class TileValidator:
 
 def validate_tiles(ds, *, concurrency: int = 4, batch_size: int = 64):
     """Image-table Dataset -> per-row quarantine/quality report
-    (image_id, ok, error, nodata_frac, vmin, vmax, vmean)."""
+    (image_id, ok, error, nodata_frac, vmin, vmax, vmean).
+
+    The pool autoscales from 1 so it never starves the upstream read
+    tasks of CPUs on a small cluster (min=concurrency would deadlock a
+    4-CPU node)."""
     return ds.map_batches(TileValidator, batch_size=batch_size,
-                          batch_format="pyarrow", concurrency=concurrency)
+                          batch_format="pyarrow",
+                          concurrency=(1, concurrency))
 
 
 def drop_quarantined(ds, report_ds, id_col: str = "image_id"):

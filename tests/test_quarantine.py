@@ -62,3 +62,37 @@ def test_drop_quarantined_streams_good_rows(ray_session):
     good = drop_quarantined(ds, report).take_all()
     assert {r["image_id"] for r in good} \
         == set(tab.column("image_id").to_pylist()) - bad_ids
+
+
+def test_cli_validate(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from balrog_ray.__main__ import main
+
+    tiles = str(tmp_path / "tiles")
+    assert main(["synth", "--out", tiles, "--tiles-x", "2", "--tiles-y",
+                 "2", "--tile-px", "32"]) == 0
+    capsys.readouterr()
+    report = str(tmp_path / "report")
+    assert main(["validate", "--tiles", tiles, "--out", report,
+                 "--strict"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quarantined"] == 0 and out["tiles"] == 8
+    tab = pq.read_table(report)
+    assert tab.num_rows == 8 and all(tab.column("ok").to_pylist())
+
+    # corrupt one parquet row -> strict exit 1, exactly one quarantined
+    import glob
+
+    f = sorted(glob.glob(f"{tiles}/*.parquet"))[0]
+    t = pq.read_table(f)
+    cols = {c: t.column(c).to_pylist() for c in t.column_names}
+    cols["bytes"][0] = b"garbage"
+    pq.write_table(
+        pa.table({c: pa.array(cols[c], t.schema.field(c).type)
+                  for c in t.column_names}), f)
+    assert main(["validate", "--tiles", tiles, "--strict"]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["quarantined"] == 1
