@@ -94,6 +94,20 @@ def q_tile_quarantine(sf_dir: str):
     return validate_tiles(ray.data.from_arrow(bad))
 
 
+def q_tile_chips(sf_dir: str):
+    """Training-chip extraction over the t1 tiles (DEM layer): 64px tiles
+    -> 32px chips at stride 32, each a self-describing image row; returns
+    per-chip phash + caption so the driver sees a stable schema."""
+    import ray.data
+
+    from ..stages.chips import extract_chips
+    from ..tiles.synth import tiles_table
+
+    ds = ray.data.from_arrow(tiles_table(_t1_cfg(), layers=("dem",)))
+    chips = extract_chips(ds, chip_px=32, stride=32)
+    return chips.select_columns(["image_id", "w", "h", "fmt", "phash"])
+
+
 def q_spatial_join_sites(sf_dir: str):
     import ray.data
 
@@ -422,6 +436,7 @@ def q_tile_pyramid(sf_dir: str):
 ROWS_ONLY = {
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
+    "tile_chips": q_tile_chips,
     "bal_band_histogram": q_bal_band_histogram,
     "bal_polygon_mask": q_bal_polygon_mask,
     "bal_offgrid_veg": q_bal_offgrid_veg,
