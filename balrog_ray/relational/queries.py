@@ -34,6 +34,15 @@ def _agg():
     return agg
 
 
+def _collect(ds) -> pa.Table:
+    """Driver-side collect of a SMALL result Dataset (post-aggregate /
+    per-batch-partial tables only -- never a full input)."""
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tabs) if tabs else None
+
+
 def _partial_count_sums(ds, key: str | list[str], sum_cols: dict[str, str],
                         count_alias: str | None = None,
                         max_cols: dict[str, str] | None = None):
@@ -165,10 +174,7 @@ def q_zonal_group_stats(sf_dir: str):
     vc = _partial_count_sums(
         _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
         ["l_returnflag", "l_quantity"], {}, count_alias="vn")
-    import ray
-
-    tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
-    tab = pa.concat_tables(tabs)
+    tab = _collect(vc)
     flags = np.asarray(tab.column("l_returnflag").to_pylist())
     vals = tab.column("l_quantity").to_numpy().astype(np.float64)
     cnts = tab.column("vn").to_numpy().astype(np.int64)
@@ -993,10 +999,7 @@ def q_quantiles_by_flag(sf_dir: str):
     vc = _partial_count_sums(
         _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
         ["l_returnflag", "l_quantity"], {}, count_alias="vn")
-    import ray
-
-    tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
-    tab = pa.concat_tables(tabs)
+    tab = _collect(vc)
     flags = np.asarray(tab.column("l_returnflag").to_pylist())
     vals = tab.column("l_quantity").to_numpy().astype(np.float64)
     cnts = tab.column("vn").to_numpy().astype(np.int64)
@@ -1254,10 +1257,7 @@ def q_mode_per_flag(sf_dir: str):
     vc = _partial_count_sums(
         _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
         ["l_returnflag", "l_quantity"], {}, count_alias="vn")
-    import ray
-
-    tabs = [t for t in ray.get(vc.to_arrow_refs()) if t.num_rows]
-    tab = pa.concat_tables(tabs)
+    tab = _collect(vc)
     flags = np.asarray(tab.column("l_returnflag").to_pylist())
     vals = tab.column("l_quantity").to_numpy()
     cnts = tab.column("vn").to_numpy()
@@ -1379,13 +1379,9 @@ def q_corr_qty_price(sf_dir: str):
         return pa.table({k: pa.array([v], pa.int64())
                          for k, v in row.items()})
 
-    import ray
-
-    tabs = [t for t in ray.get(
+    tab = _collect(
         _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-        .map_batches(moments, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows]
-    tab = pa.concat_tables(tabs)
+        .map_batches(moments, batch_format="pyarrow"))
     tot = {c: sum(int(v) for v in tab.column(c).to_pylist())
            for c in tab.column_names}
     n, sx, sy = tot["n"], tot["sx"], tot["sy"]

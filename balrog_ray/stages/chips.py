@@ -15,6 +15,17 @@ here because training chips never need seam-exact continuity the way the
 convo kernel does.  Chips whose pixels are ALL nodata are dropped
 (configurable): at corpus scale the empty-ocean chips are most of the
 data and carry zero training signal.
+
+Grid composability: when ``stride == chip_px`` and the tile size divides
+evenly, chip ``tx/ty`` are recomputed on the CHIP grid, so the output
+table satisfies the caption grid invariant (unique (tx, ty); ``y0 ==
+y_north - ty*chip_px*ps``) and composes with the pyramid / zonal / BAL
+stages.  Overlapping chips (``stride < chip_px``) are not a grid -- they
+keep the parent's tx/ty and are for training sampling only.  A tile
+smaller than ``chip_px`` raises (a silent zero-chip drop would violate
+the every-row-accounted-for rule the quarantine stage exists to enforce;
+trailing strips narrower than ``chip_px`` are ordinary stride semantics
+and are intentionally not emitted).
 """
 
 from __future__ import annotations
@@ -49,6 +60,13 @@ def extract_chips(ds, *, chip_px: int, stride: int | None = None,
             cap = Caption.from_json(caps[i])
             arr = decode_tile(payloads[i], fmts[i], cap)
             h, w = arr.shape
+            if h < chip_px or w < chip_px:
+                raise ValueError(
+                    f"tile {ids[i]} is {h}x{w} px, smaller than "
+                    f"chip_px={chip_px}; quarantine or filter undersized "
+                    "tiles before chipping")
+            gridded = (stride == chip_px
+                       and h % chip_px == 0 and w % chip_px == 0)
             nodata = np.float32(cap.nodata)
             for r0 in range(0, h - chip_px + 1, stride):
                 for c0 in range(0, w - chip_px + 1, stride):
@@ -67,7 +85,10 @@ def extract_chips(ds, *, chip_px: int, stride: int | None = None,
                               "s": cap.edge["s"] and r0 + chip_px == h,
                               "w": cap.edge["w"] and c0 == 0,
                               "e": cap.edge["e"] and c0 + chip_px == w},
-                        tx=cap.tx, ty=cap.ty)
+                        tx=(cap.tx * (w // chip_px) + c0 // chip_px
+                            if gridded else cap.tx),
+                        ty=(cap.ty * (h // chip_px) + r0 // chip_px
+                            if gridded else cap.ty))
                     payload, ccap = encode_tile(win, fmt, ccap)
                     out["image_id"].append(f"{ids[i]}#r{r0}c{c0}")
                     out["bytes"].append(payload)

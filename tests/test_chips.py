@@ -42,6 +42,22 @@ def test_chips_exact_slices_and_georef(ray_session):
         assert ccap.edge["w"] == (pcap.edge["w"] and c0 == 0)
         assert ccap.edge["s"] == (pcap.edge["s"] and r0 + 32 == 64)
         assert ccap.edge["e"] == (pcap.edge["e"] and c0 + 32 == 64)
+        # overlapping chips are not a grid: parent tx/ty passes through
+        assert (ccap.tx, ccap.ty) == (pcap.tx, pcap.ty)
+
+    # gridded chips (stride == chip_px): tx/ty recomputed on the chip
+    # grid, so the caption grid invariant holds (unique (tx, ty) and
+    # y0 == y_north - ty*chip_px*ps)
+    gridded = extract_chips(ray.data.from_arrow(tab), chip_px=32).take_all()
+    assert len(gridded) == 4 * 4
+    seen = set()
+    y_north = max(Caption.from_json(r["caption"]).y0 for r in gridded)
+    for row in gridded:
+        ccap = Caption.from_json(row["caption"])
+        seen.add((ccap.tx, ccap.ty))
+        assert ccap.y0 == y_north - ccap.ty * 32 * ccap.pixel_size
+        assert ccap.x0 == ccap.tx * 32 * ccap.pixel_size
+    assert len(seen) == 16
 
 
 def test_chips_drop_empty_and_validate(ray_session):
@@ -79,3 +95,9 @@ def test_chips_drop_empty_and_validate(ray_session):
 
     with pytest.raises(ValueError):
         extract_chips(ray.data.from_arrow(tab), chip_px=0)
+
+    # a tile smaller than chip_px fails loudly, never a silent zero-chip
+    # drop
+    with pytest.raises(Exception, match="smaller than"):
+        extract_chips(ray.data.from_arrow(tab),
+                      chip_px=64).materialize()

@@ -9,11 +9,12 @@ import pyarrow as pa
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ("orders", "lineitem", "customer", "nation", "events", "documents")
+TABLES = ("orders", "lineitem", "customer", "nation", "events",
+          "documents")
 
 NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
-               "norm_text_dedup"]
+               "norm_text_dedup", "dedup_components"]
 
 
 def _canonical(tab: pa.Table):
