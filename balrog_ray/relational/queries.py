@@ -1529,6 +1529,66 @@ select v as doc_id, min(r) as component_id from reach group by v
 """
 
 
+# --------------------------------------------------------------------------
+# 44. language-ID histogram, fully SQL-checked: the engine's n-gram
+#     heuristic (functions/text.langid_heuristic) re-expressed in the
+#     oracle via non-overlapping substring counts (length/replace trick --
+#     the same greedy left-to-right count semantics as str.count) and a
+#     first-wins argmax in marker-dict order (en, fr, es, de) with the
+#     CJK codepoint check first.
+
+def q_langid_docs(sf_dir: str):
+    from ..functions.text import langid_batch
+
+    return _partial_count_sums(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(lambda b: langid_batch(b).drop_columns(["text"]),
+                     batch_format="pyarrow"),
+        "lang_pred", {}, count_alias="n")
+
+
+SQL_LANGID_DOCS = """
+with s as (
+  select lower(substr(text, 1, 2000)) as t from documents
+),
+sc as (
+  select t,
+    (length(t) - length(replace(t, 'the', ''))) / 3
+      + (length(t) - length(replace(t, ' th', ''))) / 3
+      + (length(t) - length(replace(t, 'ing', ''))) / 3
+      + (length(t) - length(replace(t, 'and', ''))) / 3
+      + (length(t) - length(replace(t, ' of', ''))) / 3 as s_en,
+    (length(t) - length(replace(t, 'le ', ''))) / 3
+      + (length(t) - length(replace(t, ' de', ''))) / 3
+      + (length(t) - length(replace(t, 'es ', ''))) / 3
+      + (length(t) - length(replace(t, 'ent', ''))) / 3
+      + (length(t) - length(replace(t, 'que', ''))) / 3 as s_fr,
+    (length(t) - length(replace(t, 'de ', ''))) / 3
+      + (length(t) - length(replace(t, ' de', ''))) / 3
+      + (length(t) - length(replace(t, 'la ', ''))) / 3
+      + (length(t) - length(replace(t, 'os ', ''))) / 3
+      + (length(t) - length(replace(t, 'ión', ''))) / 3 as s_es,
+    (length(t) - length(replace(t, 'der', ''))) / 3
+      + (length(t) - length(replace(t, 'ein', ''))) / 3
+      + (length(t) - length(replace(t, 'sch', ''))) / 3
+      + (length(t) - length(replace(t, 'ich', ''))) / 3
+      + (length(t) - length(replace(t, 'und', ''))) / 3 as s_de
+  from s
+),
+pred as (
+  select case
+    when regexp_matches(substr(t, 1, 200), '[\\x{4e00}-\\x{9fff}]')
+      then 'zh'
+    when s_en >= s_fr and s_en >= s_es and s_en >= s_de then 'en'
+    when s_fr >= s_es and s_fr >= s_de then 'fr'
+    when s_es >= s_de then 'es'
+    else 'de' end as lang_pred
+  from sc
+)
+select lang_pred, cast(count(*) as bigint) as n from pred group by 1
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1576,4 +1636,5 @@ SQL_CHECKED = {
     "monthly_orders": (q_monthly_orders, SQL_MONTHLY_ORDERS),
     "norm_text_dedup": (q_norm_text_dedup, SQL_NORM_TEXT_DEDUP),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
+    "langid_docs": (q_langid_docs, SQL_LANGID_DOCS),
 }

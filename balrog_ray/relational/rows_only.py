@@ -178,20 +178,6 @@ def q_multimodal_features(sf_dir: str):
         ImageDecodeActor, batch_format="pyarrow", concurrency=(1, 2))
 
 
-def q_langid_docs(sf_dir: str):
-    import ray.data
-    import ray.data.aggregate as agg
-
-    from ..functions.text import langid_batch
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["text"])
-    return (ds.map_batches(
-        lambda b: langid_batch(b).drop_columns(["text"]),
-        batch_format="pyarrow")
-        .groupby("lang_pred").aggregate(agg.Count(alias_name="n")))
-
-
 def q_fingerprint_docs(sf_dir: str):
     import ray.data
 
@@ -446,7 +432,6 @@ ROWS_ONLY = {
     "buffer_clip_areas": q_buffer_clip_areas,
     "zonal_sites": q_zonal_sites,
     "multimodal_features": q_multimodal_features,
-    "langid_docs": q_langid_docs,
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "dedup_survivor_docs": q_dedup_survivor_docs,
