@@ -1589,6 +1589,69 @@ select lang_pred, cast(count(*) as bigint) as n from pred group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# 45. corpus quality gate, fully SQL-checked: the LLM-cleaning filter
+#     (min length, punctuation ratio, stopword ratio) with every
+#     threshold as an INTEGER cross-multiplication (n_punct*5 < n_chars
+#     instead of ratio < 0.2) so no float ever enters the compare, and
+#     both sides on RE2 regex semantics (Arrow and DuckDB share the lib).
+
+_QF_STOPWORDS = ("the a an and or of to in is are was were be been on at "
+                 "by for with as it this that from").split()
+
+
+def q_quality_filter(sf_dir: str):
+    stop_set = pa.array(_QF_STOPWORDS, pa.string())
+
+    def metrics(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        n_chars = pc.utf8_length(txt).cast(pa.int64()).to_numpy()
+        toks = pc.split_pattern(txt, " ")
+        n_tokens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        stop_mask = pc.is_in(flat, value_set=stop_set)
+        n_stop = np.zeros(b.num_rows, np.int64)
+        np.add.at(n_stop, parent,
+                  stop_mask.to_numpy(zero_copy_only=False)
+                  .astype(np.int64))
+        stripped = pc.replace_substring_regex(txt, r"[\p{L}\p{N} ]", "")
+        n_punct = pc.utf8_length(stripped).cast(pa.int64()).to_numpy()
+        ok = ((n_tokens >= 5) & (n_punct * 5 < n_chars)
+              & (n_stop * 10 >= n_tokens))
+        return pa.table({"lang": b.column("lang"),
+                         "is_pass": pa.array(ok.astype(np.int64),
+                                             pa.int64())})
+
+    return _partial_count_sums(
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(metrics, batch_format="pyarrow"),
+        "lang", {"is_pass": "n_pass"}, count_alias="n_docs"
+    ).select_columns(["lang", "n_docs", "n_pass"])
+
+
+SQL_QUALITY_FILTER = """
+with m as (
+  select lang,
+         length(text) as n_chars,
+         len(string_split(text, ' ')) as n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x in ('the','a','an','and','or','of','to','in','is',
+                        'are','was','were','be','been','on','at','by',
+                        'for','with','as','it','this','that','from')))
+           as n_stop,
+         length(regexp_replace(text, '[\\p{L}\\p{N} ]', '', 'g'))
+           as n_punct
+  from documents)
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(case when n_tokens >= 5 and n_punct * 5 < n_chars
+                      and n_stop * 10 >= n_tokens then 1 else 0 end)
+            as bigint) as n_pass
+from m group by lang
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1637,4 +1700,5 @@ SQL_CHECKED = {
     "norm_text_dedup": (q_norm_text_dedup, SQL_NORM_TEXT_DEDUP),
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "langid_docs": (q_langid_docs, SQL_LANGID_DOCS),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
 }
