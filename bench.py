@@ -214,6 +214,10 @@ def main_bench(bal_only: bool = False):
                        + sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # e2e covers EVERY registered gate query, so "value" grows as
+        # coverage grows round over round -- compare per-query timings
+        # and bal_tiles_per_sec across rounds, not raw e2e
+        "n_queries": len(queries),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "num_cpus": NUM_CPUS,
         **bal,
