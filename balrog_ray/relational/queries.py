@@ -1652,6 +1652,49 @@ from m group by lang
 """
 
 
+# --------------------------------------------------------------------------
+# 46. ntile window over a distributed global ranking: one total-order
+#     sort shuffle, block offsets from ref-bundle metadata (prefix sum,
+#     no blocks on the driver), per-status quartile histogram with
+#     max-per-bucket (which verifies the ORDER, not just the split).
+
+def q_ntile_price(sf_dir: str):
+    from ..stages.ranking import global_ranks, ntile_of_ranks
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_totalprice", "o_orderkey"])
+    ranked = global_ranks(
+        ds, ["o_orderstatus", "o_totalprice", "o_orderkey"],
+        partition_col="o_orderstatus", rank_col="rn")
+    cnt = {r["o_orderstatus"]: r["n"] for r in _partial_count_sums(
+        _read(sf_dir, "orders", ["o_orderstatus"]),
+        "o_orderstatus", {}, count_alias="n").take_all()}
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        status = b.column("o_orderstatus").to_pylist()
+        n = np.array([cnt[s] for s in status], dtype=np.int64)
+        q = ntile_of_ranks(b.column("rn").to_numpy(), n, 4)
+        return pa.table({"o_orderstatus": b.column("o_orderstatus"),
+                         "quartile": pa.array(q, pa.int64()),
+                         "o_totalprice": b.column("o_totalprice")})
+
+    return _partial_count_sums(
+        ranked.map_batches(bucketize, batch_format="pyarrow"),
+        ["o_orderstatus", "quartile"], {}, count_alias="n",
+        max_cols={"o_totalprice": "max_price"})
+
+
+SQL_NTILE_PRICE = """
+select o_orderstatus, quartile, cast(count(*) as bigint) as n,
+       max(o_totalprice) as max_price
+from (select o_orderstatus, o_totalprice,
+             ntile(4) over (partition by o_orderstatus
+                            order by o_totalprice, o_orderkey) as quartile
+      from orders) t
+group by 1, 2
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1701,4 +1744,5 @@ SQL_CHECKED = {
     "dedup_components": (q_dedup_components, SQL_DEDUP_COMPONENTS),
     "langid_docs": (q_langid_docs, SQL_LANGID_DOCS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "ntile_price": (q_ntile_price, SQL_NTILE_PRICE),
 }
