@@ -1695,6 +1695,53 @@ group by 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# 47. document chunking: split each doc's whitespace tokens into fixed
+#     64-token windows (the pretraining chunk stage; the text analogue of
+#     stages/chips.py).  Stateless flat_map, fully vectorized (token
+#     offsets via list_value_length + repeat, first token per chunk via a
+#     flat gather -- the content probe that verifies window alignment,
+#     not just counts).
+
+def q_chunk_docs(sf_dir: str, win: int = 64):
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        n_chunks = -(-lens // win)                  # ceil; len>=1 always
+        doc_ids = b.column("doc_id").to_numpy()
+        rep = np.repeat(np.arange(len(lens)), n_chunks)
+        # chunk index within each doc: global arange minus each doc's
+        # first output position
+        starts = np.concatenate([[0], np.cumsum(n_chunks[:-1])])
+        chunk_id = np.arange(len(rep)) - starts[rep]
+        n_tok = np.minimum(lens[rep] - chunk_id * win, win)
+        # first token of each chunk: gather from the flattened tokens
+        flat = pc.list_flatten(toks)
+        tok_starts = np.concatenate([[0], np.cumsum(lens[:-1])])
+        first_idx = tok_starts[rep] + chunk_id * win
+        first = flat.take(pa.array(first_idx, pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(doc_ids[rep], pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "n_tok": pa.array(n_tok, pa.int64()),
+            "first_token": first})
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(chunks, batch_format="pyarrow"))
+
+
+SQL_CHUNK_DOCS = """
+with w as (
+  select doc_id, string_split(text, ' ') as words,
+         len(string_split(text, ' ')) as n from documents
+)
+select doc_id, i as chunk_id,
+       least(64, n - i * 64) as n_tok,
+       words[i * 64 + 1] as first_token
+from w, unnest(range(0, cast(ceil(n / 64.0) as bigint))) as t(i)
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1745,4 +1792,5 @@ SQL_CHECKED = {
     "langid_docs": (q_langid_docs, SQL_LANGID_DOCS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ntile_price": (q_ntile_price, SQL_NTILE_PRICE),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
 }

@@ -15,7 +15,7 @@ TABLES = ("orders", "lineitem", "customer", "nation", "events",
 NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
                "norm_text_dedup", "dedup_components", "langid_docs",
-               "quality_filter", "ntile_price"]
+               "quality_filter", "ntile_price", "chunk_docs"]
 
 
 def _canonical(tab: pa.Table):
