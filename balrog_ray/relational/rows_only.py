@@ -209,6 +209,20 @@ def q_minhash_pairs_docs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.9)
 
 
+def q_pack_chunks(sf_dir: str):
+    """tokenize -> chunk -> pack: 64-token document chunks (the
+    SQL-checked chunk_docs stage) packed into 512-token training
+    sequences by per-shard FFD; returns the exact-integer packing
+    summary (chunks/tokens conserved, zero over-budget)."""
+    from ..functions.packing import pack_sequences, packing_stats
+    from .queries import q_chunk_docs
+
+    chunks = q_chunk_docs(sf_dir).drop_columns(["first_token"])
+    packed = pack_sequences(chunks, budget=512, n_shards=8)
+    row = packing_stats(packed, budget=512)
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in row.items()})
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -435,6 +449,7 @@ ROWS_ONLY = {
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "dedup_survivor_docs": q_dedup_survivor_docs,
+    "pack_chunks": q_pack_chunks,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
