@@ -223,6 +223,43 @@ def q_pack_chunks(sf_dir: str):
     return pa.table({k: pa.array([v], pa.int64()) for k, v in row.items()})
 
 
+def q_raster_calc_index(sf_dir: str):
+    """Generic map algebra (Raster-Calculator surface): a normalized
+    dem/veg index over the t1 world, reduced to a deterministic integer
+    histogram (index binned to 0.1 steps) per tile row."""
+    import ray.data
+
+    from ..stages.raster_calc import apply_masked, raster_calc
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    def formula(layers, nd):
+        d, v = layers["dem"], layers["veg"]
+        return (d - 10.0 * v) / (np.abs(d) + 10.0 * np.abs(v) + 1.0)
+
+    out = raster_calc(ray.data.from_arrow(tiles_table(_t1_cfg())),
+                      ["dem", "veg"], apply_masked(formula, -99.0),
+                      out_layer="idx")
+
+    def hist(b: pa.Table) -> pa.Table:
+        ids, bins, counts = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            binned = np.floor(arr[valid] * 10).astype(np.int64)
+            u, c = np.unique(binned, return_counts=True)
+            ids.extend([b.column("image_id")[i].as_py()] * len(u))
+            bins.extend(u.tolist())
+            counts.extend(c.tolist())
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "bin": pa.array(bins, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return out.map_batches(hist, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -450,6 +487,7 @@ ROWS_ONLY = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "dedup_survivor_docs": q_dedup_survivor_docs,
     "pack_chunks": q_pack_chunks,
+    "raster_calc_index": q_raster_calc_index,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
