@@ -226,6 +226,33 @@ def cmd_validate(args) -> int:
     return 1 if (n_bad and args.strict) else 0
 
 
+def cmd_chips(args) -> int:
+    """Training-chip extraction: tile table -> strided georeferenced
+    patch table (stages/chips.py)."""
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    from .sources import read_image_table, write_image_table
+    from .stages.chips import extract_chips
+
+    ds = read_image_table(args.tiles)
+    t0 = time.time()
+    chips = extract_chips(ds, chip_px=args.chip_px, stride=args.stride,
+                          fmt=args.fmt)
+    write_image_table(chips, args.out)
+    n = read_image_table(args.out).count()
+    print(json.dumps({"chips": n, "chip_px": args.chip_px,
+                      "stride": args.stride or args.chip_px,
+                      "seconds": round(time.time() - t0, 2),
+                      "out": args.out}))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="balrog_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -279,6 +306,16 @@ def main(argv=None) -> int:
     y.add_argument("--fmt", default="npz")
     y.add_argument("--num-cpus", type=int, default=8)
     y.set_defaults(fn=cmd_pyramid)
+
+    c = sub.add_parser("chips", help="extract training chips from a "
+                                     "tile table")
+    c.add_argument("--tiles", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--chip-px", type=int, default=64)
+    c.add_argument("--stride", type=int, default=None)
+    c.add_argument("--fmt", default="npz")
+    c.add_argument("--num-cpus", type=int, default=8)
+    c.set_defaults(fn=cmd_chips)
 
     v = sub.add_parser("validate", help="quarantine scan: per-tile "
                                         "decode/quality report")

@@ -101,3 +101,25 @@ def test_chips_drop_empty_and_validate(ray_session):
     with pytest.raises(Exception, match="smaller than"):
         extract_chips(ray.data.from_arrow(tab),
                       chip_px=64).materialize()
+
+
+def test_cli_chips(ray_session, tmp_path, capsys):
+    import json
+
+    from balrog_ray.__main__ import main
+
+    tiles = str(tmp_path / "tiles")
+    assert main(["synth", "--out", tiles, "--tiles-x", "2", "--tiles-y",
+                 "2", "--tile-px", "64"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "chips")
+    assert main(["chips", "--tiles", tiles, "--out", out,
+                 "--chip-px", "32"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # 8 tiles (2 layers x 4 cells) x 4 chips each
+    assert res["chips"] == 32
+
+    from balrog_ray.sources import read_image_table
+    from balrog_ray.stages.quarantine import validate_tiles
+    report = validate_tiles(read_image_table(out)).take_all()
+    assert len(report) == 32 and all(r["ok"] for r in report)
