@@ -1742,6 +1742,49 @@ from w, unnest(range(0, cast(ceil(n / 64.0) as bigint))) as t(i)
 """
 
 
+# --------------------------------------------------------------------------
+# 48. bloom-prefiltered selective join: a ~128 KB bitset of the rare
+#     'P'-order keys broadcast into the lineitem scan drops non-matching
+#     rows BEFORE the shuffle join (the 100 TB shuffle-volume lever);
+#     exact join afterwards removes bloom false positives, so the result
+#     is exact.
+
+def q_bloom_semi_join(sf_dir: str):
+    from ..functions.bloom import build_bloom, filter_by_bloom
+
+    p_orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+                .filter(expr="o_orderstatus == 'P'")
+                .select_columns(["o_orderkey"]))
+    bloom = build_bloom(p_orders, "o_orderkey", n_bits=1 << 20, k=4)
+    cand = filter_by_bloom(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
+        "l_orderkey", bloom)
+    joined = cand.join(p_orders, "inner", num_partitions=8,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def one(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy()
+        return pa.table({"n_items": pa.array([len(q)], pa.int64()),
+                         "sum_qty": pa.array([float(q.sum())],
+                                             pa.float64())})
+
+    a = _agg()
+    row = (joined.map_batches(one, batch_format="pyarrow")
+           .aggregate(a.Sum("n_items", alias_name="n_items"),
+                      a.Sum("sum_qty", alias_name="sum_qty")))
+    # sums of integer-valued doubles are exact in any order (< 2^53)
+    return pa.table({"n_items": pa.array([int(row["n_items"])], pa.int64()),
+                     "sum_qty": pa.array([float(row["sum_qty"])],
+                                         pa.float64())})
+
+
+SQL_BLOOM_SEMI_JOIN = """
+select cast(count(*) as bigint) as n_items, sum(l_quantity) as sum_qty
+from lineitem join orders on l_orderkey = o_orderkey
+where o_orderstatus = 'P'
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -1793,4 +1836,5 @@ SQL_CHECKED = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "ntile_price": (q_ntile_price, SQL_NTILE_PRICE),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN),
 }

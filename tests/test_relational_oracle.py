@@ -15,7 +15,8 @@ TABLES = ("orders", "lineitem", "customer", "nation", "events",
 NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
                "norm_text_dedup", "dedup_components", "langid_docs",
-               "quality_filter", "ntile_price", "chunk_docs"]
+               "quality_filter", "ntile_price", "chunk_docs",
+               "bloom_semi_join"]
 
 
 def _canonical(tab: pa.Table):
