@@ -58,17 +58,18 @@ def cmd_bal(args) -> int:
     if owns_ray:
         ray.init(address="local", num_cpus=args.num_cpus,
                  include_dashboard=False)
-    from .pipelines.bal_pipeline import (_aoi_cells, _as_mask_polys,
-                                         _mask_cells, bal_pipeline, find_aoi)
-    import numpy as np
+    from .pipelines.bal_pipeline import bal_pipeline, plan_target_cells
     from .sources import read_image_table
 
     spec = infer_grid(args.tiles)
     ds = read_image_table(args.tiles,
                           override_num_blocks=max(4 * args.num_cpus, 16))
     veg_ds = None
+    veg_meta = None
     if args.veg_tiles:
         veg_ds = read_image_table(args.veg_tiles)
+        veg_meta = (veg_ds.select_columns(["caption", "w", "h"])
+                    .materialize())
     mask = None
     if args.mask_wkb:
         mask = open(args.mask_wkb, "rb").read()
@@ -80,14 +81,10 @@ def cmd_bal(args) -> int:
         else args.extent, veg_ds=veg_ds, mask=mask)
     rows = lineage.take_all()
     done = sum(1 for r in rows if r["status"] == "done")
-    # target = AOI cells when an extent/mask restricts the run, else grid
-    if args.extent in (None, "DEFAULT", "MAXOF", "MINOF"):
-        target = np.arange(spec.tiles_x * spec.tiles_y, dtype=np.int64)
-    else:
-        target = _aoi_cells(find_aoi(args.extent, spec), spec)
-    if mask is not None:
-        target = np.intersect1d(target,
-                                _mask_cells(_as_mask_polys(mask), spec))
+    target = plan_target_cells(
+        spec, extent=None if args.extent in (None, "DEFAULT", "MAXOF",
+                                             "MINOF") else args.extent,
+        mask=mask, veg_meta=veg_meta)
     n_target = len(target)
     print(json.dumps({
         "cells_done": done, "cells_skipped_resume": 0 if not args.resume

@@ -134,25 +134,9 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
     """
     import ray
 
-    def sample_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64()),
-                             vec_col: batch.column(vec_col)})
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        h = ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        order = np.argsort(h, kind="stable")[:sample_size]
-        return pa.table({"h": pa.array(h[order].view(np.int64), pa.int64()),
-                         vec_col: batch.column(vec_col).take(
-                             pa.array(order))})
+    from .cluster import _hash_sample_matrix
 
-    stabs = [t for t in ray.get(
-        emb_ds.select_columns([id_col, vec_col])
-        .map_batches(sample_partial, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
-    stab = pa.concat_tables(stabs)
-    pick = np.argsort(stab.column("h").to_numpy(), kind="stable")[:sample_size]
-    sample = np.array(stab.column(vec_col).take(pa.array(pick)).to_pylist(),
-                      dtype=np.float64)
+    sample = _hash_sample_matrix(emb_ds, id_col, vec_col, sample_size)
     cents = kmeans_lite(sample, n_centroids)
     qunit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qunit @ cents.T), axis=1)[:, :n_probe]  # (q, p)

@@ -4,12 +4,15 @@ analogue -- beyond-reference training-data surface).
 
 Packing is inherently sequential, so it cannot be a pure per-batch map;
 the industrial shape is pack-per-shard: chunks hash-shard by doc id, each
-shard packs independently with first-fit-decreasing (a 11/9-OPT+1 bound),
-and the only shuffle is the shard groupby.  Per-shard state is that
-shard's chunk-length list -- ints, not text -- so a shard of a million
-chunks is ~8 MB of driver-free task memory.  Deterministic: shard
-assignment is a fixed multiplicative hash, FFD ties break by (doc_id,
-chunk_id)."""
+shard packs independently with best-fit-decreasing (same 11/9-OPT
+guarantee family as FFD), and the only shuffle is the shard groupby.
+Per-shard state is that shard's chunk-length list -- ints, not text --
+and the placement loop is O(n log budget) via a segment tree over
+remaining capacities (a naive first-fit scan is O(n x #sequences):
+quadratic, a hang at the million-chunk shards this module targets).
+Deterministic: shard assignment is a fixed multiplicative hash, BFD
+processes longest-first with (doc_id, chunk_id) tie-break and picks the
+tightest-fitting sequence (LIFO among equals)."""
 
 from __future__ import annotations
 
@@ -40,20 +43,55 @@ def pack_sequences(chunks_ds, *, budget: int = 512, n_shards: int = 16,
                 f"budget {budget}; chunk before packing")
         docs = group.column(doc_col).to_numpy()
         chunks = group.column(chunk_col).to_numpy()
-        # FFD: longest first, ties by (doc_id, chunk_id) for determinism
+        # BFD: longest first, ties by (doc_id, chunk_id); the tightest
+        # open sequence is found in O(log budget) via a segment tree of
+        # open-sequence counts indexed by remaining capacity
         order = np.lexsort((chunks, docs, -lens))
         seq_of = np.empty(len(order), dtype=np.int64)
-        space: list[int] = []              # remaining budget per sequence
+        leaves = 1
+        while leaves < budget + 1:
+            leaves <<= 1
+        tree = [0] * (2 * leaves)
+        stacks: list[list[int]] = [[] for _ in range(budget + 1)]
+        n_seq = 0
+
+        def push(rem: int, seq: int) -> None:
+            stacks[rem].append(seq)
+            i = leaves + rem
+            while i:
+                tree[i] += 1
+                i >>= 1
+
+        def take(rem: int) -> int:
+            i = leaves + rem
+            while i:
+                tree[i] -= 1
+                i >>= 1
+            return stacks[rem].pop()
+
+        def smallest_ge(node: int, lo: int, hi: int, need: int) -> int:
+            """Leftmost non-empty capacity leaf >= need, or -1."""
+            if hi < need or tree[node] == 0:
+                return -1
+            if lo == hi:
+                return lo
+            mid = (lo + hi) // 2
+            r = smallest_ge(2 * node, lo, mid, need)
+            if r != -1:
+                return r
+            return smallest_ge(2 * node + 1, mid + 1, hi, need)
+
         for i in order:
             length = int(lens[i])
-            for s, rem in enumerate(space):
-                if rem >= length:
-                    seq_of[i] = s
-                    space[s] = rem - length
-                    break
+            rem = smallest_ge(1, 0, leaves - 1, length)
+            if rem < 0:
+                seq_of[i] = n_seq
+                push(budget - length, n_seq)
+                n_seq += 1
             else:
-                seq_of[i] = len(space)
-                space.append(budget - length)
+                seq = take(rem)
+                seq_of[i] = seq
+                push(rem - length, seq)
         return pa.table({
             "shard": group.column("shard"),
             "seq_id": pa.array(seq_of, pa.int64()),

@@ -163,10 +163,11 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
     (``ray.put`` of a sorted token array + df array; ``max_df_frac`` < 1
     drops stopword-scale tokens and bounds the broadcast — at open-web
     vocab scale swap the broadcast for a ``Dataset.join`` on token, the
-    rest is unchanged).  Scoring and the per-doc top-k are then a single
-    stateless ``map_batches``: every doc's tf rows were emitted by the
-    batch that held the doc, so the per-doc top-k never crosses a block
-    boundary — no second shuffle, no per-group Python.
+    rest is unchanged).  Scoring runs as a stateless ``map_batches`` whose per-doc
+    top-k is a PARTIAL (Ray's dynamic block splitting can cut a doc's
+    tf rows across batches at target_max_block_size); a final
+    ``groupby(doc)`` merge over the <= k-per-(batch, doc) partials
+    repairs any split -- the shuffle moves only the pruned rows.
 
     Tie-break: (score desc, token asc), deterministic.  The reference has
     no text scoring; this completes the SURVEY §2.3 training-data text
@@ -218,4 +219,11 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
             "token": pa.array(toks[pick].tolist(), pa.string()),
             "tfidf": pa.array(np.round(scores[pick], 6), pa.float64())})
 
-    return tf.map_batches(score_topk, batch_format="pyarrow")
+    def final_topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("tfidf", "descending"), ("token", "ascending")])
+        return group.take(order[:k])
+
+    return (tf.map_batches(score_topk, batch_format="pyarrow")
+            .groupby(id_col)
+            .map_groups(final_topk, batch_format="pyarrow"))

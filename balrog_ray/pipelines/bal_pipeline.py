@@ -280,6 +280,39 @@ def completed_cells(out_dir: str) -> set[int]:
     return done
 
 
+def plan_target_cells(spec: GridSpec, *, extent=None, mask=None,
+                      veg_meta=None):
+    """The exact cell set a ``bal_pipeline`` run with these arguments
+    targets: AOI rectangle ∩ mask bboxes ∩ off-grid-veg coverage.  Kept
+    next to ``bal_pipeline`` so the CLI completeness summary cannot
+    diverge from the pipeline's own pruning (with ``veg_meta`` and no
+    explicit extent, the effective AOI is the common footprint and cells
+    the veg mosaic never covers are NOT targets)."""
+    import numpy as np
+
+    veg_cells = None
+    default = extent is None or (isinstance(extent, str)
+                                 and extent.upper() in ("DEFAULT", "MAXOF",
+                                                        "MINOF"))
+    if veg_meta is not None:
+        from ..stages.regrid import covered_target_cells
+
+        if default:
+            extent = find_common_area(spec, veg_meta)
+            default = False
+        veg_cells = covered_target_cells(spec, veg_meta)
+    if default:
+        target = np.arange(spec.tiles_x * spec.tiles_y, dtype=np.int64)
+    else:
+        target = _aoi_cells(find_aoi(extent, spec), spec)
+    if mask is not None:
+        target = np.intersect1d(target,
+                                _mask_cells(_as_mask_polys(mask), spec))
+    if veg_cells is not None:
+        target = np.intersect1d(target, veg_cells)
+    return target
+
+
 def _as_mask_polys(mask) -> list:
     """Normalize a mask argument (WKB bytes, Polygon, or list) to parts."""
     from ..geo.geometry import Polygon

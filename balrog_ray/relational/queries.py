@@ -36,11 +36,16 @@ def _agg():
 
 def _collect(ds) -> pa.Table:
     """Driver-side collect of a SMALL result Dataset (post-aggregate /
-    per-batch-partial tables only -- never a full input)."""
+    per-batch-partial tables only -- never a full input).  An all-empty
+    dataset returns a schema-preserving empty table so callers' loops
+    degrade to empty results instead of crashing."""
     import ray
 
-    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    return pa.concat_tables(tabs) if tabs else None
+    tabs = ray.get(ds.to_arrow_refs())
+    non_empty = [t for t in tabs if t.num_rows]
+    if non_empty:
+        return pa.concat_tables(non_empty)
+    return tabs[0] if tabs else pa.table({})
 
 
 def _partial_count_sums(ds, key: str | list[str], sum_cols: dict[str, str],
@@ -1382,6 +1387,8 @@ def q_corr_qty_price(sf_dir: str):
     tab = _collect(
         _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
         .map_batches(moments, batch_format="pyarrow"))
+    if tab.num_rows == 0:
+        return pa.table({"corr_qp": pa.array([], pa.float64())})
     tot = {c: sum(int(v) for v in tab.column(c).to_pylist())
            for c in tab.column_names}
     n, sx, sy = tot["n"], tot["sx"], tot["sy"]

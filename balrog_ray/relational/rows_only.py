@@ -238,7 +238,7 @@ def q_raster_calc_index(sf_dir: str):
         return (d - 10.0 * v) / (np.abs(d) + 10.0 * np.abs(v) + 1.0)
 
     out = raster_calc(ray.data.from_arrow(tiles_table(_t1_cfg())),
-                      ["dem", "veg"], apply_masked(formula, -99.0),
+                      ["dem", "veg"], apply_masked(formula),
                       out_layer="idx")
 
     def hist(b: pa.Table) -> pa.Table:

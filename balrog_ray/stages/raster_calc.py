@@ -22,16 +22,19 @@ import numpy as np
 import pyarrow as pa
 
 
-def apply_masked(fn, nodata: float):
+def apply_masked(fn):
     """Lift a plain array formula into one that propagates nodata: cells
-    where ANY input layer is nodata come out nodata."""
+    where ANY input layer is nodata come out nodata.  The sentinel is the
+    RUNTIME ``nd`` the engine reads from the tiles' captions -- never a
+    wrap-time constant, which would silently mis-mask layers carrying a
+    different sentinel."""
     def wrapped(layers: dict, nd: float) -> np.ndarray:
         bad = None
         for a in layers.values():
-            m = a == np.float32(nodata)
+            m = a == np.float32(nd)
             bad = m if bad is None else (bad | m)
         out = np.asarray(fn(layers, nd), dtype=np.float32)
-        out[bad] = np.float32(nodata)
+        out[bad] = np.float32(nd)
         return out
     return wrapped
 

@@ -37,7 +37,7 @@ def test_raster_calc_matches_numpy_and_propagates_nodata(ray_session):
     parents = _decode_all(tab)
 
     out = raster_calc(ray.data.from_arrow(tab), ["dem", "veg"],
-                      apply_masked(_make_formula(), -99.0),
+                      apply_masked(_make_formula()),
                       out_layer="idx").take_all()
     cells = {(r["image_id"]): r for r in out}
     assert len(cells) == 6
@@ -72,7 +72,7 @@ def test_raster_calc_drops_cells_missing_a_layer(ray_session):
     dropped_id = tab.column("image_id")[drop].as_py()
 
     out = raster_calc(ray.data.from_arrow(tab2), ["dem", "veg"],
-                      apply_masked(_make_formula(), -99.0),
+                      apply_masked(_make_formula()),
                       out_layer="idx").take_all()
     got_ids = {r["image_id"] for r in out}
     assert len(got_ids) == 3
