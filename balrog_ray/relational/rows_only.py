@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -452,7 +453,7 @@ def q_tile_pyramid(sf_dir: str):
             "layer": list(rows),
             "n_tiles": pa.array([v[0] for v in rows.values()], pa.int64()),
             "valid_px": pa.array([v[1] for v in rows.values()], pa.int64()),
-            "px_sum": pa.array([round(v[2], 2) for v in rows.values()],
+            "px_sum": pa.array([v[2] for v in rows.values()],
                                pa.float64())})
 
     import functools
@@ -464,10 +465,17 @@ def q_tile_pyramid(sf_dir: str):
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.union(p)
+    def round_final(b: pa.Table) -> pa.Table:
+        # round ONCE after the final Sum -- rounding the per-batch
+        # partials would make the result depend on block partitioning
+        i = b.column_names.index("px_sum")
+        return b.set_column(i, "px_sum", pc.round(b.column("px_sum"), 2))
+
     return (merged.groupby(["level", "layer"])
             .aggregate(agg.Sum("n_tiles", alias_name="n_tiles"),
                        agg.Sum("valid_px", alias_name="valid_px"),
-                       agg.Sum("px_sum", alias_name="px_sum")))
+                       agg.Sum("px_sum", alias_name="px_sum"))
+            .map_batches(round_final, batch_format="pyarrow"))
 
 
 ROWS_ONLY = {

@@ -199,7 +199,9 @@ def read_url_tiles(urls, *, override_num_blocks: int | None = None):
 
         out = {n: [] for n in IMAGE_TABLE_COLUMNS}
         for url in batch.column("url").to_pylist():
-            with urllib.request.urlopen(url) as resp:
+            # bounded fetch: a stalled server costs one timeout error
+            # (classifiable per-row), never an indefinitely hung task
+            with urllib.request.urlopen(url, timeout=60) as resp:
                 blob = resp.read()
             with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                 manifest = json.loads(zf.read("manifest.json"))

@@ -36,6 +36,57 @@ import pyarrow.compute as pc
 from .asof import _ts_us
 
 
+def _banded_union(probe_ds, build_ds, *, probe_key: str, build_key: str,
+                  probe_ts: str, build_ts: str, lo_us: int, hi_us: int,
+                  key_type, payload):
+    """The shared band-replication normalizer both interval joins ride:
+    probe rows land in every band their ``[ts+lo, ts+hi)`` window touches
+    (at most two, since the band width equals the window width), build
+    rows in exactly the band holding their timestamp, and the two sides
+    union into ONE keyed shuffle on ``(__key, __band)``.  ``payload``
+    lists ``(out_name, probe_col | None, build_col | None, dtype)`` --
+    the id columns each caller carries through (absent side is null)."""
+    W = hi_us - lo_us
+
+    def norm_probe(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(probe_key)))
+        ts = _ts_us(b.column(probe_ts))
+        b0 = (ts + lo_us) // W
+        b1 = (ts + hi_us - 1) // W
+        two = b1 != b0
+        idx = np.concatenate([np.arange(len(ts)), np.flatnonzero(two)])
+        bands = np.concatenate([b0, b1[two]])
+        t = b.take(pa.array(idx, pa.int64()))
+        cols = {
+            "__key": t.column(probe_key).cast(key_type),
+            "__band": pa.array(bands, pa.int64()),
+            "__side": pa.array(np.zeros(len(bands), dtype=np.int8)),
+            "__ts": pa.array(np.concatenate([ts, ts[two]]), pa.int64()),
+        }
+        for name, pcol, _bcol, typ in payload:
+            cols[name] = (t.column(pcol) if pcol is not None
+                          else pa.nulls(len(bands), typ))
+        return pa.table(cols)
+
+    def norm_build(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(build_key)))
+        ts = _ts_us(b.column(build_ts))
+        cols = {
+            "__key": b.column(build_key).cast(key_type),
+            "__band": pa.array(ts // W, pa.int64()),
+            "__side": pa.array(np.ones(len(ts), dtype=np.int8)),
+            "__ts": pa.array(ts, pa.int64()),
+        }
+        for name, _pcol, bcol, typ in payload:
+            cols[name] = (b.column(bcol) if bcol is not None
+                          else pa.nulls(len(ts), typ))
+        return pa.table(cols)
+
+    return (probe_ds.map_batches(norm_probe, batch_format="pyarrow")
+            .union(build_ds.map_batches(norm_build,
+                                        batch_format="pyarrow")))
+
+
 def interval_count_join(probe_ds, build_ds, *, probe_key: str,
                         build_key: str, probe_ts: str, build_ts: str,
                         lo_us: int, hi_us: int, probe_id: str,
@@ -47,42 +98,14 @@ def interval_count_join(probe_ds, build_ds, *, probe_key: str,
     lo_us, hi_us = int(lo_us), int(hi_us)
     if hi_us <= lo_us:
         raise ValueError("interval join needs hi_us > lo_us")
-    W = hi_us - lo_us
     probe_schema = probe_ds.schema()
     id_type = probe_schema.types[probe_schema.names.index(probe_id)]
     key_type = probe_schema.types[probe_schema.names.index(probe_key)]
 
-    def norm_probe(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(probe_key)))
-        ts = _ts_us(b.column(probe_ts))
-        b0 = (ts + lo_us) // W
-        b1 = (ts + hi_us - 1) // W
-        two = b1 != b0
-        idx = np.concatenate([np.arange(len(ts)), np.flatnonzero(two)])
-        bands = np.concatenate([b0, b1[two]])
-        t = b.take(pa.array(idx, pa.int64()))
-        return pa.table({
-            "__key": t.column(probe_key).cast(key_type),
-            "__band": pa.array(bands, pa.int64()),
-            "__side": pa.array(np.zeros(len(bands), dtype=np.int8)),
-            "__ts": pa.array(np.concatenate([ts, ts[two]]), pa.int64()),
-            "__id": t.column(probe_id),
-        })
-
-    def norm_build(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(build_key)))
-        ts = _ts_us(b.column(build_ts))
-        return pa.table({
-            "__key": b.column(build_key).cast(key_type),
-            "__band": pa.array(ts // W, pa.int64()),
-            "__side": pa.array(np.ones(len(ts), dtype=np.int8)),
-            "__ts": pa.array(ts, pa.int64()),
-            "__id": pa.nulls(len(ts), id_type),
-        })
-
-    both = (probe_ds.map_batches(norm_probe, batch_format="pyarrow")
-            .union(build_ds.map_batches(norm_build,
-                                        batch_format="pyarrow")))
+    both = _banded_union(
+        probe_ds, build_ds, probe_key=probe_key, build_key=build_key,
+        probe_ts=probe_ts, build_ts=build_ts, lo_us=lo_us, hi_us=hi_us,
+        key_type=key_type, payload=[("__id", probe_id, None, id_type)])
 
     def count(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy()
@@ -119,46 +142,17 @@ def interval_join_pairs(probe_ds, build_ds, *, probe_key: str,
     lo_us, hi_us = int(lo_us), int(hi_us)
     if hi_us <= lo_us:
         raise ValueError("interval join needs hi_us > lo_us")
-    W = hi_us - lo_us
     probe_schema = probe_ds.schema()
     build_schema = build_ds.schema()
     pid_type = probe_schema.types[probe_schema.names.index(probe_id)]
     bid_type = build_schema.types[build_schema.names.index(build_id)]
     key_type = probe_schema.types[probe_schema.names.index(probe_key)]
 
-    def norm_probe(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(probe_key)))
-        ts = _ts_us(b.column(probe_ts))
-        b0 = (ts + lo_us) // W
-        b1 = (ts + hi_us - 1) // W
-        two = b1 != b0
-        idx = np.concatenate([np.arange(len(ts)), np.flatnonzero(two)])
-        bands = np.concatenate([b0, b1[two]])
-        t = b.take(pa.array(idx, pa.int64()))
-        return pa.table({
-            "__key": t.column(probe_key).cast(key_type),
-            "__band": pa.array(bands, pa.int64()),
-            "__side": pa.array(np.zeros(len(bands), dtype=np.int8)),
-            "__ts": pa.array(np.concatenate([ts, ts[two]]), pa.int64()),
-            "__pid": t.column(probe_id),
-            "__bid": pa.nulls(len(bands), bid_type),
-        })
-
-    def norm_build(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column(build_key)))
-        ts = _ts_us(b.column(build_ts))
-        return pa.table({
-            "__key": b.column(build_key).cast(key_type),
-            "__band": pa.array(ts // W, pa.int64()),
-            "__side": pa.array(np.ones(len(ts), dtype=np.int8)),
-            "__ts": pa.array(ts, pa.int64()),
-            "__pid": pa.nulls(len(ts), pid_type),
-            "__bid": b.column(build_id),
-        })
-
-    both = (probe_ds.map_batches(norm_probe, batch_format="pyarrow")
-            .union(build_ds.map_batches(norm_build,
-                                        batch_format="pyarrow")))
+    both = _banded_union(
+        probe_ds, build_ds, probe_key=probe_key, build_key=build_key,
+        probe_ts=probe_ts, build_ts=build_ts, lo_us=lo_us, hi_us=hi_us,
+        key_type=key_type, payload=[("__pid", probe_id, None, pid_type),
+                                    ("__bid", None, build_id, bid_type)])
 
     def pairs(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy()
