@@ -261,6 +261,41 @@ def q_raster_calc_index(sf_dir: str):
     return out.map_batches(hist, batch_format="pyarrow")
 
 
+def q_focal_stats(sf_dir: str):
+    """Focal (moving-window) statistics -- the FocalStatistics analogue
+    (the general form of the reference's convo directional scan,
+    calculate_bal.py:169-214): radius-3 windowed mean over the t1 dem,
+    reduced to deterministic per-tile integer stats rows."""
+    import ray.data
+
+    from ..stages.focal import focal_stats
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = focal_stats(ray.data.from_arrow(tiles_table(cfg)),
+                      GridSpec.from_synth(cfg), layer="dem", stat="mean",
+                      radius=3)
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_valid, sums = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            ids.append(b.column("image_id")[i].as_py())
+            n_valid.append(int(valid.sum()))
+            # integer-quantized checksum: stable across float orderings
+            sums.append(int(np.round(arr[valid].astype(np.float64)).sum()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "qsum": pa.array(sums, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -496,6 +531,7 @@ ROWS_ONLY = {
     "dedup_survivor_docs": q_dedup_survivor_docs,
     "pack_chunks": q_pack_chunks,
     "raster_calc_index": q_raster_calc_index,
+    "focal_stats": q_focal_stats,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
