@@ -296,6 +296,33 @@ def q_focal_stats(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_polygonize_veg(sf_dir: str):
+    """Raster -> vector region extraction (gdal_polygonize's role, the
+    inverse of geometry.rasterize): global 4-connected regions of the t1
+    veg layer, one deterministic row per region."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.polygonize import polygonize
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = polygonize(ray.data.from_arrow(tiles_table(cfg)),
+                     GridSpec.from_synth(cfg), layer="veg")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "region_id": b.column("region_id"),
+            "veg_class": pc.cast(pc.round(b.column("value")), pa.int64()),
+            "n_px": b.column("n_px"),
+            "xmin": pc.round(b.column("xmin"), 1),
+            "ymin": pc.round(b.column("ymin"), 1),
+            "xmax": pc.round(b.column("xmax"), 1),
+            "ymax": pc.round(b.column("ymax"), 1)})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -532,6 +559,7 @@ ROWS_ONLY = {
     "pack_chunks": q_pack_chunks,
     "raster_calc_index": q_raster_calc_index,
     "focal_stats": q_focal_stats,
+    "polygonize_veg": q_polygonize_veg,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
