@@ -11,6 +11,11 @@
   nearest centroid ("inverted list"); queries probe the ``n_probe``
   closest lists only.  Approximate: recall measured against the brute
   baseline in tests.
+* :func:`pq_train` / :func:`pq_encode` / :func:`pq_topk` -- product
+  quantization (Jegou/Douze/Schmid, "Product Quantization for Nearest
+  Neighbor Search", TPAMI 2011): the memory path.  Vectors compress to
+  ``n_sub`` uint8 codes; search scores codes against a per-query ADC
+  lookup table and re-ranks a per-block shortlist exactly.
 """
 
 from __future__ import annotations
@@ -178,5 +183,146 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
         return pa.table(out, schema=PAIRS_SCHEMA)
 
     partial = emb_ds.map_batches(assign_and_search, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pyarrow")
+
+
+def _kmeans_plain(sample: np.ndarray, n_codes: int, iters: int = 10,
+                  seed: int = 9) -> np.ndarray:
+    """Deterministic plain (Euclidean) Lloyd k-means for PQ sub-codebooks
+    -- subvectors are NOT unit vectors, so spherical kmeans_lite does not
+    apply.  Empty clusters keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    data = np.asarray(sample, dtype=np.float64)
+    idx = rng.choice(len(data), size=min(n_codes, len(data)),
+                     replace=False)
+    cents = data[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = data[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def pq_train(emb_ds, *, n_sub: int = 4, n_codes: int = 32,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 2048) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou/Douze/Schmid, TPAMI
+    2011): unit-normalized vectors split into ``n_sub`` subspaces, one
+    plain-kmeans codebook per subspace, fit on the deterministic
+    hash-bottom-k sample.  Returns ``(n_sub, n_codes, dim // n_sub)``
+    float64 codebooks.  Compression: dim x 4 bytes -> n_sub bytes per
+    vector (n_codes <= 256), the representation that lets a 10^12-vector
+    table's scan state fit in worker memory."""
+    from .cluster import _hash_sample_matrix
+
+    sample = _unit(np.asarray(
+        _hash_sample_matrix(emb_ds, id_col, vec_col, sample_size),
+        dtype=np.float64))
+    dim = sample.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 does not fit uint8 codes")
+    d_sub = dim // n_sub
+    return np.stack([
+        _kmeans_plain(sample[:, s * d_sub:(s + 1) * d_sub], n_codes,
+                      seed=9 + s)
+        for s in range(n_sub)])
+
+
+def pq_encode(emb_ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Vectors -> uint8 PQ codes: ``(id_col, codes: binary[n_sub])``.
+    The persisted compressed table an at-scale deployment scans instead
+    of raw embeddings."""
+    import ray
+
+    cb_ref = ray.put(codebooks)
+    n_sub, _, d_sub = codebooks.shape
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             "codes": pa.array([], pa.binary())})
+        cb = ray.get(cb_ref)
+        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
+                              dtype=np.float64))
+        codes = np.empty((len(vecs), n_sub), dtype=np.uint8)
+        for s in range(n_sub):
+            sub = vecs[:, s * d_sub:(s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "codes": pa.array([c.tobytes() for c in codes], pa.binary())})
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pq_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_sub: int = 4,
+            n_codes: int = 32, shortlist: int | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            sample_size: int = 2048):
+    """PQ asymmetric-distance ANN: encode each block's vectors to uint8
+    codes, score every query against the codes via an ADC lookup table
+    (approx inner product = sum of per-subspace LUT entries -- O(n_sub)
+    adds per vector instead of O(dim) multiplies), take the per-block
+    approx shortlist, then re-rank the shortlist EXACTLY on the raw
+    vectors already in the block.  The merge shuffle carries exact
+    cosines, so the output ordering is deterministic and only shortlist
+    misses cost recall (measured vs the brute baseline in tests)."""
+    import ray
+
+    codebooks = pq_train(emb_ds, n_sub=n_sub, n_codes=n_codes,
+                         id_col=id_col, vec_col=vec_col,
+                         sample_size=sample_size)
+    n_sub_, _, d_sub = codebooks.shape
+    qunit = _unit(np.asarray(queries, dtype=np.float64))
+    # ADC lookup table: lut[q, s, c] = <q_s, codebook[s][c]>
+    lut = np.einsum("qsd,scd->qsc",
+                    qunit.reshape(len(qunit), n_sub_, d_sub), codebooks)
+    short = shortlist if shortlist is not None else max(4 * k, 32)
+    cb_ref = ray.put(codebooks)
+    lut_ref = ray.put(lut)
+    q_ref = ray.put(qunit)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names},
+                            schema=PAIRS_SCHEMA)
+        cb = ray.get(cb_ref)
+        lut_l = ray.get(lut_ref)
+        qmat = ray.get(q_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
+                              dtype=np.float64))
+        codes = np.empty((len(vecs), n_sub_), dtype=np.int64)
+        for s in range(n_sub_):
+            sub = vecs[:, s * d_sub:(s + 1) * d_sub]
+            d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = d2.argmin(axis=1)
+        # approx[n, q] = sum_s lut[q, s, codes[n, s]]
+        approx = np.zeros((len(vecs), len(qmat)))
+        for s in range(n_sub_):
+            approx += lut_l[:, s, codes[:, s]].T
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        ss = min(short, len(ids))
+        cand = np.argpartition(-approx, ss - 1, axis=0)[:ss]  # (ss, q)
+        for qi in range(len(qmat)):
+            rows = cand[:, qi]
+            exact = vecs[rows] @ qmat[qi]                  # re-rank
+            kk = min(k, len(rows))
+            keep = _topk_rows(exact, ids[rows],
+                              np.argpartition(-exact, kk - 1)[kk - 1], kk)
+            out["query_id"].extend([qi] * len(keep))
+            out["vec_id"].extend(ids[rows][keep].tolist())
+            out["cosine"].extend(exact[keep].tolist())
+        return pa.table(out, schema=PAIRS_SCHEMA)
+
+    partial = emb_ds.map_batches(scan, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _merge_topk_fn(k), batch_format="pyarrow")

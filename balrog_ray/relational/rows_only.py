@@ -438,6 +438,22 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(ds, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_pq_ann(sf_dir: str):
+    """Product-quantization ANN (ADC scan + exact shortlist re-rank) --
+    the memory path of the similarity-search family; recall vs the brute
+    baseline is asserted in tests/test_functions.py."""
+    import ray.data
+
+    from ..functions.ann import pq_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb.slice(0, 3).column("embedding").to_pylist(),
+                       dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return pq_topk(ds, queries, k=5, n_sub=8, n_codes=32)
+
+
 def q_kmv_distinct(sf_dir: str):
     """KMV distinct-count sketch over lineitem.l_partkey -- the fixed-
     size-partial approx aggregate (no sketch exists in the reference;
@@ -568,6 +584,7 @@ ROWS_ONLY = {
     "kmeans_embeddings": q_kmeans_embeddings,
     "semantic_dedup": q_semantic_dedup,
     "ivf_ann": q_ivf_ann,
+    "pq_ann": q_pq_ann,
     "veg_prep": q_veg_prep,
     "veg_class_union": q_veg_class_union,
 }

@@ -558,3 +558,52 @@ def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
     capped = dedup.ngram_jaccard_pairs(
         ray.data.from_arrow(tbl), threshold=thr, max_df=2).take_all()
     assert {(r["id_a"], r["id_b"]) for r in capped} <= set(expect)
+
+
+def test_pq_topk_recall_beats_floor(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, queries = emb_data
+    got = ann.pq_topk(ray.data.from_arrow(tbl), queries, k=10,
+                      n_sub=4, n_codes=32).take_all()
+    exact = numpy_topk(vecs, queries, 10)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(by_q.get(q, set()) & set(exact[q])) / 10 for q in exact]
+    assert np.mean(recalls) >= 0.7
+    # reported cosines are EXACT (re-ranked), not ADC approximations
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1, n)
+    uv = unit(vecs.astype(np.float32).astype(np.float64))
+    uq = unit(queries)
+    for r in got:
+        true = float(uv[r["vec_id"]] @ uq[r["query_id"]])
+        assert abs(r["cosine"] - true) < 1e-9
+
+
+def test_pq_encode_compresses_and_is_deterministic(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, _ = emb_data
+    ds = ray.data.from_arrow(tbl)
+    cb = ann.pq_train(ds, n_sub=8, n_codes=16)
+    assert cb.shape == (8, 16, 4)
+    rows = ann.pq_encode(ds, cb).take_all()
+    assert len(rows) == len(vecs)
+    assert all(len(r["codes"]) == 8 for r in rows)       # 32 dim -> 8 B
+    rows2 = ann.pq_encode(ds, cb).take_all()
+    assert {r["vec_id"]: r["codes"] for r in rows} == \
+        {r["vec_id"]: r["codes"] for r in rows2}
+
+
+def test_pq_train_guards(ray_session, emb_data):
+    import ray.data
+
+    tbl, _, _ = emb_data
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="divisible"):
+        ann.pq_train(ds, n_sub=5)
+    with pytest.raises(ValueError, match="uint8"):
+        ann.pq_train(ds, n_sub=4, n_codes=300)
