@@ -323,6 +323,46 @@ def q_polygonize_veg(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_veg_proximity(sf_dir: str):
+    """Bounded proximity raster (gdal_proximity's role; the generalized
+    distance-to-vegetation core, calculate_bal.py:169-214) over the t1
+    world: distance to veg classes {1,2} out to 100 m, binned into the
+    reference's AS 3959 distance classes (value_lookup.py:15-23) as a
+    deterministic per-tile histogram."""
+    import ray.data
+
+    from ..core.tables import find_dist_class
+    from ..stages.halo import GridSpec
+    from ..stages.proximity import proximity
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = proximity(ray.data.from_arrow(tiles_table(cfg)),
+                    GridSpec.from_synth(cfg), layer="veg",
+                    target_values=(1.0, 2.0), max_dist=100.0)
+    dist_limit = (16.0, 21.0, 31.0, 100.0)
+
+    def hist(b: pa.Table) -> pa.Table:
+        ids, cls, counts = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            dclass = find_dist_class(arr[valid].astype(np.float64),
+                                     dist_limit)
+            u, c = np.unique(dclass, return_counts=True)
+            ids.extend([b.column("image_id")[i].as_py()] * len(u))
+            cls.extend(u.tolist())
+            counts.extend(c.tolist())
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "dist_class": pa.array(cls, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    return out.map_batches(hist, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -576,6 +616,7 @@ ROWS_ONLY = {
     "raster_calc_index": q_raster_calc_index,
     "focal_stats": q_focal_stats,
     "polygonize_veg": q_polygonize_veg,
+    "veg_proximity": q_veg_proximity,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
