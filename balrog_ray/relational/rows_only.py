@@ -363,6 +363,38 @@ def q_veg_proximity(sf_dir: str):
     return out.map_batches(hist, batch_format="pyarrow")
 
 
+def q_hillshade(sf_dir: str):
+    """gdaldem hillshade analogue (SURVEY op 26; the reference runs
+    gdaldem at data_prep/03_create_dem_aspect_slope_rasters.sh:24-33)
+    over the t1 dem, reduced to deterministic per-tile integer stats."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.terrain import hillshade
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = hillshade(ray.data.from_arrow(tiles_table(cfg)),
+                    GridSpec.from_synth(cfg))
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_valid, sums = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            ids.append(b.column("image_id")[i].as_py())
+            n_valid.append(int(valid.sum()))
+            sums.append(int(np.round(arr[valid].astype(np.float64)).sum()))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "qsum": pa.array(sums, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -617,6 +649,7 @@ ROWS_ONLY = {
     "focal_stats": q_focal_stats,
     "polygonize_veg": q_polygonize_veg,
     "veg_proximity": q_veg_proximity,
+    "hillshade_dem": q_hillshade,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,

@@ -110,26 +110,27 @@ def focal_kernel(arr: np.ndarray, radius: int, stat: str,
     return out
 
 
-def focal_stats(ds, spec: GridSpec, *, layer: str = "dem",
-                stat: str = "mean", radius: int = 3, fmt: str = "npz"):
-    """Image-table Dataset -> image-table Dataset of per-tile focal-stat
-    tiles (layer ``focal_<stat>``), exact parity with a whole-raster run.
+def windowed_stage(ds, spec: GridSpec, *, layer: str, radius: int,
+                   out_layer: str, window_fn, fmt: str = "npz"):
+    """The shared halo-window pipeline every neighborhood raster op rides
+    (focal stats, proximity, hillshade): filter to ``layer``, fan edge
+    strips sized to ``radius``, ONE ``groupby(cell_id)`` shuffle,
+    assemble the (tile + radius) window, run
+    ``window_fn(window, nodata) -> ndarray`` over it, crop the core tile
+    and re-encode as an image-table row of ``out_layer``.
 
-    One keyed shuffle; per-cell work is O(tile) integral-image math.  The
-    completeness gate mirrors the BAL pipeline: a cell only computes when
-    every in-grid neighbour delivered its strip, so a partial input can
-    never silently degrade a window to nodata padding."""
-    if stat not in STATS:
-        raise ValueError(f"focal stat must be one of {STATS}, got {stat!r}")
+    The completeness gate mirrors the BAL pipeline: a cell only computes
+    when every in-grid neighbour delivered its strip, so a partial input
+    can never silently degrade a window to nodata padding."""
     if radius < 1:
         raise ValueError("radius must be >= 1")
     if radius >= spec.tile_px:
         raise ValueError(
             f"radius {radius} >= tile_px {spec.tile_px}: strips would need "
-            f"multi-hop neighbours; re-tile coarser or lower the radius")
+            f"multi-hop neighbours (halo); re-tile coarser or lower the "
+            f"radius")
     fspec = FocalGridSpec(spec.tiles_x, spec.tiles_y, spec.tile_px,
                           spec.pixel_size, spec.y_north, radius=radius)
-    out_layer = f"focal_{stat}"
     T = fspec.tile_px
 
     def keep_layer(b: pa.Table) -> pa.Table:
@@ -159,7 +160,8 @@ def focal_stats(ds, spec: GridSpec, *, layer: str = "dem",
                             schema=TILES_SCHEMA)
         ref = next(Caption.from_json(g["caption"][i])
                    for i in range(len(g["is_core"])) if g["is_core"][i])
-        out_full = focal_kernel(window, radius, stat, float(ref.nodata))
+        out_full = np.asarray(window_fn(window, float(ref.nodata)),
+                              dtype=np.float32)
         r0, _, c0, _ = fspec.assembled_window(tx, ty)
         rs, cs = ty * T - r0, tx * T - c0
         core = np.ascontiguousarray(out_full[rs:rs + T, cs:cs + T])
@@ -183,3 +185,18 @@ def focal_stats(ds, spec: GridSpec, *, layer: str = "dem",
             .map_batches(emit, batch_format="pyarrow")
             .groupby("cell_id")
             .map_groups(compute, batch_format="pyarrow"))
+
+
+def focal_stats(ds, spec: GridSpec, *, layer: str = "dem",
+                stat: str = "mean", radius: int = 3, fmt: str = "npz"):
+    """Image-table Dataset -> image-table Dataset of per-tile focal-stat
+    tiles (layer ``focal_<stat>``), exact parity with a whole-raster run.
+    One keyed shuffle; per-cell work is O(tile) integral-image math."""
+    if stat not in STATS:
+        raise ValueError(f"focal stat must be one of {STATS}, got {stat!r}")
+
+    def fn(window: np.ndarray, nodata: float) -> np.ndarray:
+        return focal_kernel(window, radius, stat, nodata)
+
+    return windowed_stage(ds, spec, layer=layer, radius=radius,
+                          out_layer=f"focal_{stat}", window_fn=fn, fmt=fmt)

@@ -24,10 +24,9 @@ reach.
 from __future__ import annotations
 
 import numpy as np
-import pyarrow as pa
 
-from .focal import FocalGridSpec
-from .halo import GridSpec, assemble_window, make_strip_emitter_batch
+from .focal import windowed_stage
+from .halo import GridSpec
 
 
 def proximity_kernel(arr: np.ndarray, target_values, max_dist: float,
@@ -75,64 +74,11 @@ def proximity(ds, spec: GridSpec, *, layer: str = "veg", target_values,
     radius = int(np.ceil(max_dist / spec.pixel_size))
     if radius < 1:
         raise ValueError("max_dist smaller than one pixel")
-    if radius >= spec.tile_px:
-        raise ValueError(
-            f"max_dist needs a {radius}-px halo >= tile_px "
-            f"{spec.tile_px}; re-tile coarser or lower max_dist")
-    fspec = FocalGridSpec(spec.tiles_x, spec.tiles_y, spec.tile_px,
-                          spec.pixel_size, spec.y_north, radius=radius)
-    T = fspec.tile_px
     tvals = tuple(float(v) for v in target_values)
+    ps = spec.pixel_size
 
-    def keep_layer(b: pa.Table) -> pa.Table:
-        import json
+    def fn(window: np.ndarray, nodata: float) -> np.ndarray:
+        return proximity_kernel(window, tvals, max_dist, ps, nodata)
 
-        caps = b.column("caption").to_pylist()
-        keep = [i for i, c in enumerate(caps)
-                if json.loads(c)["layer"] == layer]
-        return b.take(pa.array(keep, pa.int64()))
-
-    emit = make_strip_emitter_batch(fspec)
-
-    def compute(group: pa.Table) -> pa.Table:
-        from ..tiles.codec import Caption, encode_tile, phash64
-        from ..tiles.synth import TILES_SCHEMA
-
-        g = group.to_pydict()
-        cell = int(g["cell_id"][0])
-        tx, ty = cell % fspec.tiles_x, cell // fspec.tiles_x
-        neigh = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-                    if 0 <= tx + dx < fspec.tiles_x
-                    and 0 <= ty + dy < fspec.tiles_y)
-        window = (assemble_window(g, fspec, layer, tx, ty)
-                  if g["layer"].count(layer) == neigh else None)
-        if window is None:
-            return pa.table({c: [] for c in TILES_SCHEMA.names},
-                            schema=TILES_SCHEMA)
-        ref = next(Caption.from_json(g["caption"][i])
-                   for i in range(len(g["is_core"])) if g["is_core"][i])
-        out_full = proximity_kernel(window, tvals, max_dist,
-                                    fspec.pixel_size, float(ref.nodata))
-        r0, _, c0, _ = fspec.assembled_window(tx, ty)
-        rs, cs = ty * T - r0, tx * T - c0
-        core = np.ascontiguousarray(out_full[rs:rs + T, cs:cs + T])
-        ocap = Caption(layer="proximity", x0=ref.x0, y0=ref.y0,
-                       pixel_size=ref.pixel_size, crs=ref.crs,
-                       nodata=ref.nodata, edge=dict(ref.edge),
-                       tx=ref.tx, ty=ref.ty)
-        payload, ocap = encode_tile(core, fmt, ocap)
-        h, w = core.shape
-        return pa.table({
-            "image_id": pa.array([f"proximity/{tx}/{ty}"], pa.string()),
-            "bytes": pa.array([payload], pa.binary()),
-            "w": pa.array([w], pa.int32()),
-            "h": pa.array([h], pa.int32()),
-            "fmt": pa.array([fmt], pa.string()),
-            "caption": pa.array([ocap.to_json()], pa.string()),
-            "phash": pa.array([phash64(core)], pa.int64())},
-            schema=TILES_SCHEMA)
-
-    return (ds.map_batches(keep_layer, batch_format="pyarrow")
-            .map_batches(emit, batch_format="pyarrow")
-            .groupby("cell_id")
-            .map_groups(compute, batch_format="pyarrow"))
+    return windowed_stage(ds, spec, layer=layer, radius=radius,
+                          out_layer="proximity", window_fn=fn, fmt=fmt)

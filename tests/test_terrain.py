@@ -1,0 +1,53 @@
+"""Tiled hillshade parity with a whole-raster run, including nodata
+propagation and the illumination formula's range."""
+
+import numpy as np
+
+from balrog_ray.stages.halo import GridSpec
+from balrog_ray.stages.terrain import hillshade, hillshade_kernel
+from balrog_ray.tiles.codec import Caption, decode_tile
+from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+ND = -99.0
+
+
+def test_hillshade_kernel_range_and_flat():
+    flat = np.full((12, 12), 100.0, np.float32)
+    out = hillshade_kernel(flat, 25.0, 315.0, 45.0, ND)
+    # flat terrain: slope 0 -> hs = 255 cos(zenith) everywhere
+    assert np.allclose(out, 255.0 * np.cos(np.deg2rad(45.0)), atol=1e-3)
+    rng = np.random.default_rng(4)
+    rough = rng.uniform(0, 400, (20, 20)).astype(np.float32)
+    rough[3:5, 3:7] = ND
+    out = hillshade_kernel(rough, 25.0, 315.0, 45.0, ND)
+    nd = out == np.float32(ND)
+    assert (nd == (rough == np.float32(ND))).all()
+    assert (out[~nd] >= 0).all() and (out[~nd] <= 255).all()
+
+
+def test_hillshade_pipeline_matches_whole_raster(ray_session):
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=32)
+    tab = tiles_table(cfg)
+    spec = GridSpec.from_synth(cfg)
+    T = cfg.tile_px
+    dem = np.full((cfg.tiles_y * T, cfg.tiles_x * T), ND, np.float32)
+    for i in range(tab.num_rows):
+        cap = Caption.from_json(tab.column("caption")[i].as_py())
+        if cap.layer != "dem":
+            continue
+        arr = decode_tile(tab.column("bytes")[i].as_py(),
+                          tab.column("fmt")[i].as_py(), cap)
+        dem[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+
+    exp = hillshade_kernel(dem, cfg.pixel_size, 315.0, 45.0, ND)
+    out = hillshade(ray.data.from_arrow(tab), spec).take_all()
+    assert len(out) == cfg.tiles_x * cfg.tiles_y
+    for row in out:
+        cap = Caption.from_json(row["caption"])
+        arr = decode_tile(row["bytes"], row["fmt"], cap)
+        want = exp[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T]
+        nd = arr == np.float32(ND)
+        assert (nd == (want == np.float32(ND))).all()
+        assert np.allclose(arr[~nd], want[~nd], atol=1e-3), (cap.tx, cap.ty)
