@@ -395,6 +395,44 @@ def q_hillshade(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_dem_metrics(sf_dir: str):
+    """gdaldem's remaining terrain modes (TPI / TRI / roughness) over the
+    t1 dem -- per-tile quantized stats rows, one set per metric."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.terrain import dem_metrics
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    tab = tiles_table(cfg)
+    spec = GridSpec.from_synth(cfg)
+
+    def stats(b: pa.Table) -> pa.Table:
+        met, ids, n_valid, sums = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            met.append(cap.layer)
+            ids.append(b.column("image_id")[i].as_py())
+            n_valid.append(int(valid.sum()))
+            sums.append(int(np.round(
+                arr[valid].astype(np.float64) * 10).sum()))
+        return pa.table({"metric": pa.array(met, pa.string()),
+                         "image_id": pa.array(ids, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "qsum": pa.array(sums, pa.int64())})
+
+    out = None
+    for metric in ("tpi", "tri", "roughness"):
+        part = dem_metrics(ray.data.from_arrow(tab), spec, metric=metric)
+        out = part if out is None else out.union(part)
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -650,6 +688,7 @@ ROWS_ONLY = {
     "polygonize_veg": q_polygonize_veg,
     "veg_proximity": q_veg_proximity,
     "hillshade_dem": q_hillshade,
+    "dem_metrics": q_dem_metrics,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,

@@ -53,3 +53,74 @@ def hillshade(ds, spec: GridSpec, *, layer: str = "dem",
     return windowed_stage(ds, spec, layer=layer,
                           radius=spec.halo if radius is None else radius,
                           out_layer="hillshade", window_fn=fn, fmt=fmt)
+
+
+def _shift_pad(a: np.ndarray, dy: int, dx: int, fill: float) -> np.ndarray:
+    out = np.full_like(a, fill)
+    H, W = a.shape
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    yd = slice(max(-dy, 0), H + min(-dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    xd = slice(max(-dx, 0), W + min(-dx, 0))
+    out[yd, xd] = a[ys, xs]
+    return out
+
+
+def dem_metric_kernel(dem: np.ndarray, metric: str,
+                      nodata: float) -> np.ndarray:
+    """gdaldem's 3x3 terrain metrics (TPI / TRI / roughness, the modes
+    next to slope/aspect/hillshade).  Nodata-aware: nodata neighbours are
+    excluded; a center with no valid neighbour (or itself nodata) emits
+    nodata.
+
+    * ``tpi``: center minus the mean of its valid 8-neighbours;
+    * ``tri``: mean |center - neighbour| over valid 8-neighbours
+      (Wilson et al. 2007, gdaldem's TRI formula);
+    * ``roughness``: max - min over the valid 3x3 window incl. center.
+    """
+    if metric not in ("tpi", "tri", "roughness"):
+        raise ValueError(f"metric must be tpi|tri|roughness, got {metric!r}")
+    valid = dem != np.float32(nodata)
+    d = dem.astype(np.float64)
+    nb_sum = np.zeros_like(d)
+    nb_abs = np.zeros_like(d)
+    nb_n = np.zeros_like(d)
+    lo = np.where(valid, d, np.inf)
+    hi = np.where(valid, d, -np.inf)
+    wmin, wmax = lo.copy(), hi.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            v = _shift_pad(valid.astype(np.float64), dy, dx, 0.0)
+            x = _shift_pad(d, dy, dx, 0.0) * v
+            nb_sum += x
+            nb_abs += np.abs(d - _shift_pad(d, dy, dx, 0.0)) * v
+            nb_n += v
+            wmin = np.minimum(wmin, _shift_pad(lo, dy, dx, np.inf))
+            wmax = np.maximum(wmax, _shift_pad(hi, dy, dx, -np.inf))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if metric == "tpi":
+            out = d - nb_sum / nb_n
+        elif metric == "tri":
+            out = nb_abs / nb_n
+        else:
+            out = wmax - wmin
+    out = out.astype(np.float32)
+    out[~valid | (nb_n == 0)] = np.float32(nodata)
+    return out
+
+
+def dem_metrics(ds, spec: GridSpec, *, metric: str, layer: str = "dem",
+                fmt: str = "npz"):
+    """Image-table Dataset -> image-table Dataset of TPI / TRI /
+    roughness tiles (layer = the metric name).  Pure 3x3 windows with no
+    nodata fill, so a 1-px halo gives exact whole-raster parity."""
+    if metric not in ("tpi", "tri", "roughness"):
+        raise ValueError(f"metric must be tpi|tri|roughness, got {metric!r}")
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return dem_metric_kernel(window, metric, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=1,
+                          out_layer=metric, window_fn=fn, fmt=fmt)

@@ -51,3 +51,82 @@ def test_hillshade_pipeline_matches_whole_raster(ray_session):
         nd = arr == np.float32(ND)
         assert (nd == (want == np.float32(ND))).all()
         assert np.allclose(arr[~nd], want[~nd], atol=1e-3), (cap.tx, cap.ty)
+
+
+def _metric_oracle(dem, metric):
+    H, W = dem.shape
+    out = np.full((H, W), ND, np.float32)
+    for i in range(H):
+        for j in range(W):
+            if dem[i, j] == np.float32(ND):
+                continue
+            nbrs = []
+            win = []
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    ii, jj = i + di, j + dj
+                    if not (0 <= ii < H and 0 <= jj < W):
+                        continue
+                    v = dem[ii, jj]
+                    if v == np.float32(ND):
+                        continue
+                    win.append(float(v))
+                    if (di, dj) != (0, 0):
+                        nbrs.append(float(v))
+            if metric == "roughness":
+                out[i, j] = np.float32(max(win) - min(win))
+            elif nbrs:
+                c = float(dem[i, j])
+                if metric == "tpi":
+                    out[i, j] = np.float32(c - np.mean(nbrs))
+                else:
+                    out[i, j] = np.float32(
+                        np.mean([abs(c - n) for n in nbrs]))
+    return out
+
+
+def test_dem_metric_kernel_matches_loop_oracle():
+    from balrog_ray.stages.terrain import dem_metric_kernel
+
+    rng = np.random.default_rng(6)
+    dem = rng.uniform(0, 300, (24, 19)).astype(np.float32)
+    dem[rng.random((24, 19)) < 0.12] = ND
+    for metric in ("tpi", "tri", "roughness"):
+        got = dem_metric_kernel(dem, metric, ND)
+        exp = _metric_oracle(dem, metric)
+        nd_g = got == np.float32(ND)
+        assert (nd_g == (exp == np.float32(ND))).all(), metric
+        assert np.allclose(got[~nd_g], exp[~nd_g], atol=1e-4), metric
+
+
+def test_dem_metrics_pipeline_matches_whole_raster(ray_session):
+    import ray.data
+
+    from balrog_ray.stages.terrain import dem_metric_kernel, dem_metrics
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    tab = tiles_table(cfg)
+    spec = GridSpec.from_synth(cfg)
+    T = cfg.tile_px
+    dem = np.full((cfg.tiles_y * T, cfg.tiles_x * T), ND, np.float32)
+    for i in range(tab.num_rows):
+        cap = Caption.from_json(tab.column("caption")[i].as_py())
+        if cap.layer != "dem":
+            continue
+        arr = decode_tile(tab.column("bytes")[i].as_py(),
+                          tab.column("fmt")[i].as_py(), cap)
+        dem[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+
+    for metric in ("tpi", "roughness"):
+        exp = dem_metric_kernel(dem, metric, ND)
+        out = dem_metrics(ray.data.from_arrow(tab), spec,
+                          metric=metric).take_all()
+        for row in out:
+            cap = Caption.from_json(row["caption"])
+            assert cap.layer == metric
+            arr = decode_tile(row["bytes"], row["fmt"], cap)
+            want = exp[cap.ty * T:(cap.ty + 1) * T,
+                       cap.tx * T:(cap.tx + 1) * T]
+            nd = arr == np.float32(ND)
+            assert (nd == (want == np.float32(ND))).all()
+            assert np.allclose(arr[~nd], want[~nd], atol=1e-4), metric
