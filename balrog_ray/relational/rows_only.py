@@ -433,6 +433,37 @@ def q_dem_metrics(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_site_bal_rating(sf_dir: str):
+    """The reference's END PRODUCT, composed from engine stages: full BAL
+    run on the t1 world -> bal_max band tiles -> per-site point sample
+    (the per-address BAL rating Gen-2 exists to produce; window-read
+    pattern of testing/02_get_slope_from_buffer.py:204-251 at 0 m
+    buffer).  Deterministic (site_id, x, y, bal_class) rows; sites
+    outside the grid emit the reference's -9999 sentinel."""
+    import ray.data
+
+    from ..pipelines.bal_pipeline import bal_pipeline
+    from ..stages.halo import GridSpec
+    from ..stages.site_sample import sample_raster
+    from ..tiles.synth import sites_table, tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    bal = bal_pipeline(ray.data.from_arrow(tiles_table(cfg)), spec,
+                       bands=("max",))
+    out = sample_raster(ray.data.from_arrow(sites_table(cfg, n=64)),
+                        bal, spec, layer="bal_max", value_col="bal_class")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "site_id": b.column("site_id"),
+            "x": pc.round(b.column("x"), 2),
+            "y": pc.round(b.column("y"), 2),
+            "bal_class": pc.round(b.column("bal_class"), 1)})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def q_dedup_survivor_docs(sf_dir: str):
     """The full industrial near-dup pipeline: MinHash LSH pairs ->
     distributed union-find components -> keep the min-id canonical doc
@@ -689,6 +720,7 @@ ROWS_ONLY = {
     "veg_proximity": q_veg_proximity,
     "hillshade_dem": q_hillshade,
     "dem_metrics": q_dem_metrics,
+    "site_bal_rating": q_site_bal_rating,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
     "kmv_distinct": q_kmv_distinct,
