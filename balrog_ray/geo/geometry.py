@@ -257,3 +257,71 @@ def rasterize(polys, values, x0: float, y0: float, pixel_size: float,
         window = out[r0:r1, c0:c1]
         window[mask] = val
     return out
+
+
+def _dp_mask(points: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for an OPEN polyline (endpoints kept).
+    Iterative stack, vectorized point-to-chord distances."""
+    n = len(points)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = points[j] - points[i]
+        mid = points[i + 1:j] - points[i]
+        length = float(np.hypot(seg[0], seg[1]))
+        if length == 0.0:
+            d = np.hypot(mid[:, 0], mid[:, 1])
+        else:
+            d = np.abs(seg[0] * mid[:, 1] - seg[1] * mid[:, 0]) / length
+        kmax = int(np.argmax(d))
+        if d[kmax] > tol:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def _simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray | None:
+    """Simplify a CLOSED ring: anchor at vertex 0 and the vertex farthest
+    from it (so the result cannot collapse to a chord), DP each half.
+    Returns a closed ring, or None when it degenerates (< 3 distinct
+    vertices)."""
+    pts = ring[:-1]
+    if len(pts) < 4:
+        return ring
+    far = int(np.argmax(np.hypot(pts[:, 0] - pts[0, 0],
+                                 pts[:, 1] - pts[0, 1])))
+    if far == 0:
+        return None                       # all vertices coincide
+    half1 = pts[:far + 1]
+    half2 = np.concatenate([pts[far:], pts[:1]])
+    k1 = _dp_mask(half1, tol)
+    k2 = _dp_mask(half2, tol)
+    out = np.concatenate([half1[k1][:-1], half2[k2][:-1]])
+    if len(out) < 3:
+        return None
+    return _close_ring(out)
+
+
+def simplify(poly: Polygon, tolerance: float) -> Polygon | None:
+    """Douglas-Peucker polygon simplification -- the ``ST_Simplify``
+    analogue of the reference's PostGIS toolchain (its merge/subdivide
+    pipeline, ``04_merge_geometries.py``, lives in the ecosystem where
+    simplify is the standard companion op).  Every kept vertex is an
+    input vertex; every dropped vertex lies within ``tolerance`` of the
+    simplified outline.  Degenerate holes are dropped; a degenerate
+    shell returns None (drop the feature)."""
+    shell = _simplify_ring(poly.exterior, tolerance)
+    if shell is None or abs(_ring_area(shell)) == 0.0:
+        return None
+    holes = []
+    for h in poly.holes:
+        hs = _simplify_ring(h, tolerance)
+        if hs is not None and abs(_ring_area(hs)) > 0.0:
+            holes.append(hs)
+    return Polygon(shell, holes)

@@ -550,6 +550,51 @@ def q_veg_prep(sf_dir: str):
     return summary
 
 
+def q_simplify_veg(sf_dir: str):
+    """ST_Simplify analogue: Douglas-Peucker over the veg polygon table
+    (stateless map_batches, pure numpy per ring), reporting per-class
+    vertex reduction and bounded area drift -- deterministic rows."""
+    import ray.data
+
+    from ..geo.geometry import simplify
+    from ..geo.wkb import from_wkb, polygon_to_wkb
+    from ..tiles.synth import veg_polygon_table
+
+    cfg = _t1_cfg()
+    tol = 2.0 * cfg.pixel_size
+
+    def simp(b: pa.Table) -> pa.Table:
+        cls, v_in, v_out, a_in, a_out = [], [], [], [], []
+        for i in range(b.num_rows):
+            g = from_wkb(b.column("geom")[i].as_py())
+            parts = g if isinstance(g, list) else [g]
+            for p in parts:
+                s = simplify(p, tol)
+                cls.append(int(b.column("bal_number")[i].as_py()))
+                v_in.append(len(p.exterior) - 1)
+                v_out.append(0 if s is None else len(s.exterior) - 1)
+                a_in.append(p.area)
+                a_out.append(0.0 if s is None else s.area)
+                if s is not None:
+                    polygon_to_wkb(s)  # round-trip stays valid WKB
+        return pa.table({
+            "bal_number": pa.array(cls, pa.int64()),
+            "v_in": pa.array(v_in, pa.int64()),
+            "v_out": pa.array(v_out, pa.int64()),
+            "area_drift": pa.array(
+                [round(abs(ai - ao), 3) for ai, ao in zip(a_in, a_out)],
+                pa.float64())})
+
+    import ray.data.aggregate as agg
+
+    return (ray.data.from_arrow(veg_polygon_table(cfg))
+            .map_batches(simp, batch_format="pyarrow")
+            .groupby("bal_number")
+            .aggregate(agg.Sum("v_in", alias_name="v_in"),
+                       agg.Sum("v_out", alias_name="v_out"),
+                       agg.Sum("area_drift", alias_name="area_drift")))
+
+
 def q_veg_class_union(sf_dir: str):
     """Geometric per-class union (chunked partial/final ST_Union tree,
     reference 04_merge_geometries.py:129-205): one merged multipolygon row
@@ -732,4 +777,5 @@ ROWS_ONLY = {
     "pq_ann": q_pq_ann,
     "veg_prep": q_veg_prep,
     "veg_class_union": q_veg_class_union,
+    "simplify_veg": q_simplify_veg,
 }

@@ -68,3 +68,37 @@ def test_nvis_lookup_is_value_keyed():
     Gen-2 lookup (02_create_nvis_bal_map_table.sql:46-49)."""
     got = apply_nvis_lookup(np.array([1, 2, 5, 14, 15, 19, 23, 26, 99, 50]))
     assert got.tolist() == [6, 1, 2, 5, 3, 7, -9999, 4, -9999, -9999]
+
+
+def test_simplify_properties():
+    """DP simplify: vertices are a subset of input, every dropped vertex
+    stays within tolerance of the simplified outline, area drift is
+    bounded, and degenerate inputs drop cleanly."""
+    import numpy as np
+
+    from balrog_ray.geo.geometry import (Polygon, _seg_nearest, simplify)
+
+    rng = np.random.default_rng(8)
+    # noisy circle: 200 vertices, radius 100 +- 0.5 jitter
+    th = np.linspace(0, 2 * np.pi, 201)[:-1]
+    r = 100.0 + rng.uniform(-0.5, 0.5, len(th))
+    ring = np.stack([r * np.cos(th), r * np.sin(th)], axis=1)
+    poly = Polygon(ring)
+    tol = 2.0
+    out = simplify(poly, tol)
+    assert out is not None
+    # far fewer vertices, all drawn from the input set
+    assert len(out.exterior) < len(poly.exterior) / 3
+    in_set = {(round(x, 9), round(y, 9)) for x, y in poly.exterior}
+    assert all((round(x, 9), round(y, 9)) in in_set
+               for x, y in out.exterior)
+    # every original vertex within tol of the simplified outline
+    d, _ = _seg_nearest(poly.exterior, out.exterior)
+    assert d.max() <= tol + 1e-9
+    # area drift bounded by perimeter * tol
+    assert abs(out.area - poly.area) <= tol * 2 * np.pi * 101
+    # tiny tolerance: nothing dropped
+    same = simplify(poly, 1e-12)
+    assert len(same.exterior) == len(poly.exterior)
+    # degenerate: all points coincide -> dropped
+    assert simplify(Polygon(np.zeros((5, 2))), 1.0) is None
