@@ -181,3 +181,34 @@ def test_bal_pipeline_veg_mosaic_hole(ray_session):
         assert_array_equal(arr, exp.astype(np.float32))
     hole = {(tx, ty) for tx in (2, 3) for ty in (2, 3)}
     assert seen == {(tx, ty) for tx in range(4) for ty in range(4)} - hole
+
+
+def test_regrid_retiles_same_resolution_exactly(ray_session):
+    """Retiling (op 25's re-chunk concern): same pixel size, different
+    tile size -- regrid_to_grid must be an exact pixel-preserving
+    re-partition of the mosaic (NN at equal resolution is identity)."""
+    import ray.data
+
+    src_cfg = synth.SynthConfig(tiles_x=4, tiles_y=4, tile_px=32,
+                                pixel_size=25.0)
+    tgt = GridSpec(tiles_x=2, tiles_y=2, tile_px=64, pixel_size=25.0,
+                   y_north=src_cfg.y_north)
+    tab = synth.tiles_table(src_cfg, layers=("dem",))
+    mosaic = np.full(src_cfg.world_px, np.nan, dtype=np.float32)
+    T = src_cfg.tile_px
+    for i in range(tab.num_rows):
+        cap = Caption.from_json(tab.column("caption")[i].as_py())
+        arr = decode_tile(tab.column("bytes")[i].as_py(),
+                          tab.column("fmt")[i].as_py(), cap)
+        mosaic[cap.ty * T:(cap.ty + 1) * T,
+               cap.tx * T:(cap.tx + 1) * T] = arr
+
+    out = regrid_to_grid(ray.data.from_arrow(tab), tgt,
+                         layer="dem").take_all()
+    assert len(out) == 4
+    for r in out:
+        cap = Caption.from_json(r["caption"])
+        arr = decode_tile(r["bytes"], r["fmt"], cap)
+        want = mosaic[cap.ty * 64:(cap.ty + 1) * 64,
+                      cap.tx * 64:(cap.tx + 1) * 64]
+        assert_array_equal(arr, want)
