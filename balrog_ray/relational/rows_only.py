@@ -742,7 +742,44 @@ def q_tile_pyramid(sf_dir: str):
             .map_batches(round_final, batch_format="pyarrow"))
 
 
+def q_contour_lines(sf_dir: str):
+    """gdal_contour analogue: marching-squares iso-lines over the t1 dem
+    (tiled run is segment-identical to a whole-raster pass --
+    tests/test_contour.py), reduced to per-level deterministic integers:
+    segment count + total length in micro-units (per-segment quantization
+    keeps the sum order-independent)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.contour import contour_lines
+    from ..stages.halo import GridSpec
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    segs = contour_lines(ray.data.from_arrow(tiles_table(cfg)),
+                         GridSpec.from_synth(cfg),
+                         levels=(40.0, 70.0, 100.0), layer="dem")
+
+    def pre(b: pa.Table) -> pa.Table:
+        ax = b.column("ax").to_numpy(zero_copy_only=False)
+        ay = b.column("ay").to_numpy(zero_copy_only=False)
+        bx = b.column("bx").to_numpy(zero_copy_only=False)
+        by = b.column("by").to_numpy(zero_copy_only=False)
+        ln = np.hypot(bx - ax, by - ay)
+        return pa.table({
+            "level": pc.cast(b.column("level"), pa.int64()),
+            "len_um": pa.array(np.round(ln * 1e6).astype(np.int64),
+                               pa.int64())})
+
+    return (segs.map_batches(pre, batch_format="pyarrow")
+            .groupby("level")
+            .aggregate(Count(alias_name="n_segments"),
+                       Sum("len_um", alias_name="total_len_um"))
+            .sort("level"))
+
+
 ROWS_ONLY = {
+    "contour_lines": q_contour_lines,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
     "tile_chips": q_tile_chips,
