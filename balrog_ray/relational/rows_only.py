@@ -778,8 +778,30 @@ def q_contour_lines(sf_dir: str):
             .sort("level"))
 
 
+def q_site_viewshed(sf_dir: str):
+    """Per-site bounded-radius viewshed (gdal_viewshed's role, radius-
+    bounded like the AS 3959 scan itself) over the t1 dem: deterministic
+    per-site integer visibility counts for 48 probe sites (verified
+    against a scalar R3 oracle in tests/test_viewshed.py)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.viewshed import site_viewshed
+    from ..tiles.synth import sites_table, tiles_table
+
+    cfg = _t1_cfg()
+    out = site_viewshed(
+        ray.data.from_arrow(sites_table(cfg, n=48)),
+        ray.data.from_arrow(tiles_table(cfg)),
+        GridSpec.from_synth(cfg), radius_m=5 * cfg.pixel_size,
+        observer_height=0.0)
+    return (out.select_columns(["site_id", "visible_px", "total_px"])
+            .sort("site_id"))
+
+
 ROWS_ONLY = {
     "contour_lines": q_contour_lines,
+    "site_viewshed": q_site_viewshed,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
     "tile_chips": q_tile_chips,
