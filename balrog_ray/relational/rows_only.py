@@ -799,9 +799,47 @@ def q_site_viewshed(sf_dir: str):
             .sort("site_id"))
 
 
+def q_sieve_veg(sf_dir: str):
+    """gdal_sieve analogue: dissolve sub-threshold connected regions of
+    the t1 veg raster into their largest neighbours (pixel-exact vs a
+    rewrite-and-relabel oracle in tests/test_sieve.py), reduced to a
+    per-class pixel histogram before/after."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.sieve import sieve
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = sieve(ray.data.from_arrow(tiles_table(cfg)),
+                GridSpec.from_synth(cfg), layer="veg", min_px=8)
+
+    def hist(b: pa.Table) -> pa.Table:
+        cls, counts = [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v, c = np.unique(arr.astype(np.int64), return_counts=True)
+            cls.extend(int(x) for x in v)
+            counts.extend(int(x) for x in c)
+        return pa.table({"veg_class": pa.array(cls, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (out.map_batches(hist, batch_format="pyarrow")
+            .groupby("veg_class")
+            .aggregate(Sum("n_px", alias_name="n_px"))
+            .sort("veg_class"))
+
+
 ROWS_ONLY = {
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,
+    "sieve_veg": q_sieve_veg,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
     "tile_chips": q_tile_chips,

@@ -1,0 +1,344 @@
+"""Distributed sieve filter: remove connected regions smaller than a
+pixel threshold from a categorical raster, merging each into its largest
+neighbour (``gdal_sieve``'s role -- the raster-cleanup step GDAL applies
+before polygonize; the reference's vector-side analogue is dropping
+sliver polygons in ``03_explode_multipolygons_and_classify.sql``).
+
+Semantics (deterministic, documented where GDAL leaves order undefined):
+
+* regions are 4-connected components of equal value (nodata excluded),
+  labeled globally across tile boundaries;
+* iteratively, the smallest region below ``min_px`` (ties: lowest
+  anchor = min row-major pixel index, a tiling-independent identity)
+  merges into its largest neighbour by current size (ties: lowest
+  anchor), taking the neighbour's value; sizes, anchors and adjacency
+  contract as merges proceed -- including re-forming components when a
+  rewrite makes two same-value regions touch -- so chains of slivers
+  resolve exactly as a pixel-level rewrite-and-relabel loop would;
+* a small region with no neighbour (islanded by nodata / raster edge)
+  survives; nodata pixels are never rewritten.
+
+Scale shape: the pixel-scale work is two ``map_batches`` passes (label +
+rewrite) and the shared border-strip shuffle; everything in between
+operates on the REGION graph, which is orders of magnitude smaller than
+the raster for categorical layers.  The merge loop itself runs
+driver-side over that bounded graph (the same bounded-materialization
+contract as the lineage tables); the final (changed-region -> new value)
+map is broadcast via ``ray.put`` into the rewrite pass.  At scales where
+the region graph itself outgrows the driver, replace the loop with
+rounds of distributed graph contraction -- the label/rewrite passes are
+unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .halo import GridSpec
+from .polygonize import _LABEL_BITS, _label_tile
+
+_SIEVE_SCHEMA = pa.schema([
+    ("kind", pa.int8()),         # 0 region partial, 1 border strip, 2 adj
+    ("gid", pa.int64()), ("value", pa.float64()), ("n_px", pa.int64()),
+    ("anchor", pa.int64()),
+    ("edge_id", pa.int64()), ("side", pa.int8()),
+    ("vals", pa.binary()), ("gids", pa.binary()),
+    ("id_b", pa.int64())])
+
+
+def _tile_regions(arr: np.ndarray, nodata: float, base: np.int64,
+                  row0: int, col0: int, world_w: int):
+    """Label one tile; return (labels, packed gid per label, value per
+    label, count per label, min-global-pixel anchor per label, unique
+    within-tile adjacency gid pairs).  The anchor (row-major flat index
+    over the WHOLE raster) is the tiling-independent identity every
+    ordering decision uses."""
+    labels, n_lab = _label_tile(arr, nodata)
+    if n_lab == 0:
+        z = np.empty(0, np.int64)
+        return (labels, z, np.empty(0, np.float64), z.copy(), z.copy(),
+                z.reshape(0, 2))
+    flat = labels.ravel()
+    sel = flat >= 0
+    lab = flat[sel].astype(np.int64)
+    counts = np.bincount(lab, minlength=n_lab)
+    vals = np.zeros(n_lab, np.float64)
+    vals[lab] = arr.ravel()[sel]
+    h, w = arr.shape
+    gpix = ((np.repeat(np.arange(h, dtype=np.int64), w) + row0) * world_w
+            + np.tile(np.arange(w, dtype=np.int64), h) + col0)[sel]
+    anchor = np.full(n_lab, np.iinfo(np.int64).max)
+    np.minimum.at(anchor, lab, gpix)
+    gid2d = np.where(labels >= 0, base + labels.astype(np.int64),
+                     np.int64(-1))
+    # within-tile adjacency between DIFFERENT regions (differing labels
+    # imply differing values after same-value merging)
+    pairs = []
+    for a, b in ((gid2d[:, :-1], gid2d[:, 1:]),
+                 (gid2d[:-1, :], gid2d[1:, :])):
+        m = (a >= 0) & (b >= 0) & (a != b)
+        if m.any():
+            pairs.append(np.stack([a[m], b[m]], axis=1))
+    adj = (np.unique(np.concatenate(pairs), axis=0)
+           if pairs else np.empty((0, 2), np.int64))
+    gids = base + np.arange(n_lab, dtype=np.int64)
+    return labels, gids, vals, counts.astype(np.int64), anchor, adj
+
+
+def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
+          fmt: str = "npz"):
+    """Image-table Dataset -> image-table Dataset (layer
+    ``sieve_<layer>``) with sub-threshold regions dissolved into their
+    largest neighbours.  Exact whole-raster parity is asserted in
+    tests/test_sieve.py."""
+    if min_px < 2:
+        raise ValueError("min_px must be >= 2 (1 would be a no-op)")
+    if spec.tile_px * spec.tile_px >= (1 << _LABEL_BITS):
+        raise ValueError("tile_px packs more labels than _LABEL_BITS")
+    T = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+
+    def label_stage(b: pa.Table) -> pa.Table:
+        import json
+
+        from ..tiles.codec import Caption, decode_tile
+
+        out = {n: [] for n in _SIEVE_SCHEMA.names}
+
+        def row(**kw):
+            for n in _SIEVE_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        for i in range(b.num_rows):
+            cap_raw = b.column("caption")[i].as_py()
+            if json.loads(cap_raw).get("layer") != layer:
+                continue
+            cap = Caption.from_json(cap_raw)
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            tx, ty = cap.tx, cap.ty
+            cell = spec.cell_id(tx, ty)
+            base = np.int64(cell) << _LABEL_BITS
+            labels, gids, vals, counts, anchor, adj = _tile_regions(
+                arr, float(cap.nodata), base,
+                ty * T, tx * T, tiles_x * T)
+            for j in range(len(gids)):
+                row(kind=0, gid=int(gids[j]), value=float(vals[j]),
+                    n_px=int(counts[j]), anchor=int(anchor[j]))
+            for a, b_ in adj:
+                row(kind=2, gid=int(a), id_b=int(b_))
+            gid2d = np.where(labels >= 0,
+                             base + labels.astype(np.int64), np.int64(-1))
+            for vline, gline, eid, ok, side in (
+                (arr[:, -1], gid2d[:, -1],
+                 np.int64(cell) * 2, tx + 1 < tiles_x, 0),
+                (arr[:, 0], gid2d[:, 0],
+                 np.int64(spec.cell_id(tx - 1, ty)) * 2, tx > 0, 1),
+                (arr[-1, :], gid2d[-1, :],
+                 np.int64(cell) * 2 + 1, ty + 1 < tiles_y, 0),
+                (arr[0, :], gid2d[0, :],
+                 np.int64(spec.cell_id(tx, ty - 1)) * 2 + 1, ty > 0, 1),
+            ):
+                if not ok:
+                    continue
+                row(kind=1, edge_id=int(eid), side=side,
+                    vals=np.ascontiguousarray(
+                        vline, dtype=np.float32).tobytes(),
+                    gids=np.ascontiguousarray(gline).tobytes())
+        return pa.table(out, schema=_SIEVE_SCHEMA)
+
+    combined = (ds.map_batches(label_stage,
+                               batch_format="pyarrow").materialize())
+
+    def cross_edges(group: pa.Table) -> pa.Table:
+        """Cross-tile pixel adjacencies: same-value -> merge edge
+        (kind 0 in the output), different-value -> adjacency (kind 1)."""
+        empty = pa.table({"ek": pa.array([], pa.int8()),
+                          "id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+        if group.num_rows != 2:
+            return empty
+        side = group.column("side").to_pylist()
+        a, b_ = (0, 1) if side[0] == 0 else (1, 0)
+        va = np.frombuffer(group.column("vals")[a].as_py(), np.float32)
+        vb = np.frombuffer(group.column("vals")[b_].as_py(), np.float32)
+        ga = np.frombuffer(group.column("gids")[a].as_py(), np.int64)
+        gb = np.frombuffer(group.column("gids")[b_].as_py(), np.int64)
+        both = (ga >= 0) & (gb >= 0)
+        out_k, out_a, out_b = [], [], []
+        for ek, m in ((0, both & (va == vb)), (1, both & (va != vb))):
+            if m.any():
+                pairs = np.unique(np.stack([ga[m], gb[m]], axis=1), axis=0)
+                out_k.append(np.full(len(pairs), ek, np.int8))
+                out_a.append(pairs[:, 0])
+                out_b.append(pairs[:, 1])
+        if not out_k:
+            return empty
+        return pa.table({
+            "ek": pa.array(np.concatenate(out_k), pa.int8()),
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+    cross = (combined.filter(expr="kind == 1")
+             .select_columns(["edge_id", "side", "vals", "gids"])
+             .groupby("edge_id")
+             .map_groups(cross_edges, batch_format="pyarrow")
+             .materialize())
+
+    from ..functions.components import connected_components
+
+    merge_edges = cross.filter(expr="ek == 0") \
+        .select_columns(["id_a", "id_b"])
+    mapping_rows = connected_components(
+        merge_edges, "id_a", "id_b").take_all()
+    raw2canon = {int(r["doc_id"]): int(r["component_id"])
+                 for r in mapping_rows}
+
+    # ---- driver-side region graph (regions << pixels) ----
+    parts = combined.filter(expr="kind == 0") \
+        .select_columns(["gid", "value", "n_px", "anchor"]).take_all()
+    size: dict[int, int] = {}
+    value: dict[int, float] = {}
+    anchor: dict[int, int] = {}
+    for r in parts:
+        c = raw2canon.get(int(r["gid"]), int(r["gid"]))
+        size[c] = size.get(c, 0) + int(r["n_px"])
+        value[c] = float(r["value"])
+        anchor[c] = min(anchor.get(c, 1 << 62), int(r["anchor"]))
+    neigh: dict[int, set] = {c: set() for c in size}
+    adj_rows = combined.filter(expr="kind == 2") \
+        .select_columns(["gid", "id_b"]).take_all()
+    cross_adj = cross.filter(expr="ek == 1") \
+        .select_columns(["id_a", "id_b"]).take_all()
+    for r in adj_rows:
+        a = raw2canon.get(int(r["gid"]), int(r["gid"]))
+        b_ = raw2canon.get(int(r["id_b"]), int(r["id_b"]))
+        if a != b_:
+            neigh[a].add(b_)
+            neigh[b_].add(a)
+    for r in cross_adj:
+        a = raw2canon.get(int(r["id_a"]), int(r["id_a"]))
+        b_ = raw2canon.get(int(r["id_b"]), int(r["id_b"]))
+        if a != b_:
+            neigh[a].add(b_)
+            neigh[b_].add(a)
+
+    final = sieve_merge(size, value, anchor, neigh, min_px)
+
+    # flatten: raw gid -> final value, only where the value changed
+    changed: dict[int, float] = {}
+    for r in parts:
+        g = int(r["gid"])
+        c = raw2canon.get(g, g)
+        nv = value[final[c]]
+        if nv != float(r["value"]):
+            changed[g] = nv
+
+    import ray
+
+    keys = np.array(sorted(changed), np.int64)
+    vals_arr = np.array([changed[k] for k in keys], np.float32)
+    map_ref = ray.put((keys, vals_arr))
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        import json
+
+        from ..tiles.codec import Caption, decode_tile, encode_tile, \
+            phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        k, v = ray.get(map_ref)
+        out = {n: [] for n in TILES_SCHEMA.names}
+        for i in range(b.num_rows):
+            cap_raw = b.column("caption")[i].as_py()
+            if json.loads(cap_raw).get("layer") != layer:
+                continue
+            cap = Caption.from_json(cap_raw)
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            tx, ty = cap.tx, cap.ty
+            base = np.int64(spec.cell_id(tx, ty)) << _LABEL_BITS
+            labels, _ = _label_tile(arr, float(cap.nodata))
+            new = arr.copy()
+            if len(k) and labels.max() >= 0:
+                gid2d = base + labels.astype(np.int64)
+                pos = np.searchsorted(k, gid2d.ravel())
+                pos = np.clip(pos, 0, len(k) - 1)
+                hit = (labels.ravel() >= 0) & (k[pos] == gid2d.ravel())
+                flat = new.ravel()
+                flat[hit] = v[pos[hit]]
+                new = flat.reshape(arr.shape)
+            ocap = Caption(layer=f"sieve_{layer}", x0=cap.x0, y0=cap.y0,
+                           pixel_size=cap.pixel_size, crs=cap.crs,
+                           nodata=cap.nodata, edge=dict(cap.edge),
+                           tx=tx, ty=ty)
+            payload, ocap = encode_tile(new, fmt, ocap)
+            out["image_id"].append(f"sieve_{layer}/{tx}/{ty}")
+            out["bytes"].append(payload)
+            out["w"].append(np.int32(new.shape[1]))
+            out["h"].append(np.int32(new.shape[0]))
+            out["fmt"].append(fmt)
+            out["caption"].append(ocap.to_json())
+            out["phash"].append(np.int64(phash64(new)))
+        from ..tiles.synth import TILES_SCHEMA as S
+
+        return pa.table(out, schema=S)
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def sieve_merge(size: dict[int, int], value: dict[int, float],
+                anchor: dict[int, int], neigh: dict[int, set],
+                min_px: int) -> dict[int, int]:
+    """The contraction loop over the region graph, matching PIXEL-LEVEL
+    semantics (rewrite the small region's pixels, re-form components):
+    repeatedly take the smallest sub-threshold region (ties: lowest
+    anchor = min row-major pixel index, a tiling-independent identity),
+    merge it into its largest current neighbour (ties: lowest anchor),
+    then absorb any of its other neighbours that share the target's
+    value -- exactly what re-labeling after a pixel rewrite would do.
+    Returns region id -> the id of the region it ends up part of
+    (identity for survivors).  Pure function of the graph -- exercised
+    directly against a pixel-level oracle in tests."""
+    import heapq
+
+    parent = {c: c for c in size}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def absorb(tgt: int, src: int):
+        """Union src (canonical) into tgt, then cascade same-value
+        neighbours (iterative, no recursion)."""
+        stack = [src]
+        while stack:
+            s_ = stack.pop()
+            if find(s_) == tgt:
+                continue
+            parent[s_] = tgt
+            size[tgt] += size[s_]
+            anchor[tgt] = min(anchor[tgt], anchor[s_])
+            neigh[tgt] |= neigh.pop(s_, set())
+            cur = {find(n) for n in neigh[tgt]} - {tgt}
+            neigh[tgt] = cur
+            # pixel semantics: same-value touching regions are ONE region
+            stack.extend(n for n in cur if value[n] == value[tgt])
+
+    heap = [(s, anchor[c], c) for c, s in size.items() if s < min_px]
+    heapq.heapify(heap)
+    while heap:
+        s, a, c = heapq.heappop(heap)
+        if find(c) != c or size[c] != s or anchor[c] != a or s >= min_px:
+            continue                      # stale entry
+        cands = {find(n) for n in neigh[c]} - {c}
+        if not cands:
+            continue                      # islanded: survives
+        tgt = max(cands, key=lambda n: (size[n], -anchor[n]))
+        absorb(tgt, c)
+        if size[tgt] < min_px:
+            heapq.heappush(heap, (size[tgt], anchor[tgt], tgt))
+    return {c: find(c) for c in parent}

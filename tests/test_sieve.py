@@ -1,0 +1,188 @@
+"""Sieve filter vs a pixel-level rewrite-and-relabel oracle: the oracle
+recomputes connected components from scratch after every single merge,
+so it shares nothing with the region-graph contraction under test."""
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from balrog_ray.stages.halo import GridSpec
+from balrog_ray.stages.sieve import sieve, sieve_merge
+from balrog_ray.tiles.codec import Caption, decode_tile, encode_tile
+from balrog_ray.tiles.synth import TILES_SCHEMA, SynthConfig
+from balrog_ray.tiles.codec import phash64
+
+ND = -99.0
+
+
+def _ref_label(a: np.ndarray, nd: float):
+    """BFS 4-connectivity labeling.  Returns (labels, regions) where
+    regions[lab] = dict(size, value, anchor, nbrs:set of labels)."""
+    H, W = a.shape
+    labels = np.full((H, W), -1, np.int32)
+    regions = []
+    for r in range(H):
+        for c in range(W):
+            if a[r, c] == np.float32(nd) or labels[r, c] >= 0:
+                continue
+            lab = len(regions)
+            q = deque([(r, c)])
+            labels[r, c] = lab
+            px = []
+            while q:
+                rr, cc = q.popleft()
+                px.append((rr, cc))
+                for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    r2, c2 = rr + dr, cc + dc
+                    if (0 <= r2 < H and 0 <= c2 < W
+                            and labels[r2, c2] < 0
+                            and a[r2, c2] == a[r, c]):
+                        labels[r2, c2] = lab
+                        q.append((r2, c2))
+            regions.append({"size": len(px), "value": float(a[r, c]),
+                            "anchor": min(rr * W + cc for rr, cc in px),
+                            "px": px})
+    for reg in regions:
+        reg["nbrs"] = set()
+    for r in range(H):
+        for c in range(W):
+            if labels[r, c] < 0:
+                continue
+            for dr, dc in ((1, 0), (0, 1)):
+                r2, c2 = r + dr, c + dc
+                if (0 <= r2 < H and 0 <= c2 < W and labels[r2, c2] >= 0
+                        and labels[r2, c2] != labels[r, c]):
+                    regions[labels[r, c]]["nbrs"].add(int(labels[r2, c2]))
+                    regions[labels[r2, c2]]["nbrs"].add(int(labels[r, c]))
+    return labels, regions
+
+
+def ref_sieve(arr: np.ndarray, nd: float, min_px: int) -> np.ndarray:
+    """Pixel-level oracle: rewrite one smallest sub-threshold region,
+    then RE-LABEL THE WHOLE ARRAY, until stable."""
+    a = arr.copy()
+    while True:
+        labels, regions = _ref_label(a, nd)
+        cands = [i for i, g in enumerate(regions)
+                 if g["size"] < min_px and g["nbrs"]]
+        if not cands:
+            return a
+        c = min(cands, key=lambda i: (regions[i]["size"],
+                                      regions[i]["anchor"]))
+        tgt = max(regions[c]["nbrs"],
+                  key=lambda i: (regions[i]["size"], -regions[i]["anchor"]))
+        for (r, cc) in regions[c]["px"]:
+            a[r, cc] = np.float32(regions[tgt]["value"])
+
+
+def _tiles_from_array(arr: np.ndarray, cfg, layer="veg") -> pa.Table:
+    """Cut a whole array into an image-table (npz tiles)."""
+    T = cfg.tile_px
+    rows = {n: [] for n in TILES_SCHEMA.names}
+    for ty in range(cfg.tiles_y):
+        for tx in range(cfg.tiles_x):
+            core = np.ascontiguousarray(
+                arr[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T])
+            cap = Caption(layer=layer, x0=tx * T * cfg.pixel_size,
+                          y0=cfg.y_north - ty * T * cfg.pixel_size,
+                          pixel_size=cfg.pixel_size, nodata=ND,
+                          tx=tx, ty=ty,
+                          edge={"n": ty == 0, "s": ty == cfg.tiles_y - 1,
+                                "w": tx == 0, "e": tx == cfg.tiles_x - 1})
+            payload, cap = encode_tile(core, "npz", cap)
+            rows["image_id"].append(f"{layer}/{tx}/{ty}")
+            rows["bytes"].append(payload)
+            rows["w"].append(np.int32(T))
+            rows["h"].append(np.int32(T))
+            rows["fmt"].append("npz")
+            rows["caption"].append(cap.to_json())
+            rows["phash"].append(np.int64(phash64(core)))
+    return pa.table(rows, schema=TILES_SCHEMA)
+
+
+def _mosaic(tab, layer, cfg):
+    T = cfg.tile_px
+    out = np.full((cfg.tiles_y * T, cfg.tiles_x * T), np.float32(ND),
+                  np.float32)
+    for i in range(tab.num_rows):
+        cap = Caption.from_json(tab.column("caption")[i].as_py())
+        if cap.layer != layer:
+            continue
+        arr = decode_tile(tab.column("bytes")[i].as_py(),
+                          tab.column("fmt")[i].as_py(), cap)
+        out[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+    return out
+
+
+def _random_categorical(shape, seed, n_classes=4, nodata_frac=0.04):
+    rng = np.random.default_rng(seed)
+    # blocky random classes: upsample a coarse grid, then salt speckles
+    coarse = rng.integers(1, n_classes + 1,
+                          (shape[0] // 4 + 1, shape[1] // 4 + 1))
+    a = np.kron(coarse, np.ones((4, 4)))[:shape[0], :shape[1]]
+    speck = rng.random(shape) < 0.05
+    a[speck] = rng.integers(1, n_classes + 1, int(speck.sum()))
+    a[rng.random(shape) < nodata_frac] = ND
+    return a.astype(np.float32)
+
+
+def test_sieve_merge_chain_of_slivers():
+    # three regions in a row: 1px, 1px, 100px; threshold 3
+    # region 0 (anchor 0) merges into 1? sizes equal -> largest nbr of 0
+    # is 1 (size 1) vs nothing else; after merge their values differ...
+    size = {0: 1, 1: 1, 2: 100}
+    value = {0: 5.0, 1: 7.0, 2: 9.0}
+    anchor = {0: 0, 1: 1, 2: 2}
+    neigh = {0: {1}, 1: {0, 2}, 2: {1}}
+    final = sieve_merge(size, value, anchor, neigh, 3)
+    # smallest/lowest-anchor is 0 -> merges into 1 (its only nbr);
+    # merged (size 2, anchor 0) still < 3 -> merges into 2
+    assert final[0] == final[1] == final[2] == 2
+
+
+def test_sieve_merge_same_value_cascade():
+    # small region c between two SAME-value big regions: after c takes
+    # their value, the two bigs become one region (pixel semantics)
+    size = {0: 50, 1: 2, 2: 50}
+    value = {0: 7.0, 1: 3.0, 2: 7.0}
+    anchor = {0: 0, 1: 10, 2: 20}
+    neigh = {0: {1}, 1: {0, 2}, 2: {1}}
+    final = sieve_merge(size, value, anchor, neigh, 5)
+    assert final[1] == final[0] == final[2] == 0
+
+
+def test_sieve_merge_islanded_small_region_survives():
+    size = {0: 2}
+    value = {0: 1.0}
+    anchor = {0: 0}
+    neigh = {0: set()}
+    assert sieve_merge(size, value, anchor, neigh, 10) == {0: 0}
+
+
+@pytest.mark.parametrize("seed,min_px", [(1, 4), (2, 9), (3, 17)])
+def test_tiled_sieve_matches_pixel_oracle(ray_session, seed, min_px):
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _random_categorical(
+        (cfg.tiles_y * cfg.tile_px, cfg.tiles_x * cfg.tile_px), seed)
+    tab = _tiles_from_array(arr, cfg)
+    spec = GridSpec.from_synth(cfg)
+    out = sieve(ray.data.from_arrow(tab), spec, layer="veg",
+                min_px=min_px).materialize()
+    got = _mosaic(out.to_arrow_refs() and pa.concat_tables(
+        [ray.get(r) for r in out.to_arrow_refs()]), "sieve_veg", cfg)
+    want = ref_sieve(arr, ND, min_px)
+    assert np.array_equal(got, want), (
+        f"seed={seed} min_px={min_px}: "
+        f"{int((got != want).sum())} px differ")
+    # the filter actually did something on this input
+    assert not np.array_equal(want, arr)
+
+
+def test_sieve_validation():
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=16)
+    with pytest.raises(ValueError):
+        sieve(None, GridSpec.from_synth(cfg), layer="veg", min_px=1)
