@@ -836,7 +836,67 @@ def q_sieve_veg(sf_dir: str):
             .sort("veg_class"))
 
 
+def q_flow_accumulation(sf_dir: str):
+    """D8 flow direction + GLOBAL flow accumulation over the t1 DEM
+    (FlowDirection/FlowAccumulation pair; pixel-exact vs whole-raster
+    Kahn-DP oracle in tests/test_hydrology.py), reduced to per-direction
+    pixel counts and drainage stats: for each D8 code, how many pixels
+    flow that way and the max/total accumulation among them."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.hydrology import flow_accumulation, flow_direction
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(tiles_table(cfg))
+    dirs = flow_direction(tiles, spec)
+    acc = flow_accumulation(tiles, spec)
+
+    def px_rows(b: pa.Table) -> pa.Table:
+        code, val = [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            lay = 0 if cap.layer == "d8" else 1
+            code.extend(np.full(arr.size, lay, np.int64))
+            val.extend(arr.ravel().astype(np.float64))
+        return pa.table({"which": pa.array(code, pa.int64()),
+                         "value": pa.array(val, pa.float64())})
+
+    # join the two rasters pixelwise: same grid, so zip via sorted key
+    # is overkill -- reduce each to its own stats instead
+    from ray.data.aggregate import Count, Max, Sum
+
+    dir_hist = (dirs.map_batches(px_rows, batch_format="pyarrow")
+                .groupby("value")
+                .aggregate(Count(alias_name="n_px"))
+                .sort("value"))
+    acc_stats = (acc.map_batches(px_rows, batch_format="pyarrow")
+                 .filter(expr="value >= 0")
+                 .groupby("which")
+                 .aggregate(Count(alias_name="n_px"),
+                            Max("value", alias_name="max_acc"),
+                            Sum("value", alias_name="total_acc")))
+    h = dir_hist.to_pandas()
+    s = acc_stats.to_pandas()
+    import pandas as pd
+
+    h["kind"] = "d8_code"
+    h = h.rename(columns={"value": "key"})
+    s["kind"] = "acc"
+    s["key"] = s.pop("which").astype(float)
+    return pd.concat([h[["kind", "key", "n_px"]],
+                      s[["kind", "key", "n_px", "max_acc", "total_acc"]]],
+                     ignore_index=True)
+
+
 ROWS_ONLY = {
+    "flow_accumulation": q_flow_accumulation,
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,
     "sieve_veg": q_sieve_veg,

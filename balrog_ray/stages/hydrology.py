@@ -1,0 +1,460 @@
+"""Distributed hydrology over the tile table: D8 flow direction and
+GLOBAL flow accumulation (the gdaldem/ArcGIS FlowDirection +
+FlowAccumulation pair -- the natural next derivative after the
+reference's slope/aspect chain, ``utilities/sa_tools.py:205-293``, and
+the canonical example of a raster op whose result at one pixel depends
+on unboundedly-distant input).
+
+Semantics (pinned by the whole-raster kernels below, which double as the
+test oracle):
+
+* **D8 direction**: steepest positive descent ``(z - z_n) / dist`` over
+  the 8 neighbours (``dist`` = 1 cardinal, sqrt(2) diagonal, in pixel
+  units); ties break on the fixed scan order E, SE, S, SW, W, NW, N, NE;
+  no positive descent (pits / flats) -> 0; nodata -> nodata.  Off-raster
+  neighbours are never candidates, so edge cells either drain inward or
+  pond (no flow leaves the raster) -- self-consistent with accumulation.
+* **Accumulation**: number of upstream cells whose D8 path passes
+  through the cell (the cell itself excluded -- ESRI convention).
+  Exact integer counts; D8 descent is strict, so the flow graph is a
+  forest and counts are well-defined.
+
+Scale shape of :func:`flow_accumulation` -- accumulation is a global
+computation, but pixel payloads cross the wire exactly twice:
+
+1. ONE radius-1 halo shuffle (the shared strip emitter) computes per
+   tile: D8 dirs, LOCAL accumulation from in-tile sources only (Kahn
+   frontier DP over the in-tile flow forest, O(px) total), a ring-route
+   table (for each valid outer-ring pixel: the exit pixel its path
+   leaves the tile through, or "sinks inside"), and the initial
+   boundary-outflow rows ``(to_cell, to_px, amount)``.
+2. a driver-orchestrated propagation loop over the CONTRACTED border
+   graph: entry rows join the ring-route table (both tiny -- ring
+   pixels are ~4/T of the raster, amounts are one int per crossing) and
+   forward downstream until no entries remain.  Pixel payloads are
+   never touched; per-iteration volume is the active drainage front.
+   Iteration count = drainage diameter in tiles (how many tile
+   boundaries the longest flow path crosses), with a loud guard raise
+   at ``max_hops``.
+3. ONE final ``groupby(cell_id)`` joins the summed entry amounts back
+   to the tile state and paints each entry's in-tile path (bounded
+   walks from ring pixels), emitting ``flow_acc`` image rows.
+
+Output tiles are float32 (exact for counts < 2**24; a world where one
+outlet drains more than 16.7M cells needs an int64 column sink instead
+-- the internal math is int64 throughout).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .focal import windowed_stage
+from .halo import GridSpec, assemble_window, make_strip_emitter_batch
+
+# scan order E, SE, S, SW, W, NW, N, NE; row axis points south (down)
+_DY = np.array([0, 1, 1, 1, 0, -1, -1, -1], dtype=np.int64)
+_DX = np.array([1, 1, 0, -1, -1, -1, 0, 1], dtype=np.int64)
+_DIST = np.where((_DY != 0) & (_DX != 0), np.sqrt(2.0), 1.0)
+D8_CODES = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.int64)  # ESRI
+
+
+def d8_kernel(arr: np.ndarray, nodata: float) -> np.ndarray:
+    """Whole-array D8: int8 direction INDEX per pixel (0-7 into the scan
+    order above), -1 = pit/flat, -2 = nodata.  Vectorized: 8 shifted
+    comparisons, no per-pixel loop."""
+    a = np.asarray(arr, dtype=np.float32)
+    H, W = a.shape
+    valid = a != np.float32(nodata)
+    best = np.zeros((H, W), dtype=np.float64)      # drop must be > 0
+    out = np.full((H, W), -1, dtype=np.int8)
+    for k in range(8):
+        dy, dx = int(_DY[k]), int(_DX[k])
+        drop = np.full((H, W), -np.inf)
+        src = (slice(max(0, -dy), H - max(0, dy)),
+               slice(max(0, -dx), W - max(0, dx)))
+        dst = (slice(max(0, dy), H + min(0, dy) or None),
+               slice(max(0, dx), W + min(0, dx) or None))
+        nb_ok = valid[dst]
+        d = (a[src].astype(np.float64) - a[dst].astype(np.float64)) / _DIST[k]
+        drop[src] = np.where(nb_ok, d, -np.inf)
+        better = valid & (drop > best)
+        out[better] = k
+        best = np.where(better, drop, best)
+    out[~valid] = -2
+    return out
+
+
+def _targets(dirs: np.ndarray) -> np.ndarray:
+    """Flat target index per pixel from a dir-index array (-1 where the
+    pixel does not flow: pit or nodata)."""
+    H, W = dirs.shape
+    r, c = np.divmod(np.arange(H * W, dtype=np.int64), W)
+    d = dirs.ravel()
+    flows = d >= 0
+    tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+    tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+    tgt = np.where(flows, tr * W + tc, -1)
+    return tgt
+
+
+def accumulate_kernel(dirs: np.ndarray) -> np.ndarray:
+    """Whole-array flow accumulation from a dir-index array: int64
+    upstream-cell counts.  Kahn frontier DP over the flow forest --
+    every pixel is processed exactly once (O(px) total), no
+    step-the-water iteration."""
+    H, W = dirs.shape
+    tgt = _targets(dirs)
+    n = H * W
+    acc = np.zeros(n, dtype=np.int64)
+    has_tgt = tgt >= 0
+    indeg = np.bincount(tgt[has_tgt], minlength=n)
+    done = ~has_tgt                       # pits/nodata never push
+    frontier = np.flatnonzero(has_tgt & (indeg == 0))
+    while frontier.size:
+        done[frontier] = True
+        t = tgt[frontier]
+        np.add.at(acc, t, acc[frontier] + 1)
+        np.subtract.at(indeg, t, 1)
+        nxt = np.unique(t)
+        frontier = nxt[(indeg[nxt] == 0) & (tgt[nxt] >= 0)]
+    if not done.all():
+        # impossible for strict-descent D8; a hand-built dirs array with a
+        # cycle would silently under-count, so refuse instead
+        raise ValueError("flow graph contains a cycle")
+    acc[dirs.ravel() == -2] = -1
+    return acc.reshape(H, W)
+
+
+def flow_direction(ds, spec: GridSpec, *, layer: str = "dem",
+                   fmt: str = "npz"):
+    """Image-table Dataset -> image-table Dataset of D8 direction tiles
+    (layer ``d8``, ESRI codes 1/2/4/.../128 as float32, 0 = pit/flat,
+    nodata passthrough).  One radius-1 halo shuffle; exact parity with
+    :func:`d8_kernel` on the whole raster."""
+
+    def fn(window: np.ndarray, nodata: float) -> np.ndarray:
+        d = d8_kernel(window, nodata)
+        out = np.zeros(d.shape, dtype=np.float32)
+        flows = d >= 0
+        out[flows] = D8_CODES[d[flows]].astype(np.float32)
+        out[d == -2] = np.float32(nodata)
+        return out
+
+    return windowed_stage(ds, spec, layer=layer, radius=1,
+                          out_layer="d8", window_fn=fn, fmt=fmt)
+
+
+_HYDRO_SCHEMA = pa.schema([
+    ("kind", pa.int8()),        # 0 tile state, 1 entry row, 2 ring route
+    ("cell_id", pa.int64()),
+    ("px", pa.int64()),         # entry / route pixel (tile-flat index)
+    ("amount", pa.int64()),     # kind 1
+    ("to_cell", pa.int64()),    # kind 2: -1 = path sinks inside the tile
+    ("to_px", pa.int64()),
+    ("dirs", pa.binary()),      # kind 0: zlib int8 T*T
+    ("acc", pa.binary()),       # kind 0: zlib int64 T*T local accumulation
+    ("caption", pa.string()),   # kind 0
+])
+
+
+def _route_ring(dirs: np.ndarray, tile_r0: int, tile_c0: int,
+                spec: GridSpec):
+    """For every valid outer-ring pixel of a tile, follow the in-tile D8
+    path until it leaves the tile or sinks.  Returns (px, to_cell, to_px)
+    int arrays; to_cell = -1 where the path ends inside the tile.
+    Vectorized frontier walk -- all ring pixels step together."""
+    T = dirs.shape[0]
+    rr, cc = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+    ring = (rr == 0) | (rr == T - 1) | (cc == 0) | (cc == T - 1)
+    start = np.flatnonzero(ring.ravel() & (dirs.ravel() != -2))
+    pos_r, pos_c = np.divmod(start, T)
+    to_cell = np.full(start.size, -1, dtype=np.int64)
+    to_px = np.full(start.size, -1, dtype=np.int32)
+    active = np.ones(start.size, dtype=bool)
+    for _ in range(T * T + 1):
+        if not active.any():
+            break
+        d = dirs[pos_r[active], pos_c[active]]
+        moves = d >= 0
+        idx = np.flatnonzero(active)
+        active[idx[~moves]] = False            # pit: sinks inside
+        mi = idx[moves]
+        nr = pos_r[mi] + _DY[d[moves]]
+        nc = pos_c[mi] + _DX[d[moves]]
+        outside = (nr < 0) | (nr >= T) | (nc < 0) | (nc >= T)
+        oi = mi[outside]
+        gr = nr[outside] + tile_r0
+        gc = nc[outside] + tile_c0
+        to_cell[oi] = ((gr // T) * spec.tiles_x + gc // T)
+        to_px[oi] = ((gr % T) * T + gc % T).astype(np.int32)
+        active[oi] = False
+        ii = mi[~outside]
+        pos_r[ii] = nr[~outside]
+        pos_c[ii] = nc[~outside]
+    return start.astype(np.int32), to_cell, to_px
+
+
+def flow_accumulation(ds, spec: GridSpec, *, layer: str = "dem",
+                      fmt: str = "npz", max_hops: int = 256):
+    """Image-table Dataset -> image-table Dataset of global flow
+    accumulation tiles (layer ``flow_acc``): exact upstream-cell counts
+    matching ``accumulate_kernel(d8_kernel(whole_raster))``.
+
+    ``max_hops`` guards the propagation loop: it must exceed the number
+    of tile boundaries the longest drainage path crosses (paths can
+    re-enter a tile, so the true bound is path length, not grid size).
+    Exceeding it raises rather than silently truncating flow."""
+    import ray.data
+
+    if spec.tile_px < 2:
+        raise ValueError("tile_px must be >= 2")
+    T = spec.tile_px
+    tiles_x = spec.tiles_x
+    fspec = _radius1_spec(spec)
+    emit = make_strip_emitter_batch(fspec)
+
+    def keep_layer(b: pa.Table) -> pa.Table:
+        import json
+
+        caps = b.column("caption").to_pylist()
+        keep = [i for i, c in enumerate(caps)
+                if json.loads(c)["layer"] == layer]
+        return b.take(pa.array(keep, pa.int64()))
+
+    def tile_state(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        neigh = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if 0 <= tx + dx < fspec.tiles_x
+                    and 0 <= ty + dy < fspec.tiles_y)
+        out = {n: [] for n in _HYDRO_SCHEMA.names}
+
+        def row(**kw):
+            for n in _HYDRO_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        window = (assemble_window(g, fspec, layer, tx, ty)
+                  if g["layer"].count(layer) == neigh else None)
+        if window is None:
+            return pa.table(out, schema=_HYDRO_SCHEMA)
+        from ..tiles.codec import Caption
+
+        ref = next(Caption.from_json(g["caption"][i])
+                   for i in range(len(g["is_core"])) if g["is_core"][i])
+        dirs_w = d8_kernel(window, float(ref.nodata))
+        r0, _, c0, _ = fspec.assembled_window(tx, ty)
+        rs, cs = ty * T - r0, tx * T - c0
+        dirs = np.ascontiguousarray(dirs_w[rs:rs + T, cs:cs + T])
+
+        # local accumulation + initial outflow: Kahn DP over in-tile
+        # edges only; boundary-crossing flow becomes entry rows
+        r, c = np.divmod(np.arange(T * T, dtype=np.int64), T)
+        d = dirs.ravel()
+        flows = d >= 0
+        tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+        tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+        inside = flows & (tr >= 0) & (tr < T) & (tc >= 0) & (tc < T)
+        tgt_in = np.where(inside, tr * T + tc, -1)
+        acc = np.zeros(T * T, dtype=np.int64)
+        indeg = np.bincount(tgt_in[inside], minlength=T * T)
+        frontier = np.flatnonzero((indeg == 0) & flows)
+        exits_cell, exits_px, exits_amt = [], [], []
+        while frontier.size:
+            f_in = frontier[inside[frontier]]
+            if f_in.size:
+                t = tgt_in[f_in]
+                np.add.at(acc, t, acc[f_in] + 1)
+                np.subtract.at(indeg, t, 1)
+                nxt = np.unique(t)
+                nf = nxt[(indeg[nxt] == 0) & flows[nxt]]
+            else:
+                nf = np.empty(0, dtype=np.int64)
+            f_out = frontier[~inside[frontier]]
+            if f_out.size:           # crosses the tile boundary
+                gr = tr[f_out] + ty * T
+                gc = tc[f_out] + tx * T
+                for gcell, gpx, amt in zip(
+                        (gr // T) * tiles_x + gc // T,
+                        (gr % T) * T + gc % T, acc[f_out] + 1):
+                    exits_cell.append(int(gcell))
+                    exits_px.append(int(gpx))
+                    exits_amt.append(int(amt))
+            frontier = nf
+
+        px_r, route_cell, route_px = _route_ring(dirs, ty * T, tx * T, spec)
+        row(kind=0, cell_id=cell,
+            dirs=zlib.compress(dirs.tobytes(), 1),
+            acc=zlib.compress(acc.tobytes(), 1),
+            caption=ref.to_json())
+        for p, tcell, tpx in zip(px_r, route_cell, route_px):
+            row(kind=2, cell_id=cell, px=int(p), to_cell=int(tcell),
+                to_px=int(tpx))
+        for gcell, gpx, amt in zip(exits_cell, exits_px, exits_amt):
+            row(kind=1, cell_id=gcell, px=gpx, amount=amt)
+        return pa.table(out, schema=_HYDRO_SCHEMA)
+
+    combined = (ds.map_batches(keep_layer, batch_format="pyarrow")
+                .map_batches(emit, batch_format="pyarrow")
+                .groupby("cell_id")
+                .map_groups(tile_state, batch_format="pyarrow")
+                .materialize())
+
+    state = combined.filter(expr="kind == 0")
+    # route rows ride the propagation union as amount == 0 (real entry
+    # amounts are always >= 1); a small-side Dataset.join would be the
+    # obvious shape here, but Ray's hash join chokes on the empty
+    # partitions a few-row left side produces, so the lookup uses the
+    # same union + groupby idiom as the rest of the engine
+    _PROP = pa.schema([
+        ("cell_id", pa.int64()), ("px", pa.int64()),
+        ("amount", pa.int64()), ("to_cell", pa.int64()),
+        ("to_px", pa.int64())])
+
+    def as_prop(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_route = pc.equal(b.column("kind"), 2)
+        return pa.table({
+            "cell_id": b.column("cell_id"),
+            "px": b.column("px"),
+            "amount": pc.if_else(is_route, pa.scalar(0, pa.int64()),
+                                 b.column("amount")),
+            "to_cell": pc.fill_null(b.column("to_cell"), -1),
+            "to_px": pc.fill_null(b.column("to_px"), -1)},
+            schema=_PROP)
+
+    routes = (combined.filter(expr="kind == 2")
+              .map_batches(as_prop, batch_format="pyarrow")
+              .materialize())
+    cur = (combined.filter(expr="kind == 1")
+           .map_batches(as_prop, batch_format="pyarrow")
+           .materialize())
+
+    def hop(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        amt = group.column("amount").to_numpy(zero_copy_only=False)
+        total = int(amt.sum())
+        if total == 0:                       # route row with no entries
+            return pa.table({c: [] for c in _PROP.names}, schema=_PROP)
+        ri = int(np.flatnonzero(amt == 0)[0]) if (amt == 0).any() else None
+        if ri is None:
+            raise RuntimeError(
+                "flow entry landed on a pixel with no ring route -- "
+                "tile state is inconsistent")
+        to_cell = group.column("to_cell")[ri].as_py()
+        if to_cell < 0:                      # path sinks inside the tile
+            return pa.table({c: [] for c in _PROP.names}, schema=_PROP)
+        return pa.table({
+            "cell_id": pa.array([to_cell], pa.int64()),
+            "px": pa.array([group.column("to_px")[ri].as_py()], pa.int64()),
+            "amount": pa.array([total], pa.int64()),
+            "to_cell": pa.array([-1], pa.int64()),
+            "to_px": pa.array([-1], pa.int64())}, schema=_PROP)
+
+    waves = [cur]
+    for _ in range(max_hops):
+        if cur.count() == 0:
+            break
+        cur = (cur.union(routes)
+               .groupby(["cell_id", "px"])
+               .map_groups(hop, batch_format="pyarrow")
+               .materialize())
+        waves.append(cur)
+    else:
+        raise RuntimeError(
+            f"flow_accumulation did not converge in {max_hops} hops; "
+            f"the longest drainage path crosses more tile boundaries -- "
+            f"raise max_hops")
+
+    def tag(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "kind": pa.array([1] * n, pa.int8()),
+            "cell_id": b.column("cell_id").cast(pa.int64()),
+            "px": b.column("px").cast(pa.int64()),
+            "amount": b.column("amount").cast(pa.int64()),
+            "to_cell": pa.nulls(n, pa.int64()),
+            "to_px": pa.nulls(n, pa.int64()),
+            "dirs": pa.nulls(n, pa.binary()),
+            "acc": pa.nulls(n, pa.binary()),
+            "caption": pa.nulls(n, pa.string())},
+            schema=_HYDRO_SCHEMA)
+
+    entries_all = state
+    for w in waves:
+        entries_all = entries_all.union(
+            w.map_batches(tag, batch_format="pyarrow"))
+
+    def paint(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption, encode_tile, phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        g = group.to_pydict()
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        if srow is None:            # entries for a tile that never computed
+            return pa.table({c: [] for c in TILES_SCHEMA.names},
+                            schema=TILES_SCHEMA)
+        dirs = np.frombuffer(zlib.decompress(g["dirs"][srow]),
+                             np.int8).reshape(T, T)
+        acc = np.frombuffer(zlib.decompress(g["acc"][srow]),
+                            np.int64).reshape(T, T).copy().ravel()
+        epx = np.array([g["px"][i] for i in range(len(g["kind"]))
+                        if g["kind"][i] == 1], dtype=np.int64)
+        eamt = np.array([g["amount"][i] for i in range(len(g["kind"]))
+                         if g["kind"][i] == 1], dtype=np.int64)
+        if epx.size:
+            # paint each entry's in-tile path (amount rides the walk)
+            pos_r, pos_c = np.divmod(epx, T)
+            amt = eamt
+            active = np.ones(epx.size, dtype=bool)
+            for _ in range(T * T + 1):
+                if not active.any():
+                    break
+                ar, ac_, aa = pos_r[active], pos_c[active], amt[active]
+                np.add.at(acc, ar * T + ac_, aa)
+                d = dirs[ar, ac_]
+                idx = np.flatnonzero(active)
+                moves = d >= 0
+                active[idx[~moves]] = False
+                mi = idx[moves]
+                nr = pos_r[mi] + _DY[d[moves]]
+                nc = pos_c[mi] + _DX[d[moves]]
+                outside = (nr < 0) | (nr >= T) | (nc < 0) | (nc >= T)
+                active[mi[outside]] = False
+                ii = mi[~outside]
+                pos_r[ii], pos_c[ii] = nr[~outside], nc[~outside]
+        cap = Caption.from_json(g["caption"][srow])
+        nd = np.float32(cap.nodata)
+        out = acc.reshape(T, T).astype(np.float32)
+        out[dirs == -2] = nd
+        tx, ty = cap.tx, cap.ty
+        ocap = Caption(layer="flow_acc", x0=cap.x0, y0=cap.y0,
+                       pixel_size=cap.pixel_size, crs=cap.crs,
+                       nodata=cap.nodata, edge=dict(cap.edge),
+                       tx=tx, ty=ty)
+        payload, ocap = encode_tile(out, fmt, ocap)
+        return pa.table({
+            "image_id": pa.array([f"flow_acc/{tx}/{ty}"], pa.string()),
+            "bytes": pa.array([payload], pa.binary()),
+            "w": pa.array([T], pa.int32()),
+            "h": pa.array([T], pa.int32()),
+            "fmt": pa.array([fmt], pa.string()),
+            "caption": pa.array([ocap.to_json()], pa.string()),
+            "phash": pa.array([phash64(out)], pa.int64())},
+            schema=TILES_SCHEMA)
+
+    return (entries_all.groupby("cell_id")
+            .map_groups(paint, batch_format="pyarrow"))
+
+
+def _radius1_spec(spec: GridSpec):
+    from .focal import FocalGridSpec
+
+    return FocalGridSpec(spec.tiles_x, spec.tiles_y, spec.tile_px,
+                         spec.pixel_size, spec.y_north, radius=1)
