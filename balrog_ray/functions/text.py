@@ -227,3 +227,70 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
     return (tf.map_batches(score_topk, batch_format="pyarrow")
             .groupby(id_col)
             .map_groups(final_topk, batch_format="pyarrow"))
+
+
+def boilerplate_stats(docs, id_col: str = "doc_id",
+                      text_col: str = "text", *, n: int = 3,
+                      max_df: int = 3, num_partitions: int = 8):
+    """Corpus-level boilerplate removal (CCNet-style line dedup adapted
+    to word n-grams, since the doc corpus is single-line): an n-gram
+    that occurs in >= ``max_df`` distinct documents is boilerplate and
+    dropped from EVERY document; returns per-doc retention stats
+    ``(doc_id, n_grams, n_kept, kept_chars)``.
+
+    Scale shape: ONE explode pass to per-(doc, gram) count rows
+    (materialized so the two consumers below don't re-tokenize -- at
+    corpus scale checkpoint it to parquet instead), a document-frequency
+    ``groupby(gram)``, a hash join back, and a per-doc sum aggregate.
+    Grams are keyed by their text to stay bit-identical with the SQL
+    oracle; at corpus scale key by a 128-bit hash instead to cut the
+    shuffle bytes (collision odds ~q^2/2^129 for q distinct grams).
+    Tokenization is non-collapsing ``text.split(" ")`` == DuckDB
+    ``string_split`` -- empty tokens from doubled/trailing spaces are
+    real tokens, so both sides bin identically."""
+    import ray.data.aggregate as agg
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def explode(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, grams, occ = [], [], []
+        id_arr = b.column(id_col).to_pylist()
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            ws = text.split(" ")
+            cnt = Counter(" ".join(ws[j:j + n])
+                          for j in range(len(ws) - n + 1))
+            for g, c in cnt.items():
+                ids.append(id_arr[i])
+                grams.append(g)
+                occ.append(c)
+        return pa.table({
+            id_col: pa.array(ids, b.schema.field(id_col).type),
+            "gram": pa.array(grams, pa.string()),
+            "n_occ": pa.array(occ, pa.int64())})
+
+    gc = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    freq = (gc.groupby("gram")
+            .aggregate(agg.Count(alias_name="nd")))
+    joined = gc.join(freq, "inner", num_partitions=num_partitions,
+                     on=("gram",))
+
+    def kept(b: pa.Table) -> pa.Table:
+        keep = pc.less(b.column("nd"), pa.scalar(max_df, pa.int64()))
+        occ = b.column("n_occ")
+        chars = pc.multiply(
+            occ, pc.cast(pc.utf8_length(b.column("gram")), pa.int64()))
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            id_col: b.column(id_col),
+            "n_grams": occ,
+            "n_kept": pc.if_else(keep, occ, z),
+            "kept_chars": pc.if_else(keep, chars, z)})
+
+    return (joined.map_batches(kept, batch_format="pyarrow")
+            .groupby(id_col)
+            .aggregate(agg.Sum("n_grams", alias_name="n_grams"),
+                       agg.Sum("n_kept", alias_name="n_kept"),
+                       agg.Sum("kept_chars", alias_name="kept_chars")))

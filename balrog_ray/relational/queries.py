@@ -601,6 +601,48 @@ from documents group by lang
 
 
 # --------------------------------------------------------------------------
+# 17b. boilerplate n-gram removal (CCNet-style line dedup adapted to the
+# single-line corpus: word 3-grams occurring in >= 3 distinct docs are
+# boilerplate, dropped from every doc; per-doc retention stats)
+
+def q_boilerplate_ngrams(sf_dir: str):
+    from ..functions.text import boilerplate_stats
+
+    return boilerplate_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             n=3, max_df=3)
+
+
+SQL_BOILERPLATE_NGRAMS = """
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+idx as (
+  select doc_id, ws, unnest(range(1, len(ws) - 1)) as i from w
+),
+g as (
+  select doc_id,
+         list_extract(ws, i) || ' ' || list_extract(ws, i + 1) || ' '
+           || list_extract(ws, i + 2) as gram
+  from idx
+),
+gc as (
+  select doc_id, gram, count(*) as n_occ from g group by doc_id, gram
+),
+freq as (
+  select gram, count(*) as nd from gc group by gram
+)
+select gc.doc_id,
+       cast(sum(gc.n_occ) as bigint) as n_grams,
+       cast(sum(case when f.nd < 3 then gc.n_occ else 0 end)
+            as bigint) as n_kept,
+       cast(sum(case when f.nd < 3 then gc.n_occ * length(gc.gram)
+                else 0 end) as bigint) as kept_chars
+from gc join freq f using (gram)
+group by gc.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 18. quality filter (long docs per source)
 
 def q_long_docs_by_source(sf_dir: str):
@@ -1814,6 +1856,7 @@ SQL_CHECKED = {
                                  SQL_CUSTOMERS_WITHOUT_ORDERS),
     "global_minmax": (q_global_minmax, SQL_GLOBAL_MINMAX),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "long_docs_by_source": (q_long_docs_by_source, SQL_LONG_DOCS_BY_SOURCE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
