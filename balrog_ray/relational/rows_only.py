@@ -895,7 +895,51 @@ def q_flow_accumulation(sf_dir: str):
                      ignore_index=True)
 
 
+def q_warp_rotate(sf_dir: str):
+    """Affine bilinear warp (gdal.Warp role): rotate the t1 DEM 30 deg
+    about its center onto a fresh target grid (pixel-exact semantics
+    pinned by the scalar oracle in tests/test_warp.py), reduced to
+    per-tile coverage stats."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.warp import Affine, warp_to_grid
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    W = cfg.tiles_x * cfg.tile_px * cfg.pixel_size
+    H = cfg.tiles_y * cfg.tile_px * cfg.pixel_size
+    tspec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                     cfg.pixel_size, cfg.y_north)
+    out = warp_to_grid(
+        ray.data.from_arrow(tiles_table(cfg, layers=("dem",))),
+        tspec, Affine.rotation(30.0, cx=W / 2, cy=H / 2), layer="warp")
+
+    def stats(b: pa.Table) -> pa.Table:
+        tile, n_valid, vmin, vmax = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            ok = arr != np.float32(cap.nodata)
+            tile.append(f"{cap.tx}/{cap.ty}")
+            n_valid.append(int(ok.sum()))
+            vmin.append(round(float(arr[ok].min()), 3) if ok.any()
+                        else None)
+            vmax.append(round(float(arr[ok].max()), 3) if ok.any()
+                        else None)
+        return pa.table({"tile": pa.array(tile, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "vmin": pa.array(vmin, pa.float64()),
+                         "vmax": pa.array(vmax, pa.float64())})
+
+    return (out.map_batches(stats, batch_format="pyarrow").sort("tile"))
+
+
 ROWS_ONLY = {
+    "warp_rotate": q_warp_rotate,
     "flow_accumulation": q_flow_accumulation,
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,

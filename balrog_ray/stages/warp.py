@@ -1,0 +1,253 @@
+"""Affine raster warp with bilinear (or nearest) resampling: the full
+``gdal.Warp`` role (reference mosaics + reprojects with
+``gdal.Warp -t_srs EPSG:4283 -of COG``,
+``data_prep/images/ga_5m/01_mosaic_and_transform_images_in_one_go.py:245-266``)
+for any invertible affine world transform -- rotation, anisotropic
+scale, shear, shift.  ``stages/regrid.py`` covers the axis-aligned
+nearest-neighbour case; this stage is the general resampler.
+
+Semantics (shared with the test oracle): for a target pixel center
+``p_t``, map to source world via the supplied TARGET->SOURCE affine,
+convert to fractional source pixel coords (pixel-center convention),
+and blend the 2x2 bilinear stencil::
+
+    value = sum(w_i * v_i over VALID stencil pixels)
+          / sum(w_i over VALID stencil pixels)
+
+nodata / out-of-source stencil pixels are excluded and the weights
+renormalized (GDAL's nodata-aware bilinear); a pixel with zero valid
+weight is nodata.  ``nearest`` picks round-half-down of the fractional
+coords.
+
+Scale shape -- one emit pass + ONE groupby(target cell) shuffle, no
+halo: a stencil can straddle source-tile seams, so each SOURCE tile
+emits, per overlapped target cell, two dense partial planes -- ``sum(w*v)``
+and ``sum(w)`` over the stencil pixels THIS tile owns -- and the
+assembler adds planes and divides.  Every contribution is computed
+exactly once (source tiles partition the source raster), so the sum
+over tiles equals the whole-raster stencil sum; seam pixels may differ
+from a whole-raster run only by float-summation order (test asserts
+allclose + exact nodata mask).  Shuffle volume is ~2x the target
+raster, independent of the transform.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..tiles.codec import Caption, decode_tile, encode_tile, phash64
+from ..tiles.synth import TILES_SCHEMA
+from .halo import GridSpec
+
+NODATA = -99.0
+
+
+@dataclass(frozen=True)
+class Affine:
+    """2-D affine world transform ``x' = a x + b y + c``,
+    ``y' = d x + e y + f``.  For :func:`warp_to_grid` it maps TARGET
+    world coords to SOURCE world coords (the inverse mapping, which is
+    what resampling evaluates)."""
+    a: float
+    b: float
+    c: float
+    d: float
+    e: float
+    f: float
+
+    def apply(self, x: np.ndarray, y: np.ndarray):
+        return (self.a * x + self.b * y + self.c,
+                self.d * x + self.e * y + self.f)
+
+    def inverse(self) -> "Affine":
+        det = self.a * self.e - self.b * self.d
+        if abs(det) < 1e-12:
+            raise ValueError("affine transform is singular")
+        ia, ib = self.e / det, -self.b / det
+        id_, ie = -self.d / det, self.a / det
+        return Affine(ia, ib, -(ia * self.c + ib * self.f),
+                      id_, ie, -(id_ * self.c + ie * self.f))
+
+    @staticmethod
+    def identity() -> "Affine":
+        return Affine(1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+
+    @staticmethod
+    def rotation(deg: float, cx: float = 0.0, cy: float = 0.0,
+                 scale: float = 1.0, dx: float = 0.0,
+                 dy: float = 0.0) -> "Affine":
+        """Rotate by ``deg`` around ``(cx, cy)``, scale, then shift."""
+        t = np.deg2rad(deg)
+        co, si = float(np.cos(t)) * scale, float(np.sin(t)) * scale
+        return Affine(co, -si, cx - co * cx + si * cy + dx,
+                      si, co, cy - si * cx - co * cy + dy)
+
+
+_PATCH_SCHEMA = pa.schema([
+    ("cell_id", pa.int64()),
+    ("row0", pa.int32()), ("col0", pa.int32()),   # global target px
+    ("h", pa.int32()), ("w", pa.int32()),
+    ("wv", pa.binary()), ("wsum", pa.binary()),   # deflated float64
+])
+
+
+def _stencil_partials(src: np.ndarray, nodata: float, cf: np.ndarray,
+                      rf: np.ndarray, nearest: bool):
+    """Partial (sum w*v, sum w) for fractional source coords (cf, rf)
+    counting ONLY stencil pixels inside ``src`` (this tile's pixels).
+    Fixed accumulation order (r0c0, r0c1, r1c0, r1c1) so interior
+    pixels match a whole-raster run bit-for-bit."""
+    sh, sw = src.shape
+    c0 = np.floor(cf).astype(np.int64)
+    r0 = np.floor(rf).astype(np.int64)
+    fc = cf - c0
+    fr = rf - r0
+    wv = np.zeros(cf.shape, np.float64)
+    ws = np.zeros(cf.shape, np.float64)
+    if nearest:
+        # nearest = the stencil corner closest to the point
+        # (round-half-up of the fractional coords)
+        rn = np.where(fr >= 0.5, r0 + 1, r0)
+        cn = np.where(fc >= 0.5, c0 + 1, c0)
+        inb = (rn >= 0) & (rn < sh) & (cn >= 0) & (cn < sw)
+        v = np.zeros(cf.shape, np.float64)
+        v[inb] = src[rn[inb], cn[inb]].astype(np.float64)
+        valid = inb & (v != float(np.float32(nodata)))
+        return np.where(valid, v, 0.0), np.where(valid, 1.0, 0.0)
+    for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        rr = r0 + dr
+        cc = c0 + dc
+        w = ((fr if dr else 1.0 - fr) * (fc if dc else 1.0 - fc))
+        inb = (rr >= 0) & (rr < sh) & (cc >= 0) & (cc < sw)
+        if not inb.any():
+            continue
+        v = np.zeros(cf.shape, np.float64)
+        v[inb] = src[rr[inb], cc[inb]].astype(np.float64)
+        valid = inb & (v != float(np.float32(nodata)))
+        wv += np.where(valid, w * v, 0.0)
+        ws += np.where(valid, w, 0.0)
+    return wv, ws
+
+
+def make_warp_emitter(spec: GridSpec, affine: Affine,
+                      resampling: str = "bilinear"):
+    """Source tile rows -> partial-stencil patches keyed by target cell."""
+    if resampling not in ("bilinear", "nearest"):
+        raise ValueError("resampling must be 'bilinear' or 'nearest'")
+    T, ps_t = spec.tile_px, spec.pixel_size
+    fwd = affine.inverse()            # source world -> target world
+    nearest = resampling == "nearest"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {n: [] for n in _PATCH_SCHEMA.names}
+        for row in batch.to_pylist():
+            cap = Caption.from_json(row["caption"])
+            src = np.asarray(decode_tile(row["bytes"], row["fmt"], cap),
+                             dtype=np.float32)
+            sh, sw = src.shape
+            ps_s = cap.pixel_size
+            sx0, sy0 = cap.x0, cap.y0
+            # target-space bbox of the source tile dilated by 1 source px
+            # (the stencil reach): corners forward-mapped, then clipped to
+            # the target raster
+            xs = np.array([sx0 - ps_s, sx0 + (sw + 1) * ps_s])
+            ys = np.array([sy0 + ps_s, sy0 - (sh + 1) * ps_s])
+            cx = np.array([xs[0], xs[1], xs[0], xs[1]])
+            cy = np.array([ys[0], ys[0], ys[1], ys[1]])
+            tx_, ty_ = fwd.apply(cx, cy)
+            c_first = max(0, int(np.ceil(tx_.min() / ps_t - 0.5)))
+            c_last = min(spec.tiles_x * T - 1,
+                         int(np.floor(tx_.max() / ps_t - 0.5)))
+            r_first = max(0, int(np.ceil(
+                (spec.y_north - ty_.max()) / ps_t - 0.5)))
+            r_last = min(spec.tiles_y * T - 1,
+                         int(np.floor(
+                             (spec.y_north - ty_.min()) / ps_t - 0.5)))
+            if c_first > c_last or r_first > r_last:
+                continue
+            for ty in range(r_first // T, r_last // T + 1):
+                for tx in range(c_first // T, c_last // T + 1):
+                    pr0 = max(r_first, ty * T)
+                    pr1 = min(r_last, ty * T + T - 1)
+                    pc0 = max(c_first, tx * T)
+                    pc1 = min(c_last, tx * T + T - 1)
+                    gx = (np.arange(pc0, pc1 + 1) + 0.5) * ps_t
+                    gy = spec.y_north - (np.arange(pr0, pr1 + 1) + 0.5) * ps_t
+                    X, Y = np.meshgrid(gx, gy)
+                    sx, sy = affine.apply(X, Y)
+                    cf = (sx - sx0) / ps_s - 0.5
+                    rf = (sy0 - sy) / ps_s - 0.5
+                    wv, ws = _stencil_partials(src, cap.nodata, cf, rf,
+                                               nearest)
+                    if not (ws > 0).any():
+                        continue
+                    cols["cell_id"].append(spec.cell_id(tx, ty))
+                    cols["row0"].append(pr0)
+                    cols["col0"].append(pc0)
+                    cols["h"].append(wv.shape[0])
+                    cols["w"].append(wv.shape[1])
+                    cols["wv"].append(zlib.compress(
+                        np.ascontiguousarray(wv).tobytes(), 1))
+                    cols["wsum"].append(zlib.compress(
+                        np.ascontiguousarray(ws).tobytes(), 1))
+        return pa.table(
+            {n: pa.array(cols[n], _PATCH_SCHEMA.field(n).type)
+             for n in _PATCH_SCHEMA.names}, schema=_PATCH_SCHEMA)
+
+    return fn
+
+
+def make_warp_assembler(spec: GridSpec, layer: str, fmt: str = "npz"):
+    """Patch group (one target cell) -> blended TILES_SCHEMA row."""
+    T, ps = spec.tile_px, spec.pixel_size
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % spec.tiles_x, cell // spec.tiles_x
+        wv = np.zeros((T, T), np.float64)
+        ws = np.zeros((T, T), np.float64)
+        for i in range(len(g["wv"])):
+            h, w = int(g["h"][i]), int(g["w"][i])
+            rr = int(g["row0"][i]) - ty * T
+            cc = int(g["col0"][i]) - tx * T
+            wv[rr:rr + h, cc:cc + w] += np.frombuffer(
+                zlib.decompress(g["wv"][i]), np.float64).reshape(h, w)
+            ws[rr:rr + h, cc:cc + w] += np.frombuffer(
+                zlib.decompress(g["wsum"][i]), np.float64).reshape(h, w)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            canvas = np.where(ws > 0, wv / ws, NODATA).astype(np.float32)
+        cap = Caption(layer=layer, x0=tx * T * ps,
+                      y0=spec.y_north - ty * T * ps, pixel_size=ps,
+                      edge={"n": ty == 0, "s": ty == spec.tiles_y - 1,
+                            "w": tx == 0, "e": tx == spec.tiles_x - 1},
+                      tx=tx, ty=ty)
+        payload, cap = encode_tile(canvas, fmt, cap)
+        return pa.table({
+            "image_id": [f"{layer}/{tx}/{ty}"],
+            "bytes": [payload], "w": [np.int32(T)], "h": [np.int32(T)],
+            "fmt": [fmt], "caption": [cap.to_json()],
+            "phash": [np.int64(phash64(canvas))]}, schema=TILES_SCHEMA)
+
+    return fn
+
+
+def warp_to_grid(tiles_ds, spec: GridSpec, affine: Affine, *,
+                 layer: str = "warp", fmt: str = "npz",
+                 resampling: str = "bilinear"):
+    """Warp a tile Dataset through ``affine`` (target world -> source
+    world) onto the target ``spec`` grid.  Returns a TILES_SCHEMA
+    Dataset; target cells with no source coverage are dropped (resume-
+    friendly partitioned output, not a dense all-nodata grid)."""
+    if resampling not in ("bilinear", "nearest"):
+        raise ValueError("resampling must be 'bilinear' or 'nearest'")
+    return (tiles_ds
+            .map_batches(make_warp_emitter(spec, affine, resampling),
+                         batch_format="pyarrow")
+            .groupby("cell_id")
+            .map_groups(make_warp_assembler(spec, layer, fmt),
+                        batch_format="pyarrow"))
