@@ -938,7 +938,48 @@ def q_warp_rotate(sf_dir: str):
     return (out.map_batches(stats, batch_format="pyarrow").sort("tile"))
 
 
+def q_idw_sites(sf_dir: str):
+    """gdal_grid (invdist) role: IDW-interpolate a deterministic value
+    at the t1 probe sites onto the tile grid (brute-force oracle in
+    tests/test_gridding.py), reduced to per-tile coverage stats."""
+    import ray
+    import ray.data
+
+    from ..stages.gridding import idw_grid
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import sites_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    sites = sites_table(cfg, n=48).to_pydict()
+    xs = np.asarray(sites["x"])
+    ys = np.asarray(sites["y"])
+    tab = pa.table({"x": pa.array(xs), "y": pa.array(ys),
+                    "v": pa.array(np.round(np.sin(xs / 500.0)
+                                           * np.cos(ys / 700.0) * 40, 6))})
+    out = idw_grid(ray.data.from_arrow(tab), spec,
+                   radius=6 * cfg.pixel_size)
+
+    def stats(b: pa.Table) -> pa.Table:
+        tile, n_valid, vsum = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            ok = arr != np.float32(cap.nodata)
+            tile.append(f"{cap.tx}/{cap.ty}")
+            n_valid.append(int(ok.sum()))
+            vsum.append(round(float(arr[ok].astype(np.float64).sum()), 3))
+        return pa.table({"tile": pa.array(tile, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "vsum": pa.array(vsum, pa.float64())})
+
+    return out.map_batches(stats, batch_format="pyarrow").sort("tile")
+
+
 ROWS_ONLY = {
+    "idw_sites": q_idw_sites,
     "warp_rotate": q_warp_rotate,
     "flow_accumulation": q_flow_accumulation,
     "contour_lines": q_contour_lines,
