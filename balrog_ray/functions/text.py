@@ -294,3 +294,66 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
             .aggregate(agg.Sum("n_grams", alias_name="n_grams"),
                        agg.Sum("n_kept", alias_name="n_kept"),
                        agg.Sum("kept_chars", alias_name="kept_chars")))
+
+
+def contamination_check(docs, id_col: str = "doc_id",
+                        text_col: str = "text", *, n: int = 5,
+                        test_mod: int = 50, num_partitions: int = 4):
+    """Train/test contamination scan: for every held-out doc
+    (``doc_id % test_mod == 0``), find training docs sharing at least
+    one word ``n``-gram shingle and report
+    ``(test_id, n_train_docs, max_shared, total_shared)`` where
+    ``shared`` counts DISTINCT shingles in common per (test, train)
+    pair -- the n-gram-overlap decontamination gate every LLM data
+    pipeline runs before training.
+
+    Scale shape: ONE explode pass to per-doc distinct shingle rows
+    (materialized, reused for both sides), a shingle-keyed hash join of
+    the small test side against the train side (inner join keeps only
+    shingles the test set mentions, so join output is bounded by the
+    matching train rows, not the corpus), then two grouped reductions.
+    Shingles keyed by text for bit-identical SQL parity; hash-key at
+    corpus scale."""
+    import pyarrow.compute as _pc
+    import ray.data.aggregate as agg
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, shingles = [], []
+        id_arr = b.column(id_col).to_pylist()
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            ws = text.split(" ")
+            for g in set(" ".join(ws[j:j + n])
+                         for j in range(len(ws) - n + 1)):
+                ids.append(id_arr[i])
+                shingles.append(g)
+        return pa.table({
+            id_col: pa.array(ids, b.schema.field(id_col).type),
+            "shingle": pa.array(shingles, pa.string())})
+
+    sh = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def test_side(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % test_mod == 0))
+        return pa.table({"test_id": t.column(id_col),
+                         "shingle": t.column("shingle")})
+
+    def train_side(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % test_mod != 0))
+        return pa.table({"train_id": t.column(id_col),
+                         "shingle": t.column("shingle")})
+
+    tst = sh.map_batches(test_side, batch_format="pyarrow")
+    trn = sh.map_batches(train_side, batch_format="pyarrow")
+    pairs = tst.join(trn, "inner", num_partitions=num_partitions,
+                     on=("shingle",))
+    shared = (pairs.groupby(["test_id", "train_id"])
+              .aggregate(agg.Count(alias_name="shared")))
+    return (shared.groupby("test_id")
+            .aggregate(agg.Count(alias_name="n_train_docs"),
+                       agg.Max("shared", alias_name="max_shared"),
+                       agg.Sum("shared", alias_name="total_shared")))

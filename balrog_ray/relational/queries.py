@@ -643,6 +643,45 @@ group by gc.doc_id
 
 
 # --------------------------------------------------------------------------
+# 17c. train/test contamination scan (n-gram shingle overlap between a
+# deterministic held-out slice and the training corpus)
+
+def q_contamination_check(sf_dir: str):
+    from ..functions.text import contamination_check
+
+    return contamination_check(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=5, test_mod=50)
+
+
+SQL_CONTAMINATION_CHECK = """
+with w as (
+  select doc_id, string_split(text, ' ') as ws from documents
+),
+idx as (
+  select doc_id, ws, unnest(range(1, len(ws) - 3)) as i from w
+),
+g as (
+  select distinct doc_id,
+         list_extract(ws, i) || ' ' || list_extract(ws, i + 1) || ' '
+           || list_extract(ws, i + 2) || ' ' || list_extract(ws, i + 3)
+           || ' ' || list_extract(ws, i + 4) as shingle
+  from idx
+),
+pairs as (
+  select t.doc_id as test_id, r.doc_id as train_id, count(*) as shared
+  from g t join g r on t.shingle = r.shingle
+  where t.doc_id % 50 = 0 and r.doc_id % 50 <> 0
+  group by 1, 2
+)
+select test_id,
+       cast(count(*) as bigint) as n_train_docs,
+       cast(max(shared) as bigint) as max_shared,
+       cast(sum(shared) as bigint) as total_shared
+from pairs group by test_id
+"""
+
+
+# --------------------------------------------------------------------------
 # 18. quality filter (long docs per source)
 
 def q_long_docs_by_source(sf_dir: str):
@@ -1857,6 +1896,7 @@ SQL_CHECKED = {
     "global_minmax": (q_global_minmax, SQL_GLOBAL_MINMAX),
     "token_stats_by_lang": (q_token_stats_by_lang, SQL_TOKEN_STATS_BY_LANG),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "long_docs_by_source": (q_long_docs_by_source, SQL_LONG_DOCS_BY_SOURCE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
