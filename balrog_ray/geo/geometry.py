@@ -325,3 +325,45 @@ def simplify(poly: Polygon, tolerance: float) -> Polygon | None:
         if hs is not None and abs(_ring_area(hs)) > 0.0:
             holes.append(hs)
     return Polygon(shell, holes)
+
+
+def convex_hull(points: np.ndarray, keep_collinear: bool = False) -> np.ndarray:
+    """Convex hull of an (n, 2) point array via Andrew's monotone chain,
+    counter-clockwise, first vertex = lexicographic minimum, no repeated
+    endpoint.  ``keep_collinear=True`` keeps points lying on hull edges
+    (pop only on strict right turns) -- the safe setting for PARTIAL
+    hulls in a two-level reduce, where a float-borderline collinear
+    point must survive to the final pass to decide its own fate there.
+    Degenerate inputs (n <= 2, or all points collinear) return the
+    distinct extreme points (1 or 2 rows)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    thr = 0.0
+
+    def build(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                cr = ((out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                      - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0]))
+                if cr > thr or (keep_collinear and cr == thr):
+                    break
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = build(pts)
+    upper = build(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return hull
+
+
+def hull_area(hull: np.ndarray) -> float:
+    """Shoelace area of a CCW hull ring (no repeated endpoint)."""
+    if len(hull) < 3:
+        return 0.0
+    x, y = hull[:, 0], hull[:, 1]
+    return 0.5 * float(np.abs(
+        np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))

@@ -185,3 +185,65 @@ def veg_prep_pipeline(raw_ds, max_vertices: int = 64,
                           agg.Max("xmax", alias_name="xmax"),
                           agg.Max("ymax", alias_name="ymax")))
     return prepped, summary
+
+
+def class_hull_pipeline(prepped_ds):
+    """Per-class convex hull as a two-level partial/final reduce -- the
+    geometry-flavoured textbook distributed aggregate (ST_ConvexHull +
+    group-by role).  EXACT by the hull-merge property: the hull of a
+    union of partial hulls equals the hull of all points, so partials
+    shrink each block to its extreme points (<= O(block boundary)) and
+    the final per-class pass sees only those.
+
+    * **partial** -- each block gathers its polygons' exterior vertices
+      per class and keeps ``convex_hull(..., keep_collinear=True)``
+      (collinear survivors must reach the final pass to decide their
+      own fate under float rounding);
+    * **final** -- ONE ``groupby(bal_number)`` hulls the concatenated
+      partial vertices (strict turns -> canonical minimal hull).
+
+    Returns ``(bal_number, n_vertices, hull_area, geom)`` with ``geom``
+    the hull ring as WKB.
+    """
+    from ..geo.geometry import convex_hull, hull_area
+    from ..geo.wkb import polygon_to_wkb
+
+    _HULL_SCHEMA = pa.schema([
+        ("bal_number", pa.int64()), ("pts", pa.binary())])
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        by_cls: dict[int, list[np.ndarray]] = {}
+        for cls, wkb in zip(batch.column("bal_number").to_pylist(),
+                            batch.column("geom").to_pylist()):
+            g = from_wkb(wkb)
+            for p in (g if isinstance(g, list) else [g]):
+                by_cls.setdefault(int(cls), []).append(p.exterior[:-1])
+        rows = {"bal_number": [], "pts": []}
+        for cls, chunks in sorted(by_cls.items()):
+            hull = convex_hull(np.concatenate(chunks), keep_collinear=True)
+            rows["bal_number"].append(cls)
+            rows["pts"].append(np.ascontiguousarray(
+                hull, dtype=np.float64).tobytes())
+        return pa.table({"bal_number": pa.array(rows["bal_number"],
+                                                pa.int64()),
+                         "pts": pa.array(rows["pts"], pa.binary())},
+                        schema=_HULL_SCHEMA)
+
+    def final_fn(group: pa.Table) -> pa.Table:
+        cls = int(group.column("bal_number")[0].as_py())
+        pts = np.concatenate([
+            np.frombuffer(b, np.float64).reshape(-1, 2)
+            for b in group.column("pts").to_pylist()])
+        hull = convex_hull(pts)
+        area = hull_area(hull)
+        wkb = polygon_to_wkb(Polygon(np.vstack([hull, hull[:1]])))
+        return pa.table({
+            "bal_number": pa.array([cls], pa.int64()),
+            "n_vertices": pa.array([len(hull)], pa.int64()),
+            "hull_area": pa.array([area], pa.float64()),
+            "geom": pa.array([wkb], pa.binary())})
+
+    return (prepped_ds
+            .map_batches(partial_fn, batch_format="pyarrow")
+            .groupby("bal_number")
+            .map_groups(final_fn, batch_format="pyarrow"))

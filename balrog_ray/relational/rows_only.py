@@ -978,7 +978,31 @@ def q_idw_sites(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow").sort("tile")
 
 
+def q_veg_class_hull(sf_dir: str):
+    """Per-class convex hull (ST_ConvexHull + GROUP BY role) as the
+    exact two-level partial/final hull reduce; rows of
+    (bal_number, n_vertices, hull_area)."""
+    import ray.data
+
+    from ..pipelines.veg_prep import class_hull_pipeline, veg_prep_pipeline
+    from ..tiles.synth import raw_nvis_table
+
+    cfg = _t1_cfg()
+    prepped, _ = veg_prep_pipeline(
+        ray.data.from_arrow(raw_nvis_table(cfg)), max_vertices=32)
+    out = class_hull_pipeline(prepped)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bal_number": b.column("bal_number"),
+            "n_vertices": b.column("n_vertices"),
+            "hull_area": pc.round(b.column("hull_area"), ndigits=3)})
+
+    return out.map_batches(fmt, batch_format="pyarrow").sort("bal_number")
+
+
 ROWS_ONLY = {
+    "veg_class_hull": q_veg_class_hull,
     "idw_sites": q_idw_sites,
     "warp_rotate": q_warp_rotate,
     "flow_accumulation": q_flow_accumulation,

@@ -102,3 +102,70 @@ def test_simplify_properties():
     assert len(same.exterior) == len(poly.exterior)
     # degenerate: all points coincide -> dropped
     assert simplify(Polygon(np.zeros((5, 2))), 1.0) is None
+
+
+def _inside_hull(hull: np.ndarray, pts: np.ndarray, eps=1e-7) -> bool:
+    """Every point on/inside the CCW hull (cross-product half-plane)."""
+    n = len(hull)
+    for i in range(n):
+        a, b = hull[i], hull[(i + 1) % n]
+        cr = ((b[0] - a[0]) * (pts[:, 1] - a[1])
+              - (b[1] - a[1]) * (pts[:, 0] - a[0]))
+        if (cr < -eps * max(1.0, np.abs(pts).max())).any():
+            return False
+    return True
+
+
+def test_convex_hull_properties():
+    from balrog_ray.geo.geometry import convex_hull, hull_area
+
+    # known square + interior/edge points
+    pts = np.array([[0, 0], [4, 0], [4, 4], [0, 4],
+                    [2, 2], [2, 0], [4, 2]], float)
+    h = convex_hull(pts)
+    assert len(h) == 4 and hull_area(h) == 16.0
+    assert _inside_hull(h, pts)
+    # keep_collinear retains the edge midpoints
+    hk = convex_hull(pts, keep_collinear=True)
+    assert len(hk) == 6
+    # random clouds: hull contains everything, vertices are inputs
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        p = rng.normal(size=(200, 2)) * 10
+        h = convex_hull(p)
+        assert _inside_hull(h, p)
+        assert all(any(np.all(np.isclose(v, q)) for q in p) for v in h)
+    # degenerate: collinear + tiny inputs
+    assert len(convex_hull(np.array([[0, 0], [1, 1], [2, 2]], float))) <= 3
+    assert len(convex_hull(np.array([[1, 2]], float))) == 1
+
+
+def test_class_hull_pipeline_matches_direct(ray_session):
+    import ray.data
+
+    from balrog_ray.geo.geometry import convex_hull, hull_area
+    from balrog_ray.pipelines.veg_prep import (class_hull_pipeline,
+                                               veg_prep_pipeline)
+    from balrog_ray.tiles.synth import raw_nvis_table
+
+    raw = raw_nvis_table(CFG)
+    prepped, _ = veg_prep_pipeline(ray.data.from_arrow(raw),
+                                   max_vertices=32)
+    prepped = prepped.materialize()
+    got = {r["bal_number"]: r
+           for r in class_hull_pipeline(prepped).take_all()}
+
+    # direct oracle: hull over ALL part vertices per class, one pass
+    by_cls = {}
+    for r in prepped.take_all():
+        g = from_wkb(r["geom"])
+        for p in (g if isinstance(g, list) else [g]):
+            by_cls.setdefault(r["bal_number"], []).append(p.exterior[:-1])
+    assert set(got) == set(by_cls)
+    for cls, chunks in by_cls.items():
+        want = convex_hull(np.concatenate(chunks))
+        gh = from_wkb(got[cls]["geom"]).exterior[:-1]
+        assert np.allclose(np.sort(gh, axis=0), np.sort(want, axis=0)), cls
+        assert got[cls]["n_vertices"] == len(want)
+        assert abs(got[cls]["hull_area"] - hull_area(want)) < 1e-6
+        assert _inside_hull(gh, np.concatenate(chunks))
