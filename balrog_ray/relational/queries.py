@@ -1068,6 +1068,72 @@ def q_moving_max(sf_dir: str):
             .map_groups(roll, batch_format="pyarrow"))
 
 
+def q_cumsum_orders(sf_dir: str):
+    """Running per-customer order total -- ``sum(...) over (partition by
+    o_custkey order by o_orderdate, o_orderkey)``.  High-cardinality
+    partition key, so per-group materialization is the scale-safe shape
+    (each group is one customer's orders); the sum runs in integer
+    cents so a window-function segment-tree summation on the oracle
+    side cannot produce a different float rounding."""
+    def roll(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
+        g = group.take(order)
+        cents = np.rint(g.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": g.column("o_orderkey"),
+                         "o_custkey": g.column("o_custkey"),
+                         "run_cents": pa.array(np.cumsum(cents),
+                                               pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate",
+                   "o_totalprice"])
+            .groupby("o_custkey")
+            .map_groups(roll, batch_format="pyarrow"))
+
+
+SQL_CUMSUM_ORDERS = """
+select o_orderkey, o_custkey,
+       sum(cast(round(o_totalprice * 100) as bigint)) over (
+           partition by o_custkey
+           order by o_orderdate, o_orderkey
+           rows between unbounded preceding and current row
+       ) as run_cents
+from orders
+"""
+
+
+def q_lag_events(sf_dir: str):
+    """Per-user inter-event gap -- ``ts - lag(ts) over (partition by
+    user_id order by ts, event_id)`` in microseconds (-1 for the first
+    event; integer timestamps, exact)."""
+    def roll(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = -1
+        if len(ts) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        return pa.table({"event_id": g.column("event_id"),
+                         "user_id": g.column("user_id"),
+                         "gap_us": pa.array(gap, pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(roll, batch_format="pyarrow"))
+
+
+SQL_LAG_EVENTS = """
+select event_id, user_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) over (
+           partition by user_id order by ts, event_id), -1) as gap_us
+from events
+"""
+
+
 SQL_MOVING_MAX = """
 select event_id, user_id,
        max(value) over (partition by user_id order by ts, event_id
@@ -1908,6 +1974,8 @@ SQL_CHECKED = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "rank_orders": (q_rank_orders, SQL_RANK_ORDERS),
     "moving_max": (q_moving_max, SQL_MOVING_MAX),
+    "cumsum_orders": (q_cumsum_orders, SQL_CUMSUM_ORDERS),
+    "lag_events": (q_lag_events, SQL_LAG_EVENTS),
     "quantiles_by_flag": (q_quantiles_by_flag, SQL_QUANTILES_BY_FLAG),
     "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
     "status_intersect": (q_status_intersect, SQL_STATUS_INTERSECT),

@@ -16,7 +16,7 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
                "norm_text_dedup", "dedup_components", "langid_docs",
                "quality_filter", "ntile_price", "chunk_docs",
-               "bloom_semi_join", "boilerplate_ngrams", "contamination_check"]
+               "bloom_semi_join", "boilerplate_ngrams", "contamination_check", "cumsum_orders", "lag_events"]
 
 
 def _canonical(tab: pa.Table):
