@@ -1001,7 +1001,45 @@ def q_veg_class_hull(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow").sort("bal_number")
 
 
+def q_equalize_dem(sf_dir: str):
+    """Histogram equalization of the t1 DEM (global-stat -> broadcast
+    LUT -> map; exact whole-raster parity in tests/test_enhance.py),
+    reduced to a 16-bucket histogram of the equalized output."""
+    import ray
+    import ray.data
+
+    from ..stages.enhance import equalize
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = equalize(ray.data.from_arrow(tiles_table(cfg)), "dem", bins=64)
+
+    def hist(b: pa.Table) -> pa.Table:
+        buckets, counts = [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            ok = arr != np.float32(cap.nodata)
+            idx = np.clip((arr[ok] / 16).astype(np.int64), 0, 15)
+            c = np.bincount(idx, minlength=16)
+            nz = np.flatnonzero(c)
+            buckets.extend(nz.tolist())
+            counts.extend(c[nz].tolist())
+        return pa.table({"bucket": pa.array(buckets, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (out.map_batches(hist, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n_px", alias_name="n_px"))
+            .sort("bucket"))
+
+
 ROWS_ONLY = {
+    "equalize_dem": q_equalize_dem,
     "veg_class_hull": q_veg_class_hull,
     "idw_sites": q_idw_sites,
     "warp_rotate": q_warp_rotate,
