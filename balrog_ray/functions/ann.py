@@ -326,3 +326,90 @@ def pq_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_sub: int = 4,
     partial = emb_ds.map_batches(scan, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _merge_topk_fn(k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# scalar (int8) quantization: the simplest memory-compression path for
+# embedding search -- 4x smaller than float32 (vs PQ's lossier 16-32x),
+# one uint8 code per DIMENSION with per-dimension global [lo, hi) ranges
+
+def sq_train(emb_ds, vec_col: str = "embedding") -> np.ndarray:
+    """Per-dimension global (lo, hi) ranges: per-block partial min/max
+    rows (one pair of dim-length vectors each), tiny final reduce.
+    Returns a (2, dim) float32 array."""
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.binary()),
+                             "hi": pa.array([], pa.binary())})
+        vecs = np.array(batch.column(vec_col).to_pylist(), np.float32)
+        return pa.table({
+            "lo": pa.array([vecs.min(axis=0).tobytes()], pa.binary()),
+            "hi": pa.array([vecs.max(axis=0).tobytes()], pa.binary())})
+
+    rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    lo = np.min([np.frombuffer(r["lo"], np.float32) for r in rows], axis=0)
+    hi = np.max([np.frombuffer(r["hi"], np.float32) for r in rows], axis=0)
+    hi = np.where(hi > lo, hi, lo + 1e-6)
+    return np.stack([lo, hi])
+
+
+def sq_encode(emb_ds, ranges: np.ndarray, *, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """float32 vectors -> uint8 codes (one byte per dimension):
+    ``code = round((v - lo) / (hi - lo) * 255)`` clipped to [0, 255]."""
+    lo, hi = np.asarray(ranges, np.float32)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary())})
+        vecs = np.array(batch.column(vec_col).to_pylist(), np.float32)
+        q = np.clip(np.rint((vecs - lo) / (hi - lo) * 255.0),
+                    0, 255).astype(np.uint8)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "code": pa.array([q[i].tobytes() for i in range(len(q))],
+                             pa.binary())})
+
+    return emb_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def sq_topk(code_ds, queries: np.ndarray, ranges: np.ndarray,
+            k: int = 10, *, id_col: str = "vec_id",
+            batch_size: int = 4096):
+    """Approximate cosine top-k over int8 codes: per block, dequantize
+    (vectorized: one fused multiply-add over the uint8 view), cosine
+    against the broadcast query matrix, exact per-block partial top-k,
+    tiny merge -- the brute-force scan's shape at a quarter of the
+    bytes.  Recall vs exact search is measured in tests."""
+    import ray
+
+    lo, hi = np.asarray(ranges, np.float64)
+    scale = (hi - lo) / 255.0
+    qref = ray.put(np.asarray(queries, np.float64))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names},
+                            schema=PAIRS_SCHEMA)
+        q = ray.get(qref) if not isinstance(qref, np.ndarray) else qref
+        qunit = _unit(np.asarray(q, np.float64))
+        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
+        codes = np.stack([np.frombuffer(b, np.uint8)
+                          for b in batch.column("code").to_pylist()])
+        vecs = codes.astype(np.float64) * scale + lo
+        sims = _unit(vecs) @ qunit.T
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi in range(qunit.shape[0]):
+            rows = _topk_rows(sims[:, qi], ids, part[kk - 1, qi], kk)
+            out["query_id"].extend([qi] * len(rows))
+            out["vec_id"].extend(ids[rows].tolist())
+            out["cosine"].extend(sims[rows, qi].tolist())
+        return pa.table(out, schema=PAIRS_SCHEMA)
+
+    partial = code_ds.map_batches(scan, batch_format="pyarrow",
+                                  batch_size=batch_size)
+    return partial.groupby("query_id").map_groups(
+        _merge_topk_fn(k), batch_format="pyarrow")

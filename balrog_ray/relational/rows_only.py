@@ -640,6 +640,23 @@ def q_pq_ann(sf_dir: str):
     return pq_topk(ds, queries, k=5, n_sub=8, n_codes=32)
 
 
+def q_sq_ann(sf_dir: str):
+    """Scalar int8-quantized ANN (1 byte/dim codes, dequantized cosine
+    scan + partial top-k): the 4x-compression path of the similarity
+    family; >=0.9 recall vs exact is asserted in tests/test_functions."""
+    import ray.data
+
+    from ..functions.ann import sq_encode, sq_topk, sq_train
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = np.array(emb.slice(0, 3).column("embedding").to_pylist(),
+                       dtype=np.float64)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    ranges = sq_train(ds)
+    return sq_topk(sq_encode(ds, ranges), queries, ranges, k=5)
+
+
 def q_kmv_distinct(sf_dir: str):
     """KMV distinct-count sketch over lineitem.l_partkey -- the fixed-
     size-partial approx aggregate (no sketch exists in the reference;
@@ -1079,6 +1096,7 @@ ROWS_ONLY = {
     "semantic_dedup": q_semantic_dedup,
     "ivf_ann": q_ivf_ann,
     "pq_ann": q_pq_ann,
+    "sq_ann": q_sq_ann,
     "veg_prep": q_veg_prep,
     "veg_class_union": q_veg_class_union,
     "simplify_veg": q_simplify_veg,

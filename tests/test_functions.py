@@ -607,3 +607,25 @@ def test_pq_train_guards(ray_session, emb_data):
         ann.pq_train(ds, n_sub=5)
     with pytest.raises(ValueError, match="uint8"):
         ann.pq_train(ds, n_sub=4, n_codes=300)
+
+
+def test_sq_topk_recall(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, queries = emb_data
+    ds = ray.data.from_arrow(tbl)
+    ranges = ann.sq_train(ds)
+    assert ranges.shape == (2, vecs.shape[1])
+    assert (ranges[1] > ranges[0]).all()
+    codes = ann.sq_encode(ds, ranges).materialize()
+    got = ann.sq_topk(codes, queries, ranges, k=10).take_all()
+    exact = numpy_topk(vecs, queries, 10)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # int8 per-dim quantization is nearly lossless for top-k ranking
+    recalls = [len(by_q.get(q, set()) & set(exact[q])) / 10 for q in exact]
+    assert np.mean(recalls) >= 0.9
+    # codes really are 1 byte/dim
+    row = codes.take(1)[0]
+    assert len(row["code"]) == vecs.shape[1]
