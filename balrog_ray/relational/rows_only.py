@@ -1055,7 +1055,42 @@ def q_equalize_dem(sf_dir: str):
             .sort("bucket"))
 
 
+def q_curvature_dem(sf_dir: str):
+    """Zevenbergen-Thorne profile curvature over the t1 DEM (ArcGIS
+    Curvature role; scalar-loop + tiled parity oracles in
+    tests/test_terrain.py), reduced to per-tile summary stats."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.terrain import curvature
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = curvature(ray.data.from_arrow(tiles_table(cfg, layers=("dem",))),
+                    GridSpec.from_synth(cfg), kind="profile")
+
+    def stats(b: pa.Table) -> pa.Table:
+        tile, n_valid, vmean = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            ok = arr != np.float32(cap.nodata)
+            tile.append(f"{cap.tx}/{cap.ty}")
+            n_valid.append(int(ok.sum()))
+            vmean.append(round(float(arr[ok].astype(np.float64).mean()), 6)
+                         if ok.any() else None)
+        return pa.table({"tile": pa.array(tile, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "mean_curv": pa.array(vmean, pa.float64())})
+
+    return out.map_batches(stats, batch_format="pyarrow").sort("tile")
+
+
 ROWS_ONLY = {
+    "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
     "veg_class_hull": q_veg_class_hull,
     "idw_sites": q_idw_sites,

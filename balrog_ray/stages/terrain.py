@@ -124,3 +124,74 @@ def dem_metrics(ds, spec: GridSpec, *, metric: str, layer: str = "dem",
 
     return windowed_stage(ds, spec, layer=layer, radius=1,
                           out_layer=metric, window_fn=fn, fmt=fmt)
+
+
+def curvature_kernel(dem: np.ndarray, pixel_size: float, kind: str,
+                     nodata: float) -> np.ndarray:
+    """Zevenbergen & Thorne (1987) curvature on the 3x3 window -- the
+    ArcGIS Curvature tool of the Gen-1 toolbox's ecosystem (the natural
+    second derivative after the Horn slope/aspect of SURVEY op 4).
+
+    Quadratic-surface coefficients with cell size L (z1..z3 = north
+    row, z4..z6 = middle, z7..z9 = south row)::
+
+        D = ((z4+z6)/2 - z5) / L^2       E = ((z2+z8)/2 - z5) / L^2
+        F = (-z1+z3+z7-z9) / (4 L^2)
+        G = (-z4+z6) / (2 L)             H = (z2-z8) / (2 L)
+
+    * ``total``   = -2 (D + E) * 100
+    * ``profile`` =  2 (D G^2 + E H^2 + F G H) / (G^2 + H^2) * 100
+    * ``plan``    = -2 (D H^2 + E G^2 - F G H) / (G^2 + H^2) * 100
+
+    (profile/plan are 0 where the gradient vanishes).  Nodata / out-of-
+    raster neighbours take the CENTER value (the ESRI substitution
+    rule), so curvature is defined at every valid pixel."""
+    if kind not in ("total", "profile", "plan"):
+        raise ValueError(f"kind must be total|profile|plan, got {kind!r}")
+    valid = dem != np.float32(nodata)
+    d = dem.astype(np.float64)
+    L = float(pixel_size)
+
+    def nb(dy, dx):
+        v = _shift_pad(valid, dy, dx, False)
+        x = _shift_pad(d, dy, dx, 0.0)
+        return np.where(v, x, d)         # substitute center for missing
+
+    z1, z2, z3 = nb(-1, -1), nb(-1, 0), nb(-1, 1)
+    z4, z6 = nb(0, -1), nb(0, 1)
+    z7, z8, z9 = nb(1, -1), nb(1, 0), nb(1, 1)
+    z5 = d
+    D = ((z4 + z6) / 2 - z5) / L ** 2
+    E = ((z2 + z8) / 2 - z5) / L ** 2
+    F = (-z1 + z3 + z7 - z9) / (4 * L ** 2)
+    G = (-z4 + z6) / (2 * L)
+    H = (z2 - z8) / (2 * L)
+    if kind == "total":
+        out = -2.0 * (D + E) * 100.0
+    else:
+        g2 = G * G + H * H
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if kind == "profile":
+                out = 2.0 * (D * G * G + E * H * H + F * G * H) / g2 * 100.0
+            else:
+                out = -2.0 * (D * H * H + E * G * G - F * G * H) / g2 * 100.0
+        out = np.where(g2 == 0.0, 0.0, out)
+    out = out.astype(np.float32)
+    out[~valid] = np.float32(nodata)
+    return out
+
+
+def curvature(ds, spec: GridSpec, *, kind: str = "profile",
+              layer: str = "dem", fmt: str = "npz"):
+    """Image-table Dataset -> curvature tiles (layer ``curv_<kind>``).
+    Center-substitution makes the 3x3 window self-contained, so a 1-px
+    halo gives exact whole-raster parity."""
+    if kind not in ("total", "profile", "plan"):
+        raise ValueError(f"kind must be total|profile|plan, got {kind!r}")
+    ps = spec.pixel_size
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return curvature_kernel(window, ps, kind, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=1,
+                          out_layer=f"curv_{kind}", window_fn=fn, fmt=fmt)
