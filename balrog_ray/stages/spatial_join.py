@@ -103,14 +103,29 @@ class _PolyIndex:
             self.edge_d = np.empty((0, 2))
             self.edge_len2 = np.empty(0)
 
-    def join_points(self, site_id, x, y, max_dist: float) -> pa.Table:
+    def join_points(self, site_id, x, y, max_dist: float,
+                    metric: str = "planar") -> pa.Table:
         """Vectorized candidate refinement: the (site, polygon) candidate
         pairs from the STR-tree are grouped BY POLYGON, so the exact
         point-in-polygon / distance kernels run once per polygon over an
         array of sites instead of once per pair (the per-site scalar loop
         was the hot spot at 200k+ sites/batch).  Winner selection follows
         the scalar semantics exactly: lowest gid among minimum-distance
-        candidates; lowest gid among containing polygons."""
+        candidates; lowest gid among containing polygons.
+
+        ``metric="geodesic_sphere"`` is the EPSG:4283 degree-CRS contract
+        (``geo/geodesic.py``): coordinates are lon/lat degrees and
+        ``max_dist`` is METERS.  Faithful to the reference's own
+        composition (planar shapely ``nearest_points`` in degree space,
+        then geodesic distance/azimuth -- ``xx_fiona_testing.py:205-218``):
+        the nearest point and winner are chosen in planar degree space
+        (anisotropic by cos(lat), exactly like the reference), then the
+        reported distance is great-circle meters and the winner is kept
+        only if it is within ``max_dist`` meters."""
+        geodesic = metric == "geodesic_sphere"
+        if metric not in ("planar", "geodesic_sphere"):
+            raise ValueError(
+                f"metric must be planar|geodesic_sphere, got {metric!r}")
         n = len(x)
         in_gid = np.full(n, -1, dtype=np.int64)
         in_cls = np.full(n, -1, dtype=np.int16)
@@ -121,10 +136,19 @@ class _PolyIndex:
 
         xs = np.asarray(x, dtype=np.float64)
         ys = np.asarray(y, dtype=np.float64)
-        qboxes = np.column_stack([xs - max_dist, ys - max_dist,
-                                  xs + max_dist, ys + max_dist])
+        if geodesic:
+            # conservative degree pad: meters -> degrees with 5% slack,
+            # lon widened by 1/cos(lat)
+            pad_lat = max_dist / 111320.0 * 1.05
+            pad_lon = pad_lat / np.maximum(
+                np.cos(np.deg2rad(np.abs(ys))), 0.01)
+            qboxes = np.column_stack([xs - pad_lon, ys - pad_lat,
+                                      xs + pad_lon, ys + pad_lat])
+        else:
+            qboxes = np.column_stack([xs - max_dist, ys - max_dist,
+                                      xs + max_dist, ys + max_dist])
         I, J = self.tree.query_many(qboxes)
-        if len(I):
+        if len(I) and not geodesic:
             # exact bbox-distance prune: the tree's padded-box test admits
             # corner pairs up to sqrt(2)*max_dist away; any pair with bbox
             # distance > max_dist can neither contain the site (it is
@@ -191,17 +215,32 @@ class _PolyIndex:
                 in_gid[ii[win]] = self.gids[jj[win]]
                 in_cls[ii[win]] = self.classes[jj[win]]
 
-            # nearest polygon: min distance, tie -> lowest gid
+            # nearest polygon: min distance, tie -> lowest gid (winner
+            # chosen in coordinate space -- planar degrees when geodesic,
+            # matching the reference's nearest_points-in-degrees)
             first = np.lexsort((J, D, I))
             keep = np.concatenate([[True], I[first][1:] != I[first][:-1]])
             win = first[keep]
-            ok = D[win] <= max_dist
-            win = win[ok]
-            wi, wj, wd = I[win], J[win], D[win]
+            if geodesic:
+                from ..geo.geodesic import haversine_m, sphere_azimuth_deg
+
+                p0 = pts[I[win]]
+                gd = np.where(D[win] == 0.0, 0.0,
+                              haversine_m(p0[:, 0], p0[:, 1],
+                                          NEAR[win][:, 0], NEAR[win][:, 1]))
+                ok = gd <= max_dist
+                win, gd = win[ok], gd[ok]
+                wi, wj, wd = I[win], J[win], gd
+                az = sphere_azimuth_deg(pts[wi][:, 0], pts[wi][:, 1],
+                                        NEAR[win][:, 0], NEAR[win][:, 1])
+            else:
+                ok = D[win] <= max_dist
+                win = win[ok]
+                wi, wj, wd = I[win], J[win], D[win]
+                az = azimuth_deg(pts[wi], NEAR[win])
             near_gid[wi] = self.gids[wj]
             near_cls[wi] = self.classes[wj]
             dist[wi] = wd
-            az = azimuth_deg(pts[wi], NEAR[win])
             azim[wi] = np.where(wd == 0.0, 0.0, az)
         return pa.table({
             "site_id": site_id, "x": x, "y": y,
@@ -216,31 +255,40 @@ class VegJoinActor:
     (veg_ref, max_dist), concurrency=N)``.  The polygon table rides the
     object store once (``ray.put``) and the tree is built per actor."""
 
-    def __init__(self, veg_ref, max_dist: float = 100.0):
+    def __init__(self, veg_ref, max_dist: float = 100.0,
+                 metric: str = "planar"):
         import ray
 
         table = ray.get(veg_ref) if not isinstance(veg_ref, pa.Table) \
             else veg_ref
         self.index = _PolyIndex(table)
         self.max_dist = max_dist
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.index.join_points(
             batch.column("site_id").to_pylist(),
             batch.column("x").to_numpy(),
-            batch.column("y").to_numpy(), self.max_dist)
+            batch.column("y").to_numpy(), self.max_dist,
+            metric=self.metric)
 
 
 def broadcast_spatial_join(sites_ds, veg_table: pa.Table,
                            max_dist: float = 100.0, concurrency=(1, 4),
-                           batch_size: int = 4096):
+                           batch_size: int = 4096,
+                           metric: str = "planar"):
     """The default plan: broadcast polygons, stream sites through an
-    STR-tree actor pool."""
+    STR-tree actor pool.  ``metric="geodesic_sphere"`` activates the
+    degree-CRS contract (lon/lat coordinates, max_dist in meters) --
+    see :meth:`_PolyIndex.join_points`."""
     import ray
 
+    if metric not in ("planar", "geodesic_sphere"):
+        raise ValueError(
+            f"metric must be planar|geodesic_sphere, got {metric!r}")
     veg_ref = ray.put(veg_table)
     return sites_ds.map_batches(
-        VegJoinActor, fn_constructor_args=(veg_ref, max_dist),
+        VegJoinActor, fn_constructor_args=(veg_ref, max_dist, metric),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

@@ -302,3 +302,79 @@ def test_asof_join_semantics(ray_session):
     # lid=103 (k=2, t=7): right t=9 is later -> dropped
     # lid=104 (k=3): no rights for key -> dropped
     assert got == {100: 9, 101: 6}
+
+
+def test_geodesic_join_matches_bruteforce(ray_session):
+    """Degree-CRS contract: lon/lat world around Sydney-ish latitudes;
+    nearest point chosen in planar degrees (the reference's own
+    composition), distance/azimuth great-circle metres."""
+    import ray.data
+
+    from balrog_ray.geo.geodesic import haversine_m, sphere_azimuth_deg
+    from balrog_ray.geo.geometry import Polygon, polygon_distance
+    from balrog_ray.geo.wkb import polygon_to_wkb
+
+    rng = np.random.default_rng(8)
+    lon0, lat0 = 150.0, -33.5
+    polys, gids, classes = [], [], []
+    for g in range(6):
+        cx = lon0 + rng.uniform(-0.05, 0.05)
+        cy = lat0 + rng.uniform(-0.05, 0.05)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 6))
+        rad = rng.uniform(0.004, 0.012)
+        ring = np.column_stack([cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)])
+        polys.append(Polygon(ring))
+        gids.append(g)
+        classes.append(int(rng.integers(1, 8)))
+    veg = pa.table({
+        "gid": pa.array(gids, pa.int64()),
+        "bal_number": pa.array(classes, pa.int16()),
+        "geom": pa.array([polygon_to_wkb(p) for p in polys], pa.binary())})
+    n = 200
+    sites = pa.table({
+        "site_id": pa.array([f"g{i:04d}" for i in range(n)], pa.string()),
+        "x": pa.array(lon0 + rng.uniform(-0.07, 0.07, n)),
+        "y": pa.array(lat0 + rng.uniform(-0.07, 0.07, n))})
+    max_m = 800.0
+
+    got = {r["site_id"]: r for r in sj.broadcast_spatial_join(
+        ray.data.from_arrow(sites), veg, max_dist=max_m,
+        metric="geodesic_sphere").take_all()}
+
+    n_in = n_near = 0
+    for r in sites.to_pylist():
+        pt = np.array([[r["x"], r["y"]]])
+        in_gid = -1
+        best = (np.inf, -1, None)
+        for gid, poly in zip(gids, polys):
+            d, nearest, inside = polygon_distance(pt, poly)
+            if inside[0] and in_gid < 0:
+                in_gid = gid
+            if d[0] < best[0]:
+                best = (float(d[0]), gid, nearest[0])
+        o = got[r["site_id"]]
+        assert o["in_gid"] == in_gid, r["site_id"]
+        if best[0] == np.inf:
+            assert o["near_gid"] == -1
+            continue
+        gd = 0.0 if best[0] == 0.0 else float(haversine_m(
+            r["x"], r["y"], best[2][0], best[2][1]))
+        if gd <= max_m:
+            n_near += 1
+            n_in += in_gid >= 0
+            assert o["near_gid"] == best[1], r["site_id"]
+            assert np.isclose(o["distance_m"], gd, atol=1e-6)
+            if gd > 0:
+                az = float(sphere_azimuth_deg(
+                    r["x"], r["y"], best[2][0], best[2][1]))
+                assert np.isclose(o["azimuth_deg"], az, atol=1e-6)
+        else:
+            assert o["near_gid"] == -1, r["site_id"]
+    # the scenario exercises all three outcomes
+    assert n_near > 10 and n_in > 1
+
+
+def test_join_metric_validation():
+    with pytest.raises(ValueError, match="metric"):
+        sj.broadcast_spatial_join(None, None, metric="spherical")
