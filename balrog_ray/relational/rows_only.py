@@ -912,6 +912,56 @@ def q_flow_accumulation(sf_dir: str):
                      ignore_index=True)
 
 
+def q_watershed_basins(sf_dir: str):
+    """Watershed/Basin labeling over the t1 DEM (companion of
+    FlowAccumulation; pixel-exact vs the whole-raster pointer-doubling
+    oracle in tests/test_hydrology.py), reduced to basin-size stats:
+    per basin-size bucket (log2), how many basins and pixels."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.hydrology import watershed
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    out = watershed(ray.data.from_arrow(tiles_table(cfg)), spec)
+
+    def basin_rows(b: pa.Table) -> pa.Table:
+        bas, cnt = [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)].astype(np.int64)
+            u, c = np.unique(v, return_counts=True)
+            bas.extend(int(x) for x in u)
+            cnt.extend(int(x) for x in c)
+        return pa.table({"basin": pa.array(bas, pa.int64()),
+                         "n_px": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Count, Sum
+
+    sizes = (out.map_batches(basin_rows, batch_format="pyarrow")
+             .groupby("basin")
+             .aggregate(Sum("n_px", alias_name="size")))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        s = b.column("size").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "log2_size": pa.array(
+                np.floor(np.log2(s)).astype(np.int64), pa.int64()),
+            "size": b.column("size")})
+
+    return (sizes.map_batches(bucket, batch_format="pyarrow")
+            .groupby("log2_size")
+            .aggregate(Count(alias_name="n_basins"),
+                       Sum("size", alias_name="n_px"))
+            .sort("log2_size"))
+
+
 def q_warp_rotate(sf_dir: str):
     """Affine bilinear warp (gdal.Warp role): rotate the t1 DEM 30 deg
     about its center onto a fresh target grid (pixel-exact semantics
@@ -1096,6 +1146,7 @@ ROWS_ONLY = {
     "idw_sites": q_idw_sites,
     "warp_rotate": q_warp_rotate,
     "flow_accumulation": q_flow_accumulation,
+    "watershed_basins": q_watershed_basins,
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,
     "sieve_veg": q_sieve_veg,

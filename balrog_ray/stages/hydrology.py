@@ -165,8 +165,10 @@ def _route_ring(dirs: np.ndarray, tile_r0: int, tile_c0: int,
                 spec: GridSpec):
     """For every valid outer-ring pixel of a tile, follow the in-tile D8
     path until it leaves the tile or sinks.  Returns (px, to_cell, to_px)
-    int arrays; to_cell = -1 where the path ends inside the tile.
-    Vectorized frontier walk -- all ring pixels step together."""
+    int arrays; to_cell = -1 where the path ends inside the tile, in
+    which case to_px is the tile-flat index of the PIT it ended at (so
+    watershed resolution can name the basin).  Vectorized frontier walk
+    -- all ring pixels step together."""
     T = dirs.shape[0]
     rr, cc = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
     ring = (rr == 0) | (rr == T - 1) | (cc == 0) | (cc == T - 1)
@@ -195,6 +197,8 @@ def _route_ring(dirs: np.ndarray, tile_r0: int, tile_c0: int,
         ii = mi[~outside]
         pos_r[ii] = nr[~outside]
         pos_c[ii] = nc[~outside]
+    sinks = to_cell < 0
+    to_px[sinks] = (pos_r[sinks] * T + pos_c[sinks]).astype(np.int32)
     return start.astype(np.int32), to_cell, to_px
 
 
@@ -458,3 +462,253 @@ def _radius1_spec(spec: GridSpec):
 
     return FocalGridSpec(spec.tiles_x, spec.tiles_y, spec.tile_px,
                          spec.pixel_size, spec.y_north, radius=1)
+
+
+_WS_SCHEMA = pa.schema([
+    ("kind", pa.int8()),        # 0 state, 1 resolver, 2 route, 3 resolved
+    ("cell_id", pa.int64()),    # resolver/route: CURSOR cell; resolved/
+    ("px", pa.int64()),         # state: owning tile
+    ("origin", pa.int64()),     # resolver/resolved: tile awaiting the map
+    ("to_cell", pa.int64()),
+    ("to_px", pa.int64()),
+    ("basin", pa.int64()),      # resolved: global pit flat index
+    ("dirs", pa.binary()),
+    ("term", pa.binary()),      # state: int32 in-tile terminal per pixel
+    ("caption", pa.string()),
+])
+
+
+def watershed(ds, spec: GridSpec, *, layer: str = "dem",
+              fmt: str = "npz", max_hops: int = 256):
+    """Basin labeling: every valid pixel is labeled with the GLOBAL flat
+    index (``row * world_width + col``) of the pit its D8 path
+    terminates at -- the Watershed/Basin tool, the natural companion of
+    :func:`flow_accumulation` and the same contracted-border-graph
+    shape:
+
+    1. ONE radius-1 halo shuffle computes per tile: D8 dirs, every
+       pixel's IN-TILE terminal by pointer doubling (log(T^2) gather
+       rounds, no per-pixel walk), the ring-route table (entry pixel ->
+       exit target or pit identity) and one RESOLVER row per distinct
+       exit target;
+    2. resolvers walk the route table (union + groupby hops, rounds =
+       drainage diameter in tiles) until each reaches a pit; a resolved
+       row ``(origin tile, exit target, basin)`` is emitted for the
+       tile that asked;
+    3. ONE final ``groupby(cell_id)`` joins the resolved maps back and
+       paints: pit terminals take their own global id, exit terminals
+       take the resolved basin of their target entry pixel.
+
+    Output tiles are float32 (exact for pit ids < 2**24 -- true for the
+    test worlds; a full-scale run should sink ``(cell, px, basin)``
+    int64 rows instead, which step 3 already produces internally)."""
+    import ray.data
+
+    if spec.tile_px < 2:
+        raise ValueError("tile_px must be >= 2")
+    T = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    world_w = tiles_x * T
+    fspec = _radius1_spec(spec)
+    emit = make_strip_emitter_batch(fspec)
+
+    def keep_layer(b: pa.Table) -> pa.Table:
+        import json
+
+        caps = b.column("caption").to_pylist()
+        keep = [i for i, c in enumerate(caps)
+                if json.loads(c)["layer"] == layer]
+        return b.take(pa.array(keep, pa.int64()))
+
+    def global_pit_id(cell: np.ndarray, px: np.ndarray) -> np.ndarray:
+        gr = (cell // tiles_x) * T + px // T
+        gc = (cell % tiles_x) * T + px % T
+        return gr * world_w + gc
+
+    def tile_state(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        neigh = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if 0 <= tx + dx < tiles_x and 0 <= ty + dy < tiles_y)
+        out = {n: [] for n in _WS_SCHEMA.names}
+
+        def row(**kw):
+            for n in _WS_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        window = (assemble_window(g, fspec, layer, tx, ty)
+                  if g["layer"].count(layer) == neigh else None)
+        if window is None:
+            return pa.table(out, schema=_WS_SCHEMA)
+        from ..tiles.codec import Caption
+
+        ref = next(Caption.from_json(g["caption"][i])
+                   for i in range(len(g["is_core"])) if g["is_core"][i])
+        dirs_w = d8_kernel(window, float(ref.nodata))
+        r0, _, c0, _ = fspec.assembled_window(tx, ty)
+        dirs = np.ascontiguousarray(
+            dirs_w[ty * T - r0:ty * T - r0 + T,
+                   tx * T - c0:tx * T - c0 + T])
+
+        r, c = np.divmod(np.arange(T * T, dtype=np.int64), T)
+        d = dirs.ravel()
+        flows = d >= 0
+        tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+        tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+        inside = flows & (tr >= 0) & (tr < T) & (tc >= 0) & (tc < T)
+        ptr = np.where(inside, tr * T + tc, np.arange(T * T))
+        while True:                      # pointer doubling: log(T^2)
+            nxt = ptr[ptr]
+            if np.array_equal(nxt, ptr):
+                break
+            ptr = nxt
+        term = ptr.astype(np.int32)
+
+        # distinct exit targets among terminals of valid pixels
+        vterm = np.unique(term[d != -2])
+        exits = vterm[~inside[vterm] & flows[vterm]]
+        if exits.size:
+            gr = tr[exits] + ty * T
+            gc = tc[exits] + tx * T
+            tgt_cell = (gr // T) * tiles_x + gc // T
+            tgt_px = (gr % T) * T + gc % T
+            uniq = np.unique(np.stack([tgt_cell, tgt_px], 1), axis=0)
+            for tcell, tpx in uniq:
+                # to_cell/to_px pin the ORIGINAL query target; the
+                # cursor (cell_id/px) moves hop by hop but the resolved
+                # row must key back to what this tile asked about
+                row(kind=1, cell_id=int(tcell), px=int(tpx),
+                    origin=cell, to_cell=int(tcell), to_px=int(tpx))
+        px_r, route_cell, route_px = _route_ring(dirs, ty * T, tx * T,
+                                                 spec)
+        for p, tcell, tpx in zip(px_r, route_cell, route_px):
+            row(kind=2, cell_id=cell, px=int(p), to_cell=int(tcell),
+                to_px=int(tpx))
+        row(kind=0, cell_id=cell,
+            dirs=zlib.compress(dirs.tobytes(), 1),
+            term=zlib.compress(term.tobytes(), 1),
+            caption=ref.to_json())
+        return pa.table(out, schema=_WS_SCHEMA)
+
+    combined = (ds.map_batches(keep_layer, batch_format="pyarrow")
+                .map_batches(emit, batch_format="pyarrow")
+                .groupby("cell_id")
+                .map_groups(tile_state, batch_format="pyarrow")
+                .materialize())
+
+    state = combined.filter(expr="kind == 0")
+    routes = combined.filter(expr="kind == 2").materialize()
+    cur = combined.filter(expr="kind == 1").materialize()
+
+    def hop(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        kinds = g["kind"]
+        out = {n: [] for n in _WS_SCHEMA.names}
+
+        def row(**kw):
+            for n in _WS_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        ri = next((i for i, k in enumerate(kinds) if k == 2), None)
+        for i, k in enumerate(kinds):
+            if k != 1:
+                continue
+            if ri is None:
+                raise RuntimeError(
+                    "watershed resolver reached a pixel with no route")
+            nxt_cell = g["to_cell"][ri]       # route: where the walk goes
+            nxt_px = g["to_px"][ri]
+            if nxt_cell < 0:            # pit inside THIS (cursor) tile
+                basin = int(global_pit_id(
+                    np.array([g["cell_id"][i]]), np.array([nxt_px]))[0])
+                row(kind=3, cell_id=g["origin"][i], origin=g["origin"][i],
+                    to_cell=g["to_cell"][i], to_px=g["to_px"][i],
+                    basin=basin)
+            else:
+                row(kind=1, cell_id=int(nxt_cell), px=int(nxt_px),
+                    origin=g["origin"][i],
+                    to_cell=g["to_cell"][i], to_px=g["to_px"][i])
+        return pa.table(out, schema=_WS_SCHEMA)
+
+    resolved = []
+    for _ in range(max_hops):
+        if cur.count() == 0:
+            break
+        nxt = (cur.union(routes)
+               .groupby(["cell_id", "px"])
+               .map_groups(hop, batch_format="pyarrow")
+               .materialize())
+        resolved.append(nxt.filter(expr="kind == 3").materialize())
+        cur = nxt.filter(expr="kind == 1").materialize()
+    else:
+        raise RuntimeError(
+            f"watershed did not converge in {max_hops} hops; raise "
+            f"max_hops")
+
+    paint_in = state
+    for rds in resolved:
+        paint_in = paint_in.union(rds)
+
+    def paint(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption, encode_tile, phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        g = group.to_pydict()
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        if srow is None:
+            return pa.table({c: [] for c in TILES_SCHEMA.names},
+                            schema=TILES_SCHEMA)
+        dirs = np.frombuffer(zlib.decompress(g["dirs"][srow]),
+                             np.int8).reshape(T, T)
+        term = np.frombuffer(zlib.decompress(g["term"][srow]),
+                             np.int32).astype(np.int64)
+        cap = Caption.from_json(g["caption"][srow])
+        cell = int(g["cell_id"][srow])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        emap = {(g["to_cell"][i], g["to_px"][i]): g["basin"][i]
+                for i in range(len(g["kind"])) if g["kind"][i] == 3}
+        d = dirs.ravel()
+        basin = np.full(T * T, -1, np.int64)
+        valid = d != -2
+        t_d = d[term]
+        # pit terminals: own global id
+        pit = valid & (t_d == -1)
+        basin[pit] = global_pit_id(np.full(pit.sum(), cell), term[pit])
+        # exit terminals: resolved basin of the target entry pixel
+        ex = valid & (t_d >= 0)
+        if ex.any():
+            tt = term[ex]
+            rr, cc = np.divmod(tt, T)
+            gr = rr + _DY[d[tt]] + ty * T
+            gc = cc + _DX[d[tt]] + tx * T
+            tgt_cell = (gr // T) * tiles_x + gc // T
+            tgt_px = (gr % T) * T + gc % T
+            vals = np.empty(len(tt), np.int64)
+            for j, (tc_, tp_) in enumerate(zip(tgt_cell, tgt_px)):
+                try:
+                    vals[j] = emap[(int(tc_), int(tp_))]
+                except KeyError:
+                    raise RuntimeError(
+                        "watershed: unresolved exit target -- tile "
+                        "state is inconsistent") from None
+            basin[ex] = vals
+        out = basin.reshape(T, T).astype(np.float32)
+        out[dirs == -2] = np.float32(cap.nodata)
+        ocap = Caption(layer="watershed", x0=cap.x0, y0=cap.y0,
+                       pixel_size=cap.pixel_size, crs=cap.crs,
+                       nodata=cap.nodata, edge=dict(cap.edge),
+                       tx=tx, ty=ty)
+        payload, ocap = encode_tile(out, fmt, ocap)
+        return pa.table({
+            "image_id": pa.array([f"watershed/{tx}/{ty}"], pa.string()),
+            "bytes": pa.array([payload], pa.binary()),
+            "w": pa.array([T], pa.int32()),
+            "h": pa.array([T], pa.int32()),
+            "fmt": pa.array([fmt], pa.string()),
+            "caption": pa.array([ocap.to_json()], pa.string()),
+            "phash": pa.array([phash64(out)], pa.int64())},
+            schema=TILES_SCHEMA)
+
+    return (paint_in.groupby("cell_id")
+            .map_groups(paint, batch_format="pyarrow"))

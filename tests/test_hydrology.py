@@ -11,7 +11,7 @@ import pytest
 from balrog_ray.stages.halo import GridSpec
 from balrog_ray.stages.hydrology import (D8_CODES, accumulate_kernel,
                                          d8_kernel, flow_accumulation,
-                                         flow_direction)
+                                         flow_direction, watershed)
 from balrog_ray.tiles.codec import Caption, decode_tile, encode_tile, phash64
 from balrog_ray.tiles.synth import TILES_SCHEMA, SynthConfig
 
@@ -189,6 +189,57 @@ def test_tiled_flow_accumulation_matches_whole_raster(
         f"max |diff| {np.abs(got - want).max()}")
     # drainage actually crossed tile borders on this input
     assert acc.max() > T, "test DEM produced no cross-tile drainage"
+
+
+def _watershed_oracle(arr: np.ndarray, nd: float) -> np.ndarray:
+    """Whole-raster basin labels: follow each valid pixel's D8 path to
+    its pit by pointer doubling; label = pit's global flat index."""
+    d = d8_kernel(arr, nd)
+    H, W = d.shape
+    idx = np.arange(H * W, dtype=np.int64)
+    r, c = np.divmod(idx, W)
+    dv = d.ravel()
+    flows = dv >= 0
+    tr = r + np.where(flows, _DY_T[np.clip(dv, 0, 7)], 0)
+    tc = c + np.where(flows, _DX_T[np.clip(dv, 0, 7)], 0)
+    ptr = np.where(flows, tr * W + tc, idx)
+    while True:
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            break
+        ptr = nxt
+    out = ptr.astype(np.float32)
+    out[dv == -2] = np.float32(nd)
+    return out.reshape(H, W)
+
+
+_DY_T = np.array([dy for dy, dx in _NB], np.int64)
+_DX_T = np.array([dx for dy, dx in _NB], np.int64)
+
+
+@pytest.mark.parametrize("seed,tx,ty,T", [(8, 3, 2, 16), (9, 4, 4, 8)])
+def test_tiled_watershed_matches_whole_raster(ray_session, seed, tx, ty, T):
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=tx, tiles_y=ty, tile_px=T)
+    arr = _bumpy_dem((ty * T, tx * T), seed)
+    out = watershed(
+        ray.data.from_arrow(_tiles_from_array(arr, cfg)),
+        GridSpec.from_synth(cfg)).materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), "watershed", cfg)
+    want = _watershed_oracle(arr, ND)
+    assert np.array_equal(got, want), (
+        f"{int((got != want).sum())} px differ")
+    # basins actually span tile borders on this input: some pixel's pit
+    # lives in a different tile than the pixel
+    d = d8_kernel(arr, ND)
+    pit_r, pit_c = np.divmod(want[d != -2].astype(np.int64), tx * T)
+    own_r, own_c = np.nonzero(d != -2)
+    crossed = ((pit_r // T != own_r // T) | (pit_c // T != own_c // T))
+    assert crossed.any(), "test DEM produced no cross-tile basin"
 
 
 def test_flow_accumulation_validation():
