@@ -962,6 +962,106 @@ def q_watershed_basins(sf_dir: str):
             .sort("log2_size"))
 
 
+def q_cost_distance(sf_dir: str):
+    """Weighted cost distance (CostDistance / r.cost role) over the t1
+    world: terrain-weighted distance from vegetation class 2, bit-exact
+    vs the whole-raster relaxation kernel (tests/test_cost.py), reduced
+    to reachability stats per distance decile."""
+    import ray
+    import ray.data
+
+    from ..stages.cost import cost_distance
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    from ..stages.raster_calc import apply_masked, raster_calc
+    from ..tiles.synth import SynthConfig
+
+    # a 3x3 world keeps the border-iteration round count (and gate
+    # latency) modest while still exercising multi-tile propagation
+    cfg = SynthConfig(tiles_x=3, tiles_y=3, tile_px=48)
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(tiles_table(cfg))
+    # derive a strictly positive friction layer from the DEM (the DEM
+    # itself dips below zero, which cost_distance loudly rejects)
+    cost = raster_calc(
+        tiles, ["dem"],
+        apply_masked(lambda L, nd: 1.0 + np.maximum(L["dem"], 0.0) / 50.0),
+        out_layer="friction")
+    out = cost_distance(tiles.union(cost), spec,
+                        cost_layer="friction", src_layer="veg",
+                        src_value=2.0)
+
+    def dist_rows(b: pa.Table) -> pa.Table:
+        vals = []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)]
+            vals.append(v.astype(np.float64))
+        flat = (np.concatenate(vals) if vals
+                else np.empty(0, np.float64))
+        # decile by log10 bucket: deterministic, shuffle-free reduction
+        b10 = np.where(flat > 0, np.floor(np.log10(flat + 1.0)), 0)
+        return pa.table({"log10_dist": pa.array(b10.astype(np.int64),
+                                                pa.int64()),
+                         "one": pa.array(np.ones(len(b10), np.int64),
+                                         pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (out.map_batches(dist_rows, batch_format="pyarrow")
+            .groupby("log10_dist")
+            .aggregate(Count(alias_name="n_px"))
+            .sort("log10_dist"))
+
+
+def q_image_filters(sf_dir: str):
+    """Gaussian blur + Sobel edge magnitude over the t1 DEM (classic
+    smoothing/edge pair, bit-exact vs whole-raster kernels in
+    tests/test_filters.py), reduced to per-layer valid-pixel stats."""
+    import ray
+    import ray.data
+
+    from ..stages.filters import gaussian_blur, sobel_edges
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    out = (gaussian_blur(tiles, spec, sigma=2.0)
+           .union(sobel_edges(tiles, spec)))
+
+    def stats(b: pa.Table) -> pa.Table:
+        lay, n, s, mx = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)].astype(np.float64)
+            lay.append(cap.layer)
+            n.append(int(v.size))
+            s.append(float(v.sum()))
+            mx.append(float(v.max()) if v.size else 0.0)
+        return pa.table({"layer": pa.array(lay, pa.string()),
+                         "n_px": pa.array(n, pa.int64()),
+                         "total": pa.array(s, pa.float64()),
+                         "max_val": pa.array(mx, pa.float64())})
+
+    from ray.data.aggregate import Max, Sum
+
+    return (out.map_batches(stats, batch_format="pyarrow")
+            .groupby("layer")
+            .aggregate(Sum("n_px", alias_name="n_px"),
+                       Sum("total", alias_name="total"),
+                       Max("max_val", alias_name="max_val"))
+            .sort("layer"))
+
+
 def q_warp_rotate(sf_dir: str):
     """Affine bilinear warp (gdal.Warp role): rotate the t1 DEM 30 deg
     about its center onto a fresh target grid (pixel-exact semantics
@@ -1147,6 +1247,8 @@ ROWS_ONLY = {
     "warp_rotate": q_warp_rotate,
     "flow_accumulation": q_flow_accumulation,
     "watershed_basins": q_watershed_basins,
+    "cost_distance": q_cost_distance,
+    "image_filters": q_image_filters,
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,
     "sieve_veg": q_sieve_veg,

@@ -1,0 +1,369 @@
+"""Distributed cost distance: weighted geodesic distance over a cost
+surface (the ArcGIS CostDistance / GRASS ``r.cost`` tool -- the weighted
+generalization of the engine's Euclidean :mod:`proximity` stage, and the
+reference chain's natural "how far is every pixel from vegetation,
+through terrain" question; cf. ``utilities/sa_tools.py`` distance ops).
+
+Semantics (pinned by :func:`cost_relax_kernel`, which doubles as the
+whole-raster test oracle):
+
+* moving from pixel ``u`` to 8-neighbour ``v`` costs
+  ``(cost[u] + cost[v]) / 2 * L`` where ``L`` is the step length in map
+  units (``pixel_size`` cardinal, ``sqrt(2) * pixel_size`` diagonal);
+* source pixels (where the source layer equals ``src_value``) have
+  distance 0; nodata cost pixels are impassable and stay nodata;
+  unreachable pixels are nodata;
+* all arithmetic is float64 with a FIXED fold order
+  ``(d[u] + cost[u]*halfL) + cost[v]*halfL`` so the tiled run is
+  bit-identical to the whole-raster kernel (the distributed border
+  crossing evaluates the same two adds in the same order).
+
+Scale shape -- the same contracted-border iteration as
+:func:`~balrog_ray.stages.hydrology.flow_accumulation`, but with an
+ACTIVE-FRONT filter so late rounds touch only the tiles still improving:
+
+1. ONE ``groupby(cell_id)`` pairs each cell's cost+source tiles, relaxes
+   distances from in-tile sources (vectorized Bellman-Ford sweeps, exact
+   at fixpoint) and emits per tile: a static row (zlib cost + source
+   mask), a ring-state row (float64 border distances) and offer rows
+   ``(neighbour cell, entry px, d + cost[u]*halfL, halfL)`` for finite
+   border pixels.
+2. each round, offers are grouped with the STATIC and RING rows of only
+   the cells they target (driver holds the active cell-id list -- one
+   int per tile, bounded by grid size, broadcast via ``ray.put``); the
+   tile re-relaxes seeded from its ring state + accepted offers and
+   emits new offers only for border pixels that strictly improved.
+   Distances strictly decrease over a finite set of path lengths, so
+   the loop terminates; rounds = cost-path diameter in tiles, per-round
+   shuffle volume = the active front, not the world.
+3. ONE final ``groupby(cell_id)`` repeats the in-tile relaxation from
+   the settled ring state and paints float32 distance tiles.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .halo import GridSpec
+
+# scan order E, SE, S, SW, W, NW, N, NE (shared with hydrology)
+_DY8 = np.array([0, 1, 1, 1, 0, -1, -1, -1], dtype=np.int64)
+_DX8 = np.array([1, 1, 0, -1, -1, -1, 0, 1], dtype=np.int64)
+_DIST8 = np.where((_DY8 != 0) & (_DX8 != 0), np.sqrt(2.0), 1.0)
+
+
+def _half_steps(pixel_size: float) -> np.ndarray:
+    """Per-direction half step length in map units.  Single shared
+    definition so kernel, offers and offer application all add the SAME
+    float64 -- the bit-identity contract of the module docstring."""
+    return 0.5 * _DIST8 * float(pixel_size)
+
+
+def cost_relax_kernel(cost: np.ndarray, seed: np.ndarray, nodata: float,
+                      *, pixel_size: float = 1.0) -> np.ndarray:
+    """Whole-array exact cost distance: float64 distances from ``seed``
+    (float64, np.inf = unseeded) over ``cost`` (nodata = impassable).
+    Vectorized synchronous relaxation (8 shifted minimums per sweep) run
+    to fixpoint -- exact shortest-path distances, no approximation."""
+    cost = np.asarray(cost, dtype=np.float32)
+    valid = cost != np.float32(nodata)
+    if bool((cost[valid] <= 0).any()):
+        raise ValueError(
+            "cost surface must be strictly positive (nodata = "
+            "impassable); non-positive costs create negative/zero-cost "
+            "cycles and the relaxation would not terminate -- remap the "
+            "layer first (e.g. raster_calc 1 + max(x, 0))")
+    c = np.where(valid, cost.astype(np.float64), np.inf)
+    dist = np.where(valid, np.asarray(seed, dtype=np.float64), np.inf)
+    H, W = cost.shape
+    half = _half_steps(pixel_size)
+    # out-cost per source pixel, per direction: d[u] + c[u]*halfL
+    while True:
+        changed = False
+        for k in range(8):
+            dy, dx = int(_DY8[k]), int(_DX8[k])
+            src = (slice(max(0, -dy), H - max(0, dy)),
+                   slice(max(0, -dx), W - max(0, dx)))
+            dst = (slice(max(0, dy), H + min(0, dy) or None),
+                   slice(max(0, dx), W + min(0, dx) or None))
+            cand = (dist[src] + c[src] * half[k]) + c[dst] * half[k]
+            better = cand < dist[dst]
+            if better.any():
+                dist[dst][...] = np.where(better, cand, dist[dst])
+                changed = True
+        if not changed:
+            return dist
+
+
+_COST_SCHEMA = pa.schema([
+    ("kind", pa.int8()),        # 0 static, 1 ring state, 2 offer
+    ("cell_id", pa.int64()),
+    ("px", pa.int64()),         # offer: target pixel (tile-flat)
+    ("d_plus", pa.float64()),   # offer: d[u] + cost[u]*halfL
+    ("half_l", pa.float64()),   # offer: halfL (receiver adds cost[v]*halfL)
+    ("ring", pa.binary()),      # kind 1: zlib float64 ring distances
+    ("cost", pa.binary()),      # kind 0: zlib float32 T*T
+    ("src", pa.binary()),       # kind 0: zlib uint8 T*T source mask
+    ("caption", pa.string()),   # kind 0
+])
+
+
+def _ring_index(T: int) -> np.ndarray:
+    rr, cc = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+    ring = (rr == 0) | (rr == T - 1) | (cc == 0) | (cc == T - 1)
+    return np.flatnonzero(ring.ravel())
+
+
+def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
+                  src_layer: str = "veg", src_value: float,
+                  out_layer: str = "cost_dist", fmt: str = "npz",
+                  max_rounds: int = 1024):
+    """Image-table Dataset (cost + source layers on one grid) -> image
+    table of ``out_layer`` float32 cost-distance tiles.  Bit-identical
+    to ``cost_relax_kernel`` on the mosaicked whole raster."""
+    import ray
+    import ray.data
+
+    if spec.tile_px < 2:
+        raise ValueError("tile_px must be >= 2")
+    T = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    ring_idx = _ring_index(T)
+    ring_r, ring_c = np.divmod(ring_idx, T)
+    half = _half_steps(spec.pixel_size)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import json
+
+        cols = {"cell_id": [], "layer": [], "bytes": [], "fmt": [],
+                "caption": []}
+        for i in range(b.num_rows):
+            cap_raw = b.column("caption")[i].as_py()
+            cap = json.loads(cap_raw)
+            if cap["layer"] not in (cost_layer, src_layer):
+                continue
+            cols["cell_id"].append(
+                spec.cell_id(int(cap["tx"]), int(cap["ty"])))
+            cols["layer"].append(cap["layer"])
+            cols["bytes"].append(b.column("bytes")[i].as_py())
+            cols["fmt"].append(b.column("fmt")[i].as_py())
+            cols["caption"].append(cap_raw)
+        return pa.table({
+            "cell_id": pa.array(cols["cell_id"], pa.int64()),
+            "layer": pa.array(cols["layer"], pa.string()),
+            "bytes": pa.array(cols["bytes"], pa.binary()),
+            "fmt": pa.array(cols["fmt"], pa.string()),
+            "caption": pa.array(cols["caption"], pa.string())})
+
+    def _out(**kw):
+        out = {n: [] for n in _COST_SCHEMA.names}
+
+        def row(**r):
+            for n in _COST_SCHEMA.names:
+                out[n].append(r.get(n))
+        return out, row
+
+    def _offers(row, cell, tx, ty, dist, c64, improved_ring):
+        """Emit offer rows for improved, finite ring pixels toward every
+        in-world neighbour pixel outside this tile."""
+        d_ring = dist.ravel()[ring_idx]
+        c_ring = c64.ravel()[ring_idx]
+        ok = improved_ring & np.isfinite(d_ring)
+        for j in np.flatnonzero(ok):
+            r, c = int(ring_r[j]), int(ring_c[j])
+            for k in range(8):
+                nr, nc = r + int(_DY8[k]), c + int(_DX8[k])
+                if 0 <= nr < T and 0 <= nc < T:
+                    continue                      # in-tile move
+                gr, gc = ty * T + nr, tx * T + nc
+                if not (0 <= gr < tiles_y * T and 0 <= gc < tiles_x * T):
+                    continue                      # off-world
+                row(kind=2,
+                    cell_id=spec.cell_id(gc // T, gr // T),
+                    px=int((gr % T) * T + gc % T),
+                    d_plus=float(d_ring[j] + c_ring[j] * half[k]),
+                    half_l=float(half[k]))
+
+    def init(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption, decode_tile
+
+        g = group.to_pydict()
+        out, row = _out()
+        arrs = {}
+        cap_raw = None
+        for i in range(len(g["layer"])):
+            cap = Caption.from_json(g["caption"][i])
+            arrs[g["layer"][i]] = (decode_tile(g["bytes"][i],
+                                               g["fmt"][i], cap), cap)
+            if g["layer"][i] == cost_layer:
+                cap_raw = g["caption"][i]
+        if cost_layer not in arrs or src_layer not in arrs:
+            return pa.table(out, schema=_COST_SCHEMA)
+        cost, cap = arrs[cost_layer]
+        srcarr, _ = arrs[src_layer]
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        valid = cost != np.float32(cap.nodata)
+        srcmask = (srcarr == np.float32(src_value)) & valid
+        seed = np.where(srcmask, 0.0, np.inf)
+        dist = cost_relax_kernel(cost, seed, float(cap.nodata),
+                                 pixel_size=spec.pixel_size)
+        c64 = np.where(valid, cost.astype(np.float64), np.inf)
+        row(kind=0, cell_id=cell,
+            cost=zlib.compress(cost.astype(np.float32).tobytes(), 1),
+            src=zlib.compress(srcmask.astype(np.uint8).tobytes(), 1),
+            caption=cap_raw)
+        row(kind=1, cell_id=cell,
+            ring=zlib.compress(dist.ravel()[ring_idx].tobytes(), 1))
+        _offers(row, cell, tx, ty, dist, c64,
+                np.ones(ring_idx.size, dtype=bool))
+        return pa.table(out, schema=_COST_SCHEMA)
+
+    def _decode_state(g):
+        from ..tiles.codec import Caption
+
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        rrow = next((i for i, k in enumerate(g["kind"]) if k == 1), None)
+        if srow is None or rrow is None:
+            return None
+        cost = np.frombuffer(zlib.decompress(g["cost"][srow]),
+                             np.float32).reshape(T, T)
+        srcmask = np.frombuffer(zlib.decompress(g["src"][srow]),
+                                np.uint8).reshape(T, T).astype(bool)
+        ring = np.frombuffer(zlib.decompress(g["ring"][rrow]),
+                             np.float64).copy()
+        cap = Caption.from_json(g["caption"][srow])
+        return cost, srcmask, ring, cap
+
+    def _seed_and_relax(cost, srcmask, ring, cap):
+        seed = np.where(srcmask, 0.0, np.inf)
+        flat = seed.ravel()
+        flat[ring_idx] = np.minimum(flat[ring_idx], ring)
+        return cost_relax_kernel(cost, seed, float(cap.nodata),
+                                 pixel_size=spec.pixel_size)
+
+    def step(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        out, row = _out()
+        state = _decode_state(g)
+        if state is None:           # offers into a cell with no tiles
+            return pa.table(out, schema=_COST_SCHEMA)
+        cost, srcmask, ring, cap = state
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        valid = cost != np.float32(cap.nodata)
+        c64 = np.where(valid, cost.astype(np.float64), np.inf)
+        c_flat = c64.ravel()
+        # apply offers: receiver adds its own half-edge term, then mins.
+        # prev is captured BEFORE application: a ring pixel improved by
+        # an offer must re-offer onward (it can border 2-3 OTHER tiles)
+        # even when the in-tile relaxation adds nothing on top
+        prev = ring.copy()
+        pos = {int(p): j for j, p in enumerate(ring_idx)}
+        improved = False
+        for i, k in enumerate(g["kind"]):
+            if k != 2:
+                continue
+            px = int(g["px"][i])
+            d = g["d_plus"][i] + c_flat[px] * g["half_l"][i]
+            j = pos[px]
+            if d < ring[j]:
+                ring[j] = d
+                improved = True
+        if not improved:            # all offers stale: state unchanged
+            row(kind=1, cell_id=cell,
+                ring=zlib.compress(ring.tobytes(), 1))
+            return pa.table(out, schema=_COST_SCHEMA)
+        dist = _seed_and_relax(cost, srcmask, ring, cap)
+        new_ring = dist.ravel()[ring_idx]
+        row(kind=1, cell_id=cell,
+            ring=zlib.compress(new_ring.tobytes(), 1))
+        _offers(row, cell, tx, ty, dist, c64, new_ring < prev)
+        return pa.table(out, schema=_COST_SCHEMA)
+
+    def paint(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import encode_tile, phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        g = group.to_pydict()
+        state = _decode_state(g)
+        if state is None:
+            return pa.table({c: [] for c in TILES_SCHEMA.names},
+                            schema=TILES_SCHEMA)
+        cost, srcmask, ring, cap = state
+        dist = _seed_and_relax(cost, srcmask, ring, cap)
+        nd = np.float32(cap.nodata)
+        outarr = dist.astype(np.float32)
+        outarr[~np.isfinite(dist)] = nd
+        outarr[cost == nd] = nd
+        from ..tiles.codec import Caption
+
+        tx, ty = cap.tx, cap.ty
+        ocap = Caption(layer=out_layer, x0=cap.x0, y0=cap.y0,
+                       pixel_size=cap.pixel_size, crs=cap.crs,
+                       nodata=cap.nodata, edge=dict(cap.edge),
+                       tx=tx, ty=ty)
+        payload, ocap = encode_tile(outarr, fmt, ocap)
+        return pa.table({
+            "image_id": pa.array([f"{out_layer}/{tx}/{ty}"], pa.string()),
+            "bytes": pa.array([payload], pa.binary()),
+            "w": pa.array([T], pa.int32()),
+            "h": pa.array([T], pa.int32()),
+            "fmt": pa.array([fmt], pa.string()),
+            "caption": pa.array([ocap.to_json()], pa.string()),
+            "phash": pa.array([phash64(outarr)], pa.int64())},
+            schema=TILES_SCHEMA)
+
+    combined = (ds.map_batches(keyed, batch_format="pyarrow")
+                .groupby("cell_id")
+                .map_groups(init, batch_format="pyarrow")
+                .materialize())
+    statics = combined.filter(expr="kind == 0").materialize()
+    ringst = combined.filter(expr="kind == 1").materialize()
+    # offers is consumed twice per round (active-cell scan + the union),
+    # so keep it materialized
+    offers = combined.filter(expr="kind == 2").materialize()
+
+    import pyarrow.compute as pc
+
+    def _cells_of(dsx) -> np.ndarray:
+        tabs = [t for t in ray.get(
+            dsx.select_columns(["cell_id"]).to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return np.empty(0, np.int64)
+        return np.unique(pa.concat_tables(tabs).column("cell_id")
+                         .to_numpy(zero_copy_only=False))
+
+    def _split_cells(dsx, ids_ref, keep: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b.column("cell_id"),
+                         value_set=pa.array(ray.get(ids_ref), pa.int64()))
+            return b.filter(m if keep else pc.invert(m))
+        return dsx.map_batches(fn, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        active = _cells_of(offers)
+        if active.size == 0:
+            break
+        ids_ref = ray.put(active)
+        step_out = (_split_cells(statics, ids_ref, True)
+                    .union(_split_cells(ringst, ids_ref, True))
+                    .union(offers)
+                    .groupby("cell_id")
+                    .map_groups(step, batch_format="pyarrow")
+                    .materialize())
+        ringst = (_split_cells(ringst, ids_ref, False)
+                  .union(step_out.filter(expr="kind == 1"))
+                  .materialize())
+        offers = step_out.filter(expr="kind == 2").materialize()
+    else:
+        raise RuntimeError(
+            f"cost_distance did not converge in {max_rounds} rounds; "
+            f"raise max_rounds")
+
+    return (statics.union(ringst)
+            .groupby("cell_id")
+            .map_groups(paint, batch_format="pyarrow"))

@@ -1,0 +1,126 @@
+"""Convolution image filters over the tile table: nodata-aware Gaussian
+blur and Sobel gradient magnitude -- the classic raster smoothing /
+edge-detection pair (GDAL ``gdal_calc``+scipy workflows; the reference's
+imagery side preps DEM derivatives the same way before classification).
+Both ride :func:`~balrog_ray.stages.focal.windowed_stage`, so the tiled
+output is bit-identical to the whole-raster kernels below (the test
+oracles) with ONE radius-sized halo shuffle.
+
+Conventions:
+
+* **Gaussian**: separable kernel ``exp(-0.5 (i/sigma)^2)``, truncated at
+  ``radius`` (default ``ceil(3 sigma)``), renormalized over the VALID
+  pixels under the window (nodata and off-raster contribute neither
+  weight nor value); output is nodata exactly where the input pixel is
+  nodata -- blur never in-fills holes.
+* **Sobel**: gradient magnitude ``hypot(gx, gy) / (8 * pixel_size)`` in
+  value-units per map-unit (same normalization as the Horn slope
+  kernel); defined only where the full 3x3 neighbourhood is valid and
+  in-raster, nodata elsewhere -- an edge detector must not hallucinate
+  edges against padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .focal import windowed_stage
+from .halo import GridSpec
+
+
+def _shift(a: np.ndarray, dy: int, dx: int, fill: float) -> np.ndarray:
+    out = np.full_like(a, fill)
+    H, W = a.shape
+    ys = slice(max(0, dy), H + min(0, dy))
+    xs = slice(max(0, dx), W + min(0, dx))
+    yo = slice(max(0, -dy), H + min(0, -dy))
+    xo = slice(max(0, -dx), W + min(0, -dx))
+    out[ys, xs] = a[yo, xo]
+    return out
+
+
+def _conv1d(a: np.ndarray, w: np.ndarray, axis: int) -> np.ndarray:
+    """Zero-padded 1-D convolution along ``axis`` by shifted adds --
+    O(len(w)) vectorized passes, no Python per-pixel loop."""
+    r = len(w) // 2
+    out = np.zeros_like(a)
+    for i, wi in enumerate(w):
+        o = i - r
+        out += wi * (_shift(a, o, 0, 0.0) if axis == 0
+                     else _shift(a, 0, o, 0.0))
+    return out
+
+
+def gaussian_weights(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (x / float(sigma)) ** 2)
+    return w / w.sum()
+
+
+def gaussian_kernel(arr: np.ndarray, sigma: float, radius: int,
+                    nodata: float) -> np.ndarray:
+    """Whole-array nodata-aware Gaussian blur (the test oracle)."""
+    a = np.asarray(arr, dtype=np.float32)
+    valid = a != np.float32(nodata)
+    w = gaussian_weights(sigma, radius)
+    vals = np.where(valid, a.astype(np.float64), 0.0)
+    num = _conv1d(_conv1d(vals, w, 0), w, 1)
+    den = _conv1d(_conv1d(valid.astype(np.float64), w, 0), w, 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = (num / den).astype(np.float32)
+    out[~valid] = np.float32(nodata)
+    return out
+
+
+_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float64)
+
+
+def sobel_kernel(arr: np.ndarray, pixel_size: float,
+                 nodata: float) -> np.ndarray:
+    """Whole-array Sobel gradient magnitude (the test oracle)."""
+    a = np.asarray(arr, dtype=np.float32)
+    valid = a != np.float32(nodata)
+    vals = np.where(valid, a.astype(np.float64), 0.0)
+    gx = np.zeros_like(vals)
+    gy = np.zeros_like(vals)
+    ok = np.ones_like(valid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sh = _shift(vals, dy, dx, 0.0)
+            gx += _SOBEL_X[dy + 1, dx + 1] * sh
+            gy += _SOBEL_X[dx + 1, dy + 1] * sh
+            # in-bounds AND valid for the full 3x3 footprint
+            ok &= _shift(valid.astype(np.float64), dy, dx, 0.0) > 0.5
+    out = (np.hypot(gx, gy) / (8.0 * float(pixel_size))).astype(np.float32)
+    out[~ok] = np.float32(nodata)
+    return out
+
+
+def gaussian_blur(ds, spec: GridSpec, *, layer: str = "dem",
+                  sigma: float = 2.0, radius: int | None = None,
+                  out_layer: str = "gauss", fmt: str = "npz"):
+    """Image-table Dataset -> blurred image-table Dataset.  One halo
+    shuffle sized to the kernel radius; exact parity with
+    :func:`gaussian_kernel` on the mosaicked raster."""
+    if sigma <= 0:
+        raise ValueError("sigma must be > 0")
+    r = int(np.ceil(3.0 * sigma)) if radius is None else int(radius)
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return gaussian_kernel(window, sigma, r, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=r,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)
+
+
+def sobel_edges(ds, spec: GridSpec, *, layer: str = "dem",
+                out_layer: str = "sobel", fmt: str = "npz"):
+    """Image-table Dataset -> Sobel gradient-magnitude tiles (radius-1
+    halo; exact parity with :func:`sobel_kernel`)."""
+    ps = spec.pixel_size
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return sobel_kernel(window, ps, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=1,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)

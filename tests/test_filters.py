@@ -1,0 +1,155 @@
+"""Gaussian blur + Sobel vs scalar per-pixel oracles, and tiled-stage
+parity: the windowed-stage run must be bit-identical to the whole-raster
+kernels across tile seams (same fold order, same zero-pad truncation)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from balrog_ray.stages.filters import (gaussian_blur, gaussian_kernel,
+                                       gaussian_weights, sobel_edges,
+                                       sobel_kernel)
+from balrog_ray.stages.halo import GridSpec
+from balrog_ray.tiles.codec import Caption, decode_tile, encode_tile, phash64
+from balrog_ray.tiles.synth import TILES_SCHEMA, SynthConfig
+
+ND = -99.0
+
+
+def _field(shape, seed, nodata_frac=0.06):
+    rng = np.random.default_rng(seed)
+    a = (rng.random(shape) * 80).astype(np.float32)
+    a[rng.random(shape) < nodata_frac] = ND
+    return a
+
+
+def _gauss_scalar(a, sigma, radius, nd):
+    H, W = a.shape
+    w = gaussian_weights(sigma, radius)
+    out = np.full((H, W), np.float32(nd), np.float32)
+    for r in range(H):
+        for c in range(W):
+            if a[r, c] == np.float32(nd):
+                continue
+            num = den = 0.0
+            for dy in range(-radius, radius + 1):
+                for dx in range(-radius, radius + 1):
+                    r2, c2 = r + dy, c + dx
+                    if not (0 <= r2 < H and 0 <= c2 < W):
+                        continue
+                    if a[r2, c2] == np.float32(nd):
+                        continue
+                    wt = w[dy + radius] * w[dx + radius]
+                    num += wt * float(a[r2, c2])
+                    den += wt
+            out[r, c] = np.float32(num / den)
+    return out
+
+
+def _sobel_scalar(a, ps, nd):
+    H, W = a.shape
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float64)
+    out = np.full((H, W), np.float32(nd), np.float32)
+    for r in range(1, H - 1):
+        for c in range(1, W - 1):
+            win = a[r - 1:r + 2, c - 1:c + 2]
+            if (win == np.float32(nd)).any():
+                continue
+            gx = float((kx * win).sum())
+            gy = float((kx.T * win).sum())
+            out[r, c] = np.float32(np.hypot(gx, gy) / (8.0 * ps))
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_gaussian_kernel_matches_scalar(seed):
+    a = _field((12, 15), seed)
+    got = gaussian_kernel(a, 1.5, 3, ND)
+    want = _gauss_scalar(a, 1.5, 3, ND)
+    valid = a != np.float32(ND)
+    assert np.array_equal(got[~valid], want[~valid])
+    assert np.allclose(got[valid], want[valid], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [2, 3])
+def test_sobel_kernel_matches_scalar(seed):
+    a = _field((12, 15), seed)
+    got = sobel_kernel(a, 2.5, ND)
+    want = _sobel_scalar(a, 2.5, ND)
+    assert np.allclose(got, want, rtol=1e-6, atol=1e-6)
+    # borders are nodata by contract
+    assert (got[0] == np.float32(ND)).all()
+    assert (got[:, -1] == np.float32(ND)).all()
+
+
+def _tiles_from_array(arr, cfg, layer="dem"):
+    T = cfg.tile_px
+    rows = {n: [] for n in TILES_SCHEMA.names}
+    for ty in range(cfg.tiles_y):
+        for tx in range(cfg.tiles_x):
+            core = np.ascontiguousarray(
+                arr[ty * T:(ty + 1) * T, tx * T:(tx + 1) * T])
+            cap = Caption(layer=layer, x0=tx * T * cfg.pixel_size,
+                          y0=cfg.y_north - ty * T * cfg.pixel_size,
+                          pixel_size=cfg.pixel_size, nodata=ND,
+                          tx=tx, ty=ty,
+                          edge={"n": ty == 0, "s": ty == cfg.tiles_y - 1,
+                                "w": tx == 0, "e": tx == cfg.tiles_x - 1})
+            payload, cap = encode_tile(core, "npz", cap)
+            rows["image_id"].append(f"{layer}/{tx}/{ty}")
+            rows["bytes"].append(payload)
+            rows["w"].append(np.int32(T))
+            rows["h"].append(np.int32(T))
+            rows["fmt"].append("npz")
+            rows["caption"].append(cap.to_json())
+            rows["phash"].append(np.int64(phash64(core)))
+    return pa.table(rows, schema=TILES_SCHEMA)
+
+
+def _mosaic(tab, layer, cfg):
+    T = cfg.tile_px
+    out = np.full((cfg.tiles_y * T, cfg.tiles_x * T), np.float32(ND),
+                  np.float32)
+    for i in range(tab.num_rows):
+        cap = Caption.from_json(tab.column("caption")[i].as_py())
+        if cap.layer != layer:
+            continue
+        arr = decode_tile(tab.column("bytes")[i].as_py(),
+                          tab.column("fmt")[i].as_py(), cap)
+        out[cap.ty * T:(cap.ty + 1) * T, cap.tx * T:(cap.tx + 1) * T] = arr
+    return out
+
+
+@pytest.mark.parametrize("stage,kernel_args", [
+    ("gauss", dict(sigma=1.8)),
+    ("sobel", dict()),
+])
+def test_tiled_filters_match_whole_raster(ray_session, stage, kernel_args):
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _field((cfg.tiles_y * cfg.tile_px, cfg.tiles_x * cfg.tile_px), 7)
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(_tiles_from_array(arr, cfg))
+    if stage == "gauss":
+        out = gaussian_blur(tiles, spec, **kernel_args).materialize()
+        r = int(np.ceil(3.0 * kernel_args["sigma"]))
+        want = gaussian_kernel(arr, kernel_args["sigma"], r, ND)
+        layer = "gauss"
+    else:
+        out = sobel_edges(tiles, spec).materialize()
+        want = sobel_kernel(arr, cfg.pixel_size, ND)
+        layer = "sobel"
+    tabs = [t for t in (ray.get(rf) for rf in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), layer, cfg)
+    assert np.array_equal(got, want), (
+        f"{int((got != want).sum())} px differ")
+
+
+def test_gaussian_blur_validation():
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=16)
+    spec = GridSpec.from_synth(cfg)
+    with pytest.raises(ValueError):
+        gaussian_blur(None, spec, sigma=0.0)
