@@ -962,6 +962,43 @@ def q_watershed_basins(sf_dir: str):
             .sort("log2_size"))
 
 
+def q_stream_order(sf_dir: str):
+    """Strahler stream order over the t1 DEM (ArcGIS StreamOrder role;
+    pixel-exact vs the whole-raster Kahn-wave oracle in
+    tests/test_hydrology.py), reduced to pixels-per-order counts."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.hydrology import stream_order
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    out = stream_order(ray.data.from_arrow(tiles_table(cfg)), spec)
+
+    def hist(b: pa.Table) -> pa.Table:
+        orders, counts = [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)].astype(np.int64)
+            u, c = np.unique(v, return_counts=True)
+            orders.extend(int(x) for x in u)
+            counts.extend(int(x) for x in c)
+        return pa.table({"order": pa.array(orders, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (out.map_batches(hist, batch_format="pyarrow")
+            .groupby("order")
+            .aggregate(Sum("n_px", alias_name="n_px"))
+            .sort("order"))
+
+
 def q_cost_distance(sf_dir: str):
     """Weighted cost distance (CostDistance / r.cost role) over the t1
     world: terrain-weighted distance from vegetation class 2, bit-exact
@@ -1247,6 +1284,7 @@ ROWS_ONLY = {
     "warp_rotate": q_warp_rotate,
     "flow_accumulation": q_flow_accumulation,
     "watershed_basins": q_watershed_basins,
+    "stream_order": q_stream_order,
     "cost_distance": q_cost_distance,
     "image_filters": q_image_filters,
     "contour_lines": q_contour_lines,

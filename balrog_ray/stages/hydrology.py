@@ -712,3 +712,343 @@ def watershed(ds, spec: GridSpec, *, layer: str = "dem",
 
     return (paint_in.groupby("cell_id")
             .map_groups(paint, batch_format="pyarrow"))
+
+
+def strahler_kernel(dirs: np.ndarray, *, ext_px: np.ndarray | None = None,
+                    ext_max: np.ndarray | None = None,
+                    ext_cnt: np.ndarray | None = None) -> np.ndarray:
+    """Whole-array Strahler stream order over a dir-index array: int32
+    order per valid pixel (-1 at nodata).  A pixel with no upstream
+    cells is order 1; otherwise order = max child order, +1 when two or
+    more children attain that max (the classic Strahler rule, ArcGIS
+    StreamOrder).  Kahn wave DP -- each pixel is finalized exactly once.
+
+    ``ext_*`` injects EXTERNAL children at flat pixel indices (max
+    external child order and how many externals attain it) -- the hook
+    the distributed stage uses to splice neighbour tiles in."""
+    H, W = dirs.shape
+    n = H * W
+    d = dirs.ravel()
+    valid = d != -2
+    # bounds-checked targets: unlike the whole-raster case, a TILE's
+    # border pixels may flow off-array (the distributed stage handles
+    # those via offers); off-array flow pushes to nothing here
+    r, c = np.divmod(np.arange(n, dtype=np.int64), W)
+    flows = d >= 0
+    tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+    tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+    inside = flows & (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
+    tgt = np.where(inside, tr * W + tc, -1)
+    has_tgt = tgt >= 0
+    indeg = np.bincount(tgt[has_tgt], minlength=n)
+    best = np.zeros(n, dtype=np.int32)
+    cnt = np.zeros(n, dtype=np.int32)
+    if ext_px is not None and len(ext_px):
+        best[ext_px] = ext_max
+        cnt[ext_px] = ext_cnt
+    order = np.full(n, -1, dtype=np.int32)
+    done = np.zeros(n, dtype=bool)
+    frontier = np.flatnonzero(valid & (indeg == 0))
+    while frontier.size:
+        f = frontier
+        o = np.where(best[f] == 0, 1,
+                     best[f] + (cnt[f] >= 2).astype(np.int32))
+        order[f] = o
+        done[f] = True
+        has = tgt[f] >= 0
+        ft, fo = tgt[f][has], o[has]
+        prev_best = best[ft].copy()
+        np.maximum.at(best, ft, fo)
+        new_best = best[ft]
+        # children that attain the (possibly raised) max: count resets
+        # where the max rose, accumulates where it was merely matched
+        raised = new_best > prev_best
+        at_max = fo == new_best
+        uniq_raised = np.unique(ft[raised])
+        cnt[uniq_raised] = 0
+        np.add.at(cnt, ft[at_max], 1)
+        np.subtract.at(indeg, ft, 1)
+        uniq = np.unique(ft)
+        frontier = uniq[(indeg[uniq] == 0) & valid[uniq] & ~done[uniq]]
+    if not bool(done[valid].all()):
+        raise ValueError("flow graph contains a cycle")
+    return order.reshape(H, W)
+
+
+_SO_SCHEMA = pa.schema([
+    ("kind", pa.int8()),        # 0 static, 1 ext state, 2 offer
+    ("cell_id", pa.int64()),
+    ("px", pa.int64()),         # offer: entry pixel (tile-flat)
+    ("src", pa.int64()),        # offer: source pixel (GLOBAL flat)
+    ("order", pa.int64()),      # offer: source pixel's Strahler order
+    ("ext", pa.binary()),       # kind 1: zlib int64 (3, k) px/src/order
+    ("sent", pa.binary()),      # kind 1: zlib int32 T*T last-sent orders
+    ("dirs", pa.binary()),      # kind 0: zlib int8 T*T
+    ("caption", pa.string()),   # kind 0
+])
+
+
+def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
+                 fmt: str = "npz", max_rounds: int = 1024):
+    """Strahler stream order over the tile table (ArcGIS StreamOrder):
+    exact parity with ``strahler_kernel(d8_kernel(whole_raster))``.
+
+    Same contracted-border iteration as :func:`flow_accumulation`, with
+    the ACTIVE-FRONT filter of :mod:`..stages.cost`: per round, only
+    tiles whose external-child table grew are regrouped.  Strahler is
+    not additive, so instead of forwarding amounts the loop forwards
+    ``(entry px, source pixel, order)`` triples; orders only increase
+    and are bounded by log2(area), so the loop terminates in (drainage
+    diameter x max order) rounds worst-case, far fewer in practice.
+
+    Per tile the in-tile DP is :func:`strahler_kernel` with the
+    accumulated external children spliced in at their entry pixels; a
+    tile re-offers an exit pixel only when its order actually changed
+    (``sent`` remembers the last emission), which is what damps the
+    iteration."""
+    import ray
+    import ray.data
+
+    if spec.tile_px < 2:
+        raise ValueError("tile_px must be >= 2")
+    T = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    fspec = _radius1_spec(spec)
+    emit = make_strip_emitter_batch(fspec)
+
+    def keep_layer(b: pa.Table) -> pa.Table:
+        import json
+
+        caps = b.column("caption").to_pylist()
+        keep = [i for i, c in enumerate(caps)
+                if json.loads(c)["layer"] == layer]
+        return b.take(pa.array(keep, pa.int64()))
+
+    def _pack_ext(px, src, orderv) -> bytes:
+        arr = np.stack([np.asarray(px, np.int64),
+                        np.asarray(src, np.int64),
+                        np.asarray(orderv, np.int64)])
+        return zlib.compress(np.ascontiguousarray(arr).tobytes(), 1)
+
+    def _unpack_ext(blob: bytes):
+        a = np.frombuffer(zlib.decompress(blob), np.int64)
+        return a.reshape(3, -1)
+
+    def _ext_seed(ext):
+        """(px, src, order) triples -> per-pixel (flat px list, max
+        order, count at max) for strahler_kernel injection."""
+        if ext.shape[1] == 0:
+            return None, None, None
+        px, orderv = ext[0], ext[2]
+        o = np.lexsort((np.negative(orderv), px))
+        px_s, ord_s = px[o], orderv[o]
+        starts = np.flatnonzero(np.r_[True, px_s[1:] != px_s[:-1]])
+        upx = px_s[starts]
+        umax = ord_s[starts]
+        ucnt = np.zeros(len(starts), np.int64)
+        ends = np.r_[starts[1:], len(px_s)]
+        for j in range(len(starts)):            # groups are tiny (<=8)
+            seg = ord_s[starts[j]:ends[j]]
+            ucnt[j] = int((seg == umax[j]).sum())
+        return upx, umax.astype(np.int32), ucnt.astype(np.int32)
+
+    def _orders_and_exits(dirs, ext):
+        upx, umax, ucnt = _ext_seed(ext)
+        order = strahler_kernel(dirs, ext_px=upx, ext_max=umax,
+                                ext_cnt=ucnt)
+        # exit pixels: valid, flow leaves the tile
+        r, c = np.divmod(np.arange(T * T, dtype=np.int64), T)
+        d = dirs.ravel()
+        flows = d >= 0
+        tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+        tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+        outside = flows & ~((tr >= 0) & (tr < T) & (tc >= 0) & (tc < T))
+        return order, np.flatnonzero(outside), tr, tc
+
+    def _offer_rows(row, cell, tx, ty, order, exits, tr, tc, sent):
+        """Offer exits whose order changed vs the last emission; returns
+        the updated sent-array."""
+        ov = order.ravel()
+        changed = exits[ov[exits] != sent.ravel()[exits]]
+        for u in changed:
+            gr, gc = ty * T + tr[u], tx * T + tc[u]
+            if not (0 <= gr < tiles_y * T and 0 <= gc < tiles_x * T):
+                continue                        # ponds at the world edge
+            srow, scol = ty * T + u // T, tx * T + u % T
+            row(kind=2,
+                cell_id=spec.cell_id(int(gc // T), int(gr // T)),
+                px=int((gr % T) * T + gc % T),
+                src=int(srow * (tiles_x * T) + scol),
+                order=int(ov[u]))
+        new_sent = sent.copy()
+        new_sent.ravel()[changed] = ov[changed]
+        return new_sent
+
+    def init(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption
+
+        g = group.to_pydict()
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        neigh = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if 0 <= tx + dx < tiles_x and 0 <= ty + dy < tiles_y)
+        out = {n: [] for n in _SO_SCHEMA.names}
+
+        def row(**kw):
+            for n in _SO_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        window = (assemble_window(g, fspec, layer, tx, ty)
+                  if g["layer"].count(layer) == neigh else None)
+        if window is None:
+            return pa.table(out, schema=_SO_SCHEMA)
+        ref = next(Caption.from_json(g["caption"][i])
+                   for i in range(len(g["is_core"])) if g["is_core"][i])
+        dirs_w = d8_kernel(window, float(ref.nodata))
+        r0, _, c0, _ = fspec.assembled_window(tx, ty)
+        dirs = np.ascontiguousarray(
+            dirs_w[ty * T - r0:ty * T - r0 + T,
+                   tx * T - c0:tx * T - c0 + T])
+        ext = np.empty((3, 0), np.int64)
+        order, exits, tr, tc = _orders_and_exits(dirs, ext)
+        sent = np.zeros((T, T), np.int32)
+        sent = _offer_rows(row, cell, tx, ty, order, exits, tr, tc, sent)
+        row(kind=0, cell_id=cell,
+            dirs=zlib.compress(dirs.tobytes(), 1), caption=ref.to_json())
+        row(kind=1, cell_id=cell, ext=_pack_ext([], [], []),
+            sent=zlib.compress(sent.tobytes(), 1))
+        return pa.table(out, schema=_SO_SCHEMA)
+
+    def _decode(g):
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        rrow = next((i for i, k in enumerate(g["kind"]) if k == 1), None)
+        if srow is None or rrow is None:
+            return None
+        dirs = np.frombuffer(zlib.decompress(g["dirs"][srow]),
+                             np.int8).reshape(T, T)
+        ext = _unpack_ext(g["ext"][rrow])
+        sent = np.frombuffer(zlib.decompress(g["sent"][rrow]),
+                             np.int32).reshape(T, T)
+        return dirs, ext, sent, g["caption"][srow]
+
+    def step(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        out = {n: [] for n in _SO_SCHEMA.names}
+
+        def row(**kw):
+            for n in _SO_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        state = _decode(g)
+        if state is None:
+            return pa.table(out, schema=_SO_SCHEMA)
+        dirs, ext, sent, _cap = state
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        # merge offers into the ext table: max per (px, src)
+        emap = {(int(ext[0, j]), int(ext[1, j])): int(ext[2, j])
+                for j in range(ext.shape[1])}
+        grew = False
+        for i, k in enumerate(g["kind"]):
+            if k != 2:
+                continue
+            key = (int(g["px"][i]), int(g["src"][i]))
+            o = int(g["order"][i])
+            if o > emap.get(key, 0):
+                emap[key] = o
+                grew = True
+        if not grew:
+            row(kind=1, cell_id=cell, ext=g["ext"][
+                next(i for i, k in enumerate(g["kind"]) if k == 1)],
+                sent=g["sent"][
+                next(i for i, k in enumerate(g["kind"]) if k == 1)])
+            return pa.table(out, schema=_SO_SCHEMA)
+        keys = sorted(emap)
+        ext2 = np.array([[p for p, s in keys], [s for p, s in keys],
+                         [emap[k2] for k2 in keys]], np.int64).reshape(3, -1)
+        order, exits, tr, tc = _orders_and_exits(dirs, ext2)
+        sent2 = _offer_rows(row, cell, tx, ty, order, exits, tr, tc, sent)
+        row(kind=1, cell_id=cell,
+            ext=_pack_ext(ext2[0], ext2[1], ext2[2]),
+            sent=zlib.compress(sent2.tobytes(), 1))
+        return pa.table(out, schema=_SO_SCHEMA)
+
+    def paint(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption, encode_tile, phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        g = group.to_pydict()
+        state = _decode(g)
+        if state is None:
+            return pa.table({c: [] for c in TILES_SCHEMA.names},
+                            schema=TILES_SCHEMA)
+        dirs, ext, _sent, cap_raw = state
+        order, _, _, _ = _orders_and_exits(dirs, ext)
+        cap = Caption.from_json(cap_raw)
+        outarr = order.astype(np.float32)
+        outarr[dirs == -2] = np.float32(cap.nodata)
+        tx, ty = cap.tx, cap.ty
+        ocap = Caption(layer="strahler", x0=cap.x0, y0=cap.y0,
+                       pixel_size=cap.pixel_size, crs=cap.crs,
+                       nodata=cap.nodata, edge=dict(cap.edge),
+                       tx=tx, ty=ty)
+        payload, ocap = encode_tile(outarr, fmt, ocap)
+        return pa.table({
+            "image_id": pa.array([f"strahler/{tx}/{ty}"], pa.string()),
+            "bytes": pa.array([payload], pa.binary()),
+            "w": pa.array([T], pa.int32()),
+            "h": pa.array([T], pa.int32()),
+            "fmt": pa.array([fmt], pa.string()),
+            "caption": pa.array([ocap.to_json()], pa.string()),
+            "phash": pa.array([phash64(outarr)], pa.int64())},
+            schema=TILES_SCHEMA)
+
+    combined = (ds.map_batches(keep_layer, batch_format="pyarrow")
+                .map_batches(emit, batch_format="pyarrow")
+                .groupby("cell_id")
+                .map_groups(init, batch_format="pyarrow")
+                .materialize())
+    statics = combined.filter(expr="kind == 0").materialize()
+    state = combined.filter(expr="kind == 1").materialize()
+    offers = combined.filter(expr="kind == 2").materialize()
+
+    import pyarrow.compute as pc
+
+    def _cells_of(dsx) -> np.ndarray:
+        tabs = [t for t in ray.get(
+            dsx.select_columns(["cell_id"]).to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return np.empty(0, np.int64)
+        return np.unique(pa.concat_tables(tabs).column("cell_id")
+                         .to_numpy(zero_copy_only=False))
+
+    def _split_cells(dsx, ids_ref, keep: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(b.column("cell_id"),
+                         value_set=pa.array(ray.get(ids_ref), pa.int64()))
+            return b.filter(m if keep else pc.invert(m))
+        return dsx.map_batches(fn, batch_format="pyarrow")
+
+    for _ in range(max_rounds):
+        active = _cells_of(offers)
+        if active.size == 0:
+            break
+        ids_ref = ray.put(active)
+        step_out = (_split_cells(statics, ids_ref, True)
+                    .union(_split_cells(state, ids_ref, True))
+                    .union(offers)
+                    .groupby("cell_id")
+                    .map_groups(step, batch_format="pyarrow")
+                    .materialize())
+        state = (_split_cells(state, ids_ref, False)
+                 .union(step_out.filter(expr="kind == 1"))
+                 .materialize())
+        offers = step_out.filter(expr="kind == 2").materialize()
+    else:
+        raise RuntimeError(
+            f"stream_order did not converge in {max_rounds} rounds; "
+            f"raise max_rounds")
+
+    return (statics.union(state)
+            .groupby("cell_id")
+            .map_groups(paint, batch_format="pyarrow"))

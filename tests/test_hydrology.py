@@ -11,7 +11,8 @@ import pytest
 from balrog_ray.stages.halo import GridSpec
 from balrog_ray.stages.hydrology import (D8_CODES, accumulate_kernel,
                                          d8_kernel, flow_accumulation,
-                                         flow_direction, watershed)
+                                         flow_direction, strahler_kernel,
+                                         stream_order, watershed)
 from balrog_ray.tiles.codec import Caption, decode_tile, encode_tile, phash64
 from balrog_ray.tiles.synth import TILES_SCHEMA, SynthConfig
 
@@ -240,6 +241,75 @@ def test_tiled_watershed_matches_whole_raster(ray_session, seed, tx, ty, T):
     own_r, own_c = np.nonzero(d != -2)
     crossed = ((pit_r // T != own_r // T) | (pit_c // T != own_c // T))
     assert crossed.any(), "test DEM produced no cross-tile basin"
+
+
+def _strahler_scalar(dirs: np.ndarray) -> np.ndarray:
+    """Resolve-when-children-done scalar reference for strahler_kernel."""
+    H, W = dirs.shape
+    children = {}
+    for r in range(H):
+        for c in range(W):
+            d = dirs[r, c]
+            if d >= 0:
+                t = (r + _NB[d][0], c + _NB[d][1])
+                children.setdefault(t, []).append((r, c))
+    order = np.full((H, W), -1, np.int64)
+    todo = {(r, c) for r in range(H) for c in range(W)
+            if dirs[r, c] != -2}
+    while todo:
+        ready = [p for p in todo
+                 if all(order[ch] >= 0 for ch in children.get(p, []))]
+        assert ready, "cycle"
+        for p in ready:
+            os_ = [int(order[ch]) for ch in children.get(p, [])]
+            if not os_:
+                order[p] = 1
+            else:
+                m = max(os_)
+                order[p] = m + (1 if os_.count(m) >= 2 else 0)
+            todo.discard(p)
+    return order
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_strahler_kernel_matches_scalar(seed):
+    a = _bumpy_dem((13, 17), seed, nodata_frac=0.08)
+    d = d8_kernel(a, ND)
+    assert np.array_equal(strahler_kernel(d), _strahler_scalar(d))
+
+
+def test_strahler_kernel_simple_confluence():
+    # two order-1 streams meeting -> order 2 at the junction's target
+    dirs = np.array([[2, -2, 2],      # S . S
+                     [1, -2, 3],      # SE . SW
+                     [-2, -1, -2]],   # . pit .
+                    np.int8)
+    got = strahler_kernel(dirs)
+    assert got[2, 1] == 2             # pit receives two order-1 children
+    assert got[1, 0] == 1 and got[1, 2] == 1
+
+
+@pytest.mark.parametrize("seed,tx,ty,T", [(13, 3, 2, 16), (14, 4, 4, 8)])
+def test_tiled_stream_order_matches_whole_raster(ray_session, seed,
+                                                 tx, ty, T):
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=tx, tiles_y=ty, tile_px=T)
+    arr = _bumpy_dem((ty * T, tx * T), seed)
+    out = stream_order(
+        ray.data.from_arrow(_tiles_from_array(arr, cfg)),
+        GridSpec.from_synth(cfg)).materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), "strahler", cfg)
+    d = d8_kernel(arr, ND)
+    so = strahler_kernel(d)
+    want = so.astype(np.float32)
+    want[d == -2] = np.float32(ND)
+    assert np.array_equal(got, want), (
+        f"{int((got != want).sum())} px differ")
+    assert so.max() >= 3, "test DEM produced a trivially shallow network"
 
 
 def test_flow_accumulation_validation():
