@@ -962,6 +962,36 @@ def q_watershed_basins(sf_dir: str):
             .sort("log2_size"))
 
 
+def q_basin_zonal(sf_dir: str):
+    """Composition showcase: watershed basins of the t1 DEM feed the
+    raster-zone zonal stage -- per-basin elevation stats (ZonalStatistics
+    with raster zones), top 8 basins by pixel count."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.hydrology import watershed
+    from ..stages.zone_stats import zonal_by_zone_raster
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    basins = watershed(tiles, spec)
+    out = zonal_by_zone_raster(tiles.union(basins), spec,
+                               zone_layer="watershed", value_layer="dem")
+    def sort_key(b: pa.Table) -> pa.Table:
+        # single int64 sort key: pixel count desc, basin id asc tiebreak
+        n = b.column("n_px").to_numpy(zero_copy_only=False)
+        z = b.column("zone").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "neg_n_zone", pa.array(-(n.astype(np.int64) << 26) + z,
+                                   pa.int64()))
+
+    return (out.map_batches(sort_key, batch_format="pyarrow")
+            .sort("neg_n_zone").limit(8).drop_columns(["neg_n_zone"]))
+
+
 def q_stream_order(sf_dir: str):
     """Strahler stream order over the t1 DEM (ArcGIS StreamOrder role;
     pixel-exact vs the whole-raster Kahn-wave oracle in
@@ -1285,6 +1315,7 @@ ROWS_ONLY = {
     "flow_accumulation": q_flow_accumulation,
     "watershed_basins": q_watershed_basins,
     "stream_order": q_stream_order,
+    "basin_zonal": q_basin_zonal,
     "cost_distance": q_cost_distance,
     "image_filters": q_image_filters,
     "contour_lines": q_contour_lines,
