@@ -124,3 +124,80 @@ def sobel_edges(ds, spec: GridSpec, *, layer: str = "dem",
 
     return windowed_stage(ds, spec, layer=layer, radius=1,
                           out_layer=out_layer, window_fn=fn, fmt=fmt)
+
+
+def median_kernel(arr: np.ndarray, radius: int,
+                  nodata: float) -> np.ndarray:
+    """Whole-array nodata-aware focal median (the test oracle path too):
+    median of the VALID values in the (2r+1)^2 window, off-raster cells
+    not counted, numpy half-sum convention on even counts; output nodata
+    exactly where the input pixel is nodata (denoise, don't in-fill)."""
+    a = np.asarray(arr, dtype=np.float32)
+    valid = a != np.float32(nodata)
+    k = 2 * radius + 1
+    pad = np.full((a.shape[0] + 2 * radius, a.shape[1] + 2 * radius),
+                  np.nan, np.float64)
+    pad[radius:-radius or None, radius:-radius or None] = np.where(
+        valid, a.astype(np.float64), np.nan)
+    win = np.lib.stride_tricks.sliding_window_view(pad, (k, k))
+    with np.errstate(invalid="ignore"):
+        med = np.nanmedian(win, axis=(-2, -1))
+    out = med.astype(np.float32)
+    out[~valid] = np.float32(nodata)
+    return out
+
+
+def majority_kernel(arr: np.ndarray, radius: int, nodata: float,
+                    max_classes: int = 256) -> np.ndarray:
+    """Whole-array focal majority for CATEGORICAL rasters: the most
+    frequent valid value in the window, smallest value on ties, output
+    nodata where the center is nodata.  Vectorized one box-sum pass per
+    distinct class (integral-image window counts) -- refuses rasters
+    with more than ``max_classes`` distinct values rather than degrading
+    to a per-pixel loop."""
+    from .focal import _winsum
+
+    a = np.asarray(arr, dtype=np.float32)
+    valid = a != np.float32(nodata)
+    vals = np.unique(a[valid])
+    if len(vals) > max_classes:
+        raise ValueError(
+            f"majority filter saw {len(vals)} distinct values (> "
+            f"{max_classes}): this is a categorical-raster op; "
+            f"reclassify/bin the layer first")
+    best_cnt = np.zeros(a.shape, np.int64)
+    best_val = np.full(a.shape, np.float32(nodata), np.float32)
+    for v in vals:                      # ascending: ties keep smaller
+        cnt = _winsum((a == v) & valid, radius).astype(np.int64)
+        take = cnt > best_cnt
+        best_cnt = np.where(take, cnt, best_cnt)
+        best_val = np.where(take, np.float32(v), best_val)
+    best_val[~valid] = np.float32(nodata)
+    return best_val
+
+
+def focal_median(ds, spec: GridSpec, *, layer: str = "dem",
+                 radius: int = 2, out_layer: str = "median",
+                 fmt: str = "npz"):
+    """Exact distributed focal median (the famously non-decomposable
+    focal stat): one radius-sized halo shuffle, full in-window sort per
+    pixel via sliding windows -- parity with :func:`median_kernel`."""
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return median_kernel(window, radius, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=radius,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)
+
+
+def focal_majority(ds, spec: GridSpec, *, layer: str = "veg",
+                   radius: int = 1, out_layer: str = "majority",
+                   fmt: str = "npz"):
+    """Distributed focal majority for class rasters (smoothing before
+    polygonize/sieve) -- parity with :func:`majority_kernel`."""
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return majority_kernel(window, radius, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=radius,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)

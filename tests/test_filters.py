@@ -153,3 +153,91 @@ def test_gaussian_blur_validation():
     spec = GridSpec.from_synth(cfg)
     with pytest.raises(ValueError):
         gaussian_blur(None, spec, sigma=0.0)
+
+
+from balrog_ray.stages.filters import (focal_majority, focal_median,
+                                       majority_kernel, median_kernel)
+
+
+def _median_scalar(a, r, nd):
+    H, W = a.shape
+    out = np.full((H, W), np.float32(nd), np.float32)
+    for i in range(H):
+        for j in range(W):
+            if a[i, j] == np.float32(nd):
+                continue
+            vals = [float(a[y, x])
+                    for y in range(max(0, i - r), min(H, i + r + 1))
+                    for x in range(max(0, j - r), min(W, j + r + 1))
+                    if a[y, x] != np.float32(nd)]
+            out[i, j] = np.float32(np.median(vals))
+    return out
+
+
+def _majority_scalar(a, r, nd):
+    H, W = a.shape
+    out = np.full((H, W), np.float32(nd), np.float32)
+    for i in range(H):
+        for j in range(W):
+            if a[i, j] == np.float32(nd):
+                continue
+            vals = [float(a[y, x])
+                    for y in range(max(0, i - r), min(H, i + r + 1))
+                    for x in range(max(0, j - r), min(W, j + r + 1))
+                    if a[y, x] != np.float32(nd)]
+            best, bc = None, 0
+            for v in sorted(set(vals)):
+                c = vals.count(v)
+                if c > bc:
+                    best, bc = v, c
+            out[i, j] = np.float32(best)
+    return out
+
+
+@pytest.mark.parametrize("seed,r", [(4, 1), (5, 2)])
+def test_median_kernel_matches_scalar(seed, r):
+    a = _field((11, 14), seed)
+    assert np.array_equal(median_kernel(a, r, ND),
+                          _median_scalar(a, r, ND))
+
+
+@pytest.mark.parametrize("seed,r", [(6, 1), (7, 2)])
+def test_majority_kernel_matches_scalar(seed, r):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 6, (11, 14)).astype(np.float32)
+    a[rng.random(a.shape) < 0.08] = ND
+    assert np.array_equal(majority_kernel(a, r, ND),
+                          _majority_scalar(a, r, ND))
+
+
+def test_majority_kernel_rejects_continuous():
+    a = np.arange(400, dtype=np.float32).reshape(20, 20)
+    with pytest.raises(ValueError, match="categorical"):
+        majority_kernel(a, 1, ND, max_classes=64)
+
+
+@pytest.mark.parametrize("which", ["median", "majority"])
+def test_tiled_median_majority_match_whole_raster(ray_session, which):
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    shape = (cfg.tiles_y * cfg.tile_px, cfg.tiles_x * cfg.tile_px)
+    rng = np.random.default_rng(9)
+    if which == "median":
+        arr = _field(shape, 9)
+        want = median_kernel(arr, 2, ND)
+    else:
+        arr = rng.integers(1, 7, shape).astype(np.float32)
+        arr[rng.random(shape) < 0.05] = ND
+        want = majority_kernel(arr, 1, ND)
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(_tiles_from_array(arr, cfg))
+    out = (focal_median(tiles, spec, radius=2) if which == "median"
+           else focal_majority(tiles, spec, layer="dem", radius=1))
+    tabs = [t for t in (ray.get(rf) for rf in out.materialize()
+                        .to_arrow_refs()) if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs),
+                  "median" if which == "median" else "majority", cfg)
+    assert np.array_equal(got, want), (
+        f"{int((got != want).sum())} px differ")
