@@ -962,6 +962,37 @@ def q_watershed_basins(sf_dir: str):
             .sort("log2_size"))
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style corpus quality scoring: train a Laplace bigram LM on
+    the documents table (count shuffle + vocab cap + one broadcast),
+    score every doc's perplexity, reduce to per-log2(ppl)-bucket counts.
+    Exactness vs the single-process oracle pinned in tests/test_lm.py."""
+    import ray
+    import ray.data
+
+    from ..functions.lm import score_perplexity, train_bigram_lm
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    model = train_bigram_lm(ds, vocab_size=4096, min_count=1)
+    scored = score_perplexity(ds, model)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ppl = b.column("ppl").to_numpy(zero_copy_only=False)
+        lb = np.where(ppl > 0, np.floor(np.log2(np.maximum(ppl, 1e-9))),
+                      -1).astype(np.int64)
+        return pa.table({"log2_ppl": pa.array(lb, pa.int64()),
+                         "n_tokens": b.column("n_tokens")})
+
+    from ray.data.aggregate import Count, Sum
+
+    return (scored.map_batches(bucket, batch_format="pyarrow")
+            .groupby("log2_ppl")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .sort("log2_ppl"))
+
+
 def q_basin_zonal(sf_dir: str):
     """Composition showcase: watershed basins of the t1 DEM feed the
     raster-zone zonal stage -- per-basin elevation stats (ZonalStatistics
@@ -1317,6 +1348,7 @@ ROWS_ONLY = {
     "watershed_basins": q_watershed_basins,
     "stream_order": q_stream_order,
     "basin_zonal": q_basin_zonal,
+    "lm_perplexity": q_lm_perplexity,
     "cost_distance": q_cost_distance,
     "image_filters": q_image_filters,
     "contour_lines": q_contour_lines,
