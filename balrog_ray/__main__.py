@@ -250,6 +250,65 @@ def cmd_chips(args) -> int:
     return 0
 
 
+def cmd_derive(args) -> int:
+    """Raster-derivative toolbox: run one named derivative stage over a
+    tile table and write the output image table (the gdaldem / Spatial
+    Analyst single-raster tools as CLI verbs)."""
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False)
+    from .sources import read_image_table, write_image_table
+
+    spec = infer_grid(args.tiles)
+    ds = read_image_table(args.tiles)
+    op = args.op
+    kw = dict(layer=args.layer, fmt=args.fmt)
+    t0 = time.time()
+    if op == "hillshade":
+        from .stages.terrain import hillshade
+        out = hillshade(ds, spec, **kw)
+    elif op in ("tpi", "tri", "roughness"):
+        from .stages.terrain import dem_metrics
+        out = dem_metrics(ds, spec, metric=op, **kw)
+    elif op == "d8":
+        from .stages.hydrology import flow_direction
+        out = flow_direction(ds, spec, **kw)
+    elif op == "flow_acc":
+        from .stages.hydrology import flow_accumulation
+        out = flow_accumulation(ds, spec, **kw)
+    elif op == "watershed":
+        from .stages.hydrology import watershed
+        out = watershed(ds, spec, **kw)
+    elif op == "strahler":
+        from .stages.hydrology import stream_order
+        out = stream_order(ds, spec, **kw)
+    elif op == "gauss":
+        from .stages.filters import gaussian_blur
+        out = gaussian_blur(ds, spec, sigma=args.sigma, **kw)
+    elif op == "sobel":
+        from .stages.filters import sobel_edges
+        out = sobel_edges(ds, spec, **kw)
+    elif op == "median":
+        from .stages.filters import focal_median
+        out = focal_median(ds, spec, radius=args.radius, **kw)
+    elif op == "majority":
+        from .stages.filters import focal_majority
+        out = focal_majority(ds, spec, radius=args.radius, **kw)
+    else:                                # argparse choices guard this
+        raise ValueError(f"unknown derive op {op!r}")
+    write_image_table(out, args.out)
+    n = read_image_table(args.out).count()
+    print(json.dumps({"op": op, "tiles": n,
+                      "seconds": round(time.time() - t0, 2),
+                      "out": args.out}))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="balrog_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -313,6 +372,22 @@ def main(argv=None) -> int:
     c.add_argument("--fmt", default="npz")
     c.add_argument("--num-cpus", type=int, default=8)
     c.set_defaults(fn=cmd_chips)
+
+    d = sub.add_parser("derive", help="run a raster-derivative stage "
+                                      "(gdaldem / hydrology / filters) "
+                                      "over a tile table")
+    d.add_argument("--tiles", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--op", required=True,
+                   choices=["hillshade", "tpi", "tri", "roughness", "d8",
+                            "flow_acc", "watershed", "strahler", "gauss",
+                            "sobel", "median", "majority"])
+    d.add_argument("--layer", default="dem")
+    d.add_argument("--sigma", type=float, default=2.0)
+    d.add_argument("--radius", type=int, default=1)
+    d.add_argument("--fmt", default="npz")
+    d.add_argument("--num-cpus", type=int, default=8)
+    d.set_defaults(fn=cmd_derive)
 
     v = sub.add_parser("validate", help="quarantine scan: per-tile "
                                         "decode/quality report")

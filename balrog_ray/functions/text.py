@@ -272,6 +272,15 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
             "n_occ": pa.array(occ, pa.int64())})
 
     gc = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    # small corpora inherit the reader's block count (64+), and per-block
+    # fixed costs dominate the two shuffles below; merge to row-sized
+    # partitions.  Big corpora keep their blocks -- merging would build
+    # giant partitions, and the fixed costs are amortized anyway.
+    n_rows = gc.count()
+    nparts = max(2, min(64, n_rows // 50_000 + 2))
+    if n_rows < 64 * 50_000:
+        gc = gc.repartition(nparts).materialize()
+        num_partitions = nparts
     freq = (gc.groupby("gram")
             .aggregate(agg.Count(alias_name="nd")))
     joined = gc.join(freq, "inner", num_partitions=num_partitions,
