@@ -332,41 +332,61 @@ def flow_accumulation(ds, spec: GridSpec, *, layer: str = "dem",
             "to_px": pc.fill_null(b.column("to_px"), -1)},
             schema=_PROP)
 
+    nblocks_f = max(8, min(128, (tiles_x * spec.tiles_y) // 4))
     routes = (combined.filter(expr="kind == 2")
               .map_batches(as_prop, batch_format="pyarrow")
+              .repartition(nblocks_f)
               .materialize())
     cur = (combined.filter(expr="kind == 1")
            .map_batches(as_prop, batch_format="pyarrow")
+           .repartition(nblocks_f)
            .materialize())
 
     def hop(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        """One CELL's routes + the entries that landed on its ring this
+        wave: sum entry amounts per ring pixel (vectorized), forward each
+        along the pixel's route; sinks absorb.  Grouped by cell -- not
+        (cell, px) -- so a wave is ~#tiles Python calls, not ~#ring-px."""
         amt = group.column("amount").to_numpy(zero_copy_only=False)
-        total = int(amt.sum())
-        if total == 0:                       # route row with no entries
+        px = group.column("px").to_numpy(zero_copy_only=False)
+        is_route = amt == 0
+        eidx = np.flatnonzero(~is_route)
+        if eidx.size == 0:                   # routes only, no entries
             return pa.table({c: [] for c in _PROP.names}, schema=_PROP)
-        ri = int(np.flatnonzero(amt == 0)[0]) if (amt == 0).any() else None
-        if ri is None:
+        ridx = np.flatnonzero(is_route)
+        rpx = px[ridx]
+        order = np.argsort(rpx)
+        rpx_s, ridx_s = rpx[order], ridx[order]
+        # sum entries per landing pixel
+        epx, inv = np.unique(px[eidx], return_inverse=True)
+        esum = np.zeros(len(epx), np.int64)
+        np.add.at(esum, inv, amt[eidx])
+        pos = np.searchsorted(rpx_s, epx)
+        if ridx.size == 0 or bool((pos >= len(rpx_s)).any()) or not bool(
+                (rpx_s[np.minimum(pos, len(rpx_s) - 1)] == epx).all()):
             raise RuntimeError(
                 "flow entry landed on a pixel with no ring route -- "
                 "tile state is inconsistent")
-        to_cell = group.column("to_cell")[ri].as_py()
-        if to_cell < 0:                      # path sinks inside the tile
-            return pa.table({c: [] for c in _PROP.names}, schema=_PROP)
+        r = ridx_s[pos]
+        to_cell = group.column("to_cell").to_numpy(
+            zero_copy_only=False)[r]
+        to_px = group.column("to_px").to_numpy(zero_copy_only=False)[r]
+        fwd = to_cell >= 0                   # sinks absorb the rest
+        n = int(fwd.sum())
         return pa.table({
-            "cell_id": pa.array([to_cell], pa.int64()),
-            "px": pa.array([group.column("to_px")[ri].as_py()], pa.int64()),
-            "amount": pa.array([total], pa.int64()),
-            "to_cell": pa.array([-1], pa.int64()),
-            "to_px": pa.array([-1], pa.int64())}, schema=_PROP)
+            "cell_id": pa.array(to_cell[fwd], pa.int64()),
+            "px": pa.array(to_px[fwd], pa.int64()),
+            "amount": pa.array(esum[fwd], pa.int64()),
+            "to_cell": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "to_px": pa.array(np.full(n, -1, np.int64), pa.int64())},
+            schema=_PROP)
 
     waves = [cur]
     for _ in range(max_hops):
         if cur.count() == 0:
             break
         cur = (cur.union(routes)
-               .groupby(["cell_id", "px"])
+               .groupby("cell_id")
                .map_groups(hop, batch_format="pyarrow")
                .materialize())
         waves.append(cur)
@@ -394,6 +414,11 @@ def flow_accumulation(ds, spec: GridSpec, *, layer: str = "dem",
     for w in waves:
         entries_all = entries_all.union(
             w.map_batches(tag, batch_format="pyarrow"))
+    # re-block before the paint shuffle: the per-wave unions accumulate
+    # one block set per hop, and the groupby would otherwise schedule a
+    # task per tiny block (see the watershed halving loop)
+    entries_all = entries_all.repartition(
+        max(8, min(128, (tiles_x * spec.tiles_y) // 4)))
 
     def paint(group: pa.Table) -> pa.Table:
         from ..tiles.codec import Caption, encode_tile, phash64
@@ -597,58 +622,168 @@ def watershed(ds, spec: GridSpec, *, layer: str = "dem",
                 .map_groups(tile_state, batch_format="pyarrow")
                 .materialize())
 
+    nblocks = max(8, min(128, (tiles_x * tiles_y) // 4))
     state = combined.filter(expr="kind == 0")
-    routes = combined.filter(expr="kind == 2").materialize()
-    cur = combined.filter(expr="kind == 1").materialize()
+    resolvers = (combined.filter(expr="kind == 1")
+                 .repartition(nblocks).materialize())
 
-    def hop(group: pa.Table) -> pa.Table:
+    # The route table is a FUNCTIONAL GRAPH on ring pixels: every ring
+    # entry maps to either a pit (resolved) or the entry pixel of the
+    # next tile.  Contract it by PATH HALVING -- each round every
+    # unresolved route re-points at its target's target -- so the loop
+    # runs ceil(log2(drainage diameter in tiles)) rounds, not diameter
+    # rounds (the walk-one-tile-per-round variant measured 20+ rounds on
+    # a 16x16 world; this converges in ~5).
+    def normalize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pit = pc.less(pc.fill_null(b.column("to_cell"), -1),
+                      pa.scalar(0, pa.int64()))
+        cell = b.column("cell_id").to_numpy(zero_copy_only=False)
+        tpx = pc.fill_null(b.column("to_px"), 0).to_numpy(
+            zero_copy_only=False)
+        basins = global_pit_id(cell, tpx)
+        return pa.table({
+            "kind": b.column("kind"),
+            "cell_id": b.column("cell_id"),
+            "px": b.column("px"),
+            "origin": pa.nulls(b.num_rows, pa.int64()),
+            "to_cell": b.column("to_cell"),
+            "to_px": b.column("to_px"),
+            "basin": pc.if_else(pit, pa.array(basins, pa.int64()),
+                                pa.scalar(-1, pa.int64())),
+            "dirs": pa.nulls(b.num_rows, pa.binary()),
+            "term": pa.nulls(b.num_rows, pa.binary()),
+            "caption": pa.nulls(b.num_rows, pa.string())},
+            schema=_WS_SCHEMA)
+
+    routes = (combined.filter(expr="kind == 2")
+              .map_batches(normalize, batch_format="pyarrow")
+              .repartition(nblocks)
+              .materialize())
+
+    def _route_lookup(g):
+        """Vectorized px -> route-row lookup table for one cell group."""
+        kind = np.asarray(g["kind"], np.int8)
+        ridx = np.flatnonzero(kind == 2)
+        pxs = np.asarray([g["px"][i] for i in ridx], np.int64)
+        order = np.argsort(pxs)
+        return kind, ridx[order], pxs[order]
+
+    def _emit_routes(key_cell, key_px, to_cell, to_px, basin) -> pa.Table:
+        n = len(key_cell)
+        return pa.table({
+            "kind": pa.array(np.full(n, 2, np.int8), pa.int8()),
+            "cell_id": pa.array(key_cell, pa.int64()),
+            "px": pa.array(key_px, pa.int64()),
+            "origin": pa.nulls(n, pa.int64()),
+            "to_cell": pa.array(to_cell, pa.int64()),
+            "to_px": pa.array(to_px, pa.int64()),
+            "basin": pa.array(basin, pa.int64()),
+            "dirs": pa.nulls(n, pa.binary()),
+            "term": pa.nulls(n, pa.binary()),
+            "caption": pa.nulls(n, pa.string())},
+            schema=_WS_SCHEMA)
+
+    def halve(group: pa.Table) -> pa.Table:
+        """Group = ONE cell's routes + the kind-4 queries targeting it;
+        every query's route jumps to its target's target (or adopts its
+        pit).  Grouped by cell -- not (cell, px) -- so the px lookup is
+        a vectorized searchsorted, not 4T single-row Python groups."""
         g = group.to_pydict()
-        kinds = g["kind"]
+        kind, ridx, pxs = _route_lookup(g)
+        qidx = np.flatnonzero(kind == 4)
+        if qidx.size == 0:
+            return _emit_routes([], [], [], [], [])
+        if ridx.size == 0:
+            raise RuntimeError(
+                "watershed route points at a tile with no routes")
+        qpx = np.asarray([g["px"][i] for i in qidx], np.int64)
+        pos = np.searchsorted(pxs, qpx)
+        if bool((pos >= len(pxs)).any()) or not bool(
+                (pxs[np.minimum(pos, len(pxs) - 1)] == qpx).all()):
+            raise RuntimeError(
+                "watershed route points at a pixel with no route")
+        r = ridx[pos]
+        return _emit_routes(
+            [g["to_cell"][i] for i in qidx],      # query origin key
+            [g["to_px"][i] for i in qidx],
+            [g["to_cell"][i] for i in r],          # target's target
+            [g["to_px"][i] for i in r],
+            [g["basin"][i] for i in r])
+
+    def queries_of(b: pa.Table) -> pa.Table:
+        """Unresolved routes ask their target; origin rides to_cell/to_px
+        (free columns in a kind-4 row)."""
+        import pyarrow.compute as pc
+
+        un = b.filter(pc.less(b.column("basin"), pa.scalar(0, pa.int64())))
+        return pa.table({
+            "kind": pa.array([4] * un.num_rows, pa.int8()),
+            "cell_id": un.column("to_cell"),
+            "px": un.column("to_px"),
+            "origin": pa.nulls(un.num_rows, pa.int64()),
+            "to_cell": un.column("cell_id"),
+            "to_px": un.column("px"),
+            "basin": pa.nulls(un.num_rows, pa.int64()),
+            "dirs": pa.nulls(un.num_rows, pa.binary()),
+            "term": pa.nulls(un.num_rows, pa.binary()),
+            "caption": pa.nulls(un.num_rows, pa.string())},
+            schema=_WS_SCHEMA)
+
+    # every union + groupby round multiplies the block count; without
+    # re-blocking, round k's shuffle schedules O(k * reduce_partitions)
+    # tiny tasks and task overhead swamps the log-round win
+    for _ in range(max_hops):
+        if routes.filter(expr="basin < 0").count() == 0:
+            break
+        queries = routes.map_batches(queries_of, batch_format="pyarrow")
+        updated = (routes.union(queries)
+                   .groupby("cell_id")
+                   .map_groups(halve, batch_format="pyarrow"))
+        routes = (routes.filter(expr="basin >= 0")
+                  .union(updated)
+                  .repartition(nblocks)
+                  .materialize())
+    else:
+        raise RuntimeError(
+            f"watershed did not converge in {max_hops} halving rounds; "
+            f"raise max_hops")
+
+    def resolve(group: pa.Table) -> pa.Table:
+        """One final join per cell: resolvers read the fully-contracted
+        route of their entry pixel, report the basin to their origin."""
+        g = group.to_pydict()
+        kind, ridx, pxs = _route_lookup(g)
+        qidx = np.flatnonzero(kind == 1)
         out = {n: [] for n in _WS_SCHEMA.names}
 
         def row(**kw):
             for n in _WS_SCHEMA.names:
                 out[n].append(kw.get(n))
 
-        ri = next((i for i, k in enumerate(kinds) if k == 2), None)
-        for i, k in enumerate(kinds):
-            if k != 1:
-                continue
-            if ri is None:
+        if qidx.size == 0:
+            return pa.table(out, schema=_WS_SCHEMA)
+        qpx = np.asarray([g["px"][i] for i in qidx], np.int64)
+        pos = np.searchsorted(pxs, qpx)
+        if ridx.size == 0 or bool((pos >= len(pxs)).any()) or not bool(
+                (pxs[np.minimum(pos, len(pxs) - 1)] == qpx).all()):
+            raise RuntimeError(
+                "watershed resolver found no contracted route")
+        for i, ri in zip(qidx, ridx[pos]):
+            if g["basin"][ri] < 0:
                 raise RuntimeError(
-                    "watershed resolver reached a pixel with no route")
-            nxt_cell = g["to_cell"][ri]       # route: where the walk goes
-            nxt_px = g["to_px"][ri]
-            if nxt_cell < 0:            # pit inside THIS (cursor) tile
-                basin = int(global_pit_id(
-                    np.array([g["cell_id"][i]]), np.array([nxt_px]))[0])
-                row(kind=3, cell_id=g["origin"][i], origin=g["origin"][i],
-                    to_cell=g["to_cell"][i], to_px=g["to_px"][i],
-                    basin=basin)
-            else:
-                row(kind=1, cell_id=int(nxt_cell), px=int(nxt_px),
-                    origin=g["origin"][i],
-                    to_cell=g["to_cell"][i], to_px=g["to_px"][i])
+                    "watershed resolver found an unresolved route")
+            row(kind=3, cell_id=g["origin"][i], origin=g["origin"][i],
+                to_cell=g["to_cell"][i], to_px=g["to_px"][i],
+                basin=g["basin"][ri])
         return pa.table(out, schema=_WS_SCHEMA)
 
-    resolved = []
-    for _ in range(max_hops):
-        if cur.count() == 0:
-            break
-        nxt = (cur.union(routes)
-               .groupby(["cell_id", "px"])
-               .map_groups(hop, batch_format="pyarrow")
-               .materialize())
-        resolved.append(nxt.filter(expr="kind == 3").materialize())
-        cur = nxt.filter(expr="kind == 1").materialize()
-    else:
-        raise RuntimeError(
-            f"watershed did not converge in {max_hops} hops; raise "
-            f"max_hops")
-
-    paint_in = state
-    for rds in resolved:
-        paint_in = paint_in.union(rds)
+    resolved = (resolvers.union(routes)
+                .groupby("cell_id")
+                .map_groups(resolve, batch_format="pyarrow")
+                .materialize())
+    paint_in = state.union(resolved)
 
     def paint(group: pa.Table) -> pa.Table:
         from ..tiles.codec import Caption, encode_tile, phash64
@@ -1008,9 +1143,13 @@ def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
                 .groupby("cell_id")
                 .map_groups(init, batch_format="pyarrow")
                 .materialize())
-    statics = combined.filter(expr="kind == 0").materialize()
-    state = combined.filter(expr="kind == 1").materialize()
-    offers = combined.filter(expr="kind == 2").materialize()
+    nblocks = max(8, min(128, (tiles_x * tiles_y) // 4))
+    statics = (combined.filter(expr="kind == 0")
+               .repartition(nblocks).materialize())
+    state = (combined.filter(expr="kind == 1")
+             .repartition(nblocks).materialize())
+    offers = (combined.filter(expr="kind == 2")
+              .repartition(nblocks).materialize())
 
     import pyarrow.compute as pc
 
@@ -1034,16 +1173,19 @@ def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
         if active.size == 0:
             break
         ids_ref = ray.put(active)
-        step_out = (_split_cells(statics, ids_ref, True)
-                    .union(_split_cells(state, ids_ref, True))
-                    .union(offers)
-                    .groupby("cell_id")
-                    .map_groups(step, batch_format="pyarrow")
-                    .materialize())
-        state = (_split_cells(state, ids_ref, False)
-                 .union(step_out.filter(expr="kind == 1"))
-                 .materialize())
-        offers = step_out.filter(expr="kind == 2").materialize()
+        # ONE materialization per round (see cost_distance): inactive
+        # state passes through, next round's state/offers are lazy
+        # filters over the re-blocked union
+        step_in = (_split_cells(statics, ids_ref, True)
+                   .union(_split_cells(state, ids_ref, True))
+                   .union(offers))
+        nxt = (_split_cells(state, ids_ref, False)
+               .union(step_in.groupby("cell_id")
+                      .map_groups(step, batch_format="pyarrow"))
+               .repartition(nblocks)
+               .materialize())
+        state = nxt.filter(expr="kind == 1")
+        offers = nxt.filter(expr="kind == 2")
     else:
         raise RuntimeError(
             f"stream_order did not converge in {max_rounds} rounds; "

@@ -79,3 +79,18 @@ def test_cli_pyramid(ray_session, tmp_path, capsys):
     import pyarrow.dataset as pads
     assert pads.dataset(out + "/level=1",
                         format="parquet").to_table().num_rows == 8
+
+
+def test_cli_derive(ray_session, tmp_path, capsys):
+    import json as _json
+
+    tiles = str(tmp_path / "tiles")
+    assert main(["synth", "--out", tiles, "--tiles-x", "3", "--tiles-y",
+                 "2", "--tile-px", "32"]) == 0
+    capsys.readouterr()
+    for op, n_expect in (("sobel", 6), ("watershed", 6)):
+        out = str(tmp_path / f"d_{op}")
+        assert main(["derive", "--tiles", tiles, "--out", out,
+                     "--op", op]) == 0
+        r = _json.loads(capsys.readouterr().out.strip())
+        assert r["op"] == op and r["tiles"] == n_expect
