@@ -37,7 +37,11 @@ UNK = "<unk>"
 
 
 def _norm_tokens(text: str) -> list[str]:
-    return [t.lower() for t in whitespace_tokens(text) if t]
+    # NUL is the wire separator for count keys; normalize it to a space
+    # so noisy documents cannot forge or collide bigram keys (applies
+    # identically to the local oracle, which shares this function)
+    return [t.lower()
+            for t in whitespace_tokens(text.replace("\x00", " ")) if t]
 
 
 def bigram_counts(tokens: list[str]):

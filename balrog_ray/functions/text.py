@@ -231,7 +231,7 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
 
 def boilerplate_stats(docs, id_col: str = "doc_id",
                       text_col: str = "text", *, n: int = 3,
-                      max_df: int = 3, num_partitions: int = 8):
+                      max_df: int = 3, num_partitions: int | None = None):
     """Corpus-level boilerplate removal (CCNet-style line dedup adapted
     to word n-grams, since the doc corpus is single-line): an n-gram
     that occurs in >= ``max_df`` distinct documents is boilerplate and
@@ -277,10 +277,13 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
     # partitions.  Big corpora keep their blocks -- merging would build
     # giant partitions, and the fixed costs are amortized anyway.
     n_rows = gc.count()
-    nparts = max(2, min(64, n_rows // 50_000 + 2))
     if n_rows < 64 * 50_000:
+        nparts = max(2, min(64, n_rows // 50_000 + 2))
         gc = gc.repartition(nparts).materialize()
-        num_partitions = nparts
+        if num_partitions is None:
+            num_partitions = nparts
+    if num_partitions is None:
+        num_partitions = 8
     freq = (gc.groupby("gram")
             .aggregate(agg.Count(alias_name="nd")))
     joined = gc.join(freq, "inner", num_partitions=num_partitions,

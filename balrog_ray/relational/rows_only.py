@@ -1012,9 +1012,14 @@ def q_basin_zonal(sf_dir: str):
     out = zonal_by_zone_raster(tiles.union(basins), spec,
                                zone_layer="watershed", value_layer="dem")
     def sort_key(b: pa.Table) -> pa.Table:
-        # single int64 sort key: pixel count desc, basin id asc tiebreak
+        # single int64 sort key: pixel count desc, basin id asc tiebreak.
+        # zone is a global pixel flat index; the 26-bit pack is only
+        # valid under 2**26 pixels (true for t1) -- refuse loudly beyond
         n = b.column("n_px").to_numpy(zero_copy_only=False)
         z = b.column("zone").to_numpy(zero_copy_only=False)
+        if z.size and int(z.max()) >= (1 << 26):
+            raise ValueError("basin id >= 2**26: widen the packed sort "
+                             "key before running on worlds > 67M px")
         return b.append_column(
             "neg_n_zone", pa.array(-(n.astype(np.int64) << 26) + z,
                                    pa.int64()))

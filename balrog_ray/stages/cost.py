@@ -47,6 +47,7 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .front import cells_of, front_blocks, make_keyed, split_cells
 from .halo import GridSpec
 
 # scan order E, SE, S, SW, W, NW, N, NE (shared with hydrology)
@@ -191,28 +192,7 @@ def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
     ring_r, ring_c = np.divmod(ring_idx, T)
     half = _half_steps(spec.pixel_size)
 
-    def keyed(b: pa.Table) -> pa.Table:
-        import json
-
-        cols = {"cell_id": [], "layer": [], "bytes": [], "fmt": [],
-                "caption": []}
-        for i in range(b.num_rows):
-            cap_raw = b.column("caption")[i].as_py()
-            cap = json.loads(cap_raw)
-            if cap["layer"] not in (cost_layer, src_layer):
-                continue
-            cols["cell_id"].append(
-                spec.cell_id(int(cap["tx"]), int(cap["ty"])))
-            cols["layer"].append(cap["layer"])
-            cols["bytes"].append(b.column("bytes")[i].as_py())
-            cols["fmt"].append(b.column("fmt")[i].as_py())
-            cols["caption"].append(cap_raw)
-        return pa.table({
-            "cell_id": pa.array(cols["cell_id"], pa.int64()),
-            "layer": pa.array(cols["layer"], pa.string()),
-            "bytes": pa.array(cols["bytes"], pa.binary()),
-            "fmt": pa.array(cols["fmt"], pa.string()),
-            "caption": pa.array(cols["caption"], pa.string())})
+    keyed = make_keyed(spec, (cost_layer, src_layer))
 
     def _out(**kw):
         out = {n: [] for n in _COST_SCHEMA.names}
@@ -370,7 +350,7 @@ def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
     # re-block every loop input once: the init groupby emits ~200 blocks
     # and each per-round filter/union would otherwise schedule a task per
     # tiny block, dominating wall time at small active fronts
-    nblocks = max(8, min(128, (tiles_x * tiles_y) // 4))
+    nblocks = front_blocks(tiles_x * tiles_y)
     statics = (combined.filter(expr="kind == 0")
                .repartition(nblocks).materialize())
     ringst = (combined.filter(expr="kind == 1")
@@ -380,22 +360,7 @@ def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
     offers = (combined.filter(expr="kind == 2")
               .repartition(nblocks).materialize())
 
-    import pyarrow.compute as pc
-
-    def _cells_of(dsx) -> np.ndarray:
-        tabs = [t for t in ray.get(
-            dsx.select_columns(["cell_id"]).to_arrow_refs()) if t.num_rows]
-        if not tabs:
-            return np.empty(0, np.int64)
-        return np.unique(pa.concat_tables(tabs).column("cell_id")
-                         .to_numpy(zero_copy_only=False))
-
-    def _split_cells(dsx, ids_ref, keep: bool):
-        def fn(b: pa.Table) -> pa.Table:
-            m = pc.is_in(b.column("cell_id"),
-                         value_set=pa.array(ray.get(ids_ref), pa.int64()))
-            return b.filter(m if keep else pc.invert(m))
-        return dsx.map_batches(fn, batch_format="pyarrow")
+    _cells_of, _split_cells = cells_of, split_cells
 
     import logging
     import time as _time

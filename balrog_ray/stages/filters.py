@@ -194,7 +194,11 @@ def focal_majority(ds, spec: GridSpec, *, layer: str = "veg",
                    radius: int = 1, out_layer: str = "majority",
                    fmt: str = "npz"):
     """Distributed focal majority for class rasters (smoothing before
-    polygonize/sieve) -- parity with :func:`majority_kernel`."""
+    polygonize/sieve) -- value parity with :func:`majority_kernel`.
+    NOTE: the ``max_classes`` guard runs per assembled window here, so a
+    raster whose GLOBAL class count exceeds the cap can still pass when
+    every window stays under it (the whole-raster kernel would raise);
+    the computed values are identical wherever both succeed."""
 
     def fn(window: np.ndarray, nd: float) -> np.ndarray:
         return majority_kernel(window, radius, nd)

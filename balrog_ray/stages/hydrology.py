@@ -53,6 +53,7 @@ import numpy as np
 import pyarrow as pa
 
 from .focal import windowed_stage
+from .front import cells_of, front_blocks, split_cells
 from .halo import GridSpec, assemble_window, make_strip_emitter_batch
 
 # scan order E, SE, S, SW, W, NW, N, NE; row axis points south (down)
@@ -332,7 +333,7 @@ def flow_accumulation(ds, spec: GridSpec, *, layer: str = "dem",
             "to_px": pc.fill_null(b.column("to_px"), -1)},
             schema=_PROP)
 
-    nblocks_f = max(8, min(128, (tiles_x * spec.tiles_y) // 4))
+    nblocks_f = front_blocks(tiles_x * spec.tiles_y)
     routes = (combined.filter(expr="kind == 2")
               .map_batches(as_prop, batch_format="pyarrow")
               .repartition(nblocks_f)
@@ -418,7 +419,7 @@ def flow_accumulation(ds, spec: GridSpec, *, layer: str = "dem",
     # one block set per hop, and the groupby would otherwise schedule a
     # task per tiny block (see the watershed halving loop)
     entries_all = entries_all.repartition(
-        max(8, min(128, (tiles_x * spec.tiles_y) // 4)))
+        front_blocks(tiles_x * spec.tiles_y))
 
     def paint(group: pa.Table) -> pa.Table:
         from ..tiles.codec import Caption, encode_tile, phash64
@@ -622,7 +623,7 @@ def watershed(ds, spec: GridSpec, *, layer: str = "dem",
                 .map_groups(tile_state, batch_format="pyarrow")
                 .materialize())
 
-    nblocks = max(8, min(128, (tiles_x * tiles_y) // 4))
+    nblocks = front_blocks(tiles_x * tiles_y)
     state = combined.filter(expr="kind == 0")
     resolvers = (combined.filter(expr="kind == 1")
                  .repartition(nblocks).materialize())
@@ -1143,7 +1144,7 @@ def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
                 .groupby("cell_id")
                 .map_groups(init, batch_format="pyarrow")
                 .materialize())
-    nblocks = max(8, min(128, (tiles_x * tiles_y) // 4))
+    nblocks = front_blocks(tiles_x * tiles_y)
     statics = (combined.filter(expr="kind == 0")
                .repartition(nblocks).materialize())
     state = (combined.filter(expr="kind == 1")
@@ -1151,22 +1152,7 @@ def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
     offers = (combined.filter(expr="kind == 2")
               .repartition(nblocks).materialize())
 
-    import pyarrow.compute as pc
-
-    def _cells_of(dsx) -> np.ndarray:
-        tabs = [t for t in ray.get(
-            dsx.select_columns(["cell_id"]).to_arrow_refs()) if t.num_rows]
-        if not tabs:
-            return np.empty(0, np.int64)
-        return np.unique(pa.concat_tables(tabs).column("cell_id")
-                         .to_numpy(zero_copy_only=False))
-
-    def _split_cells(dsx, ids_ref, keep: bool):
-        def fn(b: pa.Table) -> pa.Table:
-            m = pc.is_in(b.column("cell_id"),
-                         value_set=pa.array(ray.get(ids_ref), pa.int64()))
-            return b.filter(m if keep else pc.invert(m))
-        return dsx.map_batches(fn, batch_format="pyarrow")
+    _cells_of, _split_cells = cells_of, split_cells
 
     for _ in range(max_rounds):
         active = _cells_of(offers)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .front import make_keyed
 from .halo import GridSpec
 
 _PARTIAL = pa.schema([
@@ -32,30 +33,8 @@ def zonal_by_zone_raster(ds, spec: GridSpec, *, zone_layer: str,
     of per-zone rows ``(zone, n_px, total, vmin, vmax, mean)``.  Zone
     ids are read as int64 (float tiles must carry integral ids, e.g.
     watershed basins); pixels where EITHER layer is nodata are skipped."""
-    tiles_x = spec.tiles_x
 
-    def keyed(b: pa.Table) -> pa.Table:
-        import json
-
-        cols = {"cell_id": [], "layer": [], "bytes": [], "fmt": [],
-                "caption": []}
-        for i in range(b.num_rows):
-            cap_raw = b.column("caption")[i].as_py()
-            cap = json.loads(cap_raw)
-            if cap["layer"] not in (zone_layer, value_layer):
-                continue
-            cols["cell_id"].append(
-                spec.cell_id(int(cap["tx"]), int(cap["ty"])))
-            cols["layer"].append(cap["layer"])
-            cols["bytes"].append(b.column("bytes")[i].as_py())
-            cols["fmt"].append(b.column("fmt")[i].as_py())
-            cols["caption"].append(cap_raw)
-        return pa.table({
-            "cell_id": pa.array(cols["cell_id"], pa.int64()),
-            "layer": pa.array(cols["layer"], pa.string()),
-            "bytes": pa.array(cols["bytes"], pa.binary()),
-            "fmt": pa.array(cols["fmt"], pa.string()),
-            "caption": pa.array(cols["caption"], pa.string())})
+    keyed = make_keyed(spec, (zone_layer, value_layer))
 
     def partials(group: pa.Table) -> pa.Table:
         from ..tiles.codec import Caption, decode_tile
