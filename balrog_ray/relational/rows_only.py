@@ -1028,6 +1028,34 @@ def q_basin_zonal(sf_dir: str):
             .sort("neg_n_zone").limit(8).drop_columns(["neg_n_zone"]))
 
 
+def q_cost_paths(sf_dir: str):
+    """Least-cost path backtrace (CostPath role) from three fixed
+    destinations to the nearest vegetation-class-2 source through the
+    terrain friction surface; exact gradient-walk parity pinned in
+    tests/test_cost.py.  Returns the full path rows."""
+    import ray
+    import ray.data
+
+    from ..stages.cost import cost_path
+    from ..stages.halo import GridSpec
+    from ..stages.raster_calc import apply_masked, raster_calc
+    from ..tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=3, tile_px=48)
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(tiles_table(cfg))
+    cost = raster_calc(
+        tiles, ["dem"],
+        apply_masked(lambda L, nd: 1.0 + np.maximum(L["dem"], 0.0) / 50.0),
+        out_layer="friction")
+    W = cfg.tiles_x * cfg.tile_px
+    dests = [(0, W - 3, W - 3), (1, 2, W - 2), (2, W - 2, 2)]
+    return (cost_path(tiles.union(cost), spec, dests,
+                      cost_layer="friction", src_layer="veg",
+                      src_value=2.0)
+            .sort(["dest_id", "step"]))
+
+
 def q_stream_order(sf_dir: str):
     """Strahler stream order over the t1 DEM (ArcGIS StreamOrder role;
     pixel-exact vs the whole-raster Kahn-wave oracle in
@@ -1355,6 +1383,7 @@ ROWS_ONLY = {
     "basin_zonal": q_basin_zonal,
     "lm_perplexity": q_lm_perplexity,
     "cost_distance": q_cost_distance,
+    "cost_paths": q_cost_paths,
     "image_filters": q_image_filters,
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,

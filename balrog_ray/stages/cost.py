@@ -174,13 +174,13 @@ def _ring_index(T: int) -> np.ndarray:
     return np.flatnonzero(ring.ravel())
 
 
-def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
-                  src_layer: str = "veg", src_value: float,
-                  out_layer: str = "cost_dist", fmt: str = "npz",
-                  max_rounds: int = 1024):
-    """Image-table Dataset (cost + source layers on one grid) -> image
-    table of ``out_layer`` float32 cost-distance tiles.  Bit-identical
-    to ``cost_relax_kernel`` on the mosaicked whole raster."""
+def _cost_state(ds, spec: GridSpec, *, cost_layer: str,
+                src_layer: str, src_value: float, max_rounds: int,
+                out_layer: str = "cost_dist", fmt: str = "npz"):
+    """The shared engine of :func:`cost_distance` and :func:`cost_path`:
+    runs the active-front border iteration to convergence and returns
+    ``(statics, states)`` -- per-cell cost blobs and settled float64
+    distance-grid blobs (_COST_SCHEMA rows)."""
     import ray
     import ray.data
 
@@ -395,6 +395,265 @@ def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
             f"cost_distance did not converge in {max_rounds} rounds; "
             f"raise max_rounds")
 
-    return (statics.union(ringst)
+    return statics, ringst, paint
+
+
+def cost_distance(ds, spec: GridSpec, *, cost_layer: str = "dem",
+                  src_layer: str = "veg", src_value: float,
+                  out_layer: str = "cost_dist", fmt: str = "npz",
+                  max_rounds: int = 1024):
+    """Image-table Dataset (cost + source layers on one grid) -> image
+    table of ``out_layer`` float32 cost-distance tiles.  Bit-identical
+    to ``cost_relax_kernel`` on the mosaicked whole raster."""
+    statics, states, paint = _cost_state(
+        ds, spec, cost_layer=cost_layer, src_layer=src_layer,
+        src_value=src_value, max_rounds=max_rounds,
+        out_layer=out_layer, fmt=fmt)
+    return (statics.union(states)
             .groupby("cell_id")
             .map_groups(paint, batch_format="pyarrow"))
+
+
+def cost_path(ds, spec: GridSpec, dests, *, cost_layer: str = "dem",
+              src_layer: str = "veg", src_value: float,
+              max_rounds: int = 1024, max_walk_rounds: int = 4096):
+    """Least-cost PATH backtrace (the ArcGIS CostPath companion of
+    :func:`cost_distance`): for each destination pixel, walk the exact
+    gradient of the settled float64 distance field back to a source.
+    Returns a Dataset of ``(dest_id, step, row, col, dist)`` rows --
+    step 0 is the destination, the last step is a source (dist 0).
+
+    ``dests`` is an iterable of ``(dest_id, row, col)`` GLOBAL pixel
+    coordinates (a small per-site list, shipped in the task closures).
+
+    Exactness: the predecessor of pixel ``v`` is the first direction (in
+    the fixed E..NE scan order) whose fold ``(d[u] + c[u]*halfL) +
+    c[v]*halfL`` EQUALS ``d[v]`` -- float equality is sound because the
+    settled field stores exactly these folds (see the bit-identity
+    contract above).  Cross-tile candidates are evaluated locally via a
+    ONE-shot halo exchange of the final border dist+cost values, so the
+    tie-break order is identical to the whole-raster oracle.
+
+    Scale shape: the distance solve is :func:`_cost_state`; the halo
+    exchange is one keyed shuffle of edge strips; the walk loop touches
+    ONLY the cells a cursor is currently in (rounds = tiles crossed by
+    the longest path).  Unreachable destinations (inf distance) emit no
+    rows."""
+    import ray
+    import ray.data
+
+    statics, states, _paint = _cost_state(
+        ds, spec, cost_layer=cost_layer, src_layer=src_layer,
+        src_value=src_value, max_rounds=max_rounds)
+    T = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    world_w = tiles_x * T
+    half = _half_steps(spec.pixel_size)
+    HT = T + 2                          # halo-frame width
+
+    def _strip_sel(dy: int, dx: int):
+        rs = slice(T - 1, T) if dy == 1 else (slice(0, 1) if dy == -1
+                                              else slice(0, T))
+        cs = slice(T - 1, T) if dx == 1 else (slice(0, 1) if dx == -1
+                                              else slice(0, T))
+        return rs, cs
+
+    def emit_strips(group: pa.Table) -> pa.Table:
+        """kind-4 rows: this cell's border dist+cost values adjacent to
+        each in-world neighbour (placed into the neighbour's halo)."""
+        g = group.to_pydict()
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        rrow = next((i for i, k in enumerate(g["kind"]) if k == 1), None)
+        out = {n: [] for n in _COST_SCHEMA.names}
+
+        def row(**kw):
+            for n in _COST_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        if srow is None or rrow is None:
+            return pa.table(out, schema=_COST_SCHEMA)
+        from ..tiles.codec import Caption
+
+        cost = np.frombuffer(zlib.decompress(g["cost"][srow]),
+                             np.float32).reshape(T, T)
+        dist = np.frombuffer(zlib.decompress(g["dist"][rrow]),
+                             np.float64).reshape(T, T)
+        cap = Caption.from_json(g["caption"][srow])
+        valid = cost != np.float32(cap.nodata)
+        c64 = np.where(valid, cost.astype(np.float64), np.inf)
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        for k in range(8):
+            dy, dx = int(_DY8[k]), int(_DX8[k])
+            ntx, nty = tx + dx, ty + dy
+            if not (0 <= ntx < tiles_x and 0 <= nty < tiles_y):
+                continue
+            rs, cs = _strip_sel(dy, dx)
+            payload = np.concatenate([dist[rs, cs].ravel(),
+                                      c64[rs, cs].ravel()])
+            row(kind=4, cell_id=spec.cell_id(ntx, nty), px=k,
+                dist=zlib.compress(payload.tobytes(), 1))
+        return pa.table(out, schema=_COST_SCHEMA)
+
+    strips = (statics.union(states)
+              .groupby("cell_id")
+              .map_groups(emit_strips, batch_format="pyarrow")
+              .repartition(front_blocks(tiles_x * tiles_y))
+              .materialize())
+
+    dest_rows = [(int(i), int(r), int(c)) for i, r, c in dests]
+    for _, r, c in dest_rows:
+        if not (0 <= r < tiles_y * T and 0 <= c < world_w):
+            raise ValueError(f"destination ({r}, {c}) outside the world")
+
+    def init_cursors() -> pa.Table:
+        out = {n: [] for n in _COST_SCHEMA.names}
+
+        def row(**kw):
+            for n in _COST_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        for i, r, c in dest_rows:
+            row(kind=5, cell_id=spec.cell_id(c // T, r // T),
+                px=int((r % T) * T + c % T),
+                d_plus=float(i), half_l=0.0)   # d_plus=dest, half_l=step
+        return pa.table(out, schema=_COST_SCHEMA)
+
+    def _halo_place(hd, hc, k, payload):
+        """Place a neighbour's strip (sent in ITS k-direction toward us)
+        into our halo frame: the sender lies at direction k+4 from us."""
+        dy, dx = -int(_DY8[k]), -int(_DX8[k])   # sender relative to us
+        n = payload.size // 2
+        dvals, cvals = payload[:n], payload[n:]
+        rs = slice(0, 1) if dy == -1 else (slice(HT - 1, HT) if dy == 1
+                                           else slice(1, T + 1))
+        cs = slice(0, 1) if dx == -1 else (slice(HT - 1, HT) if dx == 1
+                                           else slice(1, T + 1))
+        shape = (rs.stop - rs.start, cs.stop - cs.start)
+        hd[rs, cs] = dvals.reshape(shape)
+        hc[rs, cs] = cvals.reshape(shape)
+
+    def walk(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption
+
+        g = group.to_pydict()
+        out = {n: [] for n in _COST_SCHEMA.names}
+
+        def row(**kw):
+            for n in _COST_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        rrow = next((i for i, k in enumerate(g["kind"]) if k == 1), None)
+        if srow is None or rrow is None:
+            return pa.table(out, schema=_COST_SCHEMA)
+        cost = np.frombuffer(zlib.decompress(g["cost"][srow]),
+                             np.float32).reshape(T, T)
+        dist = np.frombuffer(zlib.decompress(g["dist"][rrow]),
+                             np.float64).reshape(T, T)
+        cap = Caption.from_json(g["caption"][srow])
+        valid = cost != np.float32(cap.nodata)
+        c64 = np.where(valid, cost.astype(np.float64), np.inf)
+        hd = np.full((HT, HT), np.inf)
+        hc = np.full((HT, HT), np.inf)
+        hd[1:T + 1, 1:T + 1] = dist
+        hc[1:T + 1, 1:T + 1] = c64
+        for i, k in enumerate(g["kind"]):
+            if k == 4:
+                _halo_place(hd, hc, int(g["px"][i]), np.frombuffer(
+                    zlib.decompress(g["dist"][i]), np.float64))
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        for i, k in enumerate(g["kind"]):
+            if k != 5:
+                continue
+            dest = int(g["d_plus"][i])
+            step = int(g["half_l"][i])
+            r, c = divmod(int(g["px"][i]), T)
+            hr, hcc = r + 1, c + 1              # halo-frame coords
+            for _guard in range(T * T + 2):
+                dv = hd[hr, hcc]
+                if not np.isfinite(dv):
+                    break                        # unreachable: no rows
+                grow = ty * T + hr - 1
+                gcol = tx * T + hcc - 1
+                row(kind=6, cell_id=dest,
+                    px=int(grow * world_w + gcol),
+                    d_plus=float(dv), half_l=float(step))
+                if dv == 0.0:
+                    break                        # reached a source
+                nk = -1
+                for k2 in range(8):
+                    ur = hr + int(_DY8[k2])
+                    uc = hcc + int(_DX8[k2])
+                    f = ((hd[ur, uc] + hc[ur, uc] * half[k2])
+                         + hc[hr, hcc] * half[k2])
+                    if f == dv:
+                        nk = k2
+                        break
+                if nk < 0:
+                    raise RuntimeError(
+                        "cost_path: no predecessor achieves the settled "
+                        "distance -- state is inconsistent")
+                hr += int(_DY8[nk])
+                hcc += int(_DX8[nk])
+                step += 1
+                if not (1 <= hr <= T and 1 <= hcc <= T):
+                    grow = ty * T + hr - 1      # crossed into a neighbour
+                    gcol = tx * T + hcc - 1
+                    row(kind=5,
+                        cell_id=spec.cell_id(gcol // T, grow // T),
+                        px=int((grow % T) * T + gcol % T),
+                        d_plus=float(dest), half_l=float(step))
+                    break
+            else:
+                raise RuntimeError(
+                    "cost_path: in-tile walk exceeded T*T steps -- "
+                    "state is inconsistent")
+        return pa.table(out, schema=_COST_SCHEMA)
+
+    walk_static = (statics.union(states).union(strips)
+                   .repartition(front_blocks(tiles_x * tiles_y))
+                   .materialize())
+    cursors = ray.data.from_arrow(init_cursors())
+    paths = []
+    for _ in range(max_walk_rounds):
+        active = cells_of(cursors)
+        if active.size == 0:
+            break
+        ids_ref = ray.put(active)
+        stepped = (split_cells(walk_static, ids_ref, True)
+                   .union(cursors)
+                   .groupby("cell_id")
+                   .map_groups(walk, batch_format="pyarrow")
+                   .materialize())
+        paths.append(stepped.filter(expr="kind == 6").materialize())
+        cursors = stepped.filter(expr="kind == 5").materialize()
+    else:
+        raise RuntimeError(
+            f"cost_path did not finish in {max_walk_rounds} rounds; "
+            f"raise max_walk_rounds")
+
+    def publish(b: pa.Table) -> pa.Table:
+        pos = b.column("px").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "dest_id": b.column("cell_id"),
+            "step": pa.array(b.column("half_l").to_numpy(
+                zero_copy_only=False).astype(np.int64), pa.int64()),
+            "row": pa.array(pos // world_w, pa.int64()),
+            "col": pa.array(pos % world_w, pa.int64()),
+            "dist": b.column("d_plus")})
+
+    out = None
+    for p in paths:
+        out = p if out is None else out.union(p)
+    if out is None:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table(
+            {"dest_id": pa.array([], pa.int64()),
+             "step": pa.array([], pa.int64()),
+             "row": pa.array([], pa.int64()),
+             "col": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.float64())}))
+    return out.map_batches(publish, batch_format="pyarrow")

@@ -158,3 +158,77 @@ def test_cost_distance_validation():
     with pytest.raises(ValueError):
         cost_distance(None, GridSpec(2, 2, 1, 25.0, spec.y_north),
                       src_value=1.0)
+
+
+from balrog_ray.stages.cost import _DX8, _DY8, cost_path
+
+
+def _path_oracle(cost, src, nd, dests, pixel_size):
+    """Whole-raster gradient walk with the stage's exact fold and
+    k-order tie-break."""
+    dist = cost_relax_kernel(cost, np.where(src, 0.0, np.inf), nd,
+                             pixel_size=pixel_size)
+    H, W = cost.shape
+    valid = cost != np.float32(nd)
+    c = np.where(valid, cost.astype(np.float64), np.inf)
+    half = _half_steps(pixel_size)
+    rows = []
+    for dest_id, r0, c0 in dests:
+        r, col = r0, c0
+        step = 0
+        if not np.isfinite(dist[r, col]):
+            continue
+        while True:
+            rows.append((dest_id, step, r, col, float(dist[r, col])))
+            if dist[r, col] == 0.0:
+                break
+            nk = -1
+            for k in range(8):
+                r2, c2 = r + int(_DY8[k]), col + int(_DX8[k])
+                if not (0 <= r2 < H and 0 <= c2 < W):
+                    continue
+                f = ((dist[r2, c2] + c[r2, c2] * half[k])
+                     + c[r, col] * half[k])
+                if f == dist[r, col]:
+                    nk = k
+                    break
+            assert nk >= 0, "oracle: no predecessor"
+            r, col = r + int(_DY8[nk]), col + int(_DX8[nk])
+            step += 1
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("seed,tx,ty,T", [(5, 3, 2, 16), (6, 3, 3, 8)])
+def test_cost_path_matches_oracle(ray_session, seed, tx, ty, T):
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=tx, tiles_y=ty, tile_px=T)
+    cost, src = _cost_world((ty * T, tx * T), seed)
+    src[T:, :] = False          # sources only in the top-left tile:
+    src[:, T:] = False          # paths from far dests must cross tiles
+    for r, c in ((1, 1), (T // 2, T // 2)):
+        if cost[r, c] != np.float32(ND):
+            src[r, c] = True
+    dests = [(0, ty * T - 2, tx * T - 2), (1, 1, tx * T - 1),
+             (2, ty * T - 1, 2)]
+    tiles = _tiles_from_arrays(
+        {"cost": cost, "srcmask": src.astype(np.float32)}, cfg)
+    spec = GridSpec.from_synth(cfg)
+    got = sorted(
+        (int(r["dest_id"]), int(r["step"]), int(r["row"]),
+         int(r["col"]), float(r["dist"]))
+        for r in cost_path(ray.data.from_arrow(tiles), spec, dests,
+                           cost_layer="cost", src_layer="srcmask",
+                           src_value=1.0).take_all())
+    want = _path_oracle(cost, src, ND, dests, cfg.pixel_size)
+    assert got == want
+    # the walk really crossed tiles and really reached sources
+    reached = {d for d, s, r, c, dv in got if dv == 0.0}
+    walked = {d for d, *_ in got}
+    assert reached == walked and walked, "no path reached a source"
+    tiles_touched = {(r // T, c // T) for _, _, r, c, _ in got}
+    assert len(tiles_touched) > 1, "no path crossed a tile border"
+
+
+from balrog_ray.stages.cost import _half_steps  # noqa: E402  (oracle use)
