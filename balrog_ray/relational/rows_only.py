@@ -993,6 +993,45 @@ def q_lm_perplexity(sf_dir: str):
             .sort("log2_ppl"))
 
 
+def q_flow_length(sf_dir: str):
+    """Downstream flow length over the t1 DEM (ArcGIS FlowLength role;
+    pixel-exact vs the integer-pair pointer-doubling oracle in
+    tests/test_hydrology.py), reduced to length-decile pixel counts."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.hydrology import flow_length
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    out = flow_length(ray.data.from_arrow(tiles_table(cfg)), spec)
+
+    def hist(b: pa.Table) -> pa.Table:
+        buckets, counts = [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)].astype(np.float64)
+            lb = np.where(v > 0, np.floor(np.log2(np.maximum(
+                v / cap.pixel_size, 1e-9))), -1).astype(np.int64)
+            u, c = np.unique(lb, return_counts=True)
+            buckets.extend(int(x) for x in u)
+            counts.extend(int(x) for x in c)
+        return pa.table({"log2_steps": pa.array(buckets, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return (out.map_batches(hist, batch_format="pyarrow")
+            .groupby("log2_steps")
+            .aggregate(Sum("n_px", alias_name="n_px"))
+            .sort("log2_steps"))
+
+
 def q_basin_zonal(sf_dir: str):
     """Composition showcase: watershed basins of the t1 DEM feed the
     raster-zone zonal stage -- per-basin elevation stats (ZonalStatistics
@@ -1380,6 +1419,7 @@ ROWS_ONLY = {
     "flow_accumulation": q_flow_accumulation,
     "watershed_basins": q_watershed_basins,
     "stream_order": q_stream_order,
+    "flow_length": q_flow_length,
     "basin_zonal": q_basin_zonal,
     "lm_perplexity": q_lm_perplexity,
     "cost_distance": q_cost_distance,

@@ -1180,3 +1180,333 @@ def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
     return (statics.union(state)
             .groupby("cell_id")
             .map_groups(paint, batch_format="pyarrow"))
+
+
+def flow_length_pairs(dirs: np.ndarray):
+    """Per-pixel DOWNSTREAM flow length to the pit as an EXACT integer
+    pair ``(a, b)`` = (#cardinal steps, #diagonal steps); length in map
+    units is ``a*ps + b*sqrt(2)*ps``.  Integer pairs are associative, so
+    any segmentation of the path sums to the same pair -- that is what
+    keeps the distributed stage bit-identical to this oracle.  Pointer
+    doubling, log(path) rounds.  Returns (a, b, term) int64/int32 flats;
+    nodata pixels get (0, 0, self)."""
+    H, W = dirs.shape
+    n = H * W
+    d = dirs.ravel()
+    r, c = np.divmod(np.arange(n, dtype=np.int64), W)
+    flows = d >= 0
+    tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+    tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+    inside = flows & (tr >= 0) & (tr < H) & (tc >= 0) & (tc < W)
+    ptr = np.where(inside, tr * W + tc, np.arange(n))
+    diag = (_DY[np.clip(d, 0, 7)] != 0) & (_DX[np.clip(d, 0, 7)] != 0)
+    a = np.where(inside & ~diag, 1, 0).astype(np.int64)
+    b = np.where(inside & diag, 1, 0).astype(np.int64)
+    while True:
+        nxt = ptr[ptr]
+        if np.array_equal(nxt, ptr):
+            break
+        a = a + a[ptr]
+        b = b + b[ptr]
+        ptr = nxt
+    # one more gather pass: the loop above stops when ptr is stable, but
+    # the final a/b must include the (zero) contribution at the terminal
+    return a, b, ptr.astype(np.int32)
+
+
+def flow_length_kernel(dirs: np.ndarray, pixel_size: float) -> np.ndarray:
+    """Whole-array downstream flow length in map units (the ArcGIS
+    FlowLength DOWNSTREAM convention; the test oracle)."""
+    H, W = dirs.shape
+    a, b, _ = flow_length_pairs(dirs)
+    ps = float(pixel_size)
+    out = (a.astype(np.float64) * ps
+           + b.astype(np.float64) * (np.sqrt(2.0) * ps))
+    out = out.astype(np.float32).reshape(H, W)
+    out[dirs == -2] = -1.0
+    return out
+
+
+def flow_length(ds, spec: GridSpec, *, layer: str = "dem",
+                fmt: str = "npz", max_hops: int = 256):
+    """Downstream flow length over the tile table: exact parity with
+    ``flow_length_kernel(d8_kernel(whole_raster))``.
+
+    Same path-halved contracted-border shape as :func:`watershed`, but
+    the route table carries EXACT integer step-count pairs (cardinal,
+    diagonal) instead of basin ids -- pairs are associative, so halving
+    (which re-associates path segments) cannot perturb the float result,
+    which is computed once at paint time as ``a*ps + b*sqrt(2)*ps``."""
+    import ray
+    import ray.data
+
+    if spec.tile_px < 2:
+        raise ValueError("tile_px must be >= 2")
+    T = spec.tile_px
+    tiles_x, tiles_y = spec.tiles_x, spec.tiles_y
+    fspec = _radius1_spec(spec)
+    emit = make_strip_emitter_batch(fspec)
+
+    def keep_layer(b: pa.Table) -> pa.Table:
+        import json
+
+        caps = b.column("caption").to_pylist()
+        keep = [i for i, c in enumerate(caps)
+                if json.loads(c)["layer"] == layer]
+        return b.take(pa.array(keep, pa.int64()))
+
+    def tile_state(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption
+
+        g = group.to_pydict()
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        neigh = sum(1 for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if 0 <= tx + dx < tiles_x and 0 <= ty + dy < tiles_y)
+        out = {n: [] for n in _WS_SCHEMA.names}
+
+        def row(**kw):
+            for n in _WS_SCHEMA.names:
+                out[n].append(kw.get(n))
+
+        window = (assemble_window(g, fspec, layer, tx, ty)
+                  if g["layer"].count(layer) == neigh else None)
+        if window is None:
+            return pa.table(out, schema=_WS_SCHEMA)
+        ref = next(Caption.from_json(g["caption"][i])
+                   for i in range(len(g["is_core"])) if g["is_core"][i])
+        dirs_w = d8_kernel(window, float(ref.nodata))
+        r0, _, c0, _ = fspec.assembled_window(tx, ty)
+        dirs = np.ascontiguousarray(
+            dirs_w[ty * T - r0:ty * T - r0 + T,
+                   tx * T - c0:tx * T - c0 + T])
+        a, b, term = flow_length_pairs(dirs)
+        d = dirs.ravel()
+        # exit info per terminal: where the terminal's flow crosses to
+        r, c = np.divmod(np.arange(T * T, dtype=np.int64), T)
+        flows = d >= 0
+        tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+        tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+        inside = flows & (tr >= 0) & (tr < T) & (tc >= 0) & (tc < T)
+        vterm = np.unique(term[d != -2])
+        exits = vterm[~inside[vterm] & flows[vterm]]
+        # routes: for every valid RING pixel p -- path pair to the exit
+        # edge (incl. the crossing step) + target entry, or pit marker
+        rr, cc = np.meshgrid(np.arange(T), np.arange(T), indexing="ij")
+        ring = ((rr == 0) | (rr == T - 1) | (cc == 0)
+                | (cc == T - 1)).ravel()
+        for p in np.flatnonzero(ring & (d != -2)):
+            t = int(term[p])
+            pa_, pb = int(a[p]), int(b[p])
+            if d[t] >= 0 and not inside[t]:        # exits the tile
+                gr = int(tr[t]) + ty * T
+                gc = int(tc[t]) + tx * T
+                diag = (_DY[d[t]] != 0) and (_DX[d[t]] != 0)
+                row(kind=2, cell_id=cell, px=int(p),
+                    to_cell=int(spec.cell_id(gc // T, gr // T)),
+                    to_px=int((gr % T) * T + gc % T),
+                    origin=pa_ + (0 if diag else 1),      # pair a
+                    basin=pb + (1 if diag else 0))        # pair b
+            else:                                   # pit inside
+                row(kind=2, cell_id=cell, px=int(p), to_cell=-1,
+                    to_px=t, origin=pa_, basin=pb)
+        if exits.size:
+            gr = tr[exits] + ty * T
+            gc = tc[exits] + tx * T
+            tgt_cell = (gr // T) * tiles_x + gc // T
+            tgt_px = (gr % T) * T + gc % T
+            uniq = np.unique(np.stack([tgt_cell, tgt_px], 1), axis=0)
+            for tcell, tpx in uniq:
+                row(kind=1, cell_id=int(tcell), px=int(tpx),
+                    origin=cell, to_cell=int(tcell), to_px=int(tpx))
+        row(kind=0, cell_id=cell,
+            dirs=zlib.compress(dirs.tobytes(), 1),
+            term=zlib.compress(np.concatenate(
+                [a, b, term.astype(np.int64)]).tobytes(), 1),
+            caption=ref.to_json())
+        return pa.table(out, schema=_WS_SCHEMA)
+
+    combined = (ds.map_batches(keep_layer, batch_format="pyarrow")
+                .map_batches(emit, batch_format="pyarrow")
+                .groupby("cell_id")
+                .map_groups(tile_state, batch_format="pyarrow")
+                .materialize())
+    nblocks = front_blocks(tiles_x * tiles_y)
+    state = combined.filter(expr="kind == 0")
+    resolvers = (combined.filter(expr="kind == 1")
+                 .repartition(nblocks).materialize())
+    # route rows: origin/basin columns carry the (a, b) pair; to_cell=-1
+    # marks "reaches a pit in this very tile" (fully resolved)
+    routes = (combined.filter(expr="kind == 2")
+              .repartition(nblocks).materialize())
+
+    def _lookup(g):
+        kind = np.asarray(g["kind"], np.int8)
+        ridx = np.flatnonzero(kind == 2)
+        pxs = np.asarray([g["px"][i] for i in ridx], np.int64)
+        order = np.argsort(pxs)
+        return kind, ridx[order], pxs[order]
+
+    def _emit(rows):
+        out = {n: [] for n in _WS_SCHEMA.names}
+        for kw in rows:
+            for n in _WS_SCHEMA.names:
+                out[n].append(kw.get(n))
+        return pa.table(out, schema=_WS_SCHEMA)
+
+    def halve(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        kind, ridx, pxs = _lookup(g)
+        qidx = np.flatnonzero(kind == 4)
+        if qidx.size == 0:
+            return _emit([])
+        qpx = np.asarray([g["px"][i] for i in qidx], np.int64)
+        pos = np.searchsorted(pxs, qpx)
+        if ridx.size == 0 or bool((pos >= len(pxs)).any()) or not bool(
+                (pxs[np.minimum(pos, len(pxs) - 1)] == qpx).all()):
+            raise RuntimeError("flow_length route with no target route")
+        rows = []
+        for i, ri in zip(qidx, ridx[pos]):
+            rows.append(dict(
+                kind=2, cell_id=g["to_cell"][i], px=g["to_px"][i],
+                to_cell=g["to_cell"][ri], to_px=g["to_px"][ri],
+                origin=g["origin"][i] + g["origin"][ri],   # pair adds
+                basin=g["basin"][i] + g["basin"][ri]))
+        return _emit(rows)
+
+    def queries_of(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        un = b.filter(pc.greater_equal(b.column("to_cell"),
+                                       pa.scalar(0, pa.int64())))
+        n = un.num_rows
+        return pa.table({
+            "kind": pa.array([4] * n, pa.int8()),
+            "cell_id": un.column("to_cell"),
+            "px": un.column("to_px"),
+            "origin": un.column("origin"),     # pair rides the query
+            "to_cell": un.column("cell_id"),   # origin key
+            "to_px": un.column("px"),
+            "basin": un.column("basin"),
+            "dirs": pa.nulls(n, pa.binary()),
+            "term": pa.nulls(n, pa.binary()),
+            "caption": pa.nulls(n, pa.string())},
+            schema=_WS_SCHEMA)
+
+    for _ in range(max_hops):
+        if routes.filter(expr="to_cell >= 0").count() == 0:
+            break
+        queries = routes.map_batches(queries_of, batch_format="pyarrow")
+        updated = (routes.union(queries)
+                   .groupby("cell_id")
+                   .map_groups(halve, batch_format="pyarrow"))
+        routes = (routes.filter(expr="to_cell < 0")
+                  .union(updated)
+                  .repartition(nblocks)
+                  .materialize())
+    else:
+        raise RuntimeError(
+            f"flow_length did not converge in {max_hops} halving "
+            f"rounds; raise max_hops")
+
+    def resolve(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        kind, ridx, pxs = _lookup(g)
+        qidx = np.flatnonzero(kind == 1)
+        if qidx.size == 0:
+            return _emit([])
+        qpx = np.asarray([g["px"][i] for i in qidx], np.int64)
+        pos = np.searchsorted(pxs, qpx)
+        if ridx.size == 0 or bool((pos >= len(pxs)).any()) or not bool(
+                (pxs[np.minimum(pos, len(pxs) - 1)] == qpx).all()):
+            raise RuntimeError("flow_length resolver found no route")
+        rows = []
+        for i, ri in zip(qidx, ridx[pos]):
+            if g["to_cell"][ri] >= 0:
+                raise RuntimeError("flow_length: unresolved route")
+            # resolved row: cell_id/origin = asking tile, to_* = the
+            # entry it asked about, px = pair a, basin = pair b
+            rows.append(dict(
+                kind=3, cell_id=g["origin"][i], origin=g["origin"][i],
+                to_cell=g["to_cell"][i], to_px=g["to_px"][i],
+                px=g["origin"][ri], basin=g["basin"][ri]))
+        return _emit(rows)
+
+    resolved = (resolvers.union(routes)
+                .groupby("cell_id")
+                .map_groups(resolve, batch_format="pyarrow")
+                .materialize())
+
+    def paint(group: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption, encode_tile, phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        g = group.to_pydict()
+        srow = next((i for i, k in enumerate(g["kind"]) if k == 0), None)
+        if srow is None:
+            return pa.table({c: [] for c in TILES_SCHEMA.names},
+                            schema=TILES_SCHEMA)
+        dirs = np.frombuffer(zlib.decompress(g["dirs"][srow]),
+                             np.int8).reshape(T, T)
+        blob = np.frombuffer(zlib.decompress(g["term"][srow]), np.int64)
+        a, b, term = (blob[:T * T], blob[T * T:2 * T * T],
+                      blob[2 * T * T:])
+        cap = Caption.from_json(g["caption"][srow])
+        cell = int(g["cell_id"][srow])
+        tx, ty = cell % tiles_x, cell // tiles_x
+        # (entry cell, entry px) -> resolved pair
+        emap = {(g["to_cell"][i], g["to_px"][i]):
+                (g["px"][i], g["basin"][i])
+                for i in range(len(g["kind"])) if g["kind"][i] == 3}
+        d = dirs.ravel()
+        r, c = np.divmod(np.arange(T * T, dtype=np.int64), T)
+        flows = d >= 0
+        tr = r + np.where(flows, _DY[np.clip(d, 0, 7)], 0)
+        tc = c + np.where(flows, _DX[np.clip(d, 0, 7)], 0)
+        inside = flows & (tr >= 0) & (tr < T) & (tc >= 0) & (tc < T)
+        aa = a.copy()
+        bb = b.copy()
+        valid = d != -2
+        ex = valid & (d[term] >= 0) & ~inside[term]
+        if ex.any():
+            tt = term[ex]
+            gr = tr[tt] + ty * T
+            gc = tc[tt] + tx * T
+            diag = ((_DY[d[tt]] != 0) & (_DX[d[tt]] != 0))
+            tgt_cell = (gr // T) * tiles_x + gc // T
+            tgt_px = (gr % T) * T + gc % T
+            add_a = np.empty(len(tt), np.int64)
+            add_b = np.empty(len(tt), np.int64)
+            for j, (tc_, tp_) in enumerate(zip(tgt_cell, tgt_px)):
+                try:
+                    pa2, pb2 = emap[(int(tc_), int(tp_))]
+                except KeyError:
+                    raise RuntimeError(
+                        "flow_length: unresolved exit target") from None
+                add_a[j] = pa2
+                add_b[j] = pb2
+            aa[ex] += add_a + np.where(diag, 0, 1)
+            bb[ex] += add_b + np.where(diag, 1, 0)
+        ps = float(cap.pixel_size)
+        outf = (aa.astype(np.float64) * ps
+                + bb.astype(np.float64) * (np.sqrt(2.0) * ps))
+        outarr = outf.astype(np.float32).reshape(T, T)
+        outarr[dirs == -2] = np.float32(cap.nodata)
+        ocap = Caption(layer="flow_len", x0=cap.x0, y0=cap.y0,
+                       pixel_size=cap.pixel_size, crs=cap.crs,
+                       nodata=cap.nodata, edge=dict(cap.edge),
+                       tx=tx, ty=ty)
+        payload, ocap = encode_tile(outarr, fmt, ocap)
+        return pa.table({
+            "image_id": pa.array([f"flow_len/{tx}/{ty}"], pa.string()),
+            "bytes": pa.array([payload], pa.binary()),
+            "w": pa.array([T], pa.int32()),
+            "h": pa.array([T], pa.int32()),
+            "fmt": pa.array([fmt], pa.string()),
+            "caption": pa.array([ocap.to_json()], pa.string()),
+            "phash": pa.array([phash64(outarr)], pa.int64())},
+            schema=TILES_SCHEMA)
+
+    return (state.union(resolved)
+            .groupby("cell_id")
+            .map_groups(paint, batch_format="pyarrow"))

@@ -317,3 +317,67 @@ def test_flow_accumulation_validation():
     spec = GridSpec.from_synth(cfg)
     with pytest.raises(ValueError):
         flow_accumulation(None, GridSpec(2, 2, 1, 25.0, spec.y_north))
+
+
+from balrog_ray.stages.hydrology import flow_length, flow_length_kernel
+
+
+def _flow_length_scalar(dirs, ps):
+    """Step-the-path scalar reference for flow_length_kernel."""
+    H, W = dirs.shape
+    out = np.full((H, W), -1.0, np.float32)
+    for r in range(H):
+        for c in range(W):
+            if dirs[r, c] == -2:
+                continue
+            a = b = 0
+            rr, cc = r, c
+            while dirs[rr, cc] >= 0:
+                dy, dx = _NB[dirs[rr, cc]]
+                r2, c2 = rr + dy, cc + dx
+                if not (0 <= r2 < H and 0 <= c2 < W):
+                    break
+                if dy and dx:
+                    b += 1
+                else:
+                    a += 1
+                rr, cc = r2, c2
+            out[r, c] = np.float32(a * ps + b * (np.sqrt(2.0) * ps))
+    return out
+
+
+@pytest.mark.parametrize("seed", [15, 16])
+def test_flow_length_kernel_matches_scalar(seed):
+    a = _bumpy_dem((13, 17), seed, nodata_frac=0.08)
+    d = d8_kernel(a, ND)
+    got = flow_length_kernel(d, 25.0)
+    want = _flow_length_scalar(d, 25.0)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed,tx,ty,T", [(17, 3, 2, 16), (18, 4, 4, 8)])
+def test_tiled_flow_length_matches_whole_raster(ray_session, seed,
+                                                tx, ty, T):
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=tx, tiles_y=ty, tile_px=T)
+    arr = _bumpy_dem((ty * T, tx * T), seed)
+    out = flow_length(
+        ray.data.from_arrow(_tiles_from_array(arr, cfg)),
+        GridSpec.from_synth(cfg)).materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), "flow_len", cfg)
+    d = d8_kernel(arr, ND)
+    want = flow_length_kernel(d, cfg.pixel_size)
+    want[d == -2] = np.float32(ND)
+    assert np.array_equal(got, want), (
+        f"{int((got != want).sum())} px differ; "
+        f"max |diff| {np.nanmax(np.abs(got - want))}")
+    # some pixel's pit lies in a different tile: paths crossed borders
+    ws = _watershed_oracle(arr, ND)
+    pit_r, pit_c = np.divmod(ws[d != -2].astype(np.int64), tx * T)
+    own_r, own_c = np.nonzero(d != -2)
+    crossed = ((pit_r // T != own_r // T) | (pit_c // T != own_c // T))
+    assert crossed.any(), "test DEM produced no cross-tile flow path"
