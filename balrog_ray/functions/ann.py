@@ -349,7 +349,7 @@ def sq_train(emb_ds, vec_col: str = "embedding") -> np.ndarray:
     rows = emb_ds.map_batches(partial, batch_format="pyarrow").take_all()
     lo = np.min([np.frombuffer(r["lo"], np.float32) for r in rows], axis=0)
     hi = np.max([np.frombuffer(r["hi"], np.float32) for r in rows], axis=0)
-    hi = np.where(hi > lo, hi, lo + 1e-6)
+    hi = np.where(hi > lo, hi, np.nextafter(lo, np.inf, dtype=np.float32))
     return np.stack([lo, hi])
 
 

@@ -110,7 +110,6 @@ def dedup_survivors(docs_ds, components_ds, id_col: str = "doc_id"):
         keep = pc.not_equal(b.column("doc_id"), b.column("component_id"))
         return pa.table({"__victim": b.filter(keep).column("doc_id")})
 
-    from ..joins import anti_join_keys
-
     v = components_ds.map_batches(victims, batch_format="pyarrow")
-    return anti_join_keys(docs_ds, v, id_col, "__victim")
+    return docs_ds.join(v, "left_anti", num_partitions=8,
+                        on=(id_col,), right_on=("__victim",))

@@ -27,6 +27,8 @@ single-process oracle in tests exactly.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 
@@ -35,13 +37,20 @@ from .text import whitespace_tokens
 BOS = "<s>"
 UNK = "<unk>"
 
+# corpus tokens that would collide with the BOS/UNK sentinels (or with
+# an already-escaped form of them) get one more leading '<' -- an
+# injective rewrite over the token space, so no document can merge its
+# counts into the model's UNK/BOS symbols
+_SENTINEL_LIKE = re.compile(r"^<+(s|unk)>$")
+
 
 def _norm_tokens(text: str) -> list[str]:
     # NUL is the wire separator for count keys; normalize it to a space
     # so noisy documents cannot forge or collide bigram keys (applies
     # identically to the local oracle, which shares this function)
-    return [t.lower()
-            for t in whitespace_tokens(text.replace("\x00", " ")) if t]
+    return [t if not _SENTINEL_LIKE.match(t) else "<" + t
+            for t in (t.lower() for t in
+                      whitespace_tokens(text.replace("\x00", " "))) if t]
 
 
 def bigram_counts(tokens: list[str]):
@@ -139,26 +148,40 @@ def train_bigram_lm(docs_ds, *, text_col: str = "text",
            .take_all())
     vocab = {r["term"][2:] for r in top}
 
-    def bi_survivors(b: pa.Table) -> pa.Table:
+    # UNK-fold DISTRIBUTED: raw bigram types are unbounded at corpus
+    # scale, so map each surviving bigram's terms onto the broadcast
+    # capped vocab inside map_batches, re-groupby the folded keys, and
+    # only then collect -- the driver sees at most (V+2)*(V+1) rows
+    # (the folded model), never the raw bigram-type table.
+    vocab_ref = ray.put(vocab)
+
+    def fold_bi(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         m = pc.and_(pc.starts_with(b.column("term"), "b\x00"),
                     pc.greater_equal(b.column("n"), min_count))
-        return b.filter(m)
-
-    tabs = [t for t in ray.get(
-        counts.map_batches(bi_survivors, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
-    bi: dict[tuple[str, str], int] = {}
-    for t in tabs:
-        for term, n in zip(t.column("term").to_pylist(),
-                           t.column("n").to_pylist()):
+        b = b.filter(m)
+        v: set[str] = ray.get(vocab_ref)
+        out = []
+        for term in b.column("term").to_pylist():
             a, c = term[2:].split("\x00", 1)
-            a = a if (a in vocab or a == BOS) else UNK
-            c = c if c in vocab else UNK
-            key = (a, c)
-            bi[key] = bi.get(key, 0) + int(n)
-    return BigramModel(vocab, bi)
+            a = a if (a in v or a == BOS) else UNK
+            c = c if c in v else UNK
+            out.append(f"b\x00{a}\x00{c}")
+        return pa.table({"term": pa.array(out, pa.string()),
+                         "n": b.column("n")})
+
+    folded = (counts.map_batches(fold_bi, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())
+    bi: dict[tuple[str, str], int] = {}
+    for r in folded:
+        a, c = r["term"][2:].split("\x00", 1)
+        bi[(a, c)] = int(r["n"])
+    model = BigramModel(vocab, bi)
+    model.train_stats = {"collected_rows": len(folded)}
+    return model
 
 
 def score_perplexity(docs_ds, model: BigramModel, *,

@@ -154,20 +154,29 @@ def term_freq_batch(batch: pa.Table, *, id_col: str = "doc_id",
 
 def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
                     text_col: str = "text", k: int = 3,
-                    max_df_frac: float = 1.0):
+                    max_df_frac: float = 1.0,
+                    broadcast_max_vocab: int = 4_000_000):
     """Per-document top-``k`` TF-IDF terms.
 
-    One keyed shuffle total: document frequency is a hash aggregate over
-    the (doc, token) tf rows (count per token == df exactly, since tf rows
-    are distinct per doc).  The vocab-sized df table is broadcast once
-    (``ray.put`` of a sorted token array + df array; ``max_df_frac`` < 1
-    drops stopword-scale tokens and bounds the broadcast — at open-web
-    vocab scale swap the broadcast for a ``Dataset.join`` on token, the
-    rest is unchanged).  Scoring runs as a stateless ``map_batches`` whose per-doc
-    top-k is a PARTIAL (Ray's dynamic block splitting can cut a doc's
-    tf rows across batches at target_max_block_size); a final
-    ``groupby(doc)`` merge over the <= k-per-(batch, doc) partials
-    repairs any split -- the shuffle moves only the pruned rows.
+    Document frequency is a hash aggregate over the (doc, token) tf rows
+    (count per token == df exactly, since tf rows are distinct per doc).
+    Two scoring paths, picked by measured vocabulary size:
+
+    * **broadcast** (vocab <= ``broadcast_max_vocab``): the df table
+      ships once as a sorted token array + idf array via ``ray.put``;
+      scoring is a stateless ``map_batches`` binary-search lookup.
+    * **token-keyed join** (open-web vocab): tf rows ``Dataset.join``
+      the df rows on token — the df table never leaves the cluster, so
+      driver memory is flat in vocabulary size; idf is computed per
+      joined row with the identical float64 formula, so both paths are
+      bit-equal.
+
+    Either way the per-doc top-k is a PARTIAL (Ray's dynamic block
+    splitting can cut a doc's tf rows across batches at
+    target_max_block_size); a final ``groupby(doc)`` merge over the
+    <= k-per-(batch, doc) partials repairs any split -- the shuffle
+    moves only the pruned rows.  ``max_df_frac`` < 1 drops
+    stopword-scale tokens in both paths.
 
     Tie-break: (score desc, token asc), deterministic.  The reference has
     no text scoring; this completes the SURVEY §2.3 training-data text
@@ -183,26 +192,15 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
         functools.partial(term_freq_batch, id_col=id_col, text_col=text_col),
         batch_format="pyarrow").materialize()
 
-    df_rows = tf.groupby("token").aggregate(
-        agg.Count(alias_name="df")).take_all()
-    vocab = np.asarray([r["token"] for r in df_rows])
-    dfs = np.asarray([r["df"] for r in df_rows], dtype=np.float64)
-    order = np.argsort(vocab)
-    vocab, dfs = vocab[order], dfs[order]
-    keep = dfs <= max_df_frac * n_docs
-    idf_ref = ray.put((vocab, np.where(keep, np.log(n_docs / dfs), np.nan)))
+    df_ds = (tf.groupby("token")
+             .aggregate(agg.Count(alias_name="df"))
+             .materialize())
+    df_thr = max_df_frac * n_docs
 
-    def score_topk(batch: pa.Table) -> pa.Table:
+    def _topk_partial(batch: pa.Table, ids, toks, scores) -> pa.Table:
         empty = pa.table({id_col: batch.column(id_col).slice(0, 0),
                           "token": pa.array([], pa.string()),
                           "tfidf": pa.array([], pa.float64())})
-        if batch.num_rows == 0:
-            return empty
-        voc, idf = ray.get(idf_ref)
-        toks = np.asarray(batch.column("token").to_pylist())
-        scores = (batch.column("tf").to_numpy().astype(np.float64)
-                  * idf[np.searchsorted(voc, toks)])
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         ok = ~np.isnan(scores)              # dropped stopword-scale tokens
         if not ok.all():
             ids, toks, scores = ids[ok], toks[ok], scores[ok]
@@ -219,13 +217,59 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
             "token": pa.array(toks[pick].tolist(), pa.string()),
             "tfidf": pa.array(np.round(scores[pick], 6), pa.float64())})
 
+    if df_ds.count() <= broadcast_max_vocab:
+        df_rows = df_ds.take_all()
+        vocab = np.asarray([r["token"] for r in df_rows])
+        dfs = np.asarray([r["df"] for r in df_rows], dtype=np.float64)
+        order = np.argsort(vocab)
+        vocab, dfs = vocab[order], dfs[order]
+        keep = dfs <= df_thr
+        idf_ref = ray.put(
+            (vocab, np.where(keep, np.log(n_docs / dfs), np.nan)))
+
+        def score_topk(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _topk_partial(batch, np.array([]), np.array([]),
+                                     np.array([]))
+            voc, idf = ray.get(idf_ref)
+            toks = np.asarray(batch.column("token").to_pylist())
+            scores = (batch.column("tf").to_numpy().astype(np.float64)
+                      * idf[np.searchsorted(voc, toks)])
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return _topk_partial(batch, ids, toks, scores)
+
+        scored = tf.map_batches(score_topk, batch_format="pyarrow")
+    else:
+        def df_keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.less_equal(b.column("df"), df_thr))
+
+        keep_df = df_ds.map_batches(df_keep, batch_format="pyarrow")
+        n_parts = int(min(512, max(8, tf.count() // 500_000 + 1)))
+        joined = tf.join(keep_df, "inner", num_partitions=n_parts,
+                         on=("token",))
+
+        def score_topk_joined(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _topk_partial(batch, np.array([]), np.array([]),
+                                     np.array([]))
+            # identical float64 expression as the broadcast path:
+            # tf * log(n_docs / df) -- bit-equal results
+            dfv = batch.column("df").to_numpy().astype(np.float64)
+            scores = (batch.column("tf").to_numpy().astype(np.float64)
+                      * np.log(n_docs / dfv))
+            toks = np.asarray(batch.column("token").to_pylist())
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return _topk_partial(batch, ids, toks, scores)
+
+        scored = joined.map_batches(score_topk_joined,
+                                    batch_format="pyarrow")
+
     def final_topk(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[
             ("tfidf", "descending"), ("token", "ascending")])
         return group.take(order[:k])
 
-    return (tf.map_batches(score_topk, batch_format="pyarrow")
-            .groupby(id_col)
+    return (scored.groupby(id_col)
             .map_groups(final_topk, batch_format="pyarrow"))
 
 

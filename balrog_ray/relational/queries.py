@@ -34,6 +34,17 @@ def _agg():
     return agg
 
 
+def _join_parts(sf_dir: str, *tables: str) -> int:
+    """Hash-join shuffle width, derived from the data instead of a
+    literal: ~1 partition per 500k rows of the larger PRE-FILTER input
+    (parquet footer row counts -- metadata-only, filters only shrink),
+    clamped to [8, 512].  sf0.1 keeps the 8-partition plan; a 100x
+    input widens the shuffle instead of throttling on 8 reducers."""
+    rows = max(pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
+               for t in tables)
+    return int(min(512, max(8, rows // 500_000 + 1)))
+
+
 def _collect(ds) -> pa.Table:
     """Driver-side collect of a SMALL result Dataset (post-aggregate /
     per-batch-partial tables only -- never a full input).  An all-empty
@@ -519,7 +530,9 @@ from supplier group by s_nationkey
 def q_join_orders_lineitem(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-    joined = orders.join(lineitem, "inner", num_partitions=8,
+    joined = orders.join(lineitem, "inner",
+                         num_partitions=_join_parts(sf_dir, "orders",
+                                                    "lineitem"),
                          on=("o_orderkey",), right_on=("l_orderkey",))
     return _partial_count_sums(joined, "o_orderstatus",
                                {"l_quantity": "sum_qty"},
@@ -543,7 +556,9 @@ def q_customers_without_orders(sf_dir: str):
     orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
               .filter(expr="o_orderstatus == 'F'")
               .select_columns(["o_custkey"]))
-    joined = customer.join(orders, "left_anti", num_partitions=8,
+    joined = customer.join(orders, "left_anti",
+                           num_partitions=_join_parts(sf_dir, "customer",
+                                                      "orders"),
                            on=("c_custkey",), right_on=("o_custkey",))
     return _partial_count_sums(joined, "c_nationkey", {},
                                count_alias="n_customers")
@@ -1095,11 +1110,11 @@ def q_cumsum_orders(sf_dir: str):
 
 SQL_CUMSUM_ORDERS = """
 select o_orderkey, o_custkey,
-       sum(cast(round(o_totalprice * 100) as bigint)) over (
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) over (
            partition by o_custkey
            order by o_orderdate, o_orderkey
            rows between unbounded preceding and current row
-       ) as run_cents
+       ) as bigint) as run_cents
 from orders
 """
 
@@ -1488,7 +1503,9 @@ def q_nation_orders(sf_dir: str):
     cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
             .map_batches(add_name, batch_format="pyarrow"))
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.join(cust, "inner", num_partitions=8,
+    joined = orders.join(cust, "inner",
+                         num_partitions=_join_parts(sf_dir, "orders",
+                                                    "customer"),
                          on=("o_custkey",), right_on=("c_custkey",))
     return _partial_count_sums(joined, "n_name", {},
                                count_alias="n_orders",
@@ -1913,7 +1930,10 @@ def q_bloom_semi_join(sf_dir: str):
     cand = filter_by_bloom(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
         "l_orderkey", bloom)
-    joined = cand.join(p_orders, "inner", num_partitions=8,
+    # sized on orders alone: the bloom prefilter leaves ~selectivity x
+    # lineitem rows, order-of orders-sized, on the probe side
+    joined = cand.join(p_orders, "inner",
+                       num_partitions=_join_parts(sf_dir, "orders"),
                        on=("l_orderkey",), right_on=("o_orderkey",))
 
     def one(b: pa.Table) -> pa.Table:

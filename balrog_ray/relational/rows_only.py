@@ -1276,6 +1276,54 @@ def q_warp_rotate(sf_dir: str):
     return (out.map_batches(stats, batch_format="pyarrow").sort("tile"))
 
 
+def q_reproject_geo(sf_dir: str):
+    """True CRS reprojection (the reference's ``gdal.Warp -t_srs
+    EPSG:4283``, ``ga_5m/01_mosaic_and_transform_images_in_one_go.py:
+    245-266``): warp the projected-metre t1 DEM onto a geographic
+    (degree) output grid through the plate-carree bridge (scalar
+    per-pixel oracle in tests/test_warp.py), reduced to per-tile
+    coverage stats."""
+    import ray
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.warp import _K_M_PER_DEG, GeoToProj, warp_to_grid
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    lat_ts = -35.0
+    # degree grid sized to the source extent at the standard parallel
+    h_deg = cfg.tiles_y * cfg.tile_px * cfg.pixel_size / _K_M_PER_DEG
+    ps_deg = h_deg / (cfg.tiles_y * cfg.tile_px)
+    tspec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px, ps_deg,
+                     y_north=h_deg)
+    out = warp_to_grid(
+        ray.data.from_arrow(tiles_table(cfg, layers=("dem",))),
+        tspec, GeoToProj(lon0=0.0, lat0=0.0, lat_ts=lat_ts),
+        layer="reproj")
+
+    def stats(b: pa.Table) -> pa.Table:
+        tile, n_valid, vmin, vmax = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            ok = arr != np.float32(cap.nodata)
+            tile.append(f"{cap.tx}/{cap.ty}")
+            n_valid.append(int(ok.sum()))
+            vmin.append(round(float(arr[ok].min()), 3) if ok.any()
+                        else None)
+            vmax.append(round(float(arr[ok].max()), 3) if ok.any()
+                        else None)
+        return pa.table({"tile": pa.array(tile, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "vmin": pa.array(vmin, pa.float64()),
+                         "vmax": pa.array(vmax, pa.float64())})
+
+    return out.map_batches(stats, batch_format="pyarrow").sort("tile")
+
+
 def q_idw_sites(sf_dir: str):
     """gdal_grid (invdist) role: IDW-interpolate a deterministic value
     at the t1 probe sites onto the tile grid (brute-force oracle in
@@ -1416,6 +1464,7 @@ ROWS_ONLY = {
     "veg_class_hull": q_veg_class_hull,
     "idw_sites": q_idw_sites,
     "warp_rotate": q_warp_rotate,
+    "reproject_geo": q_reproject_geo,
     "flow_accumulation": q_flow_accumulation,
     "watershed_basins": q_watershed_basins,
     "stream_order": q_stream_order,

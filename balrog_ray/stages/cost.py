@@ -391,9 +391,10 @@ def _cost_state(ds, spec: GridSpec, *, cost_layer: str,
         offers = (step_out.filter(expr="kind == 2")
                   .repartition(nblocks).materialize())
     else:
-        raise RuntimeError(
-            f"cost_distance did not converge in {max_rounds} rounds; "
-            f"raise max_rounds")
+        if _cells_of(offers).size != 0:
+            raise RuntimeError(
+                f"cost_distance did not converge in {max_rounds} "
+                f"rounds; raise max_rounds")
 
     return statics, ringst, paint
 

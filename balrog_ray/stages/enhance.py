@@ -172,7 +172,8 @@ def stretch_lut(hist: np.ndarray, vmin: float, vmax: float,
     if n == 0:
         return np.zeros(bins, np.float32)
     cdf = np.cumsum(hist) / n * 100.0
-    lo_edge = edges[int(np.searchsorted(cdf, p_lo, side="left"))]
+    lo_edge = edges[min(bins - 1,
+                        int(np.searchsorted(cdf, p_lo, side="left")))]
     hi_edge = edges[min(bins - 1,
                         int(np.searchsorted(cdf, p_hi, side="left")))]
     if hi_edge <= lo_edge:

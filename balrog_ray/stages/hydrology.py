@@ -392,10 +392,11 @@ def flow_accumulation(ds, spec: GridSpec, *, layer: str = "dem",
                .materialize())
         waves.append(cur)
     else:
-        raise RuntimeError(
-            f"flow_accumulation did not converge in {max_hops} hops; "
-            f"the longest drainage path crosses more tile boundaries -- "
-            f"raise max_hops")
+        if cur.count() != 0:
+            raise RuntimeError(
+                f"flow_accumulation did not converge in {max_hops} hops; "
+                f"the longest drainage path crosses more tile boundaries "
+                f"-- raise max_hops")
 
     def tag(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -747,9 +748,10 @@ def watershed(ds, spec: GridSpec, *, layer: str = "dem",
                   .repartition(nblocks)
                   .materialize())
     else:
-        raise RuntimeError(
-            f"watershed did not converge in {max_hops} halving rounds; "
-            f"raise max_hops")
+        if routes.filter(expr="basin < 0").count() != 0:
+            raise RuntimeError(
+                f"watershed did not converge in {max_hops} halving "
+                f"rounds; raise max_hops")
 
     def resolve(group: pa.Table) -> pa.Table:
         """One final join per cell: resolvers read the fully-contracted
@@ -1173,9 +1175,10 @@ def stream_order(ds, spec: GridSpec, *, layer: str = "dem",
         state = nxt.filter(expr="kind == 1")
         offers = nxt.filter(expr="kind == 2")
     else:
-        raise RuntimeError(
-            f"stream_order did not converge in {max_rounds} rounds; "
-            f"raise max_rounds")
+        if _cells_of(offers).size != 0:
+            raise RuntimeError(
+                f"stream_order did not converge in {max_rounds} rounds; "
+                f"raise max_rounds")
 
     return (statics.union(state)
             .groupby("cell_id")
@@ -1405,9 +1408,10 @@ def flow_length(ds, spec: GridSpec, *, layer: str = "dem",
                   .repartition(nblocks)
                   .materialize())
     else:
-        raise RuntimeError(
-            f"flow_length did not converge in {max_hops} halving "
-            f"rounds; raise max_hops")
+        if routes.filter(expr="to_cell >= 0").count() != 0:
+            raise RuntimeError(
+                f"flow_length did not converge in {max_hops} halving "
+                f"rounds; raise max_hops")
 
     def resolve(group: pa.Table) -> pa.Table:
         g = group.to_pydict()

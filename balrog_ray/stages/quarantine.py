@@ -99,7 +99,8 @@ def drop_quarantined(ds, report_ds, id_col: str = "image_id"):
         return pa.table({"__bad": b.filter(
             pc.invert(b.column("ok"))).column(id_col)})
 
-    from ..joins import anti_join_keys
-
+    # bad-id table is bounded (failure rows); the corpus streams
+    # through the anti-join
     bad = report_ds.map_batches(bad_ids, batch_format="pyarrow")
-    return anti_join_keys(ds, bad, id_col, "__bad")
+    return ds.join(bad, "left_anti", num_partitions=8,
+                   on=(id_col,), right_on=("__bad",))

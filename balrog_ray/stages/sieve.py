@@ -87,11 +87,19 @@ def _tile_regions(arr: np.ndarray, nodata: float, base: np.int64,
 
 
 def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
-          fmt: str = "npz"):
+          fmt: str = "npz", max_regions: int = 5_000_000):
     """Image-table Dataset -> image-table Dataset (layer
     ``sieve_<layer>``) with sub-threshold regions dissolved into their
     largest neighbours.  Exact whole-raster parity is asserted in
-    tests/test_sieve.py."""
+    tests/test_sieve.py.
+
+    ``max_regions`` is the loud bound on the driver-side merge loop: the
+    raw region count is measured DISTRIBUTED first and the stage refuses
+    to proceed past the bound (speckle-heavy rasters can approach
+    pixels/min_px regions); everything except the final sequential merge
+    -- fragment->canonical mapping, per-region size/anchor aggregation,
+    adjacency dedup -- runs as Dataset joins/groupbys, so the driver
+    only ever holds the CONTRACTED canonical graph."""
     if min_px < 2:
         raise ValueError("min_px must be >= 2 (1 would be a no-op)")
     if spec.tile_px * spec.tile_px >= (1 << _LABEL_BITS):
@@ -186,59 +194,145 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
              .map_groups(cross_edges, batch_format="pyarrow")
              .materialize())
 
+    import ray
+    import ray.data.aggregate as agg
+
     from ..functions.components import connected_components
 
+    # loud bound check BEFORE anything region-sized reaches the driver
+    n_regions = combined.filter(expr="kind == 0").count()
+    if n_regions > max_regions:
+        raise RuntimeError(
+            f"sieve: {n_regions} raw regions exceed max_regions="
+            f"{max_regions}; the final merge loop runs driver-side over "
+            f"the region graph (bounded-materialization contract, as "
+            f"basin_zonal gates its 26-bit ids) -- raise max_regions if "
+            f"the driver has the memory, or sieve per sub-raster")
+    n_parts = int(min(256, max(8, n_regions // 500_000 + 1)))
+
+    # ---- distributed graph contraction: fragment -> canonical ----
+    parts_ds = combined.filter(expr="kind == 0") \
+        .select_columns(["gid", "value", "n_px", "anchor"])
     merge_edges = cross.filter(expr="ek == 0") \
         .select_columns(["id_a", "id_b"])
-    mapping_rows = connected_components(
-        merge_edges, "id_a", "id_b").take_all()
-    raw2canon = {int(r["doc_id"]): int(r["component_id"])
-                 for r in mapping_rows}
 
-    # ---- driver-side region graph (regions << pixels) ----
-    parts = combined.filter(expr="kind == 0") \
-        .select_columns(["gid", "value", "n_px", "anchor"]).take_all()
+    def _with_canon(src, key_col: str, mapping):
+        """left-join ``src[key_col]`` against the components mapping and
+        coalesce misses to identity, into a ``canon`` column."""
+        import pyarrow.compute as pc2
+
+        j = src.join(mapping, "left_outer", num_partitions=n_parts,
+                     on=(key_col,), right_on=("doc_id",))
+
+        def fold(b: pa.Table) -> pa.Table:
+            canon = pc2.coalesce(b.column("component_id"),
+                                 b.column(key_col)).cast(pa.int64())
+            b = b.drop_columns([c for c in ("doc_id", "component_id")
+                                if c in b.column_names])
+            return b.append_column("canon", canon)
+
+        return j.map_batches(fold, batch_format="pyarrow")
+
+    if merge_edges.count():
+        mapping = connected_components(
+            merge_edges, "id_a", "id_b").materialize()
+        parts_c = _with_canon(parts_ds, "gid", mapping).materialize()
+
+        adj_raw = (combined.filter(expr="kind == 2")
+                   .map_batches(lambda b: pa.table(
+                       {"id_a": b.column("gid"),
+                        "id_b": b.column("id_b")}),
+                       batch_format="pyarrow")
+                   .union(cross.filter(expr="ek == 1")
+                          .select_columns(["id_a", "id_b"])))
+        a_mapped = (_with_canon(adj_raw, "id_a", mapping)
+                    .map_batches(lambda b: pa.table(
+                        {"id_a": b.column("canon"),
+                         "id_b": b.column("id_b")}),
+                        batch_format="pyarrow"))
+        adj_c = (_with_canon(a_mapped, "id_b", mapping)
+                 .map_batches(lambda b: pa.table(
+                     {"id_a": b.column("id_a"),
+                      "id_b": b.column("canon")}),
+                     batch_format="pyarrow"))
+    else:
+        def ident(b: pa.Table) -> pa.Table:
+            return b.append_column("canon", b.column("gid"))
+
+        parts_c = parts_ds.map_batches(
+            ident, batch_format="pyarrow").materialize()
+        adj_c = (combined.filter(expr="kind == 2")
+                 .map_batches(lambda b: pa.table(
+                     {"id_a": b.column("gid"),
+                      "id_b": b.column("id_b")}),
+                     batch_format="pyarrow")
+                 .union(cross.filter(expr="ek == 1")
+                        .select_columns(["id_a", "id_b"])))
+
+    # canonical-region partials (<= n_regions rows, usually far fewer)
+    canon_rows = (parts_c
+                  .groupby("canon")
+                  .aggregate(agg.Sum("n_px", alias_name="n_px"),
+                             agg.Min("anchor", alias_name="anchor"),
+                             agg.Min("value", alias_name="value"))
+                  .take_all())
     size: dict[int, int] = {}
     value: dict[int, float] = {}
     anchor: dict[int, int] = {}
-    for r in parts:
-        c = raw2canon.get(int(r["gid"]), int(r["gid"]))
-        size[c] = size.get(c, 0) + int(r["n_px"])
+    for r in canon_rows:
+        c = int(r["canon"])
+        size[c] = int(r["n_px"])
         value[c] = float(r["value"])
-        anchor[c] = min(anchor.get(c, 1 << 62), int(r["anchor"]))
+        anchor[c] = int(r["anchor"])
+
+    # canonical adjacency, deduped distributed before collection
+    def drop_self(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        return b.filter(pc2.not_equal(b.column("id_a"),
+                                      b.column("id_b")))
+
     neigh: dict[int, set] = {c: set() for c in size}
-    adj_rows = combined.filter(expr="kind == 2") \
-        .select_columns(["gid", "id_b"]).take_all()
-    cross_adj = cross.filter(expr="ek == 1") \
-        .select_columns(["id_a", "id_b"]).take_all()
+    adj_rows = (adj_c
+                .map_batches(drop_self, batch_format="pyarrow")
+                .groupby(["id_a", "id_b"])
+                .aggregate(agg.Count(alias_name="_n"))
+                .take_all())
     for r in adj_rows:
-        a = raw2canon.get(int(r["gid"]), int(r["gid"]))
-        b_ = raw2canon.get(int(r["id_b"]), int(r["id_b"]))
-        if a != b_:
-            neigh[a].add(b_)
-            neigh[b_].add(a)
-    for r in cross_adj:
-        a = raw2canon.get(int(r["id_a"]), int(r["id_a"]))
-        b_ = raw2canon.get(int(r["id_b"]), int(r["id_b"]))
-        if a != b_:
-            neigh[a].add(b_)
-            neigh[b_].add(a)
+        a, b_ = int(r["id_a"]), int(r["id_b"])
+        neigh[a].add(b_)
+        neigh[b_].add(a)
 
     final = sieve_merge(size, value, anchor, neigh, min_px)
 
-    # flatten: raw gid -> final value, only where the value changed
-    changed: dict[int, float] = {}
-    for r in parts:
-        g = int(r["gid"])
-        c = raw2canon.get(g, g)
-        nv = value[final[c]]
-        if nv != float(r["value"]):
-            changed[g] = nv
+    # raw gid -> final value, only where the value changed.  Merge edges
+    # connect same-value fragments, so a fragment changes iff its
+    # canonical region changes: broadcast the canonical change map
+    # (bounded by the gate) and scan the fragment table distributed.
+    changed_canon = {c: value[final[c]] for c in size
+                     if value[final[c]] != value[c]}
+    ck = np.array(sorted(changed_canon), np.int64)
+    cv = np.array([changed_canon[k] for k in ck], np.float32)
+    cref = ray.put((ck, cv))
 
-    import ray
+    def changed_frags(b: pa.Table) -> pa.Table:
+        k, v = ray.get(cref)
+        g = b.column("gid").to_numpy()
+        c = b.column("canon").to_numpy()
+        if not len(k) or not len(g):
+            return pa.table({"gid": pa.array([], pa.int64()),
+                             "nv": pa.array([], pa.float32())})
+        pos = np.clip(np.searchsorted(k, c), 0, len(k) - 1)
+        hit = k[pos] == c
+        return pa.table({"gid": pa.array(g[hit], pa.int64()),
+                         "nv": pa.array(v[pos[hit]], pa.float32())})
 
-    keys = np.array(sorted(changed), np.int64)
-    vals_arr = np.array([changed[k] for k in keys], np.float32)
+    ch_rows = parts_c.map_batches(
+        changed_frags, batch_format="pyarrow").take_all()
+    keys = np.array([r["gid"] for r in ch_rows], np.int64)
+    vals_arr = np.array([r["nv"] for r in ch_rows], np.float32)
+    srt = np.argsort(keys)
+    keys, vals_arr = keys[srt], vals_arr[srt]
     map_ref = ray.put((keys, vals_arr))
 
     def rewrite(b: pa.Table) -> pa.Table:

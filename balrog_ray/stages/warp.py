@@ -16,7 +16,7 @@ and blend the 2x2 bilinear stencil::
 
 nodata / out-of-source stencil pixels are excluded and the weights
 renormalized (GDAL's nodata-aware bilinear); a pixel with zero valid
-weight is nodata.  ``nearest`` picks round-half-down of the fractional
+weight is nodata.  ``nearest`` picks round-half-up of the fractional
 coords.
 
 Scale shape -- one emit pass + ONE groupby(target cell) shuffle, no
@@ -87,6 +87,62 @@ class Affine:
                       si, co, cy - si * cx - co * cy + dy)
 
 
+# ---------------------------------------------------------------------------
+# CRS bridge transforms: true projected <-> geographic reprojection
+# (the reference's ``gdal.Warp -t_srs EPSG:4283``,
+# ``data_prep/images/ga_5m/01_mosaic_and_transform_images_in_one_go.py:245-266``
+# and ``data_prep/03_create_dem_aspect_slope_rasters.sh:24-33``).  The
+# projected frame is the equirectangular (plate-carree) local-metre frame
+# shared with ``geo.geodesic.local_meter_frame``: ``x = (lon - lon0) * k *
+# cos(lat_ts)``, ``y = (lat - lat0) * k`` with ``k`` = metres per degree on
+# the mean sphere and ``lat_ts`` the standard parallel.  Both directions
+# satisfy the warp emitter's transform protocol (``apply`` = target world
+# -> source world, ``inverse`` = the opposite bridge), are monotone per
+# axis (so the emitter's corner-mapped bbox is exact), and compose with the
+# weighted-stencil resampler unchanged.
+
+_K_M_PER_DEG = 6371008.8 * np.pi / 180.0      # IUGG mean-sphere metres/deg
+
+
+@dataclass(frozen=True)
+class ProjToGeo:
+    """TARGET projected-metre world -> SOURCE degree world: regrid
+    degree-CRS tiles (the reference's EPSG:4283 COGs) onto the engine's
+    metre grid."""
+    lon0: float = 0.0
+    lat0: float = 0.0
+    lat_ts: float | None = None       # standard parallel; default lat0
+
+    def apply(self, x: np.ndarray, y: np.ndarray):
+        ts = self.lat0 if self.lat_ts is None else self.lat_ts
+        kx = _K_M_PER_DEG * np.cos(np.deg2rad(ts))
+        return (self.lon0 + np.asarray(x, np.float64) / kx,
+                self.lat0 + np.asarray(y, np.float64) / _K_M_PER_DEG)
+
+    def inverse(self) -> "GeoToProj":
+        return GeoToProj(self.lon0, self.lat0, self.lat_ts)
+
+
+@dataclass(frozen=True)
+class GeoToProj:
+    """TARGET degree world -> SOURCE projected-metre world: produce a
+    geographic (EPSG:4283-style) output grid from a projected raster --
+    the ``-t_srs EPSG:4283`` direction itself."""
+    lon0: float = 0.0
+    lat0: float = 0.0
+    lat_ts: float | None = None
+
+    def apply(self, lon: np.ndarray, lat: np.ndarray):
+        ts = self.lat0 if self.lat_ts is None else self.lat_ts
+        kx = _K_M_PER_DEG * np.cos(np.deg2rad(ts))
+        return ((np.asarray(lon, np.float64) - self.lon0) * kx,
+                (np.asarray(lat, np.float64) - self.lat0)
+                * _K_M_PER_DEG)
+
+    def inverse(self) -> "ProjToGeo":
+        return ProjToGeo(self.lon0, self.lat0, self.lat_ts)
+
+
 _PATCH_SCHEMA = pa.schema([
     ("cell_id", pa.int64()),
     ("row0", pa.int32()), ("col0", pa.int32()),   # global target px
@@ -133,13 +189,16 @@ def _stencil_partials(src: np.ndarray, nodata: float, cf: np.ndarray,
     return wv, ws
 
 
-def make_warp_emitter(spec: GridSpec, affine: Affine,
+def make_warp_emitter(spec: GridSpec, transform,
                       resampling: str = "bilinear"):
-    """Source tile rows -> partial-stencil patches keyed by target cell."""
+    """Source tile rows -> partial-stencil patches keyed by target cell.
+    ``transform`` maps target world -> source world (``Affine``,
+    ``ProjToGeo`` or ``GeoToProj`` -- anything with per-axis-monotone
+    ``apply`` and an ``inverse()``)."""
     if resampling not in ("bilinear", "nearest"):
         raise ValueError("resampling must be 'bilinear' or 'nearest'")
     T, ps_t = spec.tile_px, spec.pixel_size
-    fwd = affine.inverse()            # source world -> target world
+    fwd = transform.inverse()         # source world -> target world
     nearest = resampling == "nearest"
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -178,7 +237,7 @@ def make_warp_emitter(spec: GridSpec, affine: Affine,
                     gx = (np.arange(pc0, pc1 + 1) + 0.5) * ps_t
                     gy = spec.y_north - (np.arange(pr0, pr1 + 1) + 0.5) * ps_t
                     X, Y = np.meshgrid(gx, gy)
-                    sx, sy = affine.apply(X, Y)
+                    sx, sy = transform.apply(X, Y)
                     cf = (sx - sx0) / ps_s - 0.5
                     rf = (sy0 - sy) / ps_s - 0.5
                     wv, ws = _stencil_partials(src, cap.nodata, cf, rf,
@@ -236,17 +295,18 @@ def make_warp_assembler(spec: GridSpec, layer: str, fmt: str = "npz"):
     return fn
 
 
-def warp_to_grid(tiles_ds, spec: GridSpec, affine: Affine, *,
+def warp_to_grid(tiles_ds, spec: GridSpec, transform, *,
                  layer: str = "warp", fmt: str = "npz",
                  resampling: str = "bilinear"):
-    """Warp a tile Dataset through ``affine`` (target world -> source
-    world) onto the target ``spec`` grid.  Returns a TILES_SCHEMA
+    """Warp a tile Dataset through ``transform`` (target world -> source
+    world: an ``Affine``, or a CRS bridge for true reprojection) onto
+    the target ``spec`` grid.  Returns a TILES_SCHEMA
     Dataset; target cells with no source coverage are dropped (resume-
     friendly partitioned output, not a dense all-nodata grid)."""
     if resampling not in ("bilinear", "nearest"):
         raise ValueError("resampling must be 'bilinear' or 'nearest'")
     return (tiles_ds
-            .map_batches(make_warp_emitter(spec, affine, resampling),
+            .map_batches(make_warp_emitter(spec, transform, resampling),
                          batch_format="pyarrow")
             .groupby("cell_id")
             .map_groups(make_warp_assembler(spec, layer, fmt),

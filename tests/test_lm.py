@@ -87,3 +87,36 @@ def test_min_count_prunes_bigrams(ray_session):
     assert set(m2.bi) < set(m1.bi)
     assert all(n >= 2 for n in m2.bi.values())
     assert m2.bi == _local_model(DOCS, min_count=2).bi
+
+
+def test_driver_collects_folded_model_not_raw_bigrams(ray_session):
+    """The model contraction is distributed: with vocab_size << distinct
+    tokens the driver must collect exactly the UNK-folded model rows
+    (bounded by (V+2)*(V+1)), never the raw bigram-type table."""
+    m = train_bigram_lm(_docs_ds(), vocab_size=2)
+    # raw bigram types in the corpus (local recount)
+    raw = set()
+    for t in DOCS:
+        _, g = bigram_counts(_norm_tokens(t))
+        raw |= set(g)
+    assert m.train_stats["collected_rows"] == len(m.bi)
+    assert m.train_stats["collected_rows"] <= (2 + 2) * (2 + 1)
+    assert m.train_stats["collected_rows"] < len(raw)
+    assert m.bi == _local_model(DOCS, vocab_size=2).bi
+
+
+def test_sentinel_tokens_cannot_collide(ray_session):
+    """Literal '<s>'/'<unk>' corpus tokens are escaped, so they never
+    merge counts with the model's BOS/UNK symbols -- and the escape is
+    injective ('<<s>' escapes again rather than merging with '<s>')."""
+    assert _norm_tokens("<s> <unk> <<s>> x") == \
+        ["<<s>", "<<unk>", "<<s>>", "x"]
+    docs = ["<unk> appears literally here", "plain words appear here"]
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)])
+    m = train_bigram_lm(ds)
+    assert "<unk>" not in m.vocab and "<s>" not in m.vocab
+    assert "<<unk>" in m.vocab                    # the escaped literal
+    assert m.bi == _local_model(docs).bi

@@ -186,3 +186,19 @@ def test_sieve_validation():
     cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=16)
     with pytest.raises(ValueError):
         sieve(None, GridSpec.from_synth(cfg), layer="veg", min_px=1)
+
+
+def test_sieve_region_bound_gates_loudly(ray_session):
+    """The driver-side merge loop is gated on the DISTRIBUTED region
+    count: a speckle raster above max_regions must refuse early with an
+    actionable error, before any region-sized collection."""
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=1, tile_px=16)
+    arr = _random_categorical(
+        (cfg.tile_px, 2 * cfg.tile_px), seed=7)
+    tab = _tiles_from_array(arr, cfg)
+    spec = GridSpec.from_synth(cfg)
+    with pytest.raises(RuntimeError, match="max_regions"):
+        sieve(ray.data.from_arrow(tab), spec, layer="veg", min_px=3,
+              max_regions=1).materialize()

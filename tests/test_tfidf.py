@@ -71,3 +71,14 @@ def test_tfidf_max_df_drops_stopwords(docs_ds):
     got = sorted((r["doc_id"], r["token"], r["tfidf"]) for r in rows)
     assert got == _oracle(k=3, max_df_frac=0.25)
     assert all(t == "elderberry" for _, t, _ in got)
+
+
+def test_tfidf_join_path_matches_broadcast(docs_ds):
+    """broadcast_max_vocab=0 forces the token-keyed Dataset.join path;
+    results must be identical to the broadcast path (same float64
+    expression) -- including the max_df_frac stopword drop."""
+    for frac in (1.0, 0.25):
+        rows = tfidf_top_terms(docs_ds, k=3, max_df_frac=frac,
+                               broadcast_max_vocab=0).take_all()
+        got = sorted((r["doc_id"], r["token"], r["tfidf"]) for r in rows)
+        assert got == _oracle(k=3, max_df_frac=frac)

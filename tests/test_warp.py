@@ -124,3 +124,73 @@ def test_warp_validation():
     with pytest.raises(ValueError, match="resampling"):
         warp_to_grid(None, GridSpec(2, 2, 16, 25.0, 800.0),
                      Affine.identity(), resampling="cubic")
+
+
+# ---------------------------------------------------------------------------
+# true CRS reprojection (plate-carree bridge) vs the same scalar oracle
+
+def test_crs_bridge_roundtrip():
+    from balrog_ray.stages.warp import GeoToProj, ProjToGeo
+
+    tr = ProjToGeo(lon0=115.2, lat0=-33.9, lat_ts=-35.0)
+    x = np.array([0.0, 1234.5, -987.0])
+    y = np.array([42.0, -5000.0, 31337.0])
+    lon, lat = tr.apply(x, y)
+    bx, by = tr.inverse().apply(lon, lat)
+    assert np.allclose(bx, x) and np.allclose(by, y)
+    assert isinstance(tr.inverse(), GeoToProj)
+    # the standard parallel actually shrinks the lon axis
+    lon2, _ = ProjToGeo(lat_ts=0.0).apply(x, y)
+    lon3, _ = ProjToGeo(lat_ts=-60.0).apply(x, y)
+    assert np.all(np.abs(lon3[1:]) > np.abs(lon2[1:]))
+
+
+@pytest.mark.parametrize("resampling", ["nearest", "bilinear"])
+def test_geo_tiles_onto_metre_grid(ray_session, resampling):
+    """Degree-CRS source tiles regridded onto a projected-metre target
+    grid (ingesting the reference's EPSG:4283 COGs), vs the scalar
+    per-pixel reproject oracle."""
+    from balrog_ray.stages.warp import ProjToGeo
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16,
+                      pixel_size=0.001)           # degrees
+    arr = _bumpy_dem((32, 48), 13)
+    # metre target grid positioned over the transformed source extent:
+    # lon in [0, 0.048], lat in [0, 0.032] -> x in [0, ~4373], y in
+    # [0, ~3559] at lat_ts=-35
+    tspec = GridSpec(2, 2, 20, 100.0, y_north=3600.0)
+    tr = ProjToGeo(lon0=0.0, lat0=0.0, lat_ts=-35.0)
+    got = _run(arr, cfg, tspec, tr, resampling)
+    want = _warp_scalar(arr, cfg.y_north, cfg.pixel_size, tspec, tr,
+                        resampling)
+    got_nd = got == np.float32(ND)
+    want_nd = want == np.float32(ND)
+    assert np.array_equal(got_nd, want_nd)
+    if resampling == "nearest":
+        assert np.array_equal(got, want)
+    else:
+        assert np.allclose(got[~got_nd], want[~want_nd],
+                           rtol=1e-6, atol=1e-4)
+    assert 0.05 < got_nd.mean() < 0.95    # real mix of data and nodata
+
+
+def test_metre_tiles_onto_geo_grid(ray_session):
+    """Projected-metre source tiles onto a geographic (degree) output
+    grid -- the reference's ``gdal.Warp -t_srs EPSG:4283`` direction."""
+    from balrog_ray.stages.warp import GeoToProj
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16,
+                      pixel_size=25.0)            # metres
+    arr = _bumpy_dem((32, 48), 14)
+    # source x in [0, 1200], y in [0, 800]; degree target grid covering
+    # lon in [0, 0.016], lat in [0, 0.008] at lat_ts=-35
+    tspec = GridSpec(2, 2, 20, 0.0004, y_north=0.008)
+    tr = GeoToProj(lon0=0.0, lat0=0.0, lat_ts=-35.0)
+    got = _run(arr, cfg, tspec, tr, "bilinear")
+    want = _warp_scalar(arr, cfg.y_north, cfg.pixel_size, tspec, tr,
+                        "bilinear")
+    got_nd = got == np.float32(ND)
+    want_nd = want == np.float32(ND)
+    assert np.array_equal(got_nd, want_nd)
+    assert np.allclose(got[~got_nd], want[~want_nd],
+                       rtol=1e-6, atol=1e-4)
