@@ -77,6 +77,32 @@ def geodesic_point_buffer(lon: float, lat: float, radius_m: float,
     return Polygon(np.column_stack([lons, lats]))
 
 
+def spherical_ring_area_m2(ring: np.ndarray) -> float:
+    """Signed spherical area (m^2) of a closed lon/lat ring (degrees) on
+    the mean sphere, via the line-integral form of the spherical excess
+    (Chamberlain & Duquette 2007, eq. 15 -- the ``st_area(geography)`` /
+    ``pyproj.Geod.geometry_area_perimeter`` role the reference uses at
+    ``data_prep/vegetation/04_merge_geometries.py:188``): ``A = -R^2/2 *
+    sum((lam_{i+1} - lam_i) * (sin(phi_i) + sin(phi_{i+1})))``.  Positive
+    for counter-clockwise rings; lon steps are wrapped to (-180, 180] so
+    antimeridian-crossing rings stay local."""
+    ring = np.asarray(ring, np.float64)
+    lon = np.deg2rad(ring[:, 0])
+    lat = np.deg2rad(ring[:, 1])
+    dlon = np.diff(lon)
+    dlon = (dlon + np.pi) % (2.0 * np.pi) - np.pi
+    a = -(dlon * (np.sin(lat[:-1]) + np.sin(lat[1:]))).sum() / 2.0
+    return float(a * EARTH_R * EARTH_R)
+
+
+def spherical_polygon_area_m2(poly: Polygon) -> float:
+    """Geodesic (mean-sphere) area of a lon/lat Polygon, holes
+    subtracted -- |error| < 0.3% vs the WGS84 ellipsoid at mid
+    latitudes, the same tolerance class as :func:`haversine_m`."""
+    a = abs(spherical_ring_area_m2(poly.exterior))
+    return a - sum(abs(spherical_ring_area_m2(h)) for h in poly.holes)
+
+
 def local_meter_frame(lons, lats, lon0: float, lat0: float) -> np.ndarray:
     """Project lon/lat to a local azimuthal-equidistant-ish metre frame
     centred on (lon0, lat0): x = east metres, y = north metres.  Accurate

@@ -59,8 +59,26 @@ CLASS_SCHEMA = pa.schema([
 
 def explode_classify_subdivide(max_vertices: int = 64,
                                max_extent: float | None = None,
-                               classify=apply_nvis_lookup):
-    """Batch fn: raw rows -> prepped polygon part rows (PREPPED_SCHEMA)."""
+                               classify=apply_nvis_lookup,
+                               metric: str = "planar"):
+    """Batch fn: raw rows -> prepped polygon part rows (PREPPED_SCHEMA).
+
+    ``metric="geodesic_sphere"`` computes ``area_m2`` as true spherical
+    area for lon/lat (EPSG:4283-style) geometry -- the reference's
+    ``pyproj.Geod.geometry_area_perimeter``
+    (``04_merge_geometries.py:188``) / ``st_area(geography)``
+    (``03_explode_multipolygons_and_classify.sql:44``) semantics; the
+    default planar shoelace is exact for projected-metre inputs.
+    Degeneracy checks, subdivision and bboxes stay in the native
+    coordinate plane either way."""
+    if metric not in ("planar", "geodesic_sphere"):
+        raise ValueError(
+            f"metric must be planar|geodesic_sphere, got {metric!r}")
+    if metric == "geodesic_sphere":
+        from ..geo.geodesic import spherical_polygon_area_m2 as _area
+    else:
+        def _area(p: Polygon) -> float:
+            return p.area
 
     def fn(batch: pa.Table) -> pa.Table:
         src_ids = batch.column("src_id").to_pylist()
@@ -85,7 +103,7 @@ def explode_classify_subdivide(max_vertices: int = 64,
                     out["part_id"].append(part_id)
                     out["src_id"].append(int(src))
                     out["bal_number"].append(int(cls))
-                    out["area_m2"].append(float(piece.area))
+                    out["area_m2"].append(float(_area(piece)))
                     out["n_points"].append(len(piece.exterior))
                     out["xmin"].append(float(bb[0]))
                     out["ymin"].append(float(bb[1]))
@@ -167,14 +185,17 @@ def class_union_pipeline(prepped_ds):
 
 def veg_prep_pipeline(raw_ds, max_vertices: int = 64,
                       max_extent: float | None = None,
-                      classify=apply_nvis_lookup):
+                      classify=apply_nvis_lookup,
+                      metric: str = "planar"):
     """raw polygon Dataset -> (prepped parts Dataset, per-class summary
     Dataset).  Both are lazy; the summary costs one small groupby over the
-    bbox/area columns already present on the prepped rows."""
+    bbox/area columns already present on the prepped rows.  ``metric``
+    as in :func:`explode_classify_subdivide`."""
     import ray.data.aggregate as agg
 
     prepped = raw_ds.map_batches(
-        explode_classify_subdivide(max_vertices, max_extent, classify),
+        explode_classify_subdivide(max_vertices, max_extent, classify,
+                                   metric=metric),
         batch_format="pyarrow")
     summary = (prepped
                .groupby("bal_number")

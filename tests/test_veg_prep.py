@@ -169,3 +169,81 @@ def test_class_hull_pipeline_matches_direct(ray_session):
         assert got[cls]["n_vertices"] == len(want)
         assert abs(got[cls]["hull_area"] - hull_area(want)) < 1e-6
         assert _inside_hull(gh, np.concatenate(chunks))
+
+
+# ---------------------------------------------------------------------------
+# geodesic (spherical-excess) polygon area -- metric="geodesic_sphere"
+
+def _lhuilier_tri_area(p0, p1, p2):
+    """Spherical triangle area from haversine side lengths (l'Huilier):
+    shares nothing with the line-integral implementation under test."""
+    from balrog_ray.geo.geodesic import EARTH_R, haversine_m
+
+    a = haversine_m(p1[0], p1[1], p2[0], p2[1]) / EARTH_R
+    b = haversine_m(p0[0], p0[1], p2[0], p2[1]) / EARTH_R
+    c = haversine_m(p0[0], p0[1], p1[0], p1[1]) / EARTH_R
+    s = (a + b + c) / 2.0
+    t = np.sqrt(max(0.0, np.tan(s / 2) * np.tan((s - a) / 2)
+                    * np.tan((s - b) / 2) * np.tan((s - c) / 2)))
+    return 4.0 * np.arctan(t) * EARTH_R ** 2
+
+
+def test_spherical_area_matches_triangulated_oracle():
+    from balrog_ray.geo.geodesic import spherical_polygon_area_m2
+
+    # a convex quadrilateral at mid latitude (fan-triangulated oracle)
+    ring = np.array([[115.0, -35.0], [115.4, -35.05],
+                     [115.5, -34.6], [115.1, -34.55]])
+    got = spherical_polygon_area_m2(Polygon(ring))
+    want = (_lhuilier_tri_area(ring[0], ring[1], ring[2])
+            + _lhuilier_tri_area(ring[0], ring[2], ring[3]))
+    assert abs(got - want) / want < 0.005      # VERDICT bar: 0.5%
+    # winding must not matter
+    assert np.isclose(got, spherical_polygon_area_m2(Polygon(ring[::-1])))
+
+
+def test_spherical_area_matches_cap_and_subtracts_holes():
+    from balrog_ray.geo.geodesic import (EARTH_R, geodesic_point_buffer,
+                                         spherical_polygon_area_m2)
+
+    r = 50_000.0                                 # 50 km circle at -35
+    circle = geodesic_point_buffer(116.0, -35.0, r, n_seg=512)
+    cap = 2 * np.pi * EARTH_R ** 2 * (1 - np.cos(r / EARTH_R))
+    got = spherical_polygon_area_m2(circle)
+    assert abs(got - cap) / cap < 0.005
+    hole = geodesic_point_buffer(116.0, -35.0, r / 2, n_seg=512)
+    with_hole = Polygon(circle.exterior, holes=[hole.exterior])
+    want = cap - 2 * np.pi * EARTH_R ** 2 * (1 - np.cos(r / 2 / EARTH_R))
+    assert abs(spherical_polygon_area_m2(with_hole) - want) / want < 0.005
+
+
+def test_veg_prep_geodesic_metric(ray_session):
+    """metric='geodesic_sphere' flows through the pipeline: lon/lat
+    input polygons get spherical areas; the planar default is
+    untouched."""
+    import ray.data
+
+    from balrog_ray.geo.geodesic import spherical_polygon_area_m2
+    from balrog_ray.geo.wkb import polygon_to_wkb
+
+    ring = np.array([[115.0, -35.0], [115.2, -35.0],
+                     [115.2, -34.8], [115.0, -34.8]])
+    raw = pa.table({
+        "src_id": pa.array([1], pa.int64()),
+        "mvg_number": pa.array([3], pa.int64()),   # maps to a 1..7 class
+        "geom": pa.array([polygon_to_wkb(Polygon(ring))], pa.binary())})
+    prepped, _ = veg_prep_pipeline(
+        ray.data.from_arrow(raw), max_vertices=64,
+        metric="geodesic_sphere")
+    rows = prepped.take_all()
+    assert len(rows) == 1
+    want = spherical_polygon_area_m2(Polygon(ring))
+    assert np.isclose(rows[0]["area_m2"], want, rtol=1e-12)
+    # planar default unchanged: degree-shoelace, a very different number
+    prepped_p, _ = veg_prep_pipeline(ray.data.from_arrow(raw))
+    assert np.isclose(prepped_p.take_all()[0]["area_m2"],
+                      Polygon(ring).area, rtol=1e-12)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="metric"):
+        veg_prep_pipeline(ray.data.from_arrow(raw), metric="bogus")
