@@ -120,3 +120,82 @@ def frame_sample_stub(video_bytes: bytes, every_n: int = 30):
     raise NotImplementedError(
         "video decoding unavailable; expected output: list of (frame_idx, "
         "encoded frame bytes) rows")
+
+
+# ---------------------------------------------------------------------------
+# video frame sampling: real actor-pool plumbing over a deterministic
+# container ("nvid": length-prefixed npz frames); H.264 honestly stubbed
+
+_NVID_MAGIC = b"NVID"
+
+
+def pack_video(frames, caption: Caption) -> bytes:
+    """Pack float32 frames into the engine's deterministic ``nvid``
+    container: magic + frame count + length-prefixed npz frames.  Stands
+    in for a real video codec so the frame-sampling stage's plumbing
+    (actor signature, batching, per-frame output rows) is testable."""
+    import struct
+
+    parts = [_NVID_MAGIC, struct.pack(">I", len(frames))]
+    for fr in frames:
+        payload, _ = encode_tile(np.asarray(fr, np.float32), "npz",
+                                 caption)
+        parts.append(struct.pack(">I", len(payload)))
+        parts.append(payload)
+    return b"".join(parts)
+
+
+def unpack_video(data: bytes, caption: Caption):
+    """Iterate (frame_idx, float32 frame) from an ``nvid`` payload."""
+    import struct
+
+    if data[:4] != _NVID_MAGIC:
+        raise ValueError("not an nvid container")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    for i in range(n):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        pos += 4
+        yield i, decode_tile(data[pos:pos + ln], "npz", caption)
+        pos += ln
+
+
+class FrameSampleActor:
+    """Every-N frame sampler: video rows (``video_id, bytes, fmt,
+    caption``) -> one TILES_SCHEMA-style row per sampled frame.  A real
+    deployment loads its H.264 decoder in ``__init__`` (stubbed fmts
+    raise loudly); the ``nvid`` path exercises the identical dataflow.
+    Frame payloads re-encode with ``out_fmt`` so downstream stages see
+    ordinary image tiles."""
+
+    def __init__(self, every_n: int = 30, out_fmt: str = "npz"):
+        if every_n < 1:
+            raise ValueError("every_n must be >= 1")
+        self.every_n = every_n
+        self.out_fmt = out_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..tiles.synth import TILES_SCHEMA
+
+        rows = {n: [] for n in TILES_SCHEMA.names}
+        for row in batch.to_pylist():
+            if row["fmt"] in STUB_FMTS:
+                raise NotImplementedError(
+                    f"video codec {row['fmt']!r} not available in this "
+                    "container; plug a real decoder into FrameSampleActor")
+            if row["fmt"] != "nvid":
+                raise ValueError(f"not a video payload: {row['fmt']!r}")
+            cap = Caption.from_json(row["caption"])
+            vid = row.get("video_id") or row.get("image_id")
+            for idx, frame in unpack_video(row["bytes"], cap):
+                if idx % self.every_n:
+                    continue
+                payload, ocap = encode_tile(frame, self.out_fmt, cap)
+                rows["image_id"].append(f"{vid}/f{idx}")
+                rows["bytes"].append(payload)
+                rows["w"].append(np.int32(frame.shape[1]))
+                rows["h"].append(np.int32(frame.shape[0]))
+                rows["fmt"].append(self.out_fmt)
+                rows["caption"].append(ocap.to_json())
+                rows["phash"].append(np.int64(phash64(frame)))
+        return pa.table(rows, schema=TILES_SCHEMA)

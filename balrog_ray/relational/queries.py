@@ -1959,6 +1959,69 @@ where o_orderstatus = 'P'
 """
 
 
+# --------------------------------------------------------------------------
+# 49. calendar-bucketed aggregate (date_trunc month): the time-rollup
+#     every monitoring/revenue pipeline needs; exact integer-cents money.
+
+def q_monthly_revenue(sf_dir: str):
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("o_orderdate").cast(pa.timestamp("us")).to_numpy()
+        months = ts.astype("datetime64[M]")
+        cents = np.rint(b.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        uniq, inv = np.unique(months, return_inverse=True)
+        return pa.table({
+            "month": pa.array(uniq.astype("datetime64[us]"),
+                              pa.timestamp("us")),
+            "n_orders": pa.array(np.bincount(inv), pa.int64()),
+            "revenue_cents": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64),
+                pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(a.Sum("n_orders", alias_name="n_orders"),
+                       a.Sum("revenue_cents", alias_name="revenue_cents")))
+
+
+SQL_MONTHLY_REVENUE = """
+select cast(date_trunc('month', o_orderdate) as timestamp) as month,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+           as revenue_cents
+from orders group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 50. exact fixed-width histogram over a numeric column: integer-cents
+#     bucket arithmetic on BOTH sides, so no float boundary can disagree.
+
+def q_price_histogram(sf_dir: str):
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        bucket = cents // 1_000_000          # $10,000-wide buckets
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n": pa.array(np.bincount(inv), pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "orders", ["o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(a.Sum("n", alias_name="n")))
+
+
+SQL_PRICE_HISTOGRAM = """
+select cast(round(o_totalprice * 100) as bigint) // 1000000 as bucket,
+       cast(count(*) as bigint) as n
+from orders group by bucket
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2015,4 +2078,6 @@ SQL_CHECKED = {
     "ntile_price": (q_ntile_price, SQL_NTILE_PRICE),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN),
+    "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
+    "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
 }

@@ -179,6 +179,47 @@ def q_multimodal_features(sf_dir: str):
         ImageDecodeActor, batch_format="pyarrow", concurrency=(1, 2))
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame-sampling stage (multimodal family): deterministic
+    nvid containers -> every-5th frame as ordinary image-tile rows via
+    the FrameSampleActor pool, reduced to per-video frame stats."""
+    import ray.data
+
+    from ..functions.multimodal import FrameSampleActor, pack_video
+    from ..tiles.codec import Caption
+
+    vids = {"video_id": [], "bytes": [], "fmt": [], "caption": []}
+    cap = Caption(layer="video", x0=0.0, y0=0.0, pixel_size=1.0)
+    for v in range(4):
+        x = np.arange(16, dtype=np.float32)
+        frames = [np.outer(x + v, x + t) for t in range(12)]
+        vids["video_id"].append(f"vid{v}")
+        vids["bytes"].append(pack_video(frames, cap))
+        vids["fmt"].append("nvid")
+        vids["caption"].append(cap.to_json())
+    tab = pa.table({k: pa.array(v) for k, v in vids.items()})
+    frames_ds = ray.data.from_arrow(tab).map_batches(
+        FrameSampleActor, fn_constructor_args=(5,),
+        batch_format="pyarrow", concurrency=(1, 2))
+
+    def stats(b: pa.Table) -> pa.Table:
+        from ..tiles.codec import Caption as Cap, decode_tile
+        vid, idx, mean = [], [], []
+        for r in b.to_pylist():
+            v, f = r["image_id"].rsplit("/f", 1)
+            arr = decode_tile(r["bytes"], r["fmt"],
+                              Cap.from_json(r["caption"]))
+            vid.append(v)
+            idx.append(int(f))
+            mean.append(round(float(arr.mean()), 4))
+        return pa.table({"video_id": pa.array(vid, pa.string()),
+                         "frame_idx": pa.array(idx, pa.int64()),
+                         "mean": pa.array(mean, pa.float64())})
+
+    return (frames_ds.map_batches(stats, batch_format="pyarrow")
+            .sort(["video_id", "frame_idx"]))
+
+
 def q_fingerprint_docs(sf_dir: str):
     import ray.data
 
@@ -1489,6 +1530,7 @@ ROWS_ONLY = {
     "buffer_clip_areas": q_buffer_clip_areas,
     "zonal_sites": q_zonal_sites,
     "multimodal_features": q_multimodal_features,
+    "video_frames": q_video_frames,
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "dedup_survivor_docs": q_dedup_survivor_docs,

@@ -106,6 +106,18 @@ def ensure_tiles(cfg) -> str:
     return path
 
 
+def _busy_jiffies() -> int:
+    """Machine-wide busy CPU jiffies (user+nice+system+irq+softirq+steal,
+    excluding idle/iowait) from /proc/stat: the delta across a timed run
+    is the job's TOTAL CPU-seconds including every Ray worker.  If the
+    same job burns more CPU-seconds at 32 cpus than at 8, the extra time
+    is memory-stall time billed as CPU -- the DRAM-bus-contention
+    signature the scaling analysis relies on."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return v[0] + v[1] + v[2] + v[5] + v[6] + v[7]
+
+
 def run_bal(cfg, out_dir: str) -> dict:
     """The headline job: read tiles parquet -> BAL pipeline -> write."""
     import ray.data
@@ -128,6 +140,7 @@ def run_bal(cfg, out_dir: str) -> dict:
      .map_batches(_warm).materialize())
 
     t0 = time.time()
+    j0 = _busy_jiffies()
     # block count ~ CPU count: coarse blocks keep the halo-exchange sort's
     # task/object fan-out proportional to cores, not to tile count
     from balrog_ray.sources import read_image_table
@@ -138,8 +151,10 @@ def run_bal(cfg, out_dir: str) -> dict:
     bal = bal_pipeline(ds, GridSpec.from_synth(cfg))
     bal.write_parquet(out_dir)
     dt = time.time() - t0
+    cpu_s = (_busy_jiffies() - j0) / os.sysconf("SC_CLK_TCK")
     n_cells = cfg.tiles_x * cfg.tiles_y
     return {"bal_seconds": round(dt, 3),
+            "bal_cpu_seconds": round(cpu_s, 1),
             "bal_cells": n_cells,
             "bal_tiles_per_sec": round(n_cells / dt, 2),
             "bal_pixels_per_sec": round(n_cells * cfg.tile_px ** 2 / dt)}
@@ -261,10 +276,12 @@ def main_scaling():
     hi = 4 * lo
     results = {}
     trials = {lo: [], hi: []}
+    cpu_trials = {lo: [], hi: []}
     for _trial in range(n_trials):
         for cpus in (lo, hi):
             r = run_child(cpus)
             trials[cpus].append(r["bal_tiles_per_sec"])
+            cpu_trials[cpus].append(r.get("bal_cpu_seconds"))
             if (cpus not in results
                     or r["bal_tiles_per_sec"]
                     > results[cpus]["bal_tiles_per_sec"]):
@@ -284,6 +301,11 @@ def main_scaling():
         # a shared VM can exceed the 8->32 efficiency margin itself
         f"trials_{lo}cpu": trials[lo],
         f"trials_{hi}cpu": trials[hi],
+        # total machine CPU-seconds per trial (all Ray workers): if the
+        # hi side inflates vs lo for identical work, the gap is memory
+        # stalls billed as CPU (bus contention), not extra computation
+        f"cpu_seconds_{lo}cpu": cpu_trials[lo],
+        f"cpu_seconds_{hi}cpu": cpu_trials[hi],
         "bench_grid": results[hi]["bench_grid"],
     }
     print(json.dumps(out))

@@ -629,3 +629,46 @@ def test_sq_topk_recall(ray_session, emb_data):
     # codes really are 1 byte/dim
     row = codes.take(1)[0]
     assert len(row["code"]) == vecs.shape[1]
+
+
+def test_frame_sampling_actor_pool(ray_session):
+    """FrameSampleActor: every-N sampling over the nvid container in an
+    actor pool -- sampled frames round-trip exactly; H.264 stays an
+    honest loud stub."""
+    import ray.data
+
+    from balrog_ray.functions.multimodal import (FrameSampleActor,
+                                                 pack_video, unpack_video)
+    from balrog_ray.tiles.codec import Caption, decode_tile
+
+    rng = np.random.default_rng(5)
+    frames = [rng.normal(size=(16, 16)).astype(np.float32)
+              for _ in range(10)]
+    cap = Caption(layer="video", x0=0.0, y0=0.0, pixel_size=1.0)
+    payload = pack_video(frames, cap)
+    # container round-trip
+    got = dict(unpack_video(payload, cap))
+    assert len(got) == 10
+    assert all(np.array_equal(got[i], frames[i]) for i in range(10))
+
+    vids = pa.table({
+        "video_id": pa.array(["vid0"], pa.string()),
+        "bytes": pa.array([payload], pa.binary()),
+        "fmt": pa.array(["nvid"], pa.string()),
+        "caption": pa.array([cap.to_json()], pa.string())})
+    out = (ray.data.from_arrow(vids)
+           .map_batches(FrameSampleActor, fn_constructor_args=(3,),
+                        batch_format="pyarrow", concurrency=(1, 2))
+           .take_all())
+    assert [r["image_id"] for r in out] == [
+        "vid0/f0", "vid0/f3", "vid0/f6", "vid0/f9"]
+    for r, idx in zip(out, (0, 3, 6, 9)):
+        arr = decode_tile(r["bytes"], r["fmt"],
+                          Caption.from_json(r["caption"]))
+        assert np.array_equal(arr, frames[idx])
+
+    actor = FrameSampleActor(every_n=2)
+    h264 = pa.table({"video_id": ["v"], "bytes": [b""],
+                     "fmt": ["h264"], "caption": [cap.to_json()]})
+    with pytest.raises(NotImplementedError):
+        actor(h264)
