@@ -162,7 +162,8 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
           valid: np.ndarray | None = None,
           veg_idx: np.ndarray | None = None,
           slope_idx: np.ndarray | None = None,
-          out_window: tuple | None = None) -> np.ndarray:
+          out_window: tuple | None = None,
+          index_palette: np.ndarray | None = None) -> np.ndarray:
     """Directional neighbourhood scan: max BAL contributed by neighbours up
     to 100 m along ``a_dir``.
 
@@ -182,6 +183,16 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     pipeline uses it to compute only the core tile of an assembled
     tile+halo window -- identical values, ~25% fewer gather/max writes.
     Only supported on the ``valid is None`` fast path.
+
+    ``index_palette`` (fast path only): a SORTED ascending array holding
+    every value the BAL table can produce plus NODATA.  The scan then
+    runs entirely in uint8 palette-INDEX domain -- the running max over
+    indices selects the same element as the max over values (sorted
+    palette, strictly increasing), while the gather/max loop moves 4x
+    fewer bytes -- and returns uint8 indices instead of float values
+    (cells with no neighbour get NODATA's index).  Exactly
+    ``searchsorted(index_palette, float_result)``; the LUT projection
+    asserts every table value is present in the palette.
     """
     veg = np.asarray(veg_data)      # any float dtype: values are classes
     slope = np.asarray(slope_data)  # (exact in float32), so no upcast
@@ -218,9 +229,23 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
     rows, cols = comb.shape
     if out_window is not None and valid is not None:
         raise ValueError("out_window requires the valid=None fast path")
+    if index_palette is not None and valid is not None:
+        raise ValueError("index_palette requires the valid=None fast path")
     wr0, wr1, wc0, wc1 = (0, rows, 0, cols) if out_window is None \
         else out_window
-    out = np.full((wr1 - wr0, wc1 - wc0), -np.inf, dtype=np.float32)
+    if index_palette is not None:
+        # uint8 index domain.  NODATA must be the palette minimum
+        # (index 0): 0 is then both the max identity (a cell with >= 1
+        # in-reach step takes max(0, gathered) = its float-path value's
+        # index, since index 0 IS the -99 value) and the zero-neighbour
+        # result the float path assigns via its -inf -> NODATA fill.
+        pal = np.asarray(index_palette, dtype=np.float32)
+        if len(pal) > 255 or pal[0] != np.float32(NODATA):
+            raise ValueError("index_palette must hold NODATA first and "
+                             "at most 255 values")
+        out = np.zeros((wr1 - wr0, wc1 - wc0), dtype=np.uint8)
+    else:
+        out = np.full((wr1 - wr0, wc1 - wc0), -np.inf, dtype=np.float32)
 
     if valid is None:
         # every in-array cell is valid, so the "neighbour exists" mask for
@@ -230,11 +255,18 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
         # ~1 MB allocation x 28 steps per cell, pure memory-bandwidth churn
         # at full core counts
         scratch = np.empty((min(64, wr1 - wr0), wc1 - wc0),
-                           dtype=np.float32)
+                           dtype=out.dtype)
         steps = []
         for m in range(1, filter_width + 1):
             dist = (m - 1) * dire_width + 0.5 * dire_width
             lut = bal_lut(fdi, dist).reshape(-1)
+            if index_palette is not None:
+                idx = np.searchsorted(pal, lut.astype(np.float32))
+                idx = np.minimum(idx, len(pal) - 1)
+                if not np.array_equal(pal[idx], lut.astype(np.float32)):
+                    raise ValueError(
+                        "index_palette is missing BAL table values")
+                lut = idx.astype(np.uint8)
             dr_m, dc_m = m * dr, m * dc
             r_lo, r_hi = max(0, -dr_m, wr0), min(rows, rows - dr_m, wr1)
             c_lo, c_hi = max(0, -dc_m, wc0), min(cols, cols - dc_m, wc1)
@@ -260,6 +292,8 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
                 t = scratch[:hi - lo, :c_hi - c_lo]
                 np.take(lut, src, out=t)
                 np.maximum(dst, t, out=dst)
+        if index_palette is not None:
+            return out          # zero-neighbour cells kept index 0 = -99
         # cells outside the 1-step rectangle have zero neighbours -> -99
         out[np.isneginf(out)] = NODATA
         return out
@@ -285,12 +319,16 @@ def max_bal(bal_list) -> np.ndarray:
 
 def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
                 valid: np.ndarray | None = None,
-                out_window: tuple | None = None) -> dict[str, np.ndarray]:
+                out_window: tuple | None = None,
+                index_palette: np.ndarray | None = None
+                ) -> dict[str, np.ndarray]:
     """All 8 directional BAL grids plus their elementwise max, from one set
     of classified inputs (the whole-raster orchestration of
     ``calculate_bal.py:21-101``, minus the file I/O).  ``out_window``
-    restricts every band to that (r0, r1, c0, c1) sub-rectangle (see
-    :func:`convo`)."""
+    restricts every band to that (r0, r1, c0, c1) sub-rectangle;
+    ``index_palette`` switches every band (max included -- the sorted
+    palette makes index max and value max pick the same element) to
+    uint8 palette indices (see :func:`convo`)."""
     out = {}
     veg_idx = slope_idx = None
     if valid is None:
@@ -299,6 +337,7 @@ def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
     for a_dir in DIRECTIONS:
         out[a_dir] = convo(a_dir, veg_class, slope_class, aspect_class,
                            pixel_width, fdi, valid=valid, veg_idx=veg_idx,
-                           slope_idx=slope_idx, out_window=out_window)
+                           slope_idx=slope_idx, out_window=out_window,
+                           index_palette=index_palette)
     out["max"] = max_bal([out[d] for d in DIRECTIONS])
     return out

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from ..core.kernels import DIRECTIONS, compute_bal, slope_aspect
 from ..core.remap import ASPECT_RECLASS, apply_remap, parse_remap, slope_reclass
-from ..tiles.codec import Caption, encode_tile, phash64
+from ..tiles.codec import Caption, encode_palz_codes, encode_tile, phash64
 from ..tiles.synth import TILES_SCHEMA
 from ..stages.halo import (GridSpec, assemble_window,
                            make_strip_emitter_batch)
@@ -197,11 +197,16 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
 
         # compute only the core tile of the assembled window: neighbour
         # reads still span the halo, but the ~25% of gather/max work that
-        # produced halo-row outputs (sliced away below) is skipped
+        # produced halo-row outputs (sliced away below) is skipped.
+        # palz output runs the whole scan in uint8 palette-INDEX domain
+        # (4x less gather/max traffic, bit-identical values -- see convo)
+        # and feeds the codes straight to the codec.
+        use_idx = fmt == "palz"
         r0, _, c0, _ = spec.assembled_window(tx, ty)
         rs, cs = ty * T - r0, tx * T - c0
         grids = compute_bal(veg_c, slope_c, aspect_c, ps, fdi,
-                            out_window=(rs, rs + T, cs, cs + T))
+                            out_window=(rs, rs + T, cs, cs + T),
+                            index_palette=BAL_PALETTE if use_idx else None)
 
         # extract_by_mask semantics (sa_tools.py:48-136): pixels outside the
         # AOI rectangle become nodata in every output band
@@ -229,15 +234,19 @@ def make_bal_group_fn(spec: GridSpec, fdi: int = 80,
         for band in bands:
             core = grids[band]
             if aoi_mask is not None:
-                core = np.where(aoi_mask, -99.0, core)
+                # index 0 IS the -99 palette entry on the palz path
+                core = np.where(aoi_mask, np.uint8(0), core) if use_idx \
+                    else np.where(aoi_mask, -99.0, core)
             cap = Caption(layer=f"bal_{band}", x0=tx * T * ps,
                           y0=spec.y_north - ty * T * ps, pixel_size=ps,
                           edge={"n": ty == 0, "s": ty == spec.tiles_y - 1,
                                 "w": tx == 0, "e": tx == spec.tiles_x - 1},
                           tx=tx, ty=ty)
-            payload, cap = encode_tile(
-                core, fmt, cap,
-                palette=BAL_PALETTE if fmt == "palz" else None)
+            if use_idx:
+                payload, cap = encode_palz_codes(core, BAL_PALETTE, cap)
+                core = BAL_PALETTE[core]     # float view for phash only
+            else:
+                payload, cap = encode_tile(core, fmt, cap)
             rows["image_id"].append(f"bal_{band}/{tx}/{ty}")
             rows["bytes"].append(payload)
             rows["w"].append(T)

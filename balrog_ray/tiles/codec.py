@@ -27,7 +27,7 @@ import io
 import json
 import struct
 import zlib
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -62,7 +62,10 @@ class Caption:
     palette: list | None = None
 
     def to_json(self) -> str:
-        return json.dumps(asdict(self), sort_keys=True)
+        # vars() instead of dataclasses.asdict(): asdict deep-recurses
+        # through every field (measured ~2 ms per BAL cell across the 9
+        # band captions); the fields are already JSON-ready scalars/dicts
+        return json.dumps(vars(self), sort_keys=True)
 
     @classmethod
     def from_json(cls, s: str) -> "Caption":
@@ -200,6 +203,19 @@ def encode_tile(arr: np.ndarray, fmt: str = "npy",
         caption.nodata_q0 = True
         return png16_encode(q), caption
     raise ValueError(f"unknown tile format {fmt!r}")
+
+
+def encode_palz_codes(codes: np.ndarray, palette: np.ndarray,
+                      caption: Caption) -> tuple[bytes, Caption]:
+    """palz fast path for writers that already hold uint8 palette
+    indices (the BAL kernels' index-domain output): byte-identical to
+    ``encode_tile(palette[codes], "palz", caption, palette=palette)``
+    without the searchsorted + validation gather re-derivation."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    caption.palette = [float(v) for v in np.asarray(palette, np.float32)]
+    h, w = codes.shape
+    raw = struct.pack(">HH", h, w) + codes.tobytes()
+    return zlib.compress(raw, 1), caption
 
 
 def decode_tile(payload: bytes, fmt: str,

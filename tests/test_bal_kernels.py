@@ -172,3 +172,34 @@ def test_convo_out_window_matches_full():
         bands_part = kernels.compute_bal(veg, slope, aspect, 10.0, 80,
                                          out_window=win)
         assert_array_equal(bands_part["max"], bands_full["max"][r0:r1, c0:c1])
+
+
+def test_index_palette_path_is_bit_identical():
+    """The uint8 palette-index scan must reproduce the float path
+    exactly on every band (max included) -- random classified inputs,
+    nodata sprinkled, core-window restriction."""
+    from balrog_ray.pipelines.bal_pipeline import BAL_PALETTE
+
+    rng = np.random.default_rng(11)
+    H = W = 70
+    veg = rng.integers(1, 8, (H, W)).astype(np.float32)
+    veg[rng.random((H, W)) < 0.07] = -99.0
+    slope = rng.choice([-99.0, 1, 2, 3, 4, 5, 6], (H, W)) \
+        .astype(np.float32)
+    aspect = rng.integers(1, 10, (H, W)).astype(np.float32)
+    for win in (None, (5, 65, 5, 65)):
+        f = kernels.compute_bal(veg, slope, aspect, 25.0, 80,
+                                out_window=win)
+        i = kernels.compute_bal(veg, slope, aspect, 25.0, 80,
+                                out_window=win,
+                                index_palette=BAL_PALETTE)
+        for band in f:
+            assert i[band].dtype == np.uint8
+            assert_array_equal(BAL_PALETTE[i[band]], f[band])
+    # palette validation: NODATA must be first, table values present
+    with pytest.raises(ValueError, match="NODATA first"):
+        kernels.convo("n", veg, slope, aspect, 25.0, 80,
+                      index_palette=np.array([0.0, 12.5]))
+    with pytest.raises(ValueError, match="missing BAL table values"):
+        kernels.convo("n", veg, slope, aspect, 25.0, 80,
+                      index_palette=np.array([-99.0, 12.5]))
