@@ -178,9 +178,9 @@ def read_url_tiles(urls, *, override_num_blocks: int | None = None):
     each downloaded, unzipped and ingested) as a streaming Ray pipeline.
 
     Each URL row is fetched INSIDE ``map_batches`` (``urllib``: file://
-    always; http(s):// wherever the environment has network -- this
-    sandbox does not, so tests exercise the identical code path with
-    file:// bundles), unzipped in memory via ``zipfile``, and every
+    and http(s)://; tests exercise BOTH -- file:// bundles and the http
+    path against a loopback server, since only loopback is reachable in
+    this sandbox), unzipped in memory via ``zipfile``, and every
     member listed in the zip's manifest.json becomes an image-table row.
     Downloads fan out across the cluster with the Dataset's block
     parallelism; no archive ever lands on the driver."""

@@ -365,3 +365,45 @@ def test_bbox_read_prunes_to_covering_cells(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_image_table(out, bbox=bbox)
+
+
+def test_url_bundle_http_fetch(ray_session, tmp_path):
+    """http:// path of the URL-list source (SURVEY op 23): the same
+    bundles served by a loopback HTTP server and fetched INSIDE Ray
+    worker tasks -- rows identical to the file:// read.  (Only loopback
+    is reachable in this sandbox; the code path -- urllib over http,
+    zip-in-memory, manifest rows -- is the real one.)"""
+    import functools
+    import http.server
+    import socketserver
+    import threading
+
+    from balrog_ray.sources import read_url_tiles, write_url_bundles
+    from balrog_ray.tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32, pixel_size=25.0)
+    tab = tiles_table(cfg)
+    bundle_dir = str(tmp_path / "bundles")
+    file_urls = write_url_bundles(tab, bundle_dir, tiles_per_zip=3)
+
+    class QuietHandler(http.server.SimpleHTTPRequestHandler):
+        def log_message(self, *a, **k):
+            pass
+
+    handler = functools.partial(QuietHandler, directory=bundle_dir)
+    with socketserver.ThreadingTCPServer(("127.0.0.1", 0), handler) as srv:
+        port = srv.server_address[1]
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            http_urls = [
+                f"http://127.0.0.1:{port}/{u.rsplit('/', 1)[1]}"
+                for u in file_urls]
+            got = read_url_tiles(http_urls).take_all()
+        finally:
+            srv.shutdown()
+    want = {r["image_id"]: r for r in tab.to_pylist()}
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r["image_id"]]
+        assert r["bytes"] == w["bytes"] and r["caption"] == w["caption"]
