@@ -381,3 +381,39 @@ def test_tiled_flow_length_matches_whole_raster(ray_session, seed,
     own_r, own_c = np.nonzero(d != -2)
     crossed = ((pit_r // T != own_r // T) | (pit_c // T != own_c // T))
     assert crossed.any(), "test DEM produced no cross-tile flow path"
+
+
+def test_flow_accumulation_exact_hop_budget_converges(ray_session):
+    """Regression for the for/else convergence check: when the FINAL
+    permitted hop drains the front, the loop must report convergence
+    (old code raised 'did not converge' despite having converged).
+    Finds the minimal max_hops by search, asserts it succeeds with
+    output identical to a generous run, and that one fewer raises."""
+    import ray
+    import ray.data
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _bumpy_dem((2 * 16, 3 * 16), 5)
+    tab = _tiles_from_array(arr, cfg)
+    spec = GridSpec.from_synth(cfg)
+
+    def run(max_hops):
+        out = flow_accumulation(ray.data.from_arrow(tab), spec,
+                                max_hops=max_hops).materialize()
+        tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+                if t.num_rows]
+        return _mosaic(pa.concat_tables(tabs), "flow_acc", cfg)
+
+    want = run(256)
+    lo = 1
+    while True:
+        try:
+            got = run(lo)
+            break
+        except RuntimeError:
+            lo += 1
+            assert lo <= 64, "no minimal hop budget found"
+    assert lo > 1, "drainage never crossed a tile boundary"
+    assert np.array_equal(got, want)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        run(lo - 1)

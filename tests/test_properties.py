@@ -61,3 +61,44 @@ def test_remap_dsl_interval_semantics(values):
             assert o == -99
         else:
             assert o == int(v)      # truncation toward zero, like astype
+
+
+@given(st.floats(-170, 170), st.floats(-80, 80),
+       st.floats(-80, 80),
+       st.lists(st.floats(-5e5, 5e5, allow_nan=False), min_size=2,
+                max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_crs_bridge_roundtrip_property(lon0, lat0, lat_ts, coords):
+    """ProjToGeo / GeoToProj are exact inverses for any frame origin and
+    standard parallel away from the poles."""
+    from balrog_ray.stages.warp import ProjToGeo
+
+    xy = np.array(coords)
+    x, y = xy[: len(xy) // 2], xy[len(xy) // 2:][: len(xy) // 2]
+    if not len(x):
+        return
+    tr = ProjToGeo(lon0, lat0, lat_ts)
+    lon, lat = tr.apply(x, y)
+    bx, by = tr.inverse().apply(lon, lat)
+    # relative tolerance scaled to magnitude (catastrophic cancellation
+    # near zero is bounded by the frame constant)
+    assert np.allclose(bx, x, rtol=1e-9, atol=1e-4)
+    assert np.allclose(by, y, rtol=1e-9, atol=1e-4)
+
+
+@given(st.floats(-170, 170), st.floats(-75, 75),
+       st.floats(1e3, 2e5), st.integers(8, 64))
+@settings(max_examples=40, deadline=None)
+def test_spherical_area_positive_and_winding_free(lon, lat, r, nseg):
+    """Spherical polygon area is positive, winding-independent, and
+    within the cap bound for geodesic circles of any radius/latitude."""
+    from balrog_ray.geo.geodesic import (EARTH_R, geodesic_point_buffer,
+                                         spherical_polygon_area_m2)
+    from balrog_ray.geo.geometry import Polygon
+
+    circle = geodesic_point_buffer(lon, lat, r, n_seg=nseg)
+    a = spherical_polygon_area_m2(circle)
+    cap = 2 * np.pi * EARTH_R ** 2 * (1 - np.cos(r / EARTH_R))
+    assert 0 < a <= cap * 1.0001          # inscribed polygon <= cap
+    rev = spherical_polygon_area_m2(Polygon(circle.exterior[::-1]))
+    assert np.isclose(a, rev, rtol=1e-12)
