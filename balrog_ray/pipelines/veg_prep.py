@@ -125,16 +125,23 @@ UNION_SCHEMA = pa.schema([
 ])
 
 
-def _union_to_row(cls: int, polys: list[Polygon]) -> dict:
+def _union_to_row(cls: int, polys: list[Polygon],
+                  metric: str = "planar") -> dict:
     from ..geo.boolean import union_all
     from ..geo.wkb import multipolygon_to_wkb
+
+    if metric == "geodesic_sphere":
+        from ..geo.geodesic import spherical_polygon_area_m2 as _area
+    else:
+        def _area(p: Polygon) -> float:
+            return p.area
 
     merged = union_all(polys)
     return {
         "bal_number": int(cls),
         "n_parts": len(merged),
         "n_holes": sum(len(p.holes) for p in merged),
-        "union_area_m2": float(sum(p.area for p in merged)),
+        "union_area_m2": float(sum(_area(p) for p in merged)),
         "geom": multipolygon_to_wkb(merged),
     }
 
@@ -144,9 +151,12 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
                     schema=UNION_SCHEMA)
 
 
-def class_union_pipeline(prepped_ds):
+def class_union_pipeline(prepped_ds, metric: str = "planar"):
     """Geometric per-class union as the reference's chunked partial/final
-    ``ST_Union`` tree (``04_merge_geometries.py:129-205``):
+    ``ST_Union`` tree (``04_merge_geometries.py:129-205``);
+    ``metric="geodesic_sphere"`` reports ``union_area_m2`` as true
+    spherical area for lon/lat geometry (the reference's
+    ``pyproj.Geod.geometry_area_perimeter``, ``04_merge_geometries.py:188``):
 
     * **partial** -- each block unions ITS polygons per class inside
       ``map_batches`` (bounded input, embarrassingly parallel -- the
@@ -167,7 +177,8 @@ def class_union_pipeline(prepped_ds):
             for p in (g if isinstance(g, list) else [g]):
                 by_cls.setdefault(int(cls), []).append(p)
         return _rows_to_table(
-            [_union_to_row(c, ps) for c, ps in sorted(by_cls.items())])
+            [_union_to_row(c, ps, metric)
+             for c, ps in sorted(by_cls.items())])
 
     def final_fn(group: pa.Table) -> pa.Table:
         cls = int(group.column("bal_number")[0].as_py())
@@ -175,7 +186,7 @@ def class_union_pipeline(prepped_ds):
         for wkb in group.column("geom").to_pylist():
             g = from_wkb(wkb)
             polys.extend(g if isinstance(g, list) else [g])
-        return _rows_to_table([_union_to_row(cls, polys)])
+        return _rows_to_table([_union_to_row(cls, polys, metric)])
 
     return (prepped_ds
             .map_batches(partial_fn, batch_format="pyarrow")

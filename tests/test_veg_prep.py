@@ -247,3 +247,38 @@ def test_veg_prep_geodesic_metric(ray_session):
 
     with _pt.raises(ValueError, match="metric"):
         veg_prep_pipeline(ray.data.from_arrow(raw), metric="bogus")
+
+
+def test_class_union_geodesic_metric(ray_session):
+    """metric='geodesic_sphere' flows through the union tree: the
+    dissolved multipolygon's area is spherical; planar default
+    untouched."""
+    import ray.data
+
+    from balrog_ray.geo.geodesic import spherical_polygon_area_m2
+    from balrog_ray.geo.wkb import polygon_to_wkb
+    from balrog_ray.pipelines.veg_prep import (PREPPED_SCHEMA,
+                                               class_union_pipeline)
+
+    ring = np.array([[115.0, -35.0], [115.2, -35.0],
+                     [115.2, -34.8], [115.0, -34.8]])
+    p = Polygon(ring)
+    bb = p.bbox
+    prepped = pa.table({
+        "part_id": pa.array([0], pa.int64()),
+        "src_id": pa.array([1], pa.int64()),
+        "bal_number": pa.array([2], pa.int16()),
+        "area_m2": pa.array([p.area], pa.float64()),
+        "n_points": pa.array([len(p.exterior)], pa.int32()),
+        "xmin": pa.array([bb[0]], pa.float64()),
+        "ymin": pa.array([bb[1]], pa.float64()),
+        "xmax": pa.array([bb[2]], pa.float64()),
+        "ymax": pa.array([bb[3]], pa.float64()),
+        "geom": pa.array([polygon_to_wkb(p)], pa.binary()),
+    }, schema=PREPPED_SCHEMA)
+    ds = ray.data.from_arrow(prepped)
+    geo = class_union_pipeline(ds, metric="geodesic_sphere").take_all()
+    assert np.isclose(geo[0]["union_area_m2"],
+                      spherical_polygon_area_m2(p), rtol=1e-12)
+    plan = class_union_pipeline(ds).take_all()
+    assert np.isclose(plan[0]["union_area_m2"], p.area, rtol=1e-12)
