@@ -199,17 +199,11 @@ def q_zonal_group_stats(sf_dir: str):
     for flag in sorted(set(flags.tolist())):
         sel = flags == flag
         v, c = vals[sel], cnts[sel]
-        order = np.argsort(v)
-        v, c = v[order], c[order]
-        cum = np.cumsum(c)
-        n = int(cum[-1])
-        lo = v[np.searchsorted(cum, (n - 1) // 2 + 1)]
-        hi = v[np.searchsorted(cum, n // 2 + 1)]
         out["l_returnflag"].append(flag)
-        out["n"].append(n)
-        out["min_qty"].append(float(v[0]))
-        out["max_qty"].append(float(v[-1]))
-        out["med_qty"].append((lo + hi) / 2.0)
+        out["n"].append(int(c.sum()))
+        out["min_qty"].append(float(v.min()))
+        out["max_qty"].append(float(v.max()))
+        out["med_qty"].append(_weighted_median(v, c))
         out["sum_qty"].append(float((v * c).sum()))
     return pa.table({
         "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
@@ -2022,6 +2016,98 @@ from orders group by bucket
 """
 
 
+# --------------------------------------------------------------------------
+# 51. exact median absolute deviation per group: robust statistics from
+#     the same (group, value)-keyed count shuffle as zonal_group_stats --
+#     the MAD needs NO second data pass, because |v - med| is a pure
+#     transform of the already-collected value-count table.
+
+def _weighted_median(v: np.ndarray, c: np.ndarray) -> float:
+    """DuckDB median rule over a value-count table: average of the two
+    middle elements for even totals."""
+    order = np.argsort(v)
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    lo = v[np.searchsorted(cum, (n - 1) // 2 + 1)]
+    hi = v[np.searchsorted(cum, n // 2 + 1)]
+    return float((lo + hi) / 2.0)
+
+
+def q_mad_quantity(sf_dir: str):
+    vc = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {}, count_alias="vn")
+    tab = _collect(vc)
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    vals = tab.column("l_quantity").to_numpy().astype(np.float64)
+    cnts = tab.column("vn").to_numpy().astype(np.int64)
+    out = {"l_returnflag": [], "med_qty": [], "mad_qty": []}
+    for flag in sorted(set(flags.tolist())):
+        sel = flags == flag
+        v, c = vals[sel], cnts[sel]
+        med = _weighted_median(v, c)
+        out["l_returnflag"].append(flag)
+        out["med_qty"].append(med)
+        out["mad_qty"].append(_weighted_median(np.abs(v - med), c))
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "med_qty": pa.array(out["med_qty"], pa.float64()),
+        "mad_qty": pa.array(out["mad_qty"], pa.float64())})
+
+
+SQL_MAD_QUANTITY = """
+with m as (
+    select l_returnflag, median(l_quantity) as med
+    from lineitem group by 1
+)
+select l.l_returnflag,
+       cast(m.med as double) as med_qty,
+       cast(median(abs(l.l_quantity - m.med)) as double) as mad_qty
+from lineitem l join m on l.l_returnflag = m.l_returnflag
+group by 1, m.med
+"""
+
+
+# --------------------------------------------------------------------------
+# 52. ordered string aggregation (string_agg ... order by): the
+#     order-sensitive aggregate shape -- broadcast dim + groupby with a
+#     deterministic in-group sort before concatenation.
+
+def q_region_nations_agg(sf_dir: str):
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    r_name = dict(zip(region.column("r_regionkey").to_pylist(),
+                      region.column("r_name").to_pylist()))
+
+    def tag(b: pa.Table) -> pa.Table:
+        rk = b.column("n_regionkey").to_pylist()
+        return pa.table({
+            "r_name": pa.array([r_name[k] for k in rk], pa.string()),
+            "n_name": b.column("n_name")})
+
+    def agg_sorted(group: pa.Table) -> pa.Table:
+        names = sorted(group.column("n_name").to_pylist())
+        return pa.table({
+            "r_name": pa.array([group.column("r_name")[0].as_py()],
+                               pa.string()),
+            "nations": pa.array([",".join(names)], pa.string()),
+            "n_nations": pa.array([len(names)], pa.int64())})
+
+    return (_read(sf_dir, "nation", ["n_regionkey", "n_name"])
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("r_name")
+            .map_groups(agg_sorted, batch_format="pyarrow"))
+
+
+SQL_REGION_NATIONS_AGG = """
+select r_name, string_agg(n_name, ',' order by n_name) as nations,
+       cast(count(*) as bigint) as n_nations
+from region join nation on r_regionkey = n_regionkey
+group by r_name
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2080,4 +2166,6 @@ SQL_CHECKED = {
     "bloom_semi_join": (q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN),
     "monthly_revenue": (q_monthly_revenue, SQL_MONTHLY_REVENUE),
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
+    "mad_quantity": (q_mad_quantity, SQL_MAD_QUANTITY),
+    "region_nations_agg": (q_region_nations_agg, SQL_REGION_NATIONS_AGG),
 }
