@@ -51,13 +51,27 @@ def infer_grid(path: str):
     return GridSpec(tiles_x, tiles_y, tile_px, ps, y_north)
 
 
+
+def _init_ray(args) -> bool:
+    """The ``ray job submit`` entrypoint contract: on a real cluster the
+    job process connects to the running Ray (``--address auto``); the
+    sandbox default starts a fresh local session sized by
+    ``--num-cpus``.  Returns whether this command owns the session."""
+    import ray
+
+    owns = not ray.is_initialized()
+    if owns:
+        if args.address == "local":
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False)
+        else:
+            ray.init(address=args.address)
+    return owns
+
 def cmd_bal(args) -> int:
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     from .pipelines.bal_pipeline import bal_pipeline, plan_target_cells
     from .sources import read_image_table
 
@@ -100,10 +114,7 @@ def cmd_bal(args) -> int:
 def cmd_synth(args) -> int:
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     import ray.data
 
     from .sources import write_image_table
@@ -125,10 +136,7 @@ def cmd_ingest(args) -> int:
     Hilbert-clustered for later bbox reads."""
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     from .sources import read_url_tiles, write_image_table
 
     urls = [ln.strip() for ln in open(args.urls)
@@ -173,10 +181,7 @@ def cmd_pyramid(args) -> int:
     calculate_bal.py:89-91): one partition directory per level."""
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     from .sources import read_image_table
     from .stages.overviews import write_overviews
 
@@ -201,10 +206,7 @@ def cmd_validate(args) -> int:
     handling vs the reference's silent except at ga_5m/01_...py:241-242)."""
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     from .sources import read_image_table
     from .stages.quarantine import validate_tiles
 
@@ -228,10 +230,7 @@ def cmd_chips(args) -> int:
     patch table (stages/chips.py)."""
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     from .sources import read_image_table, write_image_table
     from .stages.chips import extract_chips
 
@@ -256,10 +255,7 @@ def cmd_derive(args) -> int:
     Analyst single-raster tools as CLI verbs)."""
     import ray
 
-    owns_ray = not ray.is_initialized()
-    if owns_ray:
-        ray.init(address="local", num_cpus=args.num_cpus,
-                 include_dashboard=False)
+    owns_ray = _init_ray(args)
     from .sources import read_image_table, write_image_table
 
     spec = infer_grid(args.tiles)
@@ -312,8 +308,15 @@ def cmd_derive(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="balrog_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=8,
+                        help="local-session size (ignored with a cluster "
+                             "--address)")
+    common.add_argument("--address", default="local",
+                        help="'local' (fresh session) or a Ray cluster "
+                             "address such as 'auto' under ray job submit")
 
-    b = sub.add_parser("bal", help="run the BAL pipeline over a tile table")
+    b = sub.add_parser("bal", help="run the BAL pipeline over a tile table", parents=[common])
     b.add_argument("--tiles", required=True)
     b.add_argument("--out", required=True)
     b.add_argument("--fdi", type=int, default=80,
@@ -331,51 +334,48 @@ def main(argv=None) -> int:
     b.add_argument("--fmt", default="palz",
                    choices=("palz", "npz", "png", "npy"))
     b.add_argument("--resume", action="store_true")
-    b.add_argument("--num-cpus", type=int, default=8)
     b.set_defaults(fn=cmd_bal)
 
-    s = sub.add_parser("synth", help="generate a synthetic tile table")
+    s = sub.add_parser("synth", help="generate a synthetic tile table", parents=[common])
     s.add_argument("--out", required=True)
     s.add_argument("--tiles-x", type=int, default=8)
     s.add_argument("--tiles-y", type=int, default=8)
     s.add_argument("--tile-px", type=int, default=128)
     s.add_argument("--tile-fmt", default="png", choices=("png", "npz", "npy"))
-    s.add_argument("--num-cpus", type=int, default=8)
     s.set_defaults(fn=cmd_synth)
 
     i = sub.add_parser("ingest", help="download+unzip URL-manifest "
-                                      "archives into an image table")
+                                      "archives into an image table", parents=[common])
     i.add_argument("--urls", required=True,
                    help="text file: one archive URL per line")
     i.add_argument("--out", required=True)
     i.add_argument("--cluster", action="store_true",
                    help="Hilbert-cluster the output (keeps the sort key "
                         "for bbox predicate-pushdown reads)")
-    i.add_argument("--num-cpus", type=int, default=8)
     i.set_defaults(fn=cmd_ingest)
 
     y = sub.add_parser("pyramid", help="build 2x overview levels "
-                                       "(BuildPyramids analogue)")
+                                       "(BuildPyramids analogue)",
+                       parents=[common])
     y.add_argument("--tiles", required=True)
     y.add_argument("--out", required=True)
     y.add_argument("--levels", type=int, default=3)
     y.add_argument("--fmt", default="npz")
-    y.add_argument("--num-cpus", type=int, default=8)
     y.set_defaults(fn=cmd_pyramid)
 
     c = sub.add_parser("chips", help="extract training chips from a "
-                                     "tile table")
+                                     "tile table", parents=[common])
     c.add_argument("--tiles", required=True)
     c.add_argument("--out", required=True)
     c.add_argument("--chip-px", type=int, default=64)
     c.add_argument("--stride", type=int, default=None)
     c.add_argument("--fmt", default="npz")
-    c.add_argument("--num-cpus", type=int, default=8)
     c.set_defaults(fn=cmd_chips)
 
     d = sub.add_parser("derive", help="run a raster-derivative stage "
                                       "(gdaldem / hydrology / filters) "
-                                      "over a tile table")
+                                      "over a tile table",
+                       parents=[common])
     d.add_argument("--tiles", required=True)
     d.add_argument("--out", required=True)
     d.add_argument("--op", required=True,
@@ -386,17 +386,15 @@ def main(argv=None) -> int:
     d.add_argument("--sigma", type=float, default=2.0)
     d.add_argument("--radius", type=int, default=1)
     d.add_argument("--fmt", default="npz")
-    d.add_argument("--num-cpus", type=int, default=8)
     d.set_defaults(fn=cmd_derive)
 
     v = sub.add_parser("validate", help="quarantine scan: per-tile "
-                                        "decode/quality report")
+                                        "decode/quality report", parents=[common])
     v.add_argument("--tiles", required=True)
     v.add_argument("--out", default=None,
                    help="write the report as parquet")
     v.add_argument("--strict", action="store_true",
                    help="exit 1 if any tile is quarantined")
-    v.add_argument("--num-cpus", type=int, default=8)
     v.set_defaults(fn=cmd_validate)
 
     args = p.parse_args(argv)
