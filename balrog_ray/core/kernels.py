@@ -163,7 +163,8 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
           veg_idx: np.ndarray | None = None,
           slope_idx: np.ndarray | None = None,
           out_window: tuple | None = None,
-          index_palette: np.ndarray | None = None) -> np.ndarray:
+          index_palette: np.ndarray | None = None,
+          comb_hit_base: tuple | None = None) -> np.ndarray:
     """Directional neighbourhood scan: max BAL contributed by neighbours up
     to 100 m along ``a_dir``.
 
@@ -207,12 +208,20 @@ def convo(a_dir: str, veg_data, slope_data, aspect_data, pixel_width, fdi,
         # slope_in_aspect as pure index arithmetic (no per-direction
         # searchsorted): aspect match -> the slope's own class index,
         # else index of -1 ("upslope", SLOPE_KEYS[1]) unless the slope is
-        # nodata (SLOPE_KEYS[0]) -- exactly slope_in_aspect's value map
-        if veg_idx is None:
-            veg_idx = class_index(veg, VEG_KEYS)
-        sia_idx = np.where(aspect == DIRE_ASPECT[a_dir], slope_idx,
-                           np.where(slope == NODATA, 0, 1))
-        comb = (sia_idx * len(VEG_KEYS) + veg_idx).astype(np.int8)
+        # nodata (SLOPE_KEYS[0]) -- exactly slope_in_aspect's value map.
+        # Only the aspect compare is direction-dependent: the hit/miss
+        # combined indices are hoisted by compute_bal (comb_hit_base) so
+        # the 8-direction loop pays ONE compare + ONE where each, not
+        # two wheres + mul + add + cast over the full window.
+        if comb_hit_base is not None:
+            hit8, base8 = comb_hit_base
+        else:
+            if veg_idx is None:
+                veg_idx = class_index(veg, VEG_KEYS)
+            hit8 = (slope_idx * len(VEG_KEYS) + veg_idx).astype(np.int8)
+            base8 = (np.where(slope == NODATA, 0, 1) * len(VEG_KEYS)
+                     + veg_idx).astype(np.int8)
+        comb = np.where(aspect == DIRE_ASPECT[a_dir], hit8, base8)
     else:
         sia = slope_in_aspect(slope, aspect, DIRE_ASPECT[a_dir])
         if valid is not None:
@@ -330,14 +339,20 @@ def compute_bal(veg_class, slope_class, aspect_class, pixel_width, fdi,
     palette makes index max and value max pick the same element) to
     uint8 palette indices (see :func:`convo`)."""
     out = {}
-    veg_idx = slope_idx = None
+    veg_idx = slope_idx = hit_base = None
     if valid is None:
         veg_idx = class_index(np.asarray(veg_class), VEG_KEYS)
         slope_idx = class_index(np.asarray(slope_class), SLOPE_KEYS)
+        slope_arr = np.asarray(slope_class)
+        hit8 = (slope_idx * len(VEG_KEYS) + veg_idx).astype(np.int8)
+        base8 = (np.where(slope_arr == NODATA, 0, 1) * len(VEG_KEYS)
+                 + veg_idx).astype(np.int8)
+        hit_base = (hit8, base8)
     for a_dir in DIRECTIONS:
         out[a_dir] = convo(a_dir, veg_class, slope_class, aspect_class,
                            pixel_width, fdi, valid=valid, veg_idx=veg_idx,
                            slope_idx=slope_idx, out_window=out_window,
-                           index_palette=index_palette)
+                           index_palette=index_palette,
+                           comb_hit_base=hit_base)
     out["max"] = max_bal([out[d] for d in DIRECTIONS])
     return out
