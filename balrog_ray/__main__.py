@@ -68,6 +68,18 @@ def _init_ray(args) -> bool:
             ray.init(address=args.address)
     return owns
 
+
+def _effective_cpus(args) -> int:
+    """CPU count that sizes read fan-out / block counts: the flag for a
+    local session, the RUNNING CLUSTER's total for --address mode (a
+    job submitted to a 256-CPU cluster must not read 32 blocks because
+    the flag defaulted to 8)."""
+    import ray
+
+    if args.address == "local":
+        return args.num_cpus
+    return int(ray.cluster_resources().get("CPU", args.num_cpus))
+
 def cmd_bal(args) -> int:
     import ray
 
@@ -77,7 +89,8 @@ def cmd_bal(args) -> int:
 
     spec = infer_grid(args.tiles)
     ds = read_image_table(args.tiles,
-                          override_num_blocks=max(4 * args.num_cpus, 16))
+                          override_num_blocks=max(
+                              4 * _effective_cpus(args), 16))
     veg_ds = None
     veg_meta = None
     if args.veg_tiles:
@@ -310,8 +323,9 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--num-cpus", type=int, default=8,
-                        help="local-session size (ignored with a cluster "
-                             "--address)")
+                        help="local-session size; with a cluster "
+                             "--address the running cluster's CPU total "
+                             "is used instead")
     common.add_argument("--address", default="local",
                         help="'local' (fresh session) or a Ray cluster "
                              "address such as 'auto' under ray job submit")

@@ -145,8 +145,11 @@ def pack_video(frames, caption: Caption) -> bytes:
     return b"".join(parts)
 
 
-def unpack_video(data: bytes, caption: Caption):
-    """Iterate (frame_idx, float32 frame) from an ``nvid`` payload."""
+def unpack_video(data: bytes, caption: Caption, *, every_n: int = 1):
+    """Iterate (frame_idx, float32 frame) from an ``nvid`` payload.
+    ``every_n`` > 1 SEEKS past unsampled frames using the length
+    prefixes -- their payloads are never decompressed, so a sampler
+    pays decode cost only for the frames it keeps."""
     import struct
 
     if data[:4] != _NVID_MAGIC:
@@ -156,7 +159,8 @@ def unpack_video(data: bytes, caption: Caption):
     for i in range(n):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         pos += 4
-        yield i, decode_tile(data[pos:pos + ln], "npz", caption)
+        if i % every_n == 0:
+            yield i, decode_tile(data[pos:pos + ln], "npz", caption)
         pos += ln
 
 
@@ -187,9 +191,8 @@ class FrameSampleActor:
                 raise ValueError(f"not a video payload: {row['fmt']!r}")
             cap = Caption.from_json(row["caption"])
             vid = row.get("video_id") or row.get("image_id")
-            for idx, frame in unpack_video(row["bytes"], cap):
-                if idx % self.every_n:
-                    continue
+            for idx, frame in unpack_video(row["bytes"], cap,
+                                           every_n=self.every_n):
                 payload, ocap = encode_tile(frame, self.out_fmt, cap)
                 rows["image_id"].append(f"{vid}/f{idx}")
                 rows["bytes"].append(payload)

@@ -243,9 +243,11 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
         def df_keep(b: pa.Table) -> pa.Table:
             return b.filter(pc.less_equal(b.column("df"), df_thr))
 
+        from ..partitions import shuffle_width
+
         keep_df = df_ds.map_batches(df_keep, batch_format="pyarrow")
-        n_parts = int(min(512, max(8, tf.count() // 500_000 + 1)))
-        joined = tf.join(keep_df, "inner", num_partitions=n_parts,
+        joined = tf.join(keep_df, "inner",
+                         num_partitions=shuffle_width(tf.count()),
                          on=("token",))
 
         def score_topk_joined(batch: pa.Table) -> pa.Table:

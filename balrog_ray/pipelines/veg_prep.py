@@ -130,6 +130,9 @@ def _union_to_row(cls: int, polys: list[Polygon],
     from ..geo.boolean import union_all
     from ..geo.wkb import multipolygon_to_wkb
 
+    if metric not in ("planar", "geodesic_sphere"):
+        raise ValueError(
+            f"metric must be planar|geodesic_sphere, got {metric!r}")
     if metric == "geodesic_sphere":
         from ..geo.geodesic import spherical_polygon_area_m2 as _area
     else:
@@ -156,7 +159,8 @@ def class_union_pipeline(prepped_ds, metric: str = "planar"):
     ``ST_Union`` tree (``04_merge_geometries.py:129-205``);
     ``metric="geodesic_sphere"`` reports ``union_area_m2`` as true
     spherical area for lon/lat geometry (the reference's
-    ``pyproj.Geod.geometry_area_perimeter``, ``04_merge_geometries.py:188``):
+    ``pyproj.Geod.geometry_area_perimeter``, ``04_merge_geometries.py:188``;
+    any other non-planar value raises):
 
     * **partial** -- each block unions ITS polygons per class inside
       ``map_batches`` (bounded input, embarrassingly parallel -- the
@@ -168,6 +172,9 @@ def class_union_pipeline(prepped_ds, metric: str = "planar"):
 
     Returns a Dataset of UNION_SCHEMA rows, one per class.
     """
+    if metric not in ("planar", "geodesic_sphere"):
+        raise ValueError(
+            f"metric must be planar|geodesic_sphere, got {metric!r}")
 
     def partial_fn(batch: pa.Table) -> pa.Table:
         by_cls: dict[int, list[Polygon]] = {}

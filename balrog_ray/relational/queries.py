@@ -35,14 +35,14 @@ def _agg():
 
 
 def _join_parts(sf_dir: str, *tables: str) -> int:
-    """Hash-join shuffle width, derived from the data instead of a
-    literal: ~1 partition per 500k rows of the larger PRE-FILTER input
-    (parquet footer row counts -- metadata-only, filters only shrink),
-    clamped to [8, 512].  sf0.1 keeps the 8-partition plan; a 100x
-    input widens the shuffle instead of throttling on 8 reducers."""
-    rows = max(pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
-               for t in tables)
-    return int(min(512, max(8, rows // 500_000 + 1)))
+    """Hash-join shuffle width from the larger PRE-FILTER input's
+    parquet footer row count (metadata-only; filters only shrink) --
+    the shared :func:`balrog_ray.partitions.shuffle_width` rule."""
+    from ..partitions import shuffle_width
+
+    return shuffle_width(
+        max(pq.read_metadata(f"{sf_dir}/{t}.parquet").num_rows
+            for t in tables))
 
 
 def _collect(ds) -> pa.Table:
@@ -1964,13 +1964,16 @@ def q_monthly_revenue(sf_dir: str):
         cents = np.rint(b.column("o_totalprice").to_numpy()
                         * 100.0).astype(np.int64)
         uniq, inv = np.unique(months, return_inverse=True)
+        # int64 accumulator, not bincount's float64 weights: a partial
+        # past 2^53 would silently round and break the exact-cents
+        # guarantee at scale
+        rev = np.zeros(len(uniq), np.int64)
+        np.add.at(rev, inv, cents)
         return pa.table({
             "month": pa.array(uniq.astype("datetime64[us]"),
                               pa.timestamp("us")),
             "n_orders": pa.array(np.bincount(inv), pa.int64()),
-            "revenue_cents": pa.array(
-                np.bincount(inv, weights=cents).astype(np.int64),
-                pa.int64())})
+            "revenue_cents": pa.array(rev, pa.int64())})
 
     a = _agg()
     return (_read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])

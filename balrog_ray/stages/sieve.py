@@ -208,7 +208,9 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
             f"the region graph (bounded-materialization contract, as "
             f"basin_zonal gates its 26-bit ids) -- raise max_regions if "
             f"the driver has the memory, or sieve per sub-raster")
-    n_parts = int(min(256, max(8, n_regions // 500_000 + 1)))
+    from ..partitions import shuffle_width
+
+    n_parts = shuffle_width(n_regions)
 
     # ---- distributed graph contraction: fragment -> canonical ----
     parts_ds = combined.filter(expr="kind == 0") \
