@@ -2,11 +2,12 @@
 
 Cell ids are the partition / shuffle / join keys for halo exchange and the
 spatial join.  The container has no h3/s2 bindings, so the engine uses a
-deterministic quadtree-style planar grid: at resolution ``r`` the world
-window is divided into ``2^r x 2^r`` cells; a cell id packs
-``(resolution, cx, cy)`` into one int64.  The properties the pipeline needs
-from H3/S2 all hold: point -> cell in O(1), k-ring neighbourhoods, cells
-covering a bbox, parent/child moves between resolutions.
+deterministic planar grid.  This module is the FLAT single-resolution
+half (point -> cell in O(1), k-ring neighbourhoods, bbox covers, Hilbert
+sort keys — the shuffle keys every stage uses); the multi-resolution half
+(packed ``(res, cx, cy)`` int64 ids, parent/child moves, S2-style
+``compact`` and the adaptive ``RegionCoverer``) lives in
+:mod:`balrog_ray.geo.quad`.
 """
 
 from __future__ import annotations

@@ -2111,6 +2111,136 @@ group by r_name
 """
 
 
+# --------------------------------------------------------------------------
+# hierarchical quad-cell index (the H3/S2-analogue's multi-resolution half:
+# geo/quad.py — parent rollup + S2 CellUnion::Normalize compaction)
+
+
+def q_quad_rollup(sf_dir: str):
+    """Multi-resolution cell rollup (H3 ``cell_to_parent`` role): supplier
+    points -> res-8 quad cells -> ``qparent`` x4 -> count per res-4 cell,
+    keyed by the PACKED int64 id.  The SQL oracle recomputes the same bit
+    layout ``(res << 52) | (cy << 26) | cx``, so the hash check pins the
+    packing itself, not just the counts."""
+    from ..geo.quad import point_to_qcell, qparent
+
+    def cellify(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        x = (sk * 53) % 1000
+        y = (sk * 97) % 1000
+        fine = point_to_qcell(x, y, 8, 0.0, 1024.0, 1024.0)
+        return pa.table({"qcell": pa.array(qparent(fine, 4), pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "supplier", ["s_suppkey"])
+            .map_batches(cellify, batch_format="pyarrow")
+            .groupby("qcell")
+            .aggregate(a.Count(alias_name="n")))
+
+
+# the window is 1024 world units, power of two, so the engine's float path
+# (x / 1024 * 256) and the oracle's integer path (x // 4) are both exact;
+# the y axis inverts (north edge = 1024) and clamps at the border cell.
+SQL_QUAD_ROLLUP = """
+select ((4::BIGINT << 52)
+        | ((least((1024 - (s_suppkey * 97) % 1000) // 4, 255) // 16) << 26)
+        | (least(((s_suppkey * 53) % 1000) // 4, 255) // 16)) as qcell,
+       count(*) as n
+from supplier
+group by 1
+"""
+
+
+def q_quad_compact(sf_dir: str):
+    """S2 ``CellUnion::Normalize`` as a gate query: supplier buffer squares
+    -> distinct res-6 quad cells (64x64 grid over the 1024 window) ->
+    :func:`balrog_ray.geo.quad.compact` -> ``(res, cx, cy)`` rows.  The SQL
+    oracle unrolls the same finest-to-coarsest quartet promotion as chained
+    CTEs, so the hash check pins compaction semantics end-to-end.  The
+    distinct fine cover is bounded by the grid (<= 4096 rows regardless of
+    input size), so the driver-side ``compact`` is O(grid), never O(input)."""
+    from ..geo.quad import compact, qcell_id, qcell_res, qcell_xy
+
+    def cover(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        x = (sk * 53) % 1000
+        y = (sk * 97) % 1000
+        r = 30 + (sk % 5) * 10
+        cx0 = np.maximum(x - r, 0) // 16
+        cx1 = np.minimum((x + r) // 16, 63)
+        cy0 = np.maximum(1024 - (y + r), 0) // 16
+        cy1 = np.minimum(np.maximum(1024 - (y - r), 0) // 16, 63)
+        out_cx, out_cy = [], []
+        for a0, a1, b0, b1 in zip(cx0, cx1, cy0, cy1):
+            xs = np.arange(a0, a1 + 1)
+            ys = np.arange(b0, b1 + 1)
+            gx, gy = np.meshgrid(xs, ys)
+            out_cx.append(gx.ravel())
+            out_cy.append(gy.ravel())
+        if not out_cx:
+            return pa.table({"cx": pa.array([], pa.int64()),
+                             "cy": pa.array([], pa.int64())})
+        return pa.table({
+            "cx": pa.array(np.concatenate(out_cx), pa.int64()),
+            "cy": pa.array(np.concatenate(out_cy), pa.int64())})
+
+    a = _agg()
+    fine = _collect(
+        _read(sf_dir, "supplier", ["s_suppkey"])
+        .map_batches(cover, batch_format="pyarrow")
+        .groupby(["cx", "cy"])
+        .aggregate(a.Count(alias_name="n")))
+    ids = compact(qcell_id(6, fine.column("cx").to_numpy(),
+                           fine.column("cy").to_numpy()))
+    cx, cy = qcell_xy(ids)
+    return pa.table({"res": pa.array(qcell_res(ids), pa.int64()),
+                     "cx": pa.array(cx, pa.int64()),
+                     "cy": pa.array(cy, pa.int64())})
+
+
+def _quad_compact_sql() -> str:
+    """Unroll the level-by-level quartet promotion (res 6 -> 0) as chained
+    CTEs: at each level, res-r cells whose 4 siblings are all present
+    collapse into their parent; everything else passes through.  DuckDB's
+    ``//`` truncates toward zero, so the fine-cover arithmetic clamps with
+    greatest() BEFORE dividing (matching the engine's np.maximum) to keep
+    every divided quantity non-negative."""
+    steps = []
+    for r in range(6, 0, -1):
+        steps.append(f"""
+p{r} as (
+  select cx // 2 as pcx, cy // 2 as pcy from s{r}
+  where res = {r}
+  group by 1, 2 having count(*) = 4),
+s{r - 1} as (
+  select cast({r - 1} as bigint) as res, pcx as cx, pcy as cy from p{r}
+  union all
+  select res, cx, cy from s{r} c
+  where res <> {r} or not exists (
+    select 1 from p{r} p
+    where p.pcx = c.cx // 2 and p.pcy = c.cy // 2))""")
+    return """
+with fine as (
+  select distinct cx, cy from (
+    select unnest(range(greatest(1024 - (y + r), 0) // 16,
+                        least(greatest(1024 - (y - r), 0) // 16, 63) + 1))
+             as cy, cx
+    from (
+      select unnest(range(greatest(x - r, 0) // 16,
+                          least((x + r) // 16, 63) + 1)) as cx, y, r
+      from (select (s_suppkey * 53) % 1000 as x,
+                   (s_suppkey * 97) % 1000 as y,
+                   30 + (s_suppkey % 5) * 10 as r
+            from supplier) t0) t1) t2),
+s6 as (select cast(6 as bigint) as res, cx, cy from fine),""" + ",".join(
+        steps) + """
+select res, cx, cy from s0
+"""
+
+
+SQL_QUAD_COMPACT = _quad_compact_sql()
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2171,4 +2301,6 @@ SQL_CHECKED = {
     "price_histogram": (q_price_histogram, SQL_PRICE_HISTOGRAM),
     "mad_quantity": (q_mad_quantity, SQL_MAD_QUANTITY),
     "region_nations_agg": (q_region_nations_agg, SQL_REGION_NATIONS_AGG),
+    "quad_rollup": (q_quad_rollup, SQL_QUAD_ROLLUP),
+    "quad_compact": (q_quad_compact, SQL_QUAD_COMPACT),
 }

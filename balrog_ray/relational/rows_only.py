@@ -155,6 +155,51 @@ def q_polygon_cell_cover(sf_dir: str):
     return polygons_to_cells(veg_polygon_table(cfg), cfg.grid)
 
 
+def q_quad_polygon_cover(sf_dir: str):
+    """Adaptive mixed-resolution polygon cover (the S2 ``RegionCoverer``
+    role of geo/quad.py) over the synth veg polygons: interior cells stay
+    coarse, only the boundary refines to max_res, and the result is
+    ``compact()``-normal.  Per-polygon covers run INSIDE map_batches (the
+    per-partition shape a 10^12-row polygon table needs); the output is
+    one stats row per polygon: cell count, coarsest/finest resolution and
+    the equivalent fine-cell count the hierarchy avoided shipping."""
+    import ray.data
+
+    from ..geo.quad import adaptive_cover, expand, qcell_res
+    from ..geo.wkb import from_wkb
+    from ..tiles.synth import veg_polygon_table
+
+    cfg = _t1_cfg()
+    size = float(cfg.tiles_x * cfg.tile_px * cfg.pixel_size)
+    y_north = float(cfg.y_north)
+    max_res = 7
+
+    def cover_stats(b: pa.Table) -> pa.Table:
+        gids, n_cells, r_min, r_max, n_fine = [], [], [], [], []
+        for gid, geom in zip(b.column("gid").to_pylist(),
+                             b.column("geom").to_pylist()):
+            obj = from_wkb(geom)
+            polys = obj if isinstance(obj, list) else [obj]
+            for k, poly in enumerate(polys):
+                ids = adaptive_cover(poly, 0.0, y_north, size,
+                                     max_res=max_res, min_res=2)
+                gids.append(gid * 16 + k)
+                n_cells.append(len(ids))
+                rs = qcell_res(ids)
+                r_min.append(int(rs.min()) if len(ids) else -1)
+                r_max.append(int(rs.max()) if len(ids) else -1)
+                n_fine.append(len(expand(ids, max_res)))
+        return pa.table({"gid": pa.array(gids, pa.int64()),
+                         "n_cells": pa.array(n_cells, pa.int64()),
+                         "res_min": pa.array(r_min, pa.int64()),
+                         "res_max": pa.array(r_max, pa.int64()),
+                         "n_fine": pa.array(n_fine, pa.int64())})
+
+    return (ray.data.from_arrow(veg_polygon_table(cfg))
+            .map_batches(cover_stats, batch_format="pyarrow")
+            .sort("gid"))
+
+
 def q_zonal_sites(sf_dir: str):
     import ray.data
 
@@ -1527,6 +1572,7 @@ ROWS_ONLY = {
     "spatial_join_sites": q_spatial_join_sites,
     "partitioned_join_sites": q_partitioned_join_sites,
     "polygon_cell_cover": q_polygon_cell_cover,
+    "quad_polygon_cover": q_quad_polygon_cover,
     "buffer_clip_areas": q_buffer_clip_areas,
     "zonal_sites": q_zonal_sites,
     "multimodal_features": q_multimodal_features,

@@ -10,13 +10,14 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ("orders", "lineitem", "customer", "nation", "events",
-          "documents")
+          "documents", "supplier")
 
 NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
                "norm_text_dedup", "dedup_components", "langid_docs",
                "quality_filter", "ntile_price", "chunk_docs",
-               "bloom_semi_join", "boilerplate_ngrams", "contamination_check", "cumsum_orders", "lag_events"]
+               "bloom_semi_join", "boilerplate_ngrams", "contamination_check",
+               "cumsum_orders", "lag_events", "quad_rollup", "quad_compact"]
 
 
 def _canonical(tab: pa.Table):
