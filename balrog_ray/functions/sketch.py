@@ -1,4 +1,6 @@
-"""Approximate distinct counting via a KMV (k-minimum-values) sketch.
+"""Fixed-size-partial sketches: KMV distinct counting, histogram
+quantiles, and Misra-Gries heavy hitters (the latter made EXACT by a
+candidate recount pass).
 
 The reference has no sketch/approx aggregates at all (SURVEY.md §2.3);
 at 100 TB an exact ``count(distinct)`` over a high-cardinality key is a
@@ -144,3 +146,96 @@ def histogram_quantiles(ds, col: str, qs, nbins: int = 4096):
         est.append(lo + (b + min(max(frac, 0.0), 1.0)) * width)
     return pa.table({"q": pa.array(qs, pa.float64()),
                      "estimate": pa.array(est, pa.float64())})
+
+
+def _mg_reduce(counts: dict, width: int) -> dict:
+    """Misra-Gries decrement step: if more than ``width`` counters are
+    held, subtract the (width+1)-th largest count from all and drop the
+    non-positive -- at most ``width`` survive (ties with the pivot die),
+    and every counter's undercount grows by at most that pivot."""
+    if len(counts) <= width:
+        return counts
+    vals = np.sort(np.fromiter(counts.values(), np.int64, len(counts)))
+    d = int(vals[-(width + 1)])
+    return {t: c - d for t, c in counts.items() if c > d}
+
+
+def heavy_hitter_tokens(ds, col: str = "text", width: int = 512,
+                        denom: int = 200):
+    """Exact frequent-token mining via a two-pass Misra-Gries sketch +
+    distributed recount: every token occurring more than ``total // denom``
+    times (the SQL ``having count(*) > n/denom`` contract), with EXACT
+    counts, while no stage ever shuffles the full token-frequency table.
+
+    Pass 1 (candidates): each block summarizes its tokens into a width-
+    ``width`` Misra-Gries sketch (``width`` counters whatever the block
+    size) plus its token total; the driver merges the O(blocks * width)
+    partial rows and reduces once more to ``width``.  Merged-MG guarantee:
+    undercount <= total/(width+1), so with ``denom < width`` every token
+    above the threshold survives as a candidate -- the candidate set is a
+    SUPERSET of the answer, never a miss.
+
+    Pass 2 (exact verify): the <= ``width`` candidate tokens broadcast into
+    a second streaming pass that counts ONLY them (per-block partials of
+    <= ``width`` rows, one tiny groupby-sum), and the exact threshold
+    filter makes sketch noise irrelevant to the output.
+
+    This is the candidate-generation + exact-verification shape the
+    dedup family uses (functions/dedup.py): the sketch bounds what moves,
+    the recount restores exactness.  Tokenization is ``split(' ')``
+    (DuckDB ``string_split``), matching token_stats_by_lang.
+
+    Returns a Dataset of ``(token: string, n: int64)``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data.aggregate as agg
+
+    if denom >= width:
+        raise ValueError(f"denom ({denom}) must be < width ({width}) for "
+                         "the superset guarantee")
+    from collections import Counter
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        n = 0
+        for t in b.column(col).to_pylist():
+            toks = t.split(" ")
+            n += len(toks)
+            cnt.update(toks)
+        cnt = _mg_reduce(cnt, width)
+        return pa.table({
+            "token": pa.array(list(cnt.keys()) + [None], pa.string()),
+            "c": pa.array(list(cnt.values()) + [n], pa.int64())})
+
+    parts = ray.get(ds.select_columns([col])
+                    .map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+    merged: Counter = Counter()
+    total = 0
+    for t in parts:
+        for tok, c in zip(t.column("token").to_pylist(),
+                          t.column("c").to_pylist()):
+            if tok is None:
+                total += c
+            else:
+                merged[tok] += c
+    cand = frozenset(_mg_reduce(merged, width))
+    thr = total // denom + 1
+
+    def recount(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in b.column(col).to_pylist():
+            for tok in t.split(" "):
+                if tok in cand:
+                    cnt[tok] += 1
+        return pa.table({"token": pa.array(list(cnt.keys()), pa.string()),
+                         "c": pa.array(list(cnt.values()), pa.int64())})
+
+    return (ds.select_columns([col])
+            .map_batches(recount, batch_format="pyarrow")
+            .groupby("token")
+            .aggregate(agg.Sum("c", alias_name="n"))
+            .map_batches(lambda b: b.filter(
+                pc.greater_equal(b.column("n"), pa.scalar(thr))),
+                batch_format="pyarrow"))

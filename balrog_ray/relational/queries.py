@@ -2241,6 +2241,33 @@ select res, cx, cy from s0
 SQL_QUAD_COMPACT = _quad_compact_sql()
 
 
+# --------------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidate sketch + exact distributed recount
+# (functions/sketch.heavy_hitter_tokens) -- frequent tokens with EXACT
+# counts and no full token-frequency shuffle
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Tokens occurring more than total_tokens // 200 times across the
+    corpus, exact counts.  The sketch pass bounds what moves (512 counters
+    per block), the recount pass restores exactness, so the result equals
+    the SQL's full groupby-HAVING despite never shuffling every token."""
+    from ..functions.sketch import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_read(sf_dir, "documents", ["text"]),
+                               width=512, denom=200)
+
+
+SQL_HEAVY_HITTERS = """
+with toks as (
+  select unnest(string_split(text, ' ')) as token from documents)
+select token, cast(count(*) as bigint) as n
+from toks
+group by token
+having count(*) > (select count(*) from toks) // 200
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2303,4 +2330,5 @@ SQL_CHECKED = {
     "region_nations_agg": (q_region_nations_agg, SQL_REGION_NATIONS_AGG),
     "quad_rollup": (q_quad_rollup, SQL_QUAD_ROLLUP),
     "quad_compact": (q_quad_compact, SQL_QUAD_COMPACT),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
 }

@@ -672,3 +672,47 @@ def test_frame_sampling_actor_pool(ray_session):
                      "fmt": ["h264"], "caption": [cap.to_json()]})
     with pytest.raises(NotImplementedError):
         actor(h264)
+
+
+def test_heavy_hitters_exact_under_tiny_width(ray_session):
+    """Misra-Gries candidates + exact recount equals the brute-force
+    HAVING filter even when the sketch width is far below the distinct
+    token count (the regime where the sketch MUST evict) -- the superset
+    guarantee plus the recount make the output exact, not approximate."""
+    import ray
+    from collections import Counter
+
+    from balrog_ray.functions.sketch import heavy_hitter_tokens
+
+    rng = np.random.default_rng(3)
+    # zipf-ish corpus: few hot tokens, a long unique tail >> width
+    hot = [f"hot{i}" for i in range(8)]
+    docs = []
+    for d in range(64):
+        toks = [hot[int(i)] for i in rng.integers(0, 8, 40)]
+        toks += [f"tail{d}_{j}" for j in range(30)]   # 1920 uniques total
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+
+    width, denom = 32, 32 - 1  # denom < width, tiny sketch
+    got = (heavy_hitter_tokens(
+        ray.data.from_arrow(tbl).repartition(8), width=width, denom=denom)
+        .to_pandas().sort_values("token").reset_index(drop=True))
+
+    cnt = Counter(tok for d in docs for tok in d.split(" "))
+    total = sum(cnt.values())
+    thr = total // denom + 1
+    want = sorted((t, c) for t, c in cnt.items() if c >= thr)
+    assert list(zip(got["token"], got["n"])) == want
+    assert len(want) > 0          # the test actually checks something
+
+
+def test_heavy_hitters_rejects_bad_denom(ray_session):
+    import ray
+
+    from balrog_ray.functions.sketch import heavy_hitter_tokens
+
+    tbl = pa.table({"text": pa.array(["a b", "a c"], pa.string())})
+    with pytest.raises(ValueError):
+        heavy_hitter_tokens(ray.data.from_arrow(tbl), width=8, denom=8)

@@ -17,7 +17,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "norm_text_dedup", "dedup_components", "langid_docs",
                "quality_filter", "ntile_price", "chunk_docs",
                "bloom_semi_join", "boilerplate_ngrams", "contamination_check",
-               "cumsum_orders", "lag_events", "quad_rollup", "quad_compact"]
+               "cumsum_orders", "lag_events", "quad_rollup", "quad_compact",
+               "heavy_hitters"]
 
 
 def _canonical(tab: pa.Table):
