@@ -687,3 +687,108 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
             .map_groups(verify_group, batch_format="pyarrow")
             .groupby(["id_a", "id_b"])
             .aggregate(agg.Max("cosine", alias_name="cosine")))
+
+
+# -------------------------------------------- cross-doc substring windows
+
+_WIN_K1 = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 golden gamma (odd)
+_WIN_K2 = np.uint64(0xC2B2AE3D27D4EB4F)   # xxhash64 prime 2 (odd)
+
+
+def dup_window_counts(docs_ds, id_col: str = "doc_id",
+                      text_col: str = "text", *, win: int = 8,
+                      num_partitions: int | None = None):
+    """Exact cross-document duplicated-substring detection -- the role the
+    suffix-array substring dedup plays in LLM corpus prep (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    for every document, count the token positions whose ``win``-token
+    window also occurs in at least one OTHER document.  Returns a
+    Dataset of ``(doc_id, dup_windows)`` for docs with >= 1 such window.
+
+    Scale shape: window TEXT never ships.  Each window is keyed by a
+    128-bit id -- two independent 64-bit Horner polynomial mixes (odd
+    multipliers, natural uint64 wraparound) over per-token blake2b-64
+    hashes -- so equal token sequences always collide and unequal ones
+    collide with probability ~2^-128 per pair.  Window extraction is
+    vectorized: ``win`` shifted multiply-adds over the whole batch's
+    token-hash array, then one ``np.unique(axis=0)`` collapses repeated
+    (window, doc) pairs in-block, so the exchange carries ~28 B per
+    DISTINCT (window, doc) pair.  Because each document is one row, a
+    (window, doc) pair can never span blocks -- the in-block collapse is
+    globally exact and the window-keyed ``groupby`` row count IS the
+    distinct-document frequency.  Window ids are uniform by
+    construction, so the groupby/join partitioning is skew-free even
+    when one hot phrase dominates the corpus.  The join back ships only
+    window-id + count rows; the final ``groupby(doc_id)`` is
+    doc-cardinality bounded.
+    """
+    import ray.data.aggregate as agg
+
+    if win < 2:
+        raise ValueError("win must be >= 2")
+
+    def explode(b: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+
+        def tok64(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.blake2b(
+                    t.encode(), digest_size=8).digest(), "big")
+                memo[t] = h
+            return h
+
+        ids = b.column(id_col).to_numpy()
+        w1s, w2s, docs = [], [], []
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            toks = text.split(" ")
+            n = len(toks) - win + 1
+            if n <= 0:
+                continue
+            h = np.fromiter((tok64(t) for t in toks), np.uint64, len(toks))
+            w1 = np.zeros(n, np.uint64)
+            w2 = np.zeros(n, np.uint64)
+            for j in range(win):          # Horner over the window
+                seg = h[j:j + n]
+                w1 = w1 * _WIN_K1 + seg
+                w2 = w2 * _WIN_K2 + seg
+            w1s.append(w1)
+            w2s.append(w2)
+            docs.append(np.full(n, ids[i], np.uint64))
+        if not docs:
+            return pa.table({"w1": pa.array([], pa.int64()),
+                             "w2": pa.array([], pa.int64()),
+                             id_col: pa.array([], b.schema.field(id_col).type),
+                             "n_occ": pa.array([], pa.int64())})
+        trip = np.stack([np.concatenate(w1s), np.concatenate(w2s),
+                         np.concatenate(docs)], axis=1)
+        uniq, cnt = np.unique(trip, axis=0, return_counts=True)
+        return pa.table({
+            "w1": pa.array(uniq[:, 0].view(np.int64), pa.int64()),
+            "w2": pa.array(uniq[:, 1].view(np.int64), pa.int64()),
+            id_col: pa.array(uniq[:, 2].astype(np.int64)).cast(
+                b.schema.field(id_col).type),
+            "n_occ": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    pairs = (docs_ds.select_columns([id_col, text_col])
+             .map_batches(explode, batch_format="pyarrow")
+             .materialize())
+    n_pairs = pairs.count()
+    if n_pairs == 0:            # every doc shorter than the window
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pairs.schema().base_schema.field(id_col).type),
+            "dup_windows": pa.array([], pa.int64())}))
+    if num_partitions is None:
+        # same sizing rule as the relational joins: ~50k rows/partition,
+        # floor 2, cap 64 locally (multi-node: cap at cluster cores)
+        num_partitions = max(2, min(64, n_pairs // 50_000 + 2))
+    freq = (pairs.groupby(["w1", "w2"])
+            .aggregate(agg.Count(alias_name="nd")))
+    joined = pairs.join(freq, "inner", num_partitions=num_partitions,
+                        on=("w1", "w2"))
+    dup = joined.filter(expr="nd >= 2")
+    return (dup.select_columns([id_col, "n_occ"])
+            .groupby(id_col)
+            .aggregate(agg.Sum("n_occ", alias_name="dup_windows")))

@@ -415,3 +415,52 @@ def contamination_check(docs, id_col: str = "doc_id",
             .aggregate(agg.Count(alias_name="n_train_docs"),
                        agg.Max("shared", alias_name="max_shared"),
                        agg.Sum("shared", alias_name="total_shared")))
+
+
+# --------------------------------------------- repetition quality signals
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text",
+                     *, max_top_share: float = 0.2):
+    """Gopher-style repetition signals (Rae et al. 2021, table A1's
+    "fraction of characters in the most common n-gram" family, n=1):
+    flag documents whose single most frequent token accounts for
+    >= ``max_top_share`` of all tokens.  Returns ``(doc_id, n_tokens,
+    n_distinct, top_count)`` for flagged docs -- integer numerators and
+    denominators rather than a float ratio, so the oracle compare is
+    exact arithmetic, and downstream thresholds can be re-derived
+    without re-tokenizing.
+
+    Scale shape: zero shuffles -- each document's statistics depend only
+    on its own row, so the whole operator is one stateless
+    ``map_batches`` (embarrassingly parallel, streams at read speed).
+    The share threshold is evaluated in integer cross-multiplication
+    (``top_count * denom >= n_tokens * num``) to avoid float-boundary
+    disagreement with the SQL oracle.  Tokenization is non-collapsing
+    ``split(" ")`` == DuckDB ``string_split``.
+    """
+    from collections import Counter
+    from fractions import Fraction
+
+    fr = Fraction(max_top_share).limit_denominator(10_000)
+    num, den = fr.numerator, fr.denominator
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_tok, n_dis, top = [], [], [], []
+        id_arr = b.column(id_col).to_pylist()
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            cnt = Counter(text.split(" "))
+            n = sum(cnt.values())
+            t = max(cnt.values())
+            if t * den >= n * num:
+                ids.append(id_arr[i])
+                n_tok.append(n)
+                n_dis.append(len(cnt))
+                top.append(t)
+        return pa.table({
+            id_col: pa.array(ids, b.schema.field(id_col).type),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(n_dis, pa.int64()),
+            "top_count": pa.array(top, pa.int64())})
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(stats, batch_format="pyarrow"))

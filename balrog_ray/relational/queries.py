@@ -2268,6 +2268,139 @@ having count(*) > (select count(*) from toks) // 200
 """
 
 
+# --------------------------------------------------------------------------
+# cross-document substring dedup: per-doc count of 8-token window positions
+# whose window occurs in >= 2 distinct documents (functions/dedup.
+# dup_window_counts -- the suffix-array substring-dedup role)
+
+
+def q_substring_dedup(sf_dir: str):
+    """Documents carrying cross-document duplicated 8-token substrings,
+    with the exact count of duplicated window positions per doc.  The
+    engine keys windows by 128-bit polynomial hashes over per-token
+    hashes (never ships window text); the oracle enumerates the window
+    strings themselves -- equality holds because equal token sequences
+    always produce equal keys and the 128-bit id space makes cross-window
+    collisions negligible."""
+    from ..functions.dedup import dup_window_counts
+
+    return dup_window_counts(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             win=8)
+
+
+SQL_SUBSTRING_DEDUP = """
+with toks as (
+  select doc_id, string_split(text, ' ') as t from documents),
+pos as (
+  select doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 7, 0))) as i
+  from toks),
+w as (select doc_id, array_to_string(t[i:i+7], ' ') as win from pos),
+freq as (select win, count(distinct doc_id) as nd from w group by win)
+select doc_id, cast(count(*) as bigint) as dup_windows
+from w join freq using (win)
+where nd >= 2
+group by doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# ordered conversion funnel over the event stream: view -> click ->
+# purchase, each step within 86400 s of the previous, earliest-qualifying
+# timestamp semantics
+
+
+def q_funnel_steps(sf_dir: str):
+    """Three-step ordered funnel: per user, the earliest 'view', then the
+    earliest 'click' strictly after it within 86400 s, then the earliest
+    'purchase' strictly after that within 86400 s; output is users
+    reaching each step.  Scale shape: one user-keyed shuffle, the
+    per-group step walk is three vectorized searchsorted/min ops, and
+    the final reduction is a 4-row histogram -- partials only, nothing
+    user-cardinality-sized reaches the driver."""
+    WIN_US = 86_400 * 1_000_000
+
+    def depth(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        et = np.asarray(group.column("event_type").to_pylist())
+        d = 0
+        sel = ts[et == "view"]
+        if sel.size:
+            d = 1
+            t1 = int(sel.min())
+            sel = ts[et == "click"]
+            sel = sel[(sel > t1) & (sel <= t1 + WIN_US)]
+            if sel.size:
+                d = 2
+                t2 = int(sel.min())
+                sel = ts[et == "purchase"]
+                sel = sel[(sel > t2) & (sel <= t2 + WIN_US)]
+                if sel.size:
+                    d = 3
+        return pa.table({"depth": pa.array([d], pa.int64())})
+
+    counts = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+              .groupby("user_id")
+              .map_groups(depth, batch_format="pyarrow")
+              .groupby("depth")
+              .aggregate(_agg().Count(alias_name="n"))
+              .take_all())                       # <= 4 rows
+    by_depth = {r["depth"]: r["n"] for r in counts}
+    users = [sum(n for d, n in by_depth.items() if d >= k)
+             for k in (1, 2, 3)]
+    return pa.table({"step": pa.array(["view", "click", "purchase"],
+                                      pa.string()),
+                     "users": pa.array(users, pa.int64())})
+
+
+SQL_FUNNEL_STEPS = """
+with e as (select user_id, event_type, epoch(ts) as ts from events),
+s1 as (select user_id, min(ts) as t1 from e
+       where event_type = 'view' group by user_id),
+s2 as (select e.user_id, min(e.ts) as t2 from e join s1 using (user_id)
+       where event_type = 'click' and e.ts > t1 and e.ts <= t1 + 86400
+       group by e.user_id),
+s3 as (select e.user_id, min(e.ts) as t3 from e join s2 using (user_id)
+       where event_type = 'purchase' and e.ts > t2 and e.ts <= t2 + 86400
+       group by e.user_id)
+select 'view' as step, cast((select count(*) from s1) as bigint) as users
+union all
+select 'click', cast((select count(*) from s2) as bigint)
+union all
+select 'purchase', cast((select count(*) from s3) as bigint)
+"""
+
+
+# --------------------------------------------------------------------------
+# repetition quality signals (functions/text.repetition_stats) -- Gopher
+# "fraction of characters in most common n-gram" family, n=1, zero shuffles
+
+
+def q_repetition_docs(sf_dir: str):
+    """Documents whose most frequent token is >= 20% of all tokens --
+    integer numerator/denominator output so the compare is exact."""
+    from ..functions.text import repetition_stats
+
+    return repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            max_top_share=0.2)
+
+
+SQL_REPETITION_DOCS = """
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as tok from documents),
+per as (select doc_id, tok, count(*) as c from toks group by doc_id, tok),
+st as (select doc_id, sum(c) as n_tokens, count(*) as n_distinct,
+              max(c) as top_count
+       from per group by doc_id)
+select doc_id, cast(n_tokens as bigint) as n_tokens,
+       cast(n_distinct as bigint) as n_distinct,
+       cast(top_count as bigint) as top_count
+from st
+where top_count * 5 >= n_tokens
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2331,4 +2464,7 @@ SQL_CHECKED = {
     "quad_rollup": (q_quad_rollup, SQL_QUAD_ROLLUP),
     "quad_compact": (q_quad_compact, SQL_QUAD_COMPACT),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
 }

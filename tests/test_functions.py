@@ -716,3 +716,78 @@ def test_heavy_hitters_rejects_bad_denom(ray_session):
     tbl = pa.table({"text": pa.array(["a b", "a c"], pa.string())})
     with pytest.raises(ValueError):
         heavy_hitter_tokens(ray.data.from_arrow(tbl), width=8, denom=8)
+
+
+def test_dup_window_counts_bruteforce(ray_session):
+    """128-bit window keys + groupby/join reproduce the brute-force
+    cross-doc duplicated-window position counts, across blocks and with
+    in-doc repeats (which must count once per POSITION, not per window)."""
+    import ray
+    from collections import Counter
+
+    from balrog_ray.functions.dedup import dup_window_counts
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = "alpha beta gamma delta".split()      # planted 4-token phrase
+    docs = []
+    for d in range(40):
+        toks = [vocab[i] for i in rng.integers(0, 30, 25)]
+        if d % 3 == 0:                              # plant in 14 docs
+            at = int(rng.integers(0, 20))
+            toks[at:at] = shared
+        if d == 0:                                  # plant TWICE in doc 0
+            toks += shared
+        docs.append(" ".join(toks))
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+
+    W = 4
+    wins = {d: [" ".join(t.split(" ")[i:i + W])
+                for i in range(len(t.split(" ")) - W + 1)]
+            for d, t in enumerate(docs)}
+    ndocs = Counter()
+    for d, ws in wins.items():
+        for w in set(ws):
+            ndocs[w] += 1
+    want = sorted((d, sum(1 for w in ws if ndocs[w] >= 2))
+                  for d, ws in wins.items()
+                  if any(ndocs[w] >= 2 for w in ws))
+
+    got = (dup_window_counts(ray.data.from_arrow(tbl).repartition(7), win=W)
+           .to_pandas().sort_values("doc_id"))
+    assert list(zip(got["doc_id"], got["dup_windows"])) == want
+    assert len(want) >= 14                          # the plant was live
+
+
+def test_dup_window_counts_short_docs(ray_session):
+    """Docs shorter than the window emit nothing and never crash."""
+    import ray
+
+    from balrog_ray.functions.dedup import dup_window_counts
+
+    tbl = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["a b", "a b", "x"], pa.string())})
+    got = dup_window_counts(ray.data.from_arrow(tbl), win=8)
+    assert got.count() == 0
+
+
+def test_repetition_stats_integer_boundary(ray_session):
+    """A doc exactly AT the threshold (top*5 == n_tokens) is flagged --
+    the integer cross-multiplication makes the boundary exact where a
+    float share >= 0.2 could round either way."""
+    import ray
+
+    from balrog_ray.functions.text import repetition_stats
+
+    docs = ["a a b c d",          # top=2, n=5 -> 2*5 >= 5*1: flagged
+            "a b c d e",          # top=1, n=5 -> 5 < 5*... 1*5>=5: flagged!
+            "a b c d e f g h i j"]  # top=1, n=10: not flagged
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = (repetition_stats(ray.data.from_arrow(tbl), max_top_share=0.2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == [0, 1]
+    assert list(got["n_tokens"]) == [5, 5]
+    assert list(got["n_distinct"]) == [4, 5]
+    assert list(got["top_count"]) == [2, 1]

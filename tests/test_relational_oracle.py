@@ -18,7 +18,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "quality_filter", "ntile_price", "chunk_docs",
                "bloom_semi_join", "boilerplate_ngrams", "contamination_check",
                "cumsum_orders", "lag_events", "quad_rollup", "quad_compact",
-               "heavy_hitters"]
+               "heavy_hitters", "substring_dedup", "funnel_steps",
+               "repetition_docs"]
 
 
 def _canonical(tab: pa.Table):
