@@ -715,17 +715,26 @@ def dup_window_counts(docs_ds, id_col: str = "doc_id",
     (window, doc) pairs in-block, so the exchange carries ~28 B per
     DISTINCT (window, doc) pair.  Because each document is one row, a
     (window, doc) pair can never span blocks -- the in-block collapse is
-    globally exact and the window-keyed ``groupby`` row count IS the
-    distinct-document frequency.  Window ids are uniform by
-    construction, so the groupby/join partitioning is skew-free even
-    when one hot phrase dominates the corpus.  The join back ships only
-    window-id + count rows; the final ``groupby(doc_id)`` is
-    doc-cardinality bounded.
+    globally exact and within a window-hash partition the row count per
+    window IS its distinct-document frequency.  The frequency test and
+    the per-doc position sums are FUSED into one window-hash-partitioned
+    ``map_groups`` pass (lexsort + run-length boundaries, fully
+    vectorized): one window-keyed exchange instead of the naive
+    groupby + hash-join-back + re-groupby plan (three exchanges; 6x
+    slower measured at sf0.1).  Window ids are uniform by construction,
+    so the partitioning is skew-free even when one hot phrase dominates
+    the corpus; the final ``groupby(doc_id)`` sums doc-cardinality-
+    bounded partials.
     """
     import ray.data.aggregate as agg
 
     if win < 2:
         raise ValueError("win must be >= 2")
+    if num_partitions is None:
+        # ~2k docs (0.1-0.6 M window rows) per partition; metadata-only
+        # count on a parquet read.  Multi-node: cap at cluster cores.
+        num_partitions = max(2, min(1024, docs_ds.count() // 2_000 + 2))
+    n_parts = np.uint64(num_partitions)
 
     def explode(b: pa.Table) -> pa.Table:
         memo: dict[str, int] = {}
@@ -756,7 +765,8 @@ def dup_window_counts(docs_ds, id_col: str = "doc_id",
             w2s.append(w2)
             docs.append(np.full(n, ids[i], np.uint64))
         if not docs:
-            return pa.table({"w1": pa.array([], pa.int64()),
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.int64()),
                              "w2": pa.array([], pa.int64()),
                              id_col: pa.array([], b.schema.field(id_col).type),
                              "n_occ": pa.array([], pa.int64())})
@@ -764,31 +774,47 @@ def dup_window_counts(docs_ds, id_col: str = "doc_id",
                          np.concatenate(docs)], axis=1)
         uniq, cnt = np.unique(trip, axis=0, return_counts=True)
         return pa.table({
+            "part": pa.array((uniq[:, 0] % n_parts).view(np.int64),
+                             pa.int64()),
             "w1": pa.array(uniq[:, 0].view(np.int64), pa.int64()),
             "w2": pa.array(uniq[:, 1].view(np.int64), pa.int64()),
             id_col: pa.array(uniq[:, 2].astype(np.int64)).cast(
                 b.schema.field(id_col).type),
             "n_occ": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    pairs = (docs_ds.select_columns([id_col, text_col])
-             .map_batches(explode, batch_format="pyarrow")
-             .materialize())
-    n_pairs = pairs.count()
-    if n_pairs == 0:            # every doc shorter than the window
-        import ray.data
+    def doc_partials(group: pa.Table) -> pa.Table:
+        """One window-hash partition: run-length window frequencies +
+        per-doc dup-position partial sums, all vectorized."""
+        w1 = group.column("w1").to_numpy()
+        w2 = group.column("w2").to_numpy()
+        if len(w1) == 0:
+            return pa.table({
+                id_col: pa.array([], group.schema.field(id_col).type),
+                "n_occ": pa.array([], pa.int64())})
+        order = np.lexsort((w2, w1))
+        sw1, sw2 = w1[order], w2[order]
+        new = np.empty(len(sw1), bool)
+        new[0] = True
+        new[1:] = (sw1[1:] != sw1[:-1]) | (sw2[1:] != sw2[:-1])
+        seg = np.cumsum(new) - 1                 # window index per row
+        nd = np.bincount(seg)                    # rows/window == distinct docs
+        dup_rows = order[nd[seg] >= 2]           # original-index selection
+        if len(dup_rows) == 0:
+            return pa.table({
+                id_col: pa.array([], group.schema.field(id_col).type),
+                "n_occ": pa.array([], pa.int64())})
+        sub = group.take(pa.array(dup_rows, pa.int64()))
+        docs = sub.column(id_col).to_numpy()
+        occ = sub.column("n_occ").to_numpy()
+        ud, inv = np.unique(docs, return_inverse=True)
+        sums = np.bincount(inv, weights=occ).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ud).cast(group.schema.field(id_col).type),
+            "n_occ": pa.array(sums, pa.int64())})
 
-        return ray.data.from_arrow(pa.table({
-            id_col: pa.array([], pairs.schema().base_schema.field(id_col).type),
-            "dup_windows": pa.array([], pa.int64())}))
-    if num_partitions is None:
-        # same sizing rule as the relational joins: ~50k rows/partition,
-        # floor 2, cap 64 locally (multi-node: cap at cluster cores)
-        num_partitions = max(2, min(64, n_pairs // 50_000 + 2))
-    freq = (pairs.groupby(["w1", "w2"])
-            .aggregate(agg.Count(alias_name="nd")))
-    joined = pairs.join(freq, "inner", num_partitions=num_partitions,
-                        on=("w1", "w2"))
-    dup = joined.filter(expr="nd >= 2")
-    return (dup.select_columns([id_col, "n_occ"])
+    return (docs_ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(doc_partials, batch_format="pyarrow")
             .groupby(id_col)
             .aggregate(agg.Sum("n_occ", alias_name="dup_windows")))
