@@ -2401,6 +2401,42 @@ where top_count * 5 >= n_tokens
 """
 
 
+# --------------------------------------------------------------------------
+# left outer join: per-customer order counts INCLUDING zero-order customers
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Dimension LEFT OUTER fact-counts -- every customer with its order
+    count, zero included.  Scale shape: the fact side is pre-aggregated
+    to per-key counts BEFORE the join (key-cardinality bounded, not
+    fact-cardinality), so the left_outer exchange ships one row per
+    customer on each side; nulls from unmatched keys become integer 0 in
+    a stateless map."""
+    agg = _agg()
+    ocnt = (_read(sf_dir, "orders", ["o_custkey"])
+            .groupby("o_custkey")
+            .aggregate(agg.Count(alias_name="n_orders")))
+    joined = _read(sf_dir, "customer", ["c_custkey"]).join(
+        ocnt, "left_outer",
+        num_partitions=_join_parts(sf_dir, "customer", "orders"),
+        on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "n_orders": pc.fill_null(b.column("n_orders").cast(pa.int64()),
+                                     0)})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+select c_custkey, cast(count(o_orderkey) as bigint) as n_orders
+from customer left join orders on c_custkey = o_custkey
+group by c_custkey
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2467,4 +2503,6 @@ SQL_CHECKED = {
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
+    "customer_order_counts": (q_customer_order_counts,
+                              SQL_CUSTOMER_ORDER_COUNTS),
 }
