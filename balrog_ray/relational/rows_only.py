@@ -788,6 +788,35 @@ def q_phash_dup_tiles(sf_dir: str):
                             max_hamming=2)
 
 
+def q_phash_dup_clusters(sf_dir: str):
+    """The industrial image-dedup tail behind :func:`q_phash_dup_tiles`:
+    phash near-dup pairs (pigeonhole bucket + exact Hamming verify) ->
+    connected components (tree-reduce union-find forest contraction) ->
+    per-cluster member count with the canonical survivor (min image_id ==
+    the component id, the same first-wins rule as exact_dedup).  Output:
+    ``(survivor, n_members)`` for every cluster of >= 2 near-duplicate
+    tiles.  Only 16 B/pair ids enter the component stage -- pixels never
+    leave the pair-verify buckets."""
+    import ray.data
+    import ray.data.aggregate as agg
+
+    from ..functions.components import connected_components
+    from ..functions.dedup import hash64_dup_pairs
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(tiles_table(cfg))
+    pairs = hash64_dup_pairs(ds, id_col="image_id", hash_col="phash",
+                             max_hamming=2)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (comp.groupby("component_id")
+            .aggregate(agg.Count(alias_name="n_members"))
+            .map_batches(lambda b: pa.table({
+                "survivor": b.column("component_id"),
+                "n_members": b.column("n_members")}),
+                batch_format="pyarrow"))
+
+
 def q_tile_pyramid(sf_dir: str):
     """Overview pyramid (SURVEY op 20 BuildPyramidsandStatistics): two
     2x levels over the t1 world (mean for dem, majority for veg), reduced
@@ -1590,6 +1619,7 @@ ROWS_ONLY = {
     "site_bal_rating": q_site_bal_rating,
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "phash_dup_tiles": q_phash_dup_tiles,
+    "phash_dup_clusters": q_phash_dup_clusters,
     "kmv_distinct": q_kmv_distinct,
     "approx_quantiles": q_approx_quantiles,
     "embedding_dups": q_embedding_dups,

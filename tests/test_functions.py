@@ -791,3 +791,39 @@ def test_repetition_stats_integer_boundary(ray_session):
     assert list(got["n_tokens"]) == [5, 5]
     assert list(got["n_distinct"]) == [4, 5]
     assert list(got["top_count"]) == [2, 1]
+
+
+def test_phash_dup_clusters_closure(ray_session):
+    """Cluster sizes equal the brute-force transitive closure of the
+    verified phash pair set, and every survivor is its cluster's
+    lexicographic minimum."""
+    from collections import defaultdict
+
+    from balrog_ray.relational.rows_only import (q_phash_dup_clusters,
+                                                 q_phash_dup_tiles)
+
+    pairs = q_phash_dup_tiles("").to_pandas()
+    # brute-force closure over the pair list
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    members = defaultdict(set)
+    for x in set(pairs["id_a"]) | set(pairs["id_b"]):
+        members[find(x)].add(x)
+    want = sorted((m, len(s)) for m, s in members.items() if len(s) >= 2)
+
+    got = (q_phash_dup_clusters("").to_pandas()
+           .sort_values("survivor").reset_index(drop=True))
+    assert list(zip(got["survivor"], got["n_members"])) == want
+    assert all(min(members[s]) == s for s in got["survivor"])
+    assert len(want) > 0
