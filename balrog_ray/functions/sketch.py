@@ -183,7 +183,10 @@ def heavy_hitter_tokens(ds, col: str = "text", width: int = 512,
     This is the candidate-generation + exact-verification shape the
     dedup family uses (functions/dedup.py): the sketch bounds what moves,
     the recount restores exactness.  Tokenization is ``split(' ')``
-    (DuckDB ``string_split``), matching token_stats_by_lang.
+    (DuckDB ``string_split``), matching token_stats_by_lang.  Both
+    passes tokenize and count in Arrow kernels (split_pattern ->
+    list_flatten -> value_counts); Python only touches the <= width
+    sketch entries per block, never the token stream.
 
     Returns a Dataset of ``(token: string, n: int64)``.
     """
@@ -196,13 +199,15 @@ def heavy_hitter_tokens(ds, col: str = "text", width: int = 512,
                          "the superset guarantee")
     from collections import Counter
 
+    def _flat_tokens(b: pa.Table) -> pa.ChunkedArray:
+        return pc.list_flatten(pc.split_pattern(b.column(col), " "))
+
     def partial(b: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        n = 0
-        for t in b.column(col).to_pylist():
-            toks = t.split(" ")
-            n += len(toks)
-            cnt.update(toks)
+        flat = _flat_tokens(b)
+        vc = pc.value_counts(flat.combine_chunks())
+        cnt = dict(zip(vc.field("values").to_pylist(),
+                       vc.field("counts").to_pylist()))
+        n = len(flat)
         cnt = _mg_reduce(cnt, width)
         return pa.table({
             "token": pa.array(list(cnt.keys()) + [None], pa.string()),
@@ -220,17 +225,15 @@ def heavy_hitter_tokens(ds, col: str = "text", width: int = 512,
                 total += c
             else:
                 merged[tok] += c
-    cand = frozenset(_mg_reduce(merged, width))
+    cand = pa.array(sorted(_mg_reduce(merged, width)), pa.string())
     thr = total // denom + 1
 
     def recount(b: pa.Table) -> pa.Table:
-        cnt: Counter = Counter()
-        for t in b.column(col).to_pylist():
-            for tok in t.split(" "):
-                if tok in cand:
-                    cnt[tok] += 1
-        return pa.table({"token": pa.array(list(cnt.keys()), pa.string()),
-                         "c": pa.array(list(cnt.values()), pa.int64())})
+        flat = _flat_tokens(b).combine_chunks()
+        hits = flat.filter(pc.is_in(flat, value_set=cand))
+        vc = pc.value_counts(hits)
+        return pa.table({"token": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
 
     return (ds.select_columns([col])
             .map_batches(recount, batch_format="pyarrow")
