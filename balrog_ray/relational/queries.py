@@ -2405,18 +2405,51 @@ where top_count * 5 >= n_tokens
 # left outer join: per-customer order counts INCLUDING zero-order customers
 
 
-def q_customer_order_counts(sf_dir: str):
-    """Dimension LEFT OUTER fact-counts -- every customer with its order
-    count, zero included.  Scale shape: the fact side is pre-aggregated
-    to per-key counts BEFORE the join (key-cardinality bounded, not
-    fact-cardinality), so the left_outer exchange ships one row per
-    customer on each side; nulls from unmatched keys become integer 0 in
-    a stateless map."""
+def q_customer_order_counts(sf_dir: str, broadcast_limit: int = 5_000_000):
+    """Dimension LEFT OUTER fact-counts -- every customer with its count
+    of finalized ('F') orders, zero included (the status filter
+    guarantees genuinely unmatched dimension keys at every test scale,
+    so the outer/null path is exercised by data, not just by code).
+    Scale shape: the fact side is pre-aggregated
+    to per-key counts BEFORE anything else (key-cardinality bounded, not
+    fact-cardinality).  If that count table fits under
+    ``broadcast_limit`` rows it is ``ray.put`` ONCE and the left-outer
+    becomes a zero-shuffle sorted-lookup map over the streaming
+    dimension (the broadcast-small-side rule; a hash-join operator costs
+    ~5 s of fixed actor setup for the same answer at sf0.1); above the
+    limit the distributed ``left_outer`` hash join runs instead, so
+    open-web key cardinalities still work."""
+    import ray
+
     agg = _agg()
-    ocnt = (_read(sf_dir, "orders", ["o_custkey"])
+    ocnt = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+            .filter(expr="o_orderstatus == 'F'")
+            .select_columns(["o_custkey"])
             .groupby("o_custkey")
-            .aggregate(agg.Count(alias_name="n_orders")))
-    joined = _read(sf_dir, "customer", ["c_custkey"]).join(
+            .aggregate(agg.Count(alias_name="n_orders"))
+            .materialize())
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    if ocnt.count() <= broadcast_limit:
+        tab = _collect(ocnt)
+        keys = tab.column("o_custkey").to_numpy()
+        vals = tab.column("n_orders").to_numpy().astype(np.int64)
+        order = np.argsort(keys)
+        ref = ray.put((keys[order], vals[order]))
+
+        def lookup(b: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            ck = b.column("c_custkey").to_numpy()
+            if len(k) == 0:
+                n = np.zeros(len(ck), np.int64)
+            else:
+                pos = np.minimum(np.searchsorted(k, ck), len(k) - 1)
+                n = np.where(k[pos] == ck, v[pos], 0)
+            return pa.table({"c_custkey": b.column("c_custkey"),
+                             "n_orders": pa.array(n, pa.int64())})
+
+        return cust.map_batches(lookup, batch_format="pyarrow")
+
+    joined = cust.join(
         ocnt, "left_outer",
         num_partitions=_join_parts(sf_dir, "customer", "orders"),
         on=("c_custkey",), right_on=("o_custkey",))
@@ -2432,8 +2465,63 @@ def q_customer_order_counts(sf_dir: str):
 
 SQL_CUSTOMER_ORDER_COUNTS = """
 select c_custkey, cast(count(o_orderkey) as bigint) as n_orders
-from customer left join orders on c_custkey = o_custkey
+from customer left join (select * from orders where o_orderstatus = 'F') o
+  on c_custkey = o_custkey
 group by c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets: all four (status, priority) slices from ONE scan
+
+
+def q_cube_counts(sf_dir: str):
+    """``group by cube(o_orderstatus, o_orderpriority)`` -- the full
+    grouping-set lattice.  Like rollup: ONE partial-aggregate scan
+    produces the (#status x #priority)-bounded base table, and the four
+    slices are re-aggregations of that tiny table, so the input is read
+    exactly once and nothing slice-sized shuffles."""
+    a = _agg()
+    base = _partial_count_sums(
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]),
+        ["o_orderstatus", "o_orderpriority"], {}, count_alias="n"
+    ).materialize()                       # <= (#status x #priority) rows
+
+    def fmt(b: pa.Table, st=None, pr=None) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "st": b.column("o_orderstatus") if st is None
+            else pa.array(["ALL"] * n, pa.string()),
+            "pr": b.column("o_orderpriority") if pr is None
+            else pa.array(["ALL"] * n, pa.string()),
+            "n": b.column("n")})
+
+    by_st = (base.groupby("o_orderstatus")
+             .aggregate(a.Sum("n", alias_name="n")))
+    by_pr = (base.groupby("o_orderpriority")
+             .aggregate(a.Sum("n", alias_name="n")))
+    total = base.aggregate(a.Sum("n", alias_name="n"))
+    import functools
+
+    import ray.data
+
+    total_ds = ray.data.from_arrow(pa.table({
+        "st": pa.array(["ALL"], pa.string()),
+        "pr": pa.array(["ALL"], pa.string()),
+        "n": pa.array([int(total["n"])], pa.int64())}))
+    return (base.map_batches(fmt, batch_format="pyarrow")
+            .union(by_st.map_batches(functools.partial(fmt, pr="ALL"),
+                                     batch_format="pyarrow"))
+            .union(by_pr.map_batches(functools.partial(fmt, st="ALL"),
+                                     batch_format="pyarrow"))
+            .union(total_ds))
+
+
+SQL_CUBE_COUNTS = """
+select coalesce(o_orderstatus, 'ALL') as st,
+       coalesce(o_orderpriority, 'ALL') as pr,
+       cast(count(*) as bigint) as n
+from orders group by cube(o_orderstatus, o_orderpriority)
 """
 
 
@@ -2505,4 +2593,5 @@ SQL_CHECKED = {
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
 }

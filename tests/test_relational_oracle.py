@@ -19,7 +19,7 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "bloom_semi_join", "boilerplate_ngrams", "contamination_check",
                "cumsum_orders", "lag_events", "quad_rollup", "quad_compact",
                "heavy_hitters", "substring_dedup", "funnel_steps",
-               "repetition_docs"]
+               "repetition_docs", "customer_order_counts", "cube_counts"]
 
 
 def _canonical(tab: pa.Table):
@@ -65,3 +65,26 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert g_cols == w_cols
     assert g_rows == w_rows
     assert got.num_rows == want.num_rows and got.num_rows > 0
+
+
+def test_customer_order_counts_both_paths(ray_session):
+    """The broadcast sorted-lookup path and the distributed left_outer
+    hash-join fallback produce identical results (the size gate must not
+    change semantics)."""
+    from balrog_ray.relational.queries import q_customer_order_counts
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    fast = (q_customer_order_counts(sf).to_pandas()
+            .sort_values("c_custkey").reset_index(drop=True))
+    slow = (q_customer_order_counts(sf, broadcast_limit=0).to_pandas()
+            .sort_values("c_custkey").reset_index(drop=True))
+    assert fast.equals(slow)
+    n_cust, n_f = duckdb.sql(
+        f"select (select count(*) from '{sf}/customer.parquet'),"
+        f" (select count(*) from '{sf}/orders.parquet'"
+        f"  where o_orderstatus = 'F')").fetchone()
+    assert len(fast) == n_cust                  # every customer, outer side
+    assert int(fast["n_orders"].sum()) == n_f   # counts conserve
+    assert (fast["n_orders"] == 0).any()        # unmatched keys exercised
