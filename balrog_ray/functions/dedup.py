@@ -818,3 +818,104 @@ def dup_window_counts(docs_ds, id_col: str = "doc_id",
             .map_groups(doc_partials, batch_format="pyarrow")
             .groupby(id_col)
             .aggregate(agg.Sum("n_occ", alias_name="dup_windows")))
+
+
+# ------------------------------------------------ edit distance <= 1
+
+def _lev1_dist(a: str, b: str) -> int:
+    """Exact Levenshtein distance for candidate pairs already known to be
+    close, returning 0, 1 or 2 (2 = "more than 1").  Equal lengths: one
+    edit preserving length must be a substitution, so dist<=1 iff the
+    strings differ at at most one position.  Length gap 1: dist==1 iff
+    the shorter is the longer minus one char, i.e. common prefix +
+    common suffix covers the shorter.  Larger gaps: >= 2."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff if diff <= 1 else 2
+    if abs(la - lb) != 1:
+        return 2
+    if la > lb:
+        a, b = b, a
+        la, lb = lb, la
+    p = 0
+    while p < la and a[p] == b[p]:
+        p += 1
+    s = 0
+    while s < la - p and a[la - 1 - s] == b[lb - 1 - s]:
+        s += 1
+    return 1 if p + s >= la else 2
+
+
+def _deletion_keys(s: str) -> list[str]:
+    """FastSS k=1 neighborhood: the string itself plus every
+    single-character deletion.  lev(a, b) <= 1 implies keys(a) and
+    keys(b) intersect (substitution: delete the differing position from
+    both; indel: deleting the inserted char from the longer yields the
+    shorter; equal: the string itself)."""
+    return [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+
+
+def edit_distance_pairs(ds, id_col: str, str_col: str):
+    """All pairs of rows whose ``str_col`` values are within Levenshtein
+    distance 1 (FastSS, Bocek et al. 2007, "Fast Similarity Search in
+    Large Dictionaries") -- the typo/near-id dedup role over SHORT
+    strings (names, titles, normalized URLs; document texts belong in
+    the minhash family instead, since the key exchange here ships
+    ~len(s) copies of each string).
+
+    Scale shape: candidate generation is a deletion-neighborhood
+    explode -- each row emits len(s)+1 ``(dkey, id, s)`` rows -- and ONE
+    shuffle keyed by ``dkey`` groups candidates; the in-bucket verify is
+    the exact distance test above.  Shared keys are intersection-checked
+    pairwise so each surviving pair is emitted from exactly ONE bucket
+    (its lexicographically smallest shared key) -- globally exactly-once
+    with no second dedup shuffle, mirroring the first-agreeing-chunk
+    ownership rule of :func:`hash64_dup_pairs`.  Returns
+    ``(id_a, id_b, dist)`` with ``id_a < id_b``."""
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_pylist()
+        ss = b.column(str_col).to_pylist()
+        dk, io, so = [], [], []
+        for i, s in zip(ids, ss):
+            ks = _deletion_keys(s)
+            dk.extend(ks)
+            io.extend([i] * len(ks))
+            so.extend([s] * len(ks))
+        return pa.table({"dkey": pa.array(dk, pa.string()),
+                         id_col: pa.array(io, id_type),
+                         str_col: pa.array(so, pa.string())})
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        out_a, out_b, out_d = [], [], []
+        if group.num_rows >= 2:
+            key = group.column("dkey")[0].as_py()
+            ids = group.column(id_col).to_pylist()
+            ss = group.column(str_col).to_pylist()
+            rows = sorted(set(zip(ids, ss)))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    ia, sa = rows[i]
+                    ib, sb = rows[j]
+                    if ia == ib:
+                        continue
+                    d = _lev1_dist(sa, sb)
+                    if d > 1:
+                        continue
+                    # exactly-once: the smallest shared key owns the pair
+                    shared = set(_deletion_keys(sa)) & set(_deletion_keys(sb))
+                    if min(shared) == key:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_d.append(d)
+        return pa.table({"id_a": pa.array(out_a, id_type),
+                         "id_b": pa.array(out_b, id_type),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    return (ds.select_columns([id_col, str_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("dkey")
+            .map_groups(verify_group, batch_format="pyarrow"))

@@ -2525,6 +2525,141 @@ from orders group by cube(o_orderstatus, o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------------
+# FastSS typo pairs: edit-distance-<=1 dedup over short id-like strings
+# (functions/dedup.edit_distance_pairs -- deletion-neighborhood candidate
+# generation + exact verify, one shuffle, exactly-once pair emission)
+
+
+def q_typo_pairs(sf_dir: str):
+    """All customer-name pairs within Levenshtein distance 1.  The oracle
+    is the quadratic ``levenshtein()`` self-join; the engine never forms
+    the cross product -- candidates come from the deletion-key shuffle
+    and each pair is verified with the exact distance test."""
+    from ..functions.dedup import edit_distance_pairs
+
+    pairs = edit_distance_pairs(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", "c_name")
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({"key_a": b.column("id_a"),
+                         "key_b": b.column("id_b"),
+                         "dist": b.column("dist")})
+
+    return pairs.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_TYPO_PAIRS = """
+select a.c_custkey as key_a, b.c_custkey as key_b,
+       cast(levenshtein(a.c_name, b.c_name) as bigint) as dist
+from customer a join customer b
+  on a.c_custkey < b.c_custkey
+where levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt: wide metric columns -> long (key, metric, value) rows,
+# zero shuffle, exact integer-cents values
+
+
+def q_unpivot_metrics(sf_dir: str):
+    """Melt lineitem's four numeric measure columns into long form --
+    the wide->long reshape every feature-store export needs.  Pure
+    streaming ``map_batches`` (each batch emits its own 4x stack), no
+    shuffle, values as exact cents so the compare is bit-stable."""
+    METRICS = [("quantity", "l_quantity"),
+               ("extendedprice", "l_extendedprice"),
+               ("discount", "l_discount"),
+               ("tax", "l_tax")]
+
+    def melt(b: pa.Table) -> pa.Table:
+        parts = []
+        for name, col in METRICS:
+            cents = np.rint(b.column(col).to_numpy() * 100.0) \
+                .astype(np.int64)
+            parts.append(pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_linenumber": b.column("l_linenumber"),
+                "metric": pa.array([name] * b.num_rows, pa.string()),
+                "value_cents": pa.array(cents, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_tax"])
+            .map_batches(melt, batch_format="pyarrow"))
+
+
+SQL_UNPIVOT_METRICS = """
+select l_orderkey, l_linenumber, 'quantity' as metric,
+       cast(round(l_quantity * 100) as bigint) as value_cents from lineitem
+union all
+select l_orderkey, l_linenumber, 'extendedprice',
+       cast(round(l_extendedprice * 100) as bigint) from lineitem
+union all
+select l_orderkey, l_linenumber, 'discount',
+       cast(round(l_discount * 100) as bigint) from lineitem
+union all
+select l_orderkey, l_linenumber, 'tax',
+       cast(round(l_tax * 100) as bigint) from lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join: per-customer counts of 'F' vs 'O' orders, keys present
+# on either side only included with a zero on the other
+
+
+def q_order_status_outer(sf_dir: str):
+    """Full outer join of two filtered per-key aggregates: customers
+    with only finalized orders, only open orders, or both.  Both inputs
+    are pre-aggregated to key-cardinality-bounded count tables BEFORE
+    the join (the partial-aggregate-first rule), then the distributed
+    ``full_outer`` hash join aligns them; null sides fill to 0.  Data
+    guarantees genuinely unmatched keys on BOTH sides at every scale."""
+    agg = _agg()
+
+    def counts(status: str, key_out: str, n_out: str):
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({key_out: b.column("o_custkey"),
+                             n_out: b.column("n")})
+        return (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+                .filter(expr=f"o_orderstatus == '{status}'")
+                .select_columns(["o_custkey"])
+                .groupby("o_custkey")
+                .aggregate(agg.Count(alias_name="n"))
+                .map_batches(rename, batch_format="pyarrow"))
+
+    joined = counts("F", "ck_f", "n_f").join(
+        counts("O", "ck_o", "n_o"), "full_outer",
+        num_partitions=_join_parts(sf_dir, "orders"),
+        on=("ck_f",), right_on=("ck_o",))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the LEFT key
+        # column (right-only rows land there too), so ck_f IS custkey
+        return pa.table({
+            "custkey": b.column("ck_f"),
+            "n_f": pc.fill_null(b.column("n_f").cast(pa.int64()), 0),
+            "n_o": pc.fill_null(b.column("n_o").cast(pa.int64()), 0)})
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_ORDER_STATUS_OUTER = """
+with f as (select o_custkey, count(*) as n from orders
+           where o_orderstatus = 'F' group by o_custkey),
+     o as (select o_custkey, count(*) as n from orders
+           where o_orderstatus = 'O' group by o_custkey)
+select coalesce(f.o_custkey, o.o_custkey) as custkey,
+       cast(coalesce(f.n, 0) as bigint) as n_f,
+       cast(coalesce(o.n, 0) as bigint) as n_o
+from f full outer join o on f.o_custkey = o.o_custkey
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2594,4 +2729,7 @@ SQL_CHECKED = {
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
+    "typo_pairs": (q_typo_pairs, SQL_TYPO_PAIRS),
+    "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
+    "order_status_outer": (q_order_status_outer, SQL_ORDER_STATUS_OUTER),
 }

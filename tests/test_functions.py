@@ -827,3 +827,53 @@ def test_phash_dup_clusters_closure(ray_session):
     assert list(zip(got["survivor"], got["n_members"])) == want
     assert all(min(members[s]) == s for s in got["survivor"])
     assert len(want) > 0
+
+
+def test_lev1_dist_vs_brute_force():
+    """_lev1_dist agrees with full DP Levenshtein (clamped at 2) on every
+    pair over a small alphabet, lengths 0-4."""
+    from itertools import product
+
+    from balrog_ray.functions.dedup import _lev1_dist
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[n]
+
+    words = ["".join(w) for k in range(4)
+             for w in product("abc", repeat=k)]
+    for a in words:
+        for b in words:
+            assert _lev1_dist(a, b) == min(lev(a, b), 2), (a, b)
+
+
+def test_edit_distance_pairs_exact(ray_session):
+    """edit_distance_pairs == brute-force lev<=1 pairs (exactly once,
+    id_a < id_b) on a vocabulary with substitutions, indels, repeated
+    chars and unrelated strings."""
+    import ray.data
+
+    from balrog_ray.functions.dedup import _lev1_dist, edit_distance_pairs
+
+    names = ["kitten", "sitten", "mitten", "kitte", "kittens", "kit",
+             "aab", "ab", "ba", "abc", "zzz", "zz", "z", "", "a",
+             "banana", "bananna", "bananas", "banan"]
+    tab = pa.table({"sid": pa.array(range(len(names)), pa.int64()),
+                    "s": pa.array(names, pa.string())})
+    got = edit_distance_pairs(ray.data.from_arrow(tab), "sid", "s") \
+        .to_pandas()
+    got_pairs = sorted(zip(got["id_a"], got["id_b"], got["dist"]))
+    want = sorted((i, j, _lev1_dist(names[i], names[j]))
+                  for i in range(len(names))
+                  for j in range(i + 1, len(names))
+                  if _lev1_dist(names[i], names[j]) <= 1)
+    assert got_pairs == want
+    assert len(want) >= 10

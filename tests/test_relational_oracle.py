@@ -19,7 +19,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "bloom_semi_join", "boilerplate_ngrams", "contamination_check",
                "cumsum_orders", "lag_events", "quad_rollup", "quad_compact",
                "heavy_hitters", "substring_dedup", "funnel_steps",
-               "repetition_docs", "customer_order_counts", "cube_counts"]
+               "repetition_docs", "customer_order_counts", "cube_counts",
+               "typo_pairs", "unpivot_metrics", "order_status_outer"]
 
 
 def _canonical(tab: pa.Table):
