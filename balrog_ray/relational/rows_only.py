@@ -1573,6 +1573,75 @@ def q_curvature_dem(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow").sort("tile")
 
 
+def q_temporal_composite(sf_dir: str):
+    """Temporal stack composite (the cloud-free-mosaic role,
+    stages/temporal.py): 6 epochs of the t1 DEM with per-epoch moving
+    nodata clouds -> per-pixel median/count composites -> deterministic
+    per-stat tile stats rows (valid px + exact float64 sum of the
+    float32 composite)."""
+    import ray.data
+    import ray.data.aggregate as agg
+
+    from ..stages.halo import GridSpec
+    from ..stages.temporal import temporal_composite
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 6)).materialize()
+    spec = GridSpec.from_synth(cfg)
+
+    def stats(batch: pa.Table, *, stat: str) -> pa.Table:
+        n = v = 0
+        s = 0.0
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            n += 1
+            v += int(valid.sum())
+            s += float(arr[valid].astype(np.float64).sum())
+        return pa.table({"stat": pa.array([stat] * (1 if n else 0)),
+                         "n_tiles": pa.array([n][:1 if n else 0],
+                                             pa.int64()),
+                         "valid_px": pa.array([v][:1 if n else 0],
+                                              pa.int64()),
+                         "px_sum": pa.array([s][:1 if n else 0],
+                                            pa.float64())})
+
+    import functools
+
+    parts = [temporal_composite(ds, spec, stat=st)
+             .map_batches(functools.partial(stats, stat=st),
+                          batch_format="pyarrow")
+             for st in ("median", "count")]
+    out = parts[0].union(*parts[1:])
+    return (out.groupby("stat")
+            .aggregate(agg.Sum("n_tiles", alias_name="n_tiles"),
+                       agg.Sum("valid_px", alias_name="valid_px"),
+                       agg.Sum("px_sum", alias_name="px_sum")))
+
+
+def q_change_detection(sf_dir: str):
+    """Two-epoch change map (stages/temporal.change_detection): epochs
+    1 vs 4 of the t1 temporal stack, |delta| > 2.0 -- per-tile changed /
+    valid pixel counts (exact integers)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.temporal import change_detection
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 6))
+    return change_detection(ds, GridSpec.from_synth(cfg), epoch_a=1,
+                            epoch_b=4, threshold=2.0) \
+        .select_columns(["tx", "ty", "n_changed", "n_valid"])
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1631,4 +1700,6 @@ ROWS_ONLY = {
     "veg_prep": q_veg_prep,
     "veg_class_union": q_veg_class_union,
     "simplify_veg": q_simplify_veg,
+    "temporal_composite": q_temporal_composite,
+    "change_detection": q_change_detection,
 }

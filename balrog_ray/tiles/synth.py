@@ -246,3 +246,63 @@ def raw_nvis_table(cfg: SynthConfig) -> pa.Table:
         "mvg_number": pa.array(rows["mvg_number"], pa.int32()),
         "geom": pa.array(rows["geom"], pa.binary()),
     })
+
+
+# ---------------------------------------------------------------- temporal
+
+def epoch_dem_window(cfg: SynthConfig, epoch: int, row0: int, col0: int,
+                     rows: int, cols: int) -> np.ndarray:
+    """Epoch ``epoch`` of the synthetic DEM time series: the base DEM plus
+    a smooth epoch-dependent perturbation, with a per-epoch moving
+    rectangular nodata "cloud" (so temporal composites must skip invalid
+    epochs per pixel).  The base nodata patch recurs in EVERY epoch, so
+    those pixels are invalid across the whole stack (the all-nodata
+    output case)."""
+    z = dem_window(cfg, row0, col0, rows, cols)
+    ps = cfg.pixel_size
+    xs = (col0 + np.arange(cols) + 0.5) * ps
+    ys = cfg.y_north - (row0 + np.arange(rows) + 0.5) * ps
+    gx, gy = np.meshgrid(xs, ys)
+    pert = (3.0 * np.sin(gx / 350.0 + epoch * 0.7)
+            + 2.0 * np.cos(gy / 450.0 - epoch * 0.4) + 0.5 * epoch)
+    z = np.where(z == NODATA, NODATA, z + pert)
+    # moving cloud: an 8x10-pixel nodata rectangle per epoch
+    wr, wc = cfg.world_px
+    cr0 = (epoch * 29 + 5) % max(wr - 8, 1)
+    cc0 = (epoch * 41 + 11) % max(wc - 10, 1)
+    rr = np.arange(row0, row0 + rows)
+    cc = np.arange(col0, col0 + cols)
+    rmask = (rr >= cr0) & (rr < cr0 + 8)
+    cmask = (cc >= cc0) & (cc < cc0 + 10)
+    z[np.ix_(rmask, cmask)] = NODATA
+    return z
+
+
+def temporal_tiles_table(cfg: SynthConfig, n_epochs: int) -> pa.Table:
+    """Multi-epoch tile table: the standard TILES_SCHEMA plus an ``epoch``
+    int64 column, one encoded DEM tile per (epoch, cell)."""
+    from .codec import Caption, encode_tile, phash64
+
+    T = cfg.tile_px
+    rows = []
+    for epoch in range(n_epochs):
+        for ty in range(cfg.tiles_y):
+            for tx in range(cfg.tiles_x):
+                data = epoch_dem_window(cfg, epoch, ty * T, tx * T, T, T)
+                cap = Caption(
+                    layer="dem", x0=tx * T * cfg.pixel_size,
+                    y0=cfg.y_north - ty * T * cfg.pixel_size,
+                    pixel_size=cfg.pixel_size,
+                    edge={"n": ty == 0, "s": ty == cfg.tiles_y - 1,
+                          "w": tx == 0, "e": tx == cfg.tiles_x - 1},
+                    tx=tx, ty=ty)
+                payload, cap = encode_tile(data, cfg.fmt, cap)
+                rows.append({"image_id": f"dem/e{epoch}/{tx}/{ty}",
+                             "bytes": payload, "w": np.int32(T),
+                             "h": np.int32(T), "fmt": cfg.fmt,
+                             "caption": cap.to_json(),
+                             "phash": np.int64(phash64(data)),
+                             "epoch": np.int64(epoch)})
+    schema = TILES_SCHEMA.append(pa.field("epoch", pa.int64()))
+    cols = {name: [r[name] for r in rows] for name in schema.names}
+    return pa.table(cols, schema=schema)
