@@ -1642,6 +1642,44 @@ def q_change_detection(sf_dir: str):
         .select_columns(["tx", "ty", "n_changed", "n_valid"])
 
 
+def q_temporal_trend(sf_dir: str):
+    """Per-pixel linear trend across the 6-epoch t1 stack
+    (stages/temporal.temporal_trend, the NDVI-trend role) -> per-tile
+    valid-pixel count + float64 slope sum (deterministic)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.temporal import temporal_trend
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 6))
+    tiles = temporal_trend(ds, GridSpec.from_synth(cfg))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {"tx": [], "ty": [], "valid_px": [], "slope_sum": []}
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            out["tx"].append(cap.tx)
+            out["ty"].append(cap.ty)
+            out["valid_px"].append(int(valid.sum()))
+            out["slope_sum"].append(float(arr[valid].astype(np.float64)
+                                          .sum()))
+        return pa.table({"tx": pa.array(out["tx"], pa.int64()),
+                         "ty": pa.array(out["ty"], pa.int64()),
+                         "valid_px": pa.array(out["valid_px"], pa.int64()),
+                         "slope_sum": pa.array(out["slope_sum"],
+                                               pa.float64())})
+
+    return tiles.map_batches(stats, batch_format="pyarrow")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1702,4 +1740,5 @@ ROWS_ONLY = {
     "simplify_veg": q_simplify_veg,
     "temporal_composite": q_temporal_composite,
     "change_detection": q_change_detection,
+    "temporal_trend": q_temporal_trend,
 }

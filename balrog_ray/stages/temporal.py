@@ -31,7 +31,7 @@ from .halo import GridSpec
 
 #: per-pixel nodata-aware reductions over the (epoch, row, col) stack.
 #: each receives the float32 stack and the valid mask, returns float32.
-_STATS = ("median", "mean", "min", "max", "count")
+_STATS = ("median", "mean", "min", "max", "count", "first", "last")
 
 
 def _reduce_stack(stack: np.ndarray, valid: np.ndarray, stat: str,
@@ -64,6 +64,17 @@ def _reduce_stack(stack: np.ndarray, valid: np.ndarray, stat: str,
         return np.where(n > 0,
                         np.where(valid, stack, -np.inf).max(axis=0), nd) \
             .astype(np.float32)
+    if stat in ("first", "last"):
+        # mosaic semantics (gdal_merge / gdalbuildvrt role): per pixel,
+        # the first (or last) valid value in epoch/priority order --
+        # epochs double as source priority when compositing overlapping
+        # acquisitions.  argmax finds the first True; reversing the axis
+        # gives last.
+        v = valid if stat == "first" else valid[::-1]
+        s = stack if stat == "first" else stack[::-1]
+        idx = v.argmax(axis=0)
+        out = np.take_along_axis(s, idx[None], axis=0)[0]
+        return np.where(n > 0, out, nd).astype(np.float32)
     raise ValueError(f"unknown stat {stat!r}, want one of {_STATS}")
 
 
@@ -115,6 +126,67 @@ def temporal_composite(tiles_ds, spec: GridSpec, *, stat: str = "median",
                          batch_format="pyarrow")
             .groupby(["layer", "cell"])
             .map_groups(composite, batch_format="pyarrow"))
+
+
+def trend_slope(stack: np.ndarray, valid: np.ndarray,
+                epochs: np.ndarray, nodata: float) -> np.ndarray:
+    """Per-pixel OLS slope of value vs epoch over the valid epochs --
+    the NDVI-trend / land-change-rate role.  Closed form
+    ``cov(e, z) / var(e)`` with per-pixel masked sums; pixels valid in
+    < 2 distinct epochs -> nodata.  All partial sums are float64 reduced
+    along axis 0 in epoch-sorted order, so a tiled run is bit-identical
+    to a whole-raster run."""
+    nd = np.float32(nodata)
+    e = epochs.astype(np.float64)[:, None, None]
+    v = valid.astype(np.float64)
+    z = np.where(valid, stack.astype(np.float64), 0.0)
+    n = v.sum(axis=0)
+    se = (e * v).sum(axis=0)
+    sz = z.sum(axis=0)
+    see = (e * e * v).sum(axis=0)
+    sez = (e * z).sum(axis=0)
+    denom = n * see - se * se
+    ok = (n >= 2) & (denom > 0)
+    slope = np.where(ok, (n * sez - se * sz) / np.where(ok, denom, 1.0),
+                     np.float64(nd))
+    return slope.astype(np.float32)
+
+
+def temporal_trend(tiles_ds, spec: GridSpec, *, fmt: str = "npz"):
+    """Per-pixel linear trend (slope per epoch unit) across the stack ->
+    one slope tile per (layer, cell).  Same single ``groupby(layer,
+    cell)`` exchange as :func:`temporal_composite`."""
+
+    def per_cell(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        order = np.argsort(np.asarray(g["epoch"]), kind="stable")
+        cap0 = Caption.from_json(g["caption"][order[0]])
+        nodata = cap0.nodata
+        stack = np.stack([
+            decode_tile(g["bytes"][i], g["fmt"][i],
+                        Caption.from_json(g["caption"][i]))
+            for i in order]).astype(np.float32)
+        epochs = np.asarray(g["epoch"])[order]
+        out = trend_slope(stack, stack != np.float32(nodata), epochs,
+                          nodata)
+        cap = Caption(layer=cap0.layer, x0=cap0.x0, y0=cap0.y0,
+                      pixel_size=cap0.pixel_size, crs=cap0.crs,
+                      nodata=nodata, edge=cap0.edge, tx=cap0.tx,
+                      ty=cap0.ty)
+        payload, cap = encode_tile(out, fmt, cap)
+        return pa.table({
+            "image_id": [f"{cap0.layer}/trend/{cap0.tx}/{cap0.ty}"],
+            "bytes": [payload],
+            "w": [np.int32(out.shape[1])], "h": [np.int32(out.shape[0])],
+            "fmt": [fmt], "caption": [cap.to_json()],
+            "phash": [np.int64(phash64(out))],
+        }, schema=TILES_SCHEMA)
+
+    return (tiles_ds
+            .map_batches(lambda b: _cell_key(b, spec.tiles_x),
+                         batch_format="pyarrow")
+            .groupby(["layer", "cell"])
+            .map_groups(per_cell, batch_format="pyarrow"))
 
 
 def change_detection(tiles_ds, spec: GridSpec, *, epoch_a: int,

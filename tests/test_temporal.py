@@ -101,3 +101,47 @@ def test_change_detection_missing_epoch(ray_session):
     cells = {(r["tx"], r["ty"]) for r in rows}
     assert (0, 0) not in cells
     assert len(rows) == CFG.tiles_x * CFG.tiles_y - 1
+
+
+@pytest.mark.parametrize("stat", ["first", "last"])
+def test_mosaic_first_last(ray_session, tiles_ds, stat):
+    """Mosaic semantics vs an independent sequential-fill oracle: iterate
+    epochs in (reversed) order, keep the first valid value per pixel."""
+    spec = GridSpec.from_synth(CFG)
+    got = _reassemble(temporal_composite(tiles_ds, spec, stat=stat), stat)
+    stack = _global_stack()
+    nd = np.float32(NODATA)
+    want = np.full_like(stack[0], nd)
+    unset = np.ones(want.shape, bool)
+    seq = stack if stat == "first" else stack[::-1]
+    for layer in seq:
+        take = unset & (layer != nd)
+        want[take] = layer[take]
+        unset &= ~take
+    np.testing.assert_array_equal(got, want)
+
+
+def test_trend_matches_polyfit(ray_session, tiles_ds):
+    """Tiled per-pixel OLS slope == np.polyfit per pixel (tight allclose;
+    different algorithm), nodata mask exactly where < 2 valid epochs."""
+    from balrog_ray.stages.temporal import temporal_trend
+
+    spec = GridSpec.from_synth(CFG)
+    got = _reassemble(temporal_trend(tiles_ds, spec), "trend")
+    stack = _global_stack()
+    nd = np.float32(NODATA)
+    valid = stack != nd
+    e = np.arange(N_EPOCHS, dtype=np.float64)
+    wr, wc = CFG.world_px
+    for r in range(0, wr, 3):
+        for c in range(0, wc, 3):
+            m = valid[:, r, c]
+            if m.sum() >= 2:
+                slope = np.polyfit(e[m], stack[m, r, c].astype(np.float64),
+                                   1)[0]
+                assert got[r, c] == pytest.approx(slope, rel=1e-5, abs=1e-6)
+            else:
+                assert got[r, c] == nd
+    # the moving clouds make some pixels' epoch subsets differ -> slopes
+    # must not be constant
+    assert np.unique(got[got != nd]).size > 100
