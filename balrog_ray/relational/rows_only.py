@@ -1680,6 +1680,46 @@ def q_temporal_trend(sf_dir: str):
     return tiles.map_batches(stats, batch_format="pyarrow")
 
 
+def q_quality_classifier(sf_dir: str):
+    """CCNet-style quality classifier (functions/classifier.py): featurize
+    documents, train distributed logistic regression against a
+    weak-supervision rule label, score every doc in one streaming pass ->
+    the 2x2 confusion matrix (deterministic integers: the ordered
+    gradient fold makes the weights, hence the predictions, exact)."""
+    import ray.data.aggregate as agg
+
+    from ..functions.classifier import logreg_score, logreg_train
+    from ..functions.text import quality_batch
+
+    def label(b: pa.Table) -> pa.Table:
+        nt = b.column("n_tokens").to_numpy()
+        sr = b.column("stopword_ratio").to_numpy()
+        return b.append_column(
+            "label", pa.array(((nt >= 50) & (sr >= 0.05)).astype(np.int64)))
+
+    import ray.data
+
+    feats = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+             .map_batches(quality_batch, batch_format="pyarrow")
+             .map_batches(label, batch_format="pyarrow")
+             .drop_columns(["text"]))
+    cols = ["n_tokens", "n_bpe_tokens", "avg_token_len",
+            "stopword_ratio", "punct_ratio"]
+    model = logreg_train(feats, cols, "label", iters=30)
+
+    def predict(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "label": b.column("label"),
+            "pred": pa.array(
+                (b.column("score").to_numpy() >= 0.5).astype(np.int64))})
+
+    return (logreg_score(feats, model)
+            .map_batches(predict, batch_format="pyarrow")
+            .groupby(["label", "pred"])
+            .aggregate(agg.Count(alias_name="n")))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1741,4 +1781,5 @@ ROWS_ONLY = {
     "temporal_composite": q_temporal_composite,
     "change_detection": q_change_detection,
     "temporal_trend": q_temporal_trend,
+    "quality_classifier": q_quality_classifier,
 }
