@@ -56,6 +56,11 @@ def logreg_train(ds, feature_cols, label_col: str, id_col: str = "doc_id",
         .materialize()
 
     def stat_partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({n: pa.array([], pa.float64())
+                             for n in ["_key", "n"]
+                             + [f"s{j}" for j in range(k)]
+                             + [f"q{j}" for j in range(k)]})
         X = _feature_matrix(b, feature_cols)
         row = {"_key": [int(b.column(id_col).to_numpy().min())],
                "n": [float(b.num_rows)]}
@@ -81,6 +86,11 @@ def logreg_train(ds, feature_cols, label_col: str, id_col: str = "doc_id",
         w_it = w.copy()
 
         def grad_partials(b: pa.Table, w_it=w_it) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({n: pa.array([], pa.float64())
+                                 for n in ["_key"]
+                                 + [f"g{j}" for j in range(k + 1)]
+                                 + ["loss"]})
             X = (_feature_matrix(b, feature_cols) - mean) / std
             y = b.column(label_col).to_numpy().astype(np.float64)
             p = _sigmoid(X @ w_it[:k] + w_it[k])
