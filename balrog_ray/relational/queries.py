@@ -2660,6 +2660,84 @@ from f full outer join o on f.o_custkey = o.o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# interpolated (continuous) quantiles: exact distributed quantile_cont via
+# value-count partials + closed-form interpolation at the quarter points
+
+
+def q_quantile_cont_flag(sf_dir: str):
+    """quantile_cont(l_quantity, .25/.50/.75) per returnflag, exact: the
+    shuffle carries (flag, value)->count partials (value-domain bounded,
+    never row-cardinality), and the interpolation h = (n-1)q lands on
+    exact binary fractions (quarters) over integral values, so engine
+    and oracle agree bit-for-bit; output scaled x4 to int64."""
+    vc = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        ["l_returnflag", "l_quantity"], {}, count_alias="vn")
+    tab = _collect(vc)
+    flags = np.asarray(tab.column("l_returnflag").to_pylist())
+    vals = tab.column("l_quantity").to_numpy().astype(np.float64)
+    cnts = tab.column("vn").to_numpy().astype(np.int64)
+    out = {"l_returnflag": [], "q25x4": [], "q50x4": [], "q75x4": []}
+    for flag in sorted(set(flags.tolist())):
+        sel = flags == flag
+        v, c = vals[sel], cnts[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out["l_returnflag"].append(flag)
+        for q, col in ((0.25, "q25x4"), (0.5, "q50x4"), (0.75, "q75x4")):
+            h = (n - 1) * q
+            i0 = int(np.floor(h))
+            frac = h - i0
+            # order statistics i0 and i0+1 (0-based) from the counts
+            lo = float(v[np.searchsorted(cum, i0 + 1)])
+            hi = float(v[np.searchsorted(cum, min(i0 + 2, n))])
+            out[col].append(int(round((lo + frac * (hi - lo)) * 4)))
+    return pa.table({"l_returnflag": pa.array(out["l_returnflag"],
+                                              pa.string()),
+                     "q25x4": pa.array(out["q25x4"], pa.int64()),
+                     "q50x4": pa.array(out["q50x4"], pa.int64()),
+                     "q75x4": pa.array(out["q75x4"], pa.int64())})
+
+
+SQL_QUANTILE_CONT_FLAG = """
+select l_returnflag,
+       cast(round(quantile_cont(l_quantity, 0.25) * 4) as bigint) as q25x4,
+       cast(round(quantile_cont(l_quantity, 0.50) * 4) as bigint) as q50x4,
+       cast(round(quantile_cont(l_quantity, 0.75) * 4) as bigint) as q75x4
+from lineitem group by l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# native LEFT SEMI join (the EXISTS shape through Ray's join operator --
+# complements bloom_semi_join's prefilter formulation)
+
+
+def q_semi_join_native(sf_dir: str):
+    """Lineitem rows whose order is status 'P', via ``join("left_semi")``:
+    the build side is the filtered key column only (key-cardinality
+    bounded), the probe side streams, and no payload from the build side
+    is ever materialized -- the EXISTS semantics natively."""
+    keys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+            .filter(expr="o_orderstatus == 'P'")
+            .select_columns(["o_orderkey"]))
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).join(
+        keys, "left_semi",
+        num_partitions=_join_parts(sf_dir, "lineitem"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+
+SQL_SEMI_JOIN_NATIVE = """
+select l_orderkey, l_linenumber from lineitem l
+where exists (select 1 from orders o
+              where o.o_orderkey = l.l_orderkey
+                and o.o_orderstatus = 'P')
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2732,4 +2810,6 @@ SQL_CHECKED = {
     "typo_pairs": (q_typo_pairs, SQL_TYPO_PAIRS),
     "unpivot_metrics": (q_unpivot_metrics, SQL_UNPIVOT_METRICS),
     "order_status_outer": (q_order_status_outer, SQL_ORDER_STATUS_OUTER),
+    "quantile_cont_flag": (q_quantile_cont_flag, SQL_QUANTILE_CONT_FLAG),
+    "semi_join_native": (q_semi_join_native, SQL_SEMI_JOIN_NATIVE),
 }

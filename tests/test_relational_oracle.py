@@ -20,7 +20,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "cumsum_orders", "lag_events", "quad_rollup", "quad_compact",
                "heavy_hitters", "substring_dedup", "funnel_steps",
                "repetition_docs", "customer_order_counts", "cube_counts",
-               "typo_pairs", "unpivot_metrics", "order_status_outer"]
+               "typo_pairs", "unpivot_metrics", "order_status_outer",
+               "quantile_cont_flag", "semi_join_native"]
 
 
 def _canonical(tab: pa.Table):
