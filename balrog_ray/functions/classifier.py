@@ -51,6 +51,8 @@ def logreg_train(ds, feature_cols, label_col: str, id_col: str = "doc_id",
     """Fit logistic regression of ``label_col`` (0/1) on ``feature_cols``.
     Returns a model dict: standardization (mean/std per feature) +
     weights (k features then intercept), all plain floats."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     k = len(feature_cols)
     feats = ds.select_columns(list(feature_cols) + [label_col, id_col]) \
         .materialize()

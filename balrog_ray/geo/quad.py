@@ -78,6 +78,30 @@ def qchildren(ids):
     return qcell_id(res1, cx2, cy2)
 
 
+def qneighbors(ids, *, include_diagonal: bool = True):
+    """Same-resolution grid neighbors of each cell (H3 ``grid_disk(1)`` /
+    S2 ``GetEdgeNeighbors`` role): shape ``(n, 8)`` int64 (or ``(n, 4)``
+    edge-only), with ``-1`` where the neighbor falls outside the
+    ``2^res x 2^res`` grid.  Vectorized bit arithmetic; the halo-exchange
+    keying on the cell index (which cells must see each other's borders)
+    is exactly this function."""
+    ids = np.atleast_1d(np.asarray(ids, np.int64))
+    res = qcell_res(ids)
+    cx, cy = qcell_xy(ids)
+    if include_diagonal:
+        dx = np.array([-1, 0, 1, -1, 1, -1, 0, 1], np.int64)
+        dy = np.array([-1, -1, -1, 0, 0, 1, 1, 1], np.int64)
+    else:
+        dx = np.array([0, -1, 1, 0], np.int64)
+        dy = np.array([-1, 0, 0, 1], np.int64)
+    nx = cx[:, None] + dx[None, :]
+    ny = cy[:, None] + dy[None, :]
+    lim = (np.int64(1) << res)[:, None]
+    ok = (nx >= 0) & (nx < lim) & (ny >= 0) & (ny < lim)
+    out = qcell_id(np.broadcast_to(res[:, None], nx.shape), nx, ny)
+    return np.where(ok, out, np.int64(-1))
+
+
 def point_to_qcell(x, y, res: int, x0: float, y0: float, size: float):
     """Vectorized point -> cell id at ``res`` inside the square world
     window (west edge ``x0``, NORTH edge ``y0``, side ``size``).  Points

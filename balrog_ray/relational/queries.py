@@ -2738,6 +2738,57 @@ where exists (select 1 from orders o
 """
 
 
+# --------------------------------------------------------------------------
+# quad-cell neighbor finding (H3 grid_disk(1) / S2 GetEdgeNeighbors role):
+# occupied-cell adjacency counts over the supplier point grid
+
+
+def q_cell_neighbors(sf_dir: str):
+    """Per occupied res-5 quad cell: point count + how many of its 8 grid
+    neighbors are also occupied.  The aggregation shuffle is
+    key-bounded; the adjacency pass runs on the <= 32x32 occupied-cell
+    table (O(grid), never O(points)) with vectorized ``qneighbors`` bit
+    arithmetic -- the same function that keys the halo exchange.  The SQL
+    oracle recomputes both the packed id bit layout and the adjacency."""
+    from ..geo.quad import point_to_qcell, qneighbors
+
+    def cellify(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        x = (sk * 53) % 1000
+        y = (sk * 97) % 1000
+        return pa.table({"qcell": pa.array(
+            point_to_qcell(x, y, 5, 0.0, 1024.0, 1024.0), pa.int64())})
+
+    a = _agg()
+    cells = _collect(
+        _read(sf_dir, "supplier", ["s_suppkey"])
+        .map_batches(cellify, batch_format="pyarrow")
+        .groupby("qcell")
+        .aggregate(a.Count(alias_name="n_pts")))     # <= 1024 rows
+    ids = cells.column("qcell").to_numpy()
+    nb = qneighbors(ids)                             # (n, 8)
+    n_nbrs = (np.isin(nb, ids) & (nb != -1)).sum(axis=1)
+    return pa.table({"qcell": cells.column("qcell"),
+                     "n_pts": cells.column("n_pts"),
+                     "n_nbrs": pa.array(n_nbrs.astype(np.int64),
+                                        pa.int64())})
+
+
+SQL_CELL_NEIGHBORS = """
+with cells as (
+  select least(((s_suppkey * 53) % 1000) // 32, 31) as cx,
+         least((1024 - (s_suppkey * 97) % 1000) // 32, 31) as cy,
+         count(*) as n_pts
+  from supplier group by 1, 2)
+select ((5::BIGINT << 52) | (a.cy << 26) | a.cx) as qcell,
+       cast(a.n_pts as bigint) as n_pts,
+       cast((select count(*) from cells b
+             where abs(a.cx - b.cx) <= 1 and abs(a.cy - b.cy) <= 1
+               and not (a.cx = b.cx and a.cy = b.cy)) as bigint) as n_nbrs
+from cells a
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2812,4 +2863,5 @@ SQL_CHECKED = {
     "order_status_outer": (q_order_status_outer, SQL_ORDER_STATUS_OUTER),
     "quantile_cont_flag": (q_quantile_cont_flag, SQL_QUANTILE_CONT_FLAG),
     "semi_join_native": (q_semi_join_native, SQL_SEMI_JOIN_NATIVE),
+    "cell_neighbors": (q_cell_neighbors, SQL_CELL_NEIGHBORS),
 }

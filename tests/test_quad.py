@@ -142,3 +142,30 @@ def test_adaptive_cover_with_hole_refines_inner_boundary():
     inside_ring = point_to_qcell(np.array([200.0]), np.array([200.0]),
                                  6, 0.0, 1024.0, 1024.0)
     assert int(inside_ring[0]) in got
+
+
+def test_qneighbors_brute_force():
+    """qneighbors == meshgrid brute force, including grid-edge clipping
+    and the edge-only variant."""
+    import numpy as np
+
+    from balrog_ray.geo.quad import qcell_id, qneighbors
+
+    res = 3                                 # 8x8 grid
+    cells = [(0, 0), (7, 7), (0, 5), (3, 4), (7, 0)]
+    ids = qcell_id(np.full(len(cells), res),
+                   np.array([c[0] for c in cells]),
+                   np.array([c[1] for c in cells]))
+    nb = qneighbors(ids)
+    assert nb.shape == (len(cells), 8)
+    for i, (cx, cy) in enumerate(cells):
+        want = sorted(qcell_id(res, x, y)
+                      for x in range(max(cx - 1, 0), min(cx + 2, 8))
+                      for y in range(max(cy - 1, 0), min(cy + 2, 8))
+                      if (x, y) != (cx, cy))
+        got = sorted(v for v in nb[i] if v != -1)
+        assert got == want
+    edge = qneighbors(ids, include_diagonal=False)
+    assert edge.shape == (len(cells), 4)
+    assert sorted(v for v in edge[0] if v != -1) == sorted(
+        [qcell_id(res, 1, 0), qcell_id(res, 0, 1)])
