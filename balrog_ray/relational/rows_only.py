@@ -1720,6 +1720,43 @@ def q_quality_classifier(sf_dir: str):
             .aggregate(agg.Count(alias_name="n")))
 
 
+def q_fill_nodata(sf_dir: str):
+    """Bounded nodata interpolation (stages/fillnodata.py, the
+    gdal.FillNodata role): fill the t1 DEM's void patch from
+    nearest-valid donors within 4 px -> per-tile filled / remaining
+    counts (exact integers; only tile (1,1) carries the patch)."""
+    import ray.data
+
+    from ..stages.fillnodata import fill_nodata
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    spec = GridSpec.from_synth(cfg)
+    filled = fill_nodata(ds, spec, layer="dem",
+                         max_dist=4 * cfg.pixel_size)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = {"tx": [], "ty": [], "n_valid": [], "n_nodata": []}
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            nd = arr == np.float32(cap.nodata)
+            out["tx"].append(cap.tx)
+            out["ty"].append(cap.ty)
+            out["n_valid"].append(int((~nd).sum()))
+            out["n_nodata"].append(int(nd.sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in out.items()})
+
+    return filled.map_batches(stats, batch_format="pyarrow")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1782,4 +1819,5 @@ ROWS_ONLY = {
     "change_detection": q_change_detection,
     "temporal_trend": q_temporal_trend,
     "quality_classifier": q_quality_classifier,
+    "fill_nodata": q_fill_nodata,
 }
