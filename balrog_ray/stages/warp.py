@@ -1,4 +1,5 @@
-"""Affine raster warp with bilinear (or nearest) resampling: the full
+"""Affine raster warp with bilinear, nearest or Keys-cubic resampling
+(GDAL's three standard kernels): the full
 ``gdal.Warp`` role (reference mosaics + reprojects with
 ``gdal.Warp -t_srs EPSG:4283 -of COG``,
 ``data_prep/images/ga_5m/01_mosaic_and_transform_images_in_one_go.py:245-266``)
@@ -17,7 +18,9 @@ and blend the 2x2 bilinear stencil::
 nodata / out-of-source stencil pixels are excluded and the weights
 renormalized (GDAL's nodata-aware bilinear); a pixel with zero valid
 weight is nodata.  ``nearest`` picks round-half-up of the fractional
-coords.
+coords.  ``cubic`` is the 4x4 Keys kernel (a = -0.5); its weights can be
+negative, so a pixel needs NET positive valid weight, and the emitter
+dilates the source bbox by 2 px instead of 1.
 
 Scale shape -- one emit pass + ONE groupby(target cell) shuffle, no
 halo: a stencil can straddle source-tile seams, so each SOURCE tile
@@ -151,11 +154,23 @@ _PATCH_SCHEMA = pa.schema([
 ])
 
 
+def _keys_cubic(s: np.ndarray) -> np.ndarray:
+    """Keys cubic-convolution kernel, a = -0.5 (Catmull-Rom; GDAL's
+    ``cubic``).  Exact polynomial evaluation in float64."""
+    a = -0.5
+    t = np.abs(s)
+    t2 = t * t
+    t3 = t2 * t
+    near = (a + 2.0) * t3 - (a + 3.0) * t2 + 1.0
+    far = a * t3 - 5.0 * a * t2 + 8.0 * a * t - 4.0 * a
+    return np.where(t <= 1.0, near, np.where(t < 2.0, far, 0.0))
+
+
 def _stencil_partials(src: np.ndarray, nodata: float, cf: np.ndarray,
-                      rf: np.ndarray, nearest: bool):
+                      rf: np.ndarray, mode: str):
     """Partial (sum w*v, sum w) for fractional source coords (cf, rf)
     counting ONLY stencil pixels inside ``src`` (this tile's pixels).
-    Fixed accumulation order (r0c0, r0c1, r1c0, r1c1) so interior
+    Fixed accumulation order (row-major over the stencil) so interior
     pixels match a whole-raster run bit-for-bit."""
     sh, sw = src.shape
     c0 = np.floor(cf).astype(np.int64)
@@ -164,7 +179,26 @@ def _stencil_partials(src: np.ndarray, nodata: float, cf: np.ndarray,
     fr = rf - r0
     wv = np.zeros(cf.shape, np.float64)
     ws = np.zeros(cf.shape, np.float64)
-    if nearest:
+    if mode == "cubic":
+        # 4x4 Keys stencil: taps r0-1..r0+2 x c0-1..c0+2; weights can be
+        # negative, so a valid pixel needs NET positive weight (the
+        # assembler's ws > 0 test) -- full stencils sum to exactly 1
+        for dr in (-1, 0, 1, 2):
+            wr = _keys_cubic(fr - dr)
+            rr = r0 + dr
+            for dc in (-1, 0, 1, 2):
+                cc = c0 + dc
+                w = wr * _keys_cubic(fc - dc)
+                inb = (rr >= 0) & (rr < sh) & (cc >= 0) & (cc < sw)
+                if not inb.any():
+                    continue
+                v = np.zeros(cf.shape, np.float64)
+                v[inb] = src[rr[inb], cc[inb]].astype(np.float64)
+                valid = inb & (v != float(np.float32(nodata)))
+                wv += np.where(valid, w * v, 0.0)
+                ws += np.where(valid, w, 0.0)
+        return wv, ws
+    if mode == "nearest":
         # nearest = the stencil corner closest to the point
         # (round-half-up of the fractional coords)
         rn = np.where(fr >= 0.5, r0 + 1, r0)
@@ -195,11 +229,12 @@ def make_warp_emitter(spec: GridSpec, transform,
     ``transform`` maps target world -> source world (``Affine``,
     ``ProjToGeo`` or ``GeoToProj`` -- anything with per-axis-monotone
     ``apply`` and an ``inverse()``)."""
-    if resampling not in ("bilinear", "nearest"):
-        raise ValueError("resampling must be 'bilinear' or 'nearest'")
+    if resampling not in ("bilinear", "nearest", "cubic"):
+        raise ValueError(
+            "resampling must be 'bilinear', 'nearest' or 'cubic'")
     T, ps_t = spec.tile_px, spec.pixel_size
     fwd = transform.inverse()         # source world -> target world
-    nearest = resampling == "nearest"
+    reach = 2 if resampling == "cubic" else 1   # stencil radius in src px
 
     def fn(batch: pa.Table) -> pa.Table:
         cols = {n: [] for n in _PATCH_SCHEMA.names}
@@ -210,11 +245,13 @@ def make_warp_emitter(spec: GridSpec, transform,
             sh, sw = src.shape
             ps_s = cap.pixel_size
             sx0, sy0 = cap.x0, cap.y0
-            # target-space bbox of the source tile dilated by 1 source px
-            # (the stencil reach): corners forward-mapped, then clipped to
-            # the target raster
-            xs = np.array([sx0 - ps_s, sx0 + (sw + 1) * ps_s])
-            ys = np.array([sy0 + ps_s, sy0 - (sh + 1) * ps_s])
+            # target-space bbox of the source tile dilated by the
+            # stencil reach in source px: corners forward-mapped, then
+            # clipped to the target raster
+            xs = np.array([sx0 - reach * ps_s,
+                           sx0 + (sw + reach) * ps_s])
+            ys = np.array([sy0 + reach * ps_s,
+                           sy0 - (sh + reach) * ps_s])
             cx = np.array([xs[0], xs[1], xs[0], xs[1]])
             cy = np.array([ys[0], ys[0], ys[1], ys[1]])
             tx_, ty_ = fwd.apply(cx, cy)
@@ -241,7 +278,7 @@ def make_warp_emitter(spec: GridSpec, transform,
                     cf = (sx - sx0) / ps_s - 0.5
                     rf = (sy0 - sy) / ps_s - 0.5
                     wv, ws = _stencil_partials(src, cap.nodata, cf, rf,
-                                               nearest)
+                                               resampling)
                     if not (ws > 0).any():
                         continue
                     cols["cell_id"].append(spec.cell_id(tx, ty))
@@ -303,8 +340,9 @@ def warp_to_grid(tiles_ds, spec: GridSpec, transform, *,
     the target ``spec`` grid.  Returns a TILES_SCHEMA
     Dataset; target cells with no source coverage are dropped (resume-
     friendly partitioned output, not a dense all-nodata grid)."""
-    if resampling not in ("bilinear", "nearest"):
-        raise ValueError("resampling must be 'bilinear' or 'nearest'")
+    if resampling not in ("bilinear", "nearest", "cubic"):
+        raise ValueError(
+            "resampling must be 'bilinear', 'nearest' or 'cubic'")
     return (tiles_ds
             .map_batches(make_warp_emitter(spec, transform, resampling),
                          batch_format="pyarrow")

@@ -41,6 +41,27 @@ def _warp_scalar(src: np.ndarray, src_y_north: float, ps_s: float,
                     out[r, c] = src[rn, cn]
                 continue
             wv = ws = 0.0
+            if resampling == "cubic":
+                def k(s, a=-0.5):
+                    t = abs(s)
+                    if t <= 1.0:
+                        return (a + 2) * t**3 - (a + 3) * t**2 + 1
+                    if t < 2.0:
+                        return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+                    return 0.0
+                for dr in (-1, 0, 1, 2):
+                    for dc in (-1, 0, 1, 2):
+                        rr, cc = r0 + dr, c0 + dc
+                        if not (0 <= rr < sh and 0 <= cc < sw):
+                            continue
+                        if src[rr, cc] == np.float32(ND):
+                            continue
+                        w = k(fr - dr) * k(fc - dc)
+                        wv += w * float(src[rr, cc])
+                        ws += w
+                if ws > 0:
+                    out[r, c] = np.float32(wv / ws)
+                continue
             for dr, dc in ((0, 0), (0, 1), (1, 0), (1, 1)):
                 rr, cc = r0 + dr, c0 + dc
                 if not (0 <= rr < sh and 0 <= cc < sw):
@@ -81,7 +102,7 @@ def test_identity_warp_is_exact(ray_session):
     assert np.array_equal(got, arr)
 
 
-@pytest.mark.parametrize("resampling", ["nearest", "bilinear"])
+@pytest.mark.parametrize("resampling", ["nearest", "bilinear", "cubic"])
 def test_rotated_warp_matches_scalar_oracle(ray_session, resampling):
     cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
     arr = _bumpy_dem((32, 48), 12)
@@ -123,7 +144,7 @@ def test_affine_inverse_roundtrip():
 def test_warp_validation():
     with pytest.raises(ValueError, match="resampling"):
         warp_to_grid(None, GridSpec(2, 2, 16, 25.0, 800.0),
-                     Affine.identity(), resampling="cubic")
+                     Affine.identity(), resampling="lanczos")
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +166,7 @@ def test_crs_bridge_roundtrip():
     assert np.all(np.abs(lon3[1:]) > np.abs(lon2[1:]))
 
 
-@pytest.mark.parametrize("resampling", ["nearest", "bilinear"])
+@pytest.mark.parametrize("resampling", ["nearest", "bilinear", "cubic"])
 def test_geo_tiles_onto_metre_grid(ray_session, resampling):
     """Degree-CRS source tiles regridded onto a projected-metre target
     grid (ingesting the reference's EPSG:4283 COGs), vs the scalar
