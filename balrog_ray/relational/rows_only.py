@@ -1757,6 +1757,53 @@ def q_fill_nodata(sf_dir: str):
     return filled.map_batches(stats, batch_format="pyarrow")
 
 
+def q_zonal_majority(sf_dir: str):
+    """Categorical zonal statistics (stages/zone_stats.
+    zonal_category_stats, the ArcGIS MAJORITY/MINORITY/VARIETY role):
+    derive elevation-band zones from the t1 DEM (floor(dem / 20 m),
+    a streaming per-tile re-encode), then the majority / minority /
+    variety of the vegetation class per band -- exact integers."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.zone_stats import zonal_category_stats
+    from ..tiles.codec import Caption, decode_tile, encode_tile, phash64
+    from ..tiles.synth import TILES_SCHEMA, tiles_table
+
+    cfg = _t1_cfg()
+    tab = tiles_table(cfg)                      # dem + veg layers
+    spec = GridSpec.from_synth(cfg)
+
+    def bands(batch: pa.Table) -> pa.Table:
+        rows = {n: [] for n in TILES_SCHEMA.names}
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            if cap.layer != "dem":
+                continue
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            nd = arr == np.float32(cap.nodata)
+            z = np.floor(arr / 20.0).astype(np.float32)
+            z[nd] = np.float32(cap.nodata)
+            bcap = Caption(layer="band", x0=cap.x0, y0=cap.y0,
+                           pixel_size=cap.pixel_size, nodata=cap.nodata,
+                           edge=cap.edge, tx=cap.tx, ty=cap.ty)
+            payload, bcap = encode_tile(z, "npz", bcap)
+            rows["image_id"].append(f"band/{cap.tx}/{cap.ty}")
+            rows["bytes"].append(payload)
+            rows["w"].append(np.int32(z.shape[1]))
+            rows["h"].append(np.int32(z.shape[0]))
+            rows["fmt"].append("npz")
+            rows["caption"].append(bcap.to_json())
+            rows["phash"].append(np.int64(phash64(z)))
+        return pa.table(rows, schema=TILES_SCHEMA)
+
+    ds = ray.data.from_arrow(tab)
+    zones = ds.map_batches(bands, batch_format="pyarrow")
+    return zonal_category_stats(ds.union(zones), spec,
+                                zone_layer="band", value_layer="veg")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1820,4 +1867,5 @@ ROWS_ONLY = {
     "temporal_trend": q_temporal_trend,
     "quality_classifier": q_quality_classifier,
     "fill_nodata": q_fill_nodata,
+    "zonal_majority": q_zonal_majority,
 }

@@ -92,3 +92,43 @@ def test_zonal_by_zone_composes_with_watershed(ray_session):
     assert total_px > 0
     for r in rows:
         assert r["vmin"] <= r["mean"] <= r["vmax"]
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_zonal_category_stats_matches_numpy(ray_session, seed):
+    """majority/minority/variety vs a per-zone Counter oracle with the
+    same smallest-id tie-break; exact integers."""
+    from collections import Counter
+
+    import ray
+
+    from balrog_ray.stages.zone_stats import zonal_category_stats
+
+    rng = np.random.default_rng(seed)
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    shape = (cfg.tiles_y * cfg.tile_px, cfg.tiles_x * cfg.tile_px)
+    zones = rng.integers(0, 5, shape).astype(np.float32)
+    zones[rng.random(shape) < 0.05] = ND
+    # few classes so majority ties actually occur
+    vals = rng.integers(0, 3, shape).astype(np.float32)
+    vals[rng.random(shape) < 0.05] = ND
+    tiles = _tiles_from_arrays({"zone": zones, "cls": vals}, cfg)
+    out = zonal_category_stats(
+        ray.data.from_arrow(tiles), GridSpec.from_synth(cfg),
+        zone_layer="zone", value_layer="cls")
+    got = {int(r["zone"]): r for r in out.take_all()}
+
+    ok = (zones != np.float32(ND)) & (vals != np.float32(ND))
+    want_zones = sorted(set(zones[ok].astype(int).tolist()))
+    assert sorted(got) == want_zones
+    for z in want_zones:
+        c = Counter(vals[ok & (zones == z)].astype(int).tolist())
+        items = sorted(c.items())                      # (class, n) by id
+        hi_n = max(n for _, n in items)
+        lo_n = min(n for _, n in items)
+        hi = next(v for v, n in items if n == hi_n)
+        lo = next(v for v, n in items if n == lo_n)
+        r = got[z]
+        assert (r["variety"], r["majority"], r["majority_n"],
+                r["minority"], r["minority_n"]) == \
+            (len(items), hi, hi_n, lo, lo_n), z
