@@ -1804,6 +1804,24 @@ def q_zonal_majority(sf_dir: str):
                                 zone_layer="band", value_layer="veg")
 
 
+def q_audio_dup_clips(sf_dir: str):
+    """Audio near-dup dedup (functions/audio.py, the Chromaprint/Shazam
+    fingerprint role): deterministic PCM clips with planted noisy
+    copies -> 64-bit band-energy-delta fingerprints (stateless
+    map_batches) -> the shared hash64 pigeonhole bucket + exact Hamming
+    verify.  Returns (id_a, id_b, hamming) pairs -- exactly the planted
+    copies."""
+    import ray.data
+
+    from ..functions.audio import fingerprint_batch, synth_audio_table
+    from ..functions.dedup import hash64_dup_pairs
+
+    ds = ray.data.from_arrow(synth_audio_table())
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return hash64_dup_pairs(fp, id_col="audio_id", hash_col="afp",
+                            max_hamming=3)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1868,4 +1886,5 @@ ROWS_ONLY = {
     "quality_classifier": q_quality_classifier,
     "fill_nodata": q_fill_nodata,
     "zonal_majority": q_zonal_majority,
+    "audio_dup_clips": q_audio_dup_clips,
 }
