@@ -2789,6 +2789,77 @@ from cells a
 """
 
 
+# --------------------------------------------------------------------------
+# distributed PageRank (functions/graph.py -- the web-graph quality
+# weighting role): irregular synthetic supplier graph, 4 power iterations,
+# vs an unrolled chained-CTE oracle
+
+_PR_ITERS = 4
+
+
+def q_pagerank_suppliers(sf_dir: str):
+    """PageRank over a deterministic irregular graph on the supplier
+    keys (out-degree 1 + node % 3).  Ranks stay a distributed Dataset
+    throughout -- each iteration is one edges x ranks hash join plus a
+    ``groupby(node).sum`` unioned with the teleport seed rows.  Output
+    scaled x1e9 to int64 (rank magnitudes ~1/N; float64 association
+    differences sit ~8 orders below the rounding step)."""
+    from ..functions.graph import pagerank
+
+    n = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        src_l, dst_l = [], []
+        for j in (1, 2, 3):
+            s = sk[(sk % 3) >= (j - 1)]
+            src_l.append(s)
+            dst_l.append((s * 7 + j * 13) % n)
+        return pa.table({"src": pa.array(np.concatenate(src_l), pa.int64()),
+                         "dst": pa.array(np.concatenate(dst_l),
+                                         pa.int64())})
+
+    eds = (_read(sf_dir, "supplier", ["s_suppkey"])
+           .map_batches(edges, batch_format="pyarrow"))
+    ranks = pagerank(eds, n, iters=_PR_ITERS, num_partitions=4)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        r = np.rint(b.column("rank").to_numpy() * 1e9).astype(np.int64)
+        return pa.table({"node": b.column("node"),
+                         "rank_e9": pa.array(r, pa.int64())})
+
+    return ranks.map_batches(fmt, batch_format="pyarrow")
+
+
+def _pagerank_sql(iters: int) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+r{k} as (
+  select n2.node,
+         0.15 / (select n from nn) + 0.85 * coalesce((
+           select sum(r.rank / d.d) from edges e
+           join r{k - 1} r on r.node = e.src
+           join deg d on d.src = e.src
+           where e.dst = n2.node), 0) as rank
+  from nodes n2)""")
+    return """
+with nodes as (select s_suppkey as node from supplier),
+nn as (select count(*) as n from supplier),
+edges as (
+  select node as src, (node * 7 + j * 13) % (select n from nn) as dst
+  from nodes cross join (select unnest([1, 2, 3]) as j)
+  where (node % 3) >= (j - 1)),
+deg as (select src, count(*) as d from edges group by src),
+r0 as (select node, 1.0 / (select n from nn) as rank from nodes),""" \
+        + ",".join(steps) + f"""
+select node, cast(round(rank * 1e9) as bigint) as rank_e9 from r{iters}
+"""
+
+
+SQL_PAGERANK_SUPPLIERS = _pagerank_sql(_PR_ITERS)
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2864,4 +2935,5 @@ SQL_CHECKED = {
     "quantile_cont_flag": (q_quantile_cont_flag, SQL_QUANTILE_CONT_FLAG),
     "semi_join_native": (q_semi_join_native, SQL_SEMI_JOIN_NATIVE),
     "cell_neighbors": (q_cell_neighbors, SQL_CELL_NEIGHBORS),
+    "pagerank_suppliers": (q_pagerank_suppliers, SQL_PAGERANK_SUPPLIERS),
 }

@@ -21,7 +21,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "heavy_hitters", "substring_dedup", "funnel_steps",
                "repetition_docs", "customer_order_counts", "cube_counts",
                "typo_pairs", "unpivot_metrics", "order_status_outer",
-               "quantile_cont_flag", "semi_join_native", "cell_neighbors"]
+               "quantile_cont_flag", "semi_join_native", "cell_neighbors",
+               "pagerank_suppliers"]
 
 
 def _canonical(tab: pa.Table):
