@@ -2860,6 +2860,68 @@ select node, cast(round(rank * 1e9) as bigint) as rank_e9 from r{iters}
 SQL_PAGERANK_SUPPLIERS = _pagerank_sql(_PR_ITERS)
 
 
+# --------------------------------------------------------------------------
+# time-series resample + forward fill: per-key regular grid (the sensor /
+# metrics gap-fill role), SQL-checked against DuckDB's ASOF JOIN
+
+
+def q_resample_events(sf_dir: str):
+    """Per user, an hourly grid strictly after their first event through
+    their last, each point carrying the latest value at-or-before it
+    (forward fill).  ONE user-keyed shuffle; the per-group fill is a
+    vectorized ``searchsorted`` against the (ts, event_id)-sorted
+    events, so ties on ts resolve to the highest event_id -- the same
+    rule the oracle's per-(user, ts) dedup enforces.  Values pass
+    through unchanged (selection, no arithmetic), so the compare is
+    exact."""
+    HOUR = 3_600 * 1_000_000
+
+    def fill(group: pa.Table) -> pa.Table:
+        ts = group.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        eid = group.column("event_id").to_numpy()
+        val = group.column("value").to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, val = ts[order], val[order]
+        t0, t1 = int(ts[0]), int(ts[-1])
+        start = (t0 // HOUR) * HOUR + HOUR      # strictly after t0
+        if start > t1:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "grid_ts": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64())})
+        grid = np.arange(start, t1 + 1, HOUR, dtype=np.int64)
+        idx = np.searchsorted(ts, grid, side="right") - 1
+        uid = group.column("user_id")[0].as_py()
+        return pa.table({
+            "user_id": pa.array(np.full(len(grid), uid), pa.int64()),
+            "grid_ts": pa.array(grid.astype("datetime64[us]"),
+                                pa.timestamp("us")),
+            "value": pa.array(val[idx], pa.float64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+            .groupby("user_id")
+            .map_groups(fill, batch_format="pyarrow"))
+
+
+SQL_RESAMPLE_EVENTS = """
+with e as (
+  select user_id, ts, value from events
+  qualify row_number() over (partition by user_id, ts
+                             order by event_id desc) = 1),
+b as (select user_id, min(ts) as t0, max(ts) as t1
+      from events group by user_id),
+g as (select user_id,
+             unnest(generate_series(
+               date_trunc('hour', t0) + interval 1 hour,
+               t1, interval 1 hour)) as grid_ts
+      from b)
+select g.user_id, g.grid_ts, e.value
+from g asof join e
+  on e.user_id = g.user_id and e.ts <= g.grid_ts
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -2936,4 +2998,5 @@ SQL_CHECKED = {
     "semi_join_native": (q_semi_join_native, SQL_SEMI_JOIN_NATIVE),
     "cell_neighbors": (q_cell_neighbors, SQL_CELL_NEIGHBORS),
     "pagerank_suppliers": (q_pagerank_suppliers, SQL_PAGERANK_SUPPLIERS),
+    "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
 }
