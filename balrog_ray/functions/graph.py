@@ -74,10 +74,6 @@ def pagerank(edges_ds, num_nodes: int, *, damping: float = 0.85,
 
     agg_sum = Sum("part", alias_name="rank")
 
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
-                         "rank": b.column("rank")})
-
     for _ in range(iters):
         inflow = (edges_deg
                   .join(ranks, "inner", num_partitions=num_partitions,
@@ -89,7 +85,6 @@ def pagerank(edges_ds, num_nodes: int, *, damping: float = 0.85,
         ranks = (inflow.union(seeds)
                  .groupby("node")
                  .aggregate(agg_sum)
-                 .map_batches(finish, batch_format="pyarrow")
                  .repartition(num_partitions)
                  .materialize())
     return ranks

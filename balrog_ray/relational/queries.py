@@ -2819,9 +2819,14 @@ def q_pagerank_suppliers(sf_dir: str):
                          "dst": pa.array(np.concatenate(dst_l),
                                          pa.int64())})
 
+    from ..partitions import shuffle_width
+
     eds = (_read(sf_dir, "supplier", ["s_suppkey"])
            .map_batches(edges, batch_format="pyarrow"))
-    ranks = pagerank(eds, n, iters=_PR_ITERS, num_partitions=4)
+    # lo=2: per-iteration hash-shuffle actor startup dominates at graph
+    # sizes this small, and the shared rule widens it on real graphs
+    ranks = pagerank(eds, n, iters=_PR_ITERS,
+                     num_partitions=shuffle_width(3 * n, lo=2))
 
     def fmt(b: pa.Table) -> pa.Table:
         r = np.rint(b.column("rank").to_numpy() * 1e9).astype(np.int64)
