@@ -306,6 +306,10 @@ def cmd_derive(args) -> int:
     elif op == "majority":
         from .stages.filters import focal_majority
         out = focal_majority(ds, spec, radius=args.radius, **kw)
+    elif op == "fill":
+        from .stages.fillnodata import fill_nodata
+        out = fill_nodata(ds, spec,
+                          max_dist=args.radius * spec.pixel_size, **kw)
     else:                                # argparse choices guard this
         raise ValueError(f"unknown derive op {op!r}")
     write_image_table(out, args.out)
@@ -395,10 +399,12 @@ def main(argv=None) -> int:
     d.add_argument("--op", required=True,
                    choices=["hillshade", "tpi", "tri", "roughness", "d8",
                             "flow_acc", "watershed", "strahler", "gauss",
-                            "sobel", "median", "majority"])
+                            "sobel", "median", "majority", "fill"])
     d.add_argument("--layer", default="dem")
     d.add_argument("--sigma", type=float, default=2.0)
-    d.add_argument("--radius", type=int, default=1)
+    d.add_argument("--radius", type=int, default=1,
+                   help="focal window radius (median/majority) or "
+                        "fill-nodata search radius, in pixels")
     d.add_argument("--fmt", default="npz")
     d.set_defaults(fn=cmd_derive)
 
