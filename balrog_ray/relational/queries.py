@@ -2927,6 +2927,73 @@ from g asof join e
 """
 
 
+# --------------------------------------------------------------------------
+# per-group winsorization: clip to [p05, p95] -- the outlier-clipping
+# pass before model training, as a two-phase stat-then-map pipeline
+
+
+def q_winsorize_prices(sf_dir: str):
+    """Clip each order's price (exact cents) to its priority group's
+    [p05, p95] discrete quantiles.  Phase 1 ships (group, value)->count
+    partials (value-domain bounded); the tiny per-group bound table
+    broadcasts by value into a stateless phase-2 clip map -- the input
+    streams twice, nothing row-cardinality-sized moves or parks."""
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        return pa.table({"pri": b.column("o_orderpriority"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    src = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                                    "o_totalprice"]))
+    vc = _partial_count_sums(
+        src.map_batches(to_cents, batch_format="pyarrow"),
+        ["pri", "cents"], {}, count_alias="vn")
+    tab = _collect(vc)
+    pris = np.asarray(tab.column("pri").to_pylist())
+    vals = tab.column("cents").to_numpy()
+    cnts = tab.column("vn").to_numpy()
+    bounds = {}
+    for p in sorted(set(pris.tolist())):
+        sel = pris == p
+        v, c = vals[sel], cnts[sel]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, int(np.ceil(0.05 * n)))])
+        hi = int(v[np.searchsorted(cum, int(np.ceil(0.95 * n)))])
+        bounds[p] = (lo, hi)
+
+    def clip(b: pa.Table) -> pa.Table:
+        pri = b.column("o_orderpriority").to_pylist()
+        cents = np.rint(b.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        lo = np.fromiter((bounds[p][0] for p in pri), np.int64,
+                         len(pri))
+        hi = np.fromiter((bounds[p][1] for p in pri), np.int64,
+                         len(pri))
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "clipped_cents": pa.array(np.clip(cents, lo, hi), pa.int64())})
+
+    return src.map_batches(clip, batch_format="pyarrow")
+
+
+SQL_WINSORIZE_PRICES = """
+with c as (select o_orderkey, o_orderpriority,
+                  cast(round(o_totalprice * 100) as bigint) as cents
+           from orders),
+q as (select o_orderpriority,
+             quantile_disc(cents, 0.05) as lo,
+             quantile_disc(cents, 0.95) as hi
+      from c group by o_orderpriority)
+select o_orderkey,
+       cast(least(greatest(cents, lo), hi) as bigint) as clipped_cents
+from c join q using (o_orderpriority)
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3004,4 +3071,5 @@ SQL_CHECKED = {
     "cell_neighbors": (q_cell_neighbors, SQL_CELL_NEIGHBORS),
     "pagerank_suppliers": (q_pagerank_suppliers, SQL_PAGERANK_SUPPLIERS),
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
+    "winsorize_prices": (q_winsorize_prices, SQL_WINSORIZE_PRICES),
 }
