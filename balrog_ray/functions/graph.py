@@ -88,3 +88,93 @@ def pagerank(edges_ds, num_nodes: int, *, damping: float = 0.85,
                  .repartition(num_partitions)
                  .materialize())
     return ranks
+
+
+def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
+                   damping: tuple[int, int] = (17, 20),
+                   num_partitions: int = 8):
+    """BIT-EXACT PageRank: identical distributed shape to
+    :func:`pagerank`, but ranks are integer NUMERATORS over a common
+    denominator that grows by a fixed factor per iteration -- fixed-point
+    rational arithmetic, so the result is deterministic to the last bit
+    under ANY summation order (float PageRank can land exactly on a
+    decimal rounding boundary -- the 0.15/0.85 rationals produce
+    half-integers at 1e-9 scale -- where association noise flips the
+    rounded digit).
+
+    With damping a/b and L = lcm(distinct out-degrees), one iteration in
+    numerator space is ``num' = (b-a)*L*F^k  +  sum (a*L/deg) * num``
+    with per-iteration denominator factor ``F = b*L`` (every coefficient
+    is an exact int64).  Returns ``(ranks_ds, denominator)`` where
+    ``ranks_ds`` holds ``(node, num)`` int64 numerators and
+    ``denominator = num_nodes * F**iters`` (a Python int); the true rank
+    is ``num / denominator`` exactly.  Raises if the denominator would
+    overflow int64 numerators -- deep iteration counts belong to the
+    float path."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    a, b = damping
+    if not (0 < a < b):
+        raise ValueError("damping must be a proper fraction (a, b)")
+
+    deg = edges_ds.groupby("src").aggregate(Count(alias_name="deg"))
+    edges_deg = edges_ds.join(
+        deg, "inner", num_partitions=num_partitions,
+        on=("src",)).materialize()
+
+    degs = sorted({r["deg"] for r in
+                   deg.groupby("deg")
+                   .aggregate(Count(alias_name="_n")).take_all()})
+    L = math.lcm(*degs) if degs else 1
+    F = b * L
+    if num_nodes * F ** iters > (1 << 62):
+        raise ValueError(
+            f"denominator {num_nodes} * {F}^{iters} overflows int64 "
+            "numerators; use fewer iters or the float pagerank()")
+
+    nodes = edges_deg.groupby("src") \
+        .aggregate(Count(alias_name="_c")).materialize()
+
+    def init_nums(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("src"),
+            "num": pa.array(np.ones(batch.num_rows, np.int64),
+                            pa.int64())})
+
+    nums = nodes.map_batches(init_nums,
+                             batch_format="pyarrow").materialize()
+    aL = a * L
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        coeff = aL // batch.column("deg").to_numpy()
+        return pa.table({
+            "node": batch.column("dst"),
+            "part": pa.array(coeff * batch.column("num").to_numpy(),
+                             pa.int64())})
+
+    agg_sum = Sum("part", alias_name="num")
+    for k in range(iters):
+        seed_val = (b - a) * L * F ** k
+
+        def seed_rows(batch: pa.Table, seed_val=seed_val) -> pa.Table:
+            return pa.table({
+                "node": batch.column("src"),
+                "part": pa.array(np.full(batch.num_rows, seed_val,
+                                         np.int64), pa.int64())})
+
+        inflow = (edges_deg
+                  .join(nums, "inner", num_partitions=num_partitions,
+                        on=("src",), right_on=("node",))
+                  .map_batches(contribs, batch_format="pyarrow"))
+        nums = (inflow
+                .union(nodes.map_batches(seed_rows,
+                                         batch_format="pyarrow"))
+                .groupby("node")
+                .aggregate(agg_sum)
+                .repartition(num_partitions)
+                .materialize())
+    return nums, num_nodes * F ** iters

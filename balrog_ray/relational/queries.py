@@ -2799,12 +2799,15 @@ _PR_ITERS = 4
 
 def q_pagerank_suppliers(sf_dir: str):
     """PageRank over a deterministic irregular graph on the supplier
-    keys (out-degree 1 + node % 3).  Ranks stay a distributed Dataset
-    throughout -- each iteration is one edges x ranks hash join plus a
-    ``groupby(node).sum`` unioned with the teleport seed rows.  Output
-    scaled x1e9 to int64 (rank magnitudes ~1/N; float64 association
-    differences sit ~8 orders below the rounding step)."""
-    from ..functions.graph import pagerank
+    keys (out-degree 1 + node % 3), via the BIT-EXACT integer-numerator
+    path (:func:`balrog_ray.functions.graph.pagerank_exact`): ranks stay
+    a distributed Dataset -- one edges x ranks hash join plus a
+    teleport-seed-union ``groupby(node).sum`` per iteration -- and the
+    fixed-point arithmetic makes the x1e9 rounded output identical to
+    the oracle's HUGEINT evaluation at every scale (the float path can
+    land exactly on a decimal rounding boundary: observed at sf0.1,
+    where two of 1000 ranks are true half-integers at 1e-9 scale)."""
+    from ..functions.graph import pagerank_exact
 
     n = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
 
@@ -2825,30 +2828,40 @@ def q_pagerank_suppliers(sf_dir: str):
            .map_batches(edges, batch_format="pyarrow"))
     # lo=2: per-iteration hash-shuffle actor startup dominates at graph
     # sizes this small, and the shared rule widens it on real graphs
-    ranks = pagerank(eds, n, iters=_PR_ITERS,
-                     num_partitions=shuffle_width(3 * n, lo=2))
+    nums, denom = pagerank_exact(eds, n, iters=_PR_ITERS,
+                                 num_partitions=shuffle_width(3 * n, lo=2))
 
     def fmt(b: pa.Table) -> pa.Table:
-        r = np.rint(b.column("rank").to_numpy() * 1e9).astype(np.int64)
+        # exact round-half-up of num/denom * 1e9 in unbounded ints (the
+        # intermediate num * 1e9 exceeds int64; rows here are
+        # node-cardinality-bounded output formatting)
+        e9 = [int((2 * v * 10 ** 9 + denom) // (2 * denom))
+              for v in b.column("num").to_pylist()]
         return pa.table({"node": b.column("node"),
-                         "rank_e9": pa.array(r, pa.int64())})
+                         "rank_e9": pa.array(e9, pa.int64())})
 
-    return ranks.map_batches(fmt, batch_format="pyarrow")
+    return nums.map_batches(fmt, batch_format="pyarrow")
 
 
 def _pagerank_sql(iters: int) -> str:
+    """Integer-numerator oracle mirroring pagerank_exact: damping 17/20,
+    degs {1,2,3} -> L = 6, per-iteration factor F = 120; HUGEINT keeps
+    every value exact, and the final round-half-up runs in integer
+    division, so the compare is bit-deterministic."""
+    L, F, a, b = 6, 120, 17, 20
     steps = []
     for k in range(1, iters + 1):
+        seed = (b - a) * L * F ** (k - 1)
         steps.append(f"""
 r{k} as (
   select n2.node,
-         0.15 / (select n from nn) + 0.85 * coalesce((
-           select sum(r.rank / d.d) from edges e
+         {seed}::HUGEINT + coalesce((
+           select sum(({a * L} // d.d) * r.num) from edges e
            join r{k - 1} r on r.node = e.src
            join deg d on d.src = e.src
-           where e.dst = n2.node), 0) as rank
+           where e.dst = n2.node), 0) as num
   from nodes n2)""")
-    return """
+    return f"""
 with nodes as (select s_suppkey as node from supplier),
 nn as (select count(*) as n from supplier),
 edges as (
@@ -2856,9 +2869,13 @@ edges as (
   from nodes cross join (select unnest([1, 2, 3]) as j)
   where (node % 3) >= (j - 1)),
 deg as (select src, count(*) as d from edges group by src),
-r0 as (select node, 1.0 / (select n from nn) as rank from nodes),""" \
+r0 as (select node, 1::HUGEINT as num from nodes),""" \
         + ",".join(steps) + f"""
-select node, cast(round(rank * 1e9) as bigint) as rank_e9 from r{iters}
+select node,
+       cast((2 * num * 1000000000 + (select n from nn) * {F ** iters})
+            // (2 * (select n from nn) * {F ** iters}) as bigint)
+         as rank_e9
+from r{iters}
 """
 
 

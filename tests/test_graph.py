@@ -70,3 +70,42 @@ def test_pagerank_sink_source_structure(ray_session):
     assert got[0] + got[1] > 0.7
     assert got[5] == pytest.approx(0.15 / n, rel=1e-9)
     assert got[0] > 5 * got[5]
+
+
+def test_pagerank_exact_matches_fractions(ray_session):
+    """Integer-numerator PageRank == exact rational power iteration
+    (Fraction arithmetic), bit-for-bit, on an irregular graph."""
+    from fractions import Fraction
+
+    import ray.data
+
+    from balrog_ray.functions.graph import pagerank_exact
+
+    n = 30
+    src, dst = _edges(n)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    nums_ds, denom = pagerank_exact(ds, n, iters=6)
+    got = {r["node"]: r["num"] for r in nums_ds.take_all()}
+
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, src, 1)
+    r = [Fraction(1, n)] * n
+    for _ in range(6):
+        nxt = [Fraction(3, 20 * n)] * n
+        for s, t in zip(src, dst):
+            nxt[t] += Fraction(17, 20) * r[s] / int(deg[s])
+        r = nxt
+    for node in range(n):
+        assert Fraction(got[node], denom) == r[node], node
+    assert sum(Fraction(v, denom) for v in got.values()) == 1
+
+
+def test_pagerank_exact_overflow_guard(ray_session):
+    import ray.data
+
+    from balrog_ray.functions.graph import pagerank_exact
+
+    src, dst = _edges(20)
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    with pytest.raises(ValueError, match="overflows"):
+        pagerank_exact(ds, 20, iters=30)
