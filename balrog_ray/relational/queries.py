@@ -3011,6 +3011,56 @@ from c join q using (o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------------
+# temperature / domain-mixture sampling: per-source 1/sqrt(count)
+# downsampling (the corpus-mixing rule that flattens domain imbalance),
+# deterministic via integer hash thresholds
+
+
+def q_temperature_sample_docs(sf_dir: str):
+    """Keep each document with probability ~ 1/sqrt(n_source): heavy
+    sources are damped toward sqrt-proportional representation
+    (temperature-2 mixing).  Phase 1 is a tiny per-source count;
+    phase 2 is a stateless filter keeping rows whose Knuth-hash bucket
+    falls under ``M // floor(sqrt(n_source))`` -- all-integer
+    thresholds (IEEE sqrt of an int is correctly rounded, so the floor
+    is bit-identical across engines), so the sample is exactly
+    reproducible and SQL-checkable."""
+    M = 1_000_000
+
+    counts = _collect(
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .aggregate(_agg().Count(alias_name="n")))
+    thr = {s: M // int(np.floor(np.sqrt(float(n))))
+           for s, n in zip(counts.column("source").to_pylist(),
+                           counts.column("n").to_pylist())}
+
+    def keep(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy()
+        src = b.column("source").to_pylist()
+        bucket = (did * 2654435761) % 2147483647 % M
+        lim = np.fromiter((thr[s] for s in src), np.int64, len(src))
+        m = bucket < lim
+        return pa.table({
+            "doc_id": pa.array(did[m], pa.int64()),
+            "source": pa.array([s for s, k in zip(src, m) if k],
+                               pa.string())})
+
+    return (_read(sf_dir, "documents", ["doc_id", "source"])
+            .map_batches(keep, batch_format="pyarrow"))
+
+
+SQL_TEMPERATURE_SAMPLE_DOCS = """
+with c as (select source,
+                  1000000 // cast(floor(sqrt(count(*))) as bigint) as thr
+           from documents group by source)
+select d.doc_id, d.source
+from documents d join c using (source)
+where (d.doc_id * 2654435761) % 2147483647 % 1000000 < c.thr
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3089,4 +3139,6 @@ SQL_CHECKED = {
     "pagerank_suppliers": (q_pagerank_suppliers, SQL_PAGERANK_SUPPLIERS),
     "resample_events": (q_resample_events, SQL_RESAMPLE_EVENTS),
     "winsorize_prices": (q_winsorize_prices, SQL_WINSORIZE_PRICES),
+    "temperature_sample_docs": (q_temperature_sample_docs,
+                                SQL_TEMPERATURE_SAMPLE_DOCS),
 }

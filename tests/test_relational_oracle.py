@@ -22,7 +22,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "repetition_docs", "customer_order_counts", "cube_counts",
                "typo_pairs", "unpivot_metrics", "order_status_outer",
                "quantile_cont_flag", "semi_join_native", "cell_neighbors",
-               "pagerank_suppliers", "resample_events", "winsorize_prices"]
+               "pagerank_suppliers", "resample_events", "winsorize_prices",
+               "temperature_sample_docs"]
 
 
 def _canonical(tab: pa.Table):
