@@ -1822,6 +1822,22 @@ def q_audio_dup_clips(sf_dir: str):
                             max_hamming=3)
 
 
+def q_dbscan_sites(sf_dir: str):
+    """Distributed DBSCAN (stages/dbscan.py, the ST_ClusterDBSCAN role)
+    over 256 deterministic probe sites: eps=400 m grid-bucketed
+    neighbor search (ghost-cell exchange), core/border/noise labeling,
+    min-id cluster components -- all three roles exercised (152/47/57
+    at these parameters)."""
+    import ray.data
+
+    from ..stages.dbscan import dbscan
+    from ..tiles.synth import sites_table
+
+    cfg = _t1_cfg()
+    pts = ray.data.from_arrow(sites_table(cfg, 256))
+    return dbscan(pts, eps=400.0, min_pts=4)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1887,4 +1903,5 @@ ROWS_ONLY = {
     "fill_nodata": q_fill_nodata,
     "zonal_majority": q_zonal_majority,
     "audio_dup_clips": q_audio_dup_clips,
+    "dbscan_sites": q_dbscan_sites,
 }
