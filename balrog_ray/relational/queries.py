@@ -21,11 +21,17 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, row_filter=None):
+    """Column-pruned (and optionally row-filtered) parquet read.
+    ``row_filter`` is a pyarrow dataset expression pushed INTO the scan:
+    row groups whose statistics exclude the predicate never leave
+    storage -- the prune-at-the-read rule for selective queries."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
-                                 columns=list(columns) if columns else None)
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet",
+        columns=list(columns) if columns else None,
+        filter=row_filter)
 
 
 def _agg():
@@ -547,9 +553,8 @@ def q_customers_without_orders(sf_dir: str):
     customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     # anti-join against the customers holding a finalized ('F') order --
     # the committed-partition filter shape of checkpoint resume (op 44)
-    orders = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-              .filter(expr="o_orderstatus == 'F'")
-              .select_columns(["o_custkey"]))
+    orders = _read(sf_dir, "orders", ["o_custkey"],
+                   row_filter=pc.field("o_orderstatus") == "F")
     joined = customer.join(orders, "left_anti",
                            num_partitions=_join_parts(sf_dir, "customer",
                                                       "orders"),
@@ -1917,9 +1922,8 @@ from w, unnest(range(0, cast(ceil(n / 64.0) as bigint))) as t(i)
 def q_bloom_semi_join(sf_dir: str):
     from ..functions.bloom import build_bloom, filter_by_bloom
 
-    p_orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-                .filter(expr="o_orderstatus == 'P'")
-                .select_columns(["o_orderkey"]))
+    p_orders = _read(sf_dir, "orders", ["o_orderkey"],
+                     row_filter=pc.field("o_orderstatus") == "P")
     bloom = build_bloom(p_orders, "o_orderkey", n_bits=1 << 20, k=4)
     cand = filter_by_bloom(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
@@ -2422,9 +2426,8 @@ def q_customer_order_counts(sf_dir: str, broadcast_limit: int = 5_000_000):
     import ray
 
     agg = _agg()
-    ocnt = (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-            .filter(expr="o_orderstatus == 'F'")
-            .select_columns(["o_custkey"])
+    ocnt = (_read(sf_dir, "orders", ["o_custkey"],
+                  row_filter=pc.field("o_orderstatus") == "F")
             .groupby("o_custkey")
             .aggregate(agg.Count(alias_name="n_orders"))
             .materialize())
@@ -2625,9 +2628,8 @@ def q_order_status_outer(sf_dir: str):
         def rename(b: pa.Table) -> pa.Table:
             return pa.table({key_out: b.column("o_custkey"),
                              n_out: b.column("n")})
-        return (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-                .filter(expr=f"o_orderstatus == '{status}'")
-                .select_columns(["o_custkey"])
+        return (_read(sf_dir, "orders", ["o_custkey"],
+                      row_filter=pc.field("o_orderstatus") == status)
                 .groupby("o_custkey")
                 .aggregate(agg.Count(alias_name="n"))
                 .map_batches(rename, batch_format="pyarrow"))
@@ -2721,9 +2723,8 @@ def q_semi_join_native(sf_dir: str):
     the build side is the filtered key column only (key-cardinality
     bounded), the probe side streams, and no payload from the build side
     is ever materialized -- the EXISTS semantics natively."""
-    keys = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
-            .filter(expr="o_orderstatus == 'P'")
-            .select_columns(["o_orderkey"]))
+    keys = (_read(sf_dir, "orders", ["o_orderkey"],
+                  row_filter=pc.field("o_orderstatus") == "P"))
     return _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]).join(
         keys, "left_semi",
         num_partitions=_join_parts(sf_dir, "lineitem"),
