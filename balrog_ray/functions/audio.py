@@ -118,8 +118,11 @@ def audio_fingerprint64(wave: np.ndarray) -> int:
     w = np.asarray(wave, np.float64)
     n_seg = 33
     seg_len = len(w) // n_seg
-    if seg_len < 4:
-        raise ValueError("clip too short to fingerprint (need >= 132 "
+    # seg_len >= 8 keeps BOTH band slices non-empty (rfft length
+    # seg_len//2+1 >= 5, so bins 1..k//2-1 exist); shorter clips would
+    # silently zero all 32 low-band bits and double the collision rate
+    if seg_len < 8:
+        raise ValueError("clip too short to fingerprint (need >= 264 "
                          "samples)")
     segs = w[:seg_len * n_seg].reshape(n_seg, seg_len)
     spec = np.abs(np.fft.rfft(segs, axis=1)) ** 2

@@ -114,10 +114,30 @@ def logreg_train(ds, feature_cols, label_col: str, id_col: str = "doc_id",
         grad[:k] += l2 * w[:k]          # no penalty on the intercept
         w = w - lr * grad
 
+    # one loss-only pass at the FINAL weights (the loop's last fold
+    # evaluated the loss at the pre-update weights -- one iteration
+    # stale for convergence monitoring)
+    def loss_partials(b: pa.Table, w_it=w.copy()) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({n_: pa.array([], pa.float64())
+                             for n_ in ("_key", "loss")})
+        X = (_feature_matrix(b, feature_cols) - mean) / std
+        y = b.column(label_col).to_numpy().astype(np.float64)
+        p = _sigmoid(X @ w_it[:k] + w_it[k])
+        eps = 1e-12
+        return pa.table({
+            "_key": [int(b.column(id_col).to_numpy().min())],
+            "loss": [float(-(y * np.log(p + eps)
+                             + (1 - y) * np.log(1 - p + eps)).sum())]})
+
+    final = _ordered_fold(
+        feats.map_batches(loss_partials,
+                          batch_format="pyarrow").take_all(), ["loss"])
+
     return {"feature_cols": list(feature_cols),
             "mean": mean.tolist(), "std": std.tolist(),
             "weights": w.tolist(), "n_examples": int(n),
-            "final_loss": tot["loss"] / n}
+            "final_loss": final["loss"] / n}
 
 
 def logreg_score(ds, model: dict, *, out_col: str = "score"):

@@ -896,6 +896,9 @@ def edit_distance_pairs(ds, id_col: str, str_col: str):
             ids = group.column(id_col).to_pylist()
             ss = group.column(str_col).to_pylist()
             rows = sorted(set(zip(ids, ss)))
+            # one key set per distinct row, not per pair (the in-bucket
+            # verify is quadratic in bucket size already)
+            keysets = [frozenset(_deletion_keys(s)) for _, s in rows]
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
                     ia, sa = rows[i]
@@ -906,8 +909,7 @@ def edit_distance_pairs(ds, id_col: str, str_col: str):
                     if d > 1:
                         continue
                     # exactly-once: the smallest shared key owns the pair
-                    shared = set(_deletion_keys(sa)) & set(_deletion_keys(sb))
-                    if min(shared) == key:
+                    if min(keysets[i] & keysets[j]) == key:
                         out_a.append(ia)
                         out_b.append(ib)
                         out_d.append(d)

@@ -47,7 +47,8 @@ def pagerank(edges_ds, num_nodes: int, *, damping: float = 0.85,
         deg, "inner", num_partitions=num_partitions,
         on=("src",)).materialize()
 
-    nodes = edges_deg.groupby("src").aggregate(Count(alias_name="_c"))
+    nodes = edges_deg.groupby("src") \
+        .aggregate(Count(alias_name="_c")).materialize()
 
     def seed_rows(b: pa.Table) -> pa.Table:
         return pa.table({

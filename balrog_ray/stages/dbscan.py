@@ -109,30 +109,33 @@ def _per_cell(eps: float, id_col: str, x_col: str, y_col: str):
 #: schema-bearing empty) blocks break acero key resolution inside the
 #: join's internal shuffle (the quirk documented in functions/graph.py),
 #: and repartition leaves empty partitions schema-less too -- so each
-#: side gets ONE sentinel row per partition, guaranteeing every block
-#: carries rows and therefore a schema.  Sentinels use impossible ids
-#: (real ids must not start with NUL) and are dropped in finalize().
-_N_SENT = 8
-_SENTS = [f"\x00s{i}" for i in range(_N_SENT)]
+#: side gets ONE sentinel row PER PARTITION (the count follows
+#: num_partitions, never fewer), guaranteeing every block carries rows
+#: and therefore a schema.  Sentinels use impossible ids (real ids must
+#: not start with NUL) and are dropped in finalize().
 
 
-def _plus_sentinels(ds, cols: dict, num_partitions: int = _N_SENT):
+def _sentinel_ids(n: int) -> list[str]:
+    return [f"\x00s{i}" for i in range(max(n, 1))]
+
+
+def _plus_sentinels(ds, cols: dict, num_partitions: int):
     """union per-partition sentinel rows in, then repartition so every
     output block holds at least one row (schema everywhere).  ``cols``
-    maps extra column name -> constant value; the id columns get the
-    distinct sentinel ids."""
+    maps column name -> constant value or a callable(n) returning the
+    n per-partition values (id columns use :func:`_sentinel_ids`)."""
     import ray.data
 
     n = max(num_partitions, 1)
-    tab = pa.table({name: pa.array([v] * _N_SENT) if not callable(v)
-                    else pa.array(v())
+    tab = pa.table({name: pa.array([v] * n) if not callable(v)
+                    else pa.array(v(n))
                     for name, v in cols.items()})
     return (ds.union(ray.data.from_arrow(tab))
             .repartition(n).materialize())
 
 
-def _sent_ids():
-    return list(_SENTS)
+def _sent_ids(n: int) -> list[str]:
+    return _sentinel_ids(n)
 
 
 def dbscan(points_ds, *, eps: float, min_pts: int,
@@ -193,7 +196,8 @@ def dbscan(points_ds, *, eps: float, min_pts: int,
         tagged.filter(expr="ca_core and cb_core")
         .select_columns(["id_a", "id_b"]),
         {"id_a": _sent_ids,
-         "id_b": lambda: _SENTS[1:] + _SENTS[:1]}, num_partitions)
+         "id_b": lambda n: (_sentinel_ids(n)[1:]
+                            + _sentinel_ids(n)[:1])}, num_partitions)
     comp = connected_components(cc_edges, "id_a", "id_b") \
         .repartition(num_partitions).materialize()
 

@@ -279,7 +279,11 @@ def make_warp_emitter(spec: GridSpec, transform,
                     rf = (sy0 - sy) / ps_s - 0.5
                     wv, ws = _stencil_partials(src, cap.nodata, cf, rf,
                                                resampling)
-                    if not (ws > 0).any():
+                    # skip only truly zero patches: cubic partials can
+                    # be NEGATIVE (outer Keys taps), and a seam patch
+                    # whose every pixel is net-negative still carries
+                    # real contributions the assembler must add
+                    if not (ws != 0).any():
                         continue
                     cols["cell_id"].append(spec.cell_id(tx, ty))
                     cols["row0"].append(pr0)

@@ -89,3 +89,17 @@ def test_dbscan_all_noise(ray_session):
     assert all(r["role"] == "noise" and r["cluster_id"] == ""
                for r in got)
     assert len(got) == 2
+
+
+def test_dbscan_wide_partitions_sparse(ray_session):
+    """num_partitions > 8 with near-empty data: the per-partition
+    sentinel count must follow the partition count (regression for the
+    fixed-8 sentinel bug that reintroduced schema-less empty blocks)."""
+    import ray.data
+
+    tab = pa.table({"site_id": ["a", "b", "c"],
+                    "x": [0.0, 0.5, 100.0], "y": [0.0, 0.0, 100.0]})
+    got = {r["site_id"]: r["role"]
+           for r in dbscan(ray.data.from_arrow(tab), eps=1.0, min_pts=2,
+                           num_partitions=16).take_all()}
+    assert got == {"a": "core", "b": "core", "c": "noise"}

@@ -215,3 +215,23 @@ def test_metre_tiles_onto_geo_grid(ray_session):
     assert np.array_equal(got_nd, want_nd)
     assert np.allclose(got[~got_nd], want[~want_nd],
                        rtol=1e-6, atol=1e-4)
+
+
+def test_cubic_seam_negative_lobes(ray_session):
+    """Regression: a sub-pixel translation puts the Keys kernel's
+    NEGATIVE outer taps across source-tile seams; patches whose every
+    pixel is net-negative must still ship (dropping them once skewed
+    seam columns by ~2.9 units)."""
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _bumpy_dem((32, 48), 14)
+    tspec = GridSpec.from_synth(cfg)
+    affine = Affine(1.0, 0.0, 0.3 * cfg.pixel_size,
+                    0.0, 1.0, 0.0)            # shift 0.3 src px in x
+    got = _run(arr, cfg, tspec, affine, "cubic")
+    want = _warp_scalar(arr, cfg.y_north, cfg.pixel_size, tspec, affine,
+                        "cubic")
+    got_nd = got == np.float32(ND)
+    want_nd = want == np.float32(ND)
+    assert np.array_equal(got_nd, want_nd)
+    assert np.allclose(got[~got_nd], want[~want_nd],
+                       rtol=1e-6, atol=1e-4)
