@@ -179,3 +179,172 @@ def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
                 .repartition(num_partitions)
                 .materialize())
     return nums, num_nodes * F ** iters
+
+
+def bfs_levels(edges_ds, seeds_ds, *, max_hops: int = 8,
+               num_partitions: int = 8):
+    """Multi-source BFS hop distance -- the crawl-frontier / link-depth
+    role (CommonCrawl records hop depth from the seed list; depth is a
+    standard quality prior alongside PageRank).
+
+    ACTIVE-FRONT shape (the same rule the iterative raster stages
+    follow): per hop the join ships ONLY the frontier -- nodes first
+    reached last hop -- not the whole visited set, so total data motion
+    is O(edges reachable) across the run, not O(edges x hops).  Each hop
+    is one frontier x edges hash join, a ``groupby(node)`` dedup, and a
+    ``left_anti`` join against the visited set; the visited set stays a
+    Dataset end-to-end.  Union outputs are re-blocked (``repartition``)
+    before the next join -- union+groupby can emit schema-less empty
+    blocks that break a following hash join.
+
+    ``seeds_ds`` holds one ``node`` column; returns ``(node, dist)``
+    with ``dist`` the exact minimum hop count (int64), nodes beyond
+    ``max_hops`` absent."""
+    from ray.data.aggregate import Count
+
+    def tag(dist):
+        def fn(b: pa.Table, dist=dist) -> pa.Table:
+            return pa.table({
+                "node": b.column("node"),
+                "dist": pa.array(np.full(b.num_rows, dist, np.int64),
+                                 pa.int64())})
+        return fn
+
+    frontier = (seeds_ds
+                .groupby("node").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"])
+                .repartition(num_partitions).materialize())
+    visited = frontier.map_batches(tag(0),
+                                   batch_format="pyarrow").materialize()
+
+    def to_node(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("dst")})
+
+    for k in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = (frontier
+                .join(edges_ds, "inner", num_partitions=num_partitions,
+                      on=("node",), right_on=("src",))
+                .map_batches(to_node, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"])
+                .repartition(num_partitions).materialize())
+        if cand.count() == 0:
+            # a drained frontier (no out-edges) leaves cand with ONLY
+            # schema-less empty blocks -- repartition cannot restore a
+            # schema from zero rows, and the anti-join below would fail
+            # on an unresolvable FieldRef; terminate instead
+            break
+        new = (cand
+               .join(visited.select_columns(["node"]), "left_anti",
+                     num_partitions=num_partitions, on=("node",))
+               .repartition(num_partitions).materialize())
+        if new.count() == 0:
+            break
+        frontier = new
+        visited = (visited
+                   .union(new.map_batches(tag(k), batch_format="pyarrow"))
+                   .repartition(num_partitions).materialize())
+    return visited
+
+
+def triangle_count(edges_ds, *, num_partitions: int = 8) -> int:
+    """Exact distributed triangle count -- the graph-clustering /
+    link-spam signal (triangle density separates organic link
+    neighborhoods from farms; also the LSH-graph sanity metric).
+
+    Degree-ordered orientation (the standard wedge-bound trick): each
+    undirected edge is oriented from its lower-``(degree, id)`` endpoint
+    to the higher, so every triangle has exactly ONE vertex with two
+    out-edges and is generated as exactly one wedge.  Per-node wedge
+    work is then O(min-degree-squared) -- bounded by arboricity -- not
+    O(max-degree-squared), which is what makes the self-join survive
+    power-law skew at web scale.
+
+    Stages (all Datasets, nothing edge-cardinality-sized on the driver):
+    canonicalize + dedup undirected edges (one groupby), endpoint
+    degrees (one groupby), two joins to attach degrees, the wedge
+    self-join keyed on the shared low vertex, and a composite-key inner
+    join of wedge closing pairs against the oriented edge set.  Returns
+    the exact triangle count (Python int)."""
+    from ray.data.aggregate import Count
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = (edges_ds.map_batches(canon, batch_format="pyarrow")
+           .groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+           .drop_columns(["_c"])
+           .repartition(num_partitions).materialize())
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays(
+            [b.column("u").combine_chunks(),
+             b.column("v").combine_chunks()])})
+
+    deg = (und.map_batches(endpoints, batch_format="pyarrow")
+           .groupby("node").aggregate(Count(alias_name="deg"))
+           .repartition(num_partitions).materialize())
+
+    with_du = und.join(deg, "inner", num_partitions=num_partitions,
+                       on=("u",), right_on=("node",))
+
+    def rename_du(b: pa.Table) -> pa.Table:
+        # post-join schema is (u, v, deg) -- the right key column is
+        # dropped; rename deg -> du before attaching v's degree
+        return b.rename_columns(["u", "v", "du"])
+
+    with_both = (with_du.map_batches(rename_du, batch_format="pyarrow")
+                 .join(deg, "inner", num_partitions=num_partitions,
+                       on=("v",), right_on=("node",)))
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        du = b.column("du").to_numpy()
+        dv = b.column("deg").to_numpy()
+        # lower (deg, id) endpoint first; ids are distinct so the
+        # composite order is total
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        bb = np.where(u_first, v, u)
+        dbb = np.where(u_first, dv, du)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "db": pa.array(dbb, pa.int64())})
+
+    oriented = (with_both.map_batches(orient, batch_format="pyarrow")
+                .repartition(num_partitions).materialize())
+
+    def rename_right(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["a2", "c", "dc"])
+
+    wedges = oriented.join(
+        oriented.map_batches(rename_right, batch_format="pyarrow")
+        .repartition(num_partitions),
+        "inner", num_partitions=num_partitions,
+        on=("a",), right_on=("a2",))
+
+    def closing(b: pa.Table) -> pa.Table:
+        bn = b.column("b").to_numpy()
+        db = b.column("db").to_numpy()
+        cn = b.column("c").to_numpy()
+        dc = b.column("dc").to_numpy()
+        # strict (deg, id) order kills both the diagonal and the
+        # mirrored duplicate of each unordered out-neighbor pair
+        keep = (db < dc) | ((db == dc) & (bn < cn))
+        return pa.table({"x": pa.array(bn[keep], pa.int64()),
+                         "y": pa.array(cn[keep], pa.int64())})
+
+    closed = (wedges.map_batches(closing, batch_format="pyarrow")
+              .repartition(num_partitions)
+              .join(oriented.select_columns(["a", "b"]), "inner",
+                    num_partitions=num_partitions,
+                    on=("x", "y"), right_on=("a", "b")))
+    return closed.count()

@@ -3062,6 +3062,355 @@ where (d.doc_id * 2654435761) % 2147483647 % 1000000 < c.thr
 """
 
 
+# --------------------------------------------------------------------------
+# graph traversal: multi-source BFS hop distance over the deterministic
+# supplier graph (crawl-frontier depth, the PageRank companion prior)
+
+def _supplier_graph(sf_dir: str):
+    """(edges Dataset, node count, shuffle width) for the deterministic
+    irregular supplier graph shared by the graph-analytics queries:
+    out-degree 1 + node % 3, dst = (node*7 + j*13) % n -- the same
+    generator :func:`q_pagerank_suppliers` uses."""
+    from ..partitions import shuffle_width
+
+    n = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        src_l, dst_l = [], []
+        for j in (1, 2, 3):
+            s = sk[(sk % 3) >= (j - 1)]
+            src_l.append(s)
+            dst_l.append((s * 7 + j * 13) % n)
+        return pa.table({"src": pa.array(np.concatenate(src_l), pa.int64()),
+                         "dst": pa.array(np.concatenate(dst_l),
+                                         pa.int64())})
+
+    eds = (_read(sf_dir, "supplier", ["s_suppkey"])
+           .map_batches(edges, batch_format="pyarrow"))
+    return eds, n, shuffle_width(3 * n, lo=2)
+
+
+_BFS_HOPS = 6
+
+
+def q_bfs_hops(sf_dir: str):
+    """Hop distance from the seed set (node % 97 == 0) within
+    ``_BFS_HOPS`` hops: frontier-only expansion
+    (:func:`balrog_ray.functions.graph.bfs_levels`), one frontier x
+    edges join + dedup + visited anti-join per hop; unreachable /
+    too-deep nodes are absent, exactly as the oracle's per-level
+    min-dist CTE chain drops them."""
+    from ..functions.graph import bfs_levels
+
+    eds, n, width = _supplier_graph(sf_dir)
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        return pa.table({"node": pa.array(sk[sk % 97 == 0], pa.int64())})
+
+    seeds = (_read(sf_dir, "supplier", ["s_suppkey"])
+             .map_batches(pick_seeds, batch_format="pyarrow"))
+    return bfs_levels(eds, seeds, max_hops=_BFS_HOPS,
+                      num_partitions=width)
+
+
+def _bfs_sql(hops: int) -> str:
+    steps = []
+    for k in range(1, hops + 1):
+        steps.append(f"""
+d{k} as (
+  select node, min(dist) as dist from (
+    select node, dist from d{k - 1}
+    union all
+    select e.dst as node, d.dist + 1 as dist
+    from edges e join d{k - 1} d on d.node = e.src) t
+  group by node)""")
+    return """
+with nodes as (select s_suppkey as node from supplier),
+nn as (select count(*) as n from supplier),
+edges as (
+  select node as src, (node * 7 + j * 13) % (select n from nn) as dst
+  from nodes cross join (select unnest([1, 2, 3]) as j)
+  where (node % 3) >= (j - 1)),
+d0 as (select node, 0 as dist from nodes where node % 97 = 0),""" \
+        + ",".join(steps) + f"""
+select node, cast(dist as bigint) as dist from d{hops}
+"""
+
+
+SQL_BFS_HOPS = _bfs_sql(_BFS_HOPS)
+
+
+# --------------------------------------------------------------------------
+# exact triangle count (graph clustering / link-spam signal)
+
+def q_triangle_count(sf_dir: str):
+    """Exact triangles in the undirected supplier graph via
+    degree-ordered wedge generation
+    (:func:`balrog_ray.functions.graph.triangle_count`); the oracle is
+    the canonical a<b<c three-way self-join."""
+    from ..functions.graph import triangle_count
+
+    eds, _n, width = _supplier_graph(sf_dir)
+    cnt = triangle_count(eds, num_partitions=width)
+    return pa.table({"n_triangles": pa.array([cnt], pa.int64())})
+
+
+SQL_TRIANGLE_COUNT = """
+with nodes as (select s_suppkey as node from supplier),
+nn as (select count(*) as n from supplier),
+raw as (
+  select node as src, (node * 7 + j * 13) % (select n from nn) as dst
+  from nodes cross join (select unnest([1, 2, 3]) as j)
+  where (node % 3) >= (j - 1)),
+und as (select distinct least(src, dst) as u, greatest(src, dst) as v
+        from raw where src <> dst)
+select count(*) as n_triangles
+from und e1
+join und e2 on e2.u = e1.u and e1.v < e2.v
+join und e3 on e3.u = e1.v and e3.v = e2.v
+"""
+
+
+# --------------------------------------------------------------------------
+# interval union length per key (gaps-and-islands; the session-coverage /
+# uptime-merge role)
+
+_IV_LEN_US = 1_800_000_000  # each event covers [ts, ts + 30 min)
+
+
+def q_interval_coverage(sf_dir: str):
+    """Merged-interval coverage per user: every event spans 30 min; the
+    union length and merged-interval count are exact int64 microsecond
+    arithmetic.  Fixed-length intervals sorted by start merge by the
+    single rule ``s[i] <= s[i-1] + len`` (end order follows start
+    order), so the per-group pass is one sort + one vectorized diff."""
+    def cover(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        s = (group.take(order).column("ts").to_numpy()
+             .astype("datetime64[us]").astype(np.int64))
+        brk = np.flatnonzero(s[1:] > s[:-1] + _IV_LEN_US)
+        starts = s[np.r_[0, brk + 1]]
+        lasts = s[np.r_[brk, len(s) - 1]]
+        return pa.table({
+            "user_id": [group.column("user_id")[0].as_py()],
+            "n_intervals": pa.array([len(starts)], pa.int64()),
+            "covered_us": pa.array(
+                [int((lasts - starts).sum()) + len(starts) * _IV_LEN_US],
+                pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(cover, batch_format="pyarrow"))
+
+
+SQL_INTERVAL_COVERAGE = f"""
+with b as (
+  select user_id, event_id, epoch_us(ts) as s,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over w
+                   > {_IV_LEN_US} then 1 else 0 end as brk
+  from events
+  window w as (partition by user_id order by epoch_us(ts), event_id)),
+g as (
+  select user_id, s,
+         sum(brk) over (partition by user_id order by s, event_id
+                        rows unbounded preceding) as island
+  from b),
+iv as (select user_id, island,
+              max(s) - min(s) + {_IV_LEN_US} as len_us
+       from g group by user_id, island)
+select user_id, count(*) as n_intervals,
+       cast(sum(len_us) as bigint) as covered_us
+from iv group by user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# market-basket co-occurrence: brand pairs bought in the same order
+# (the co-occurrence-statistics role; association mining shape)
+
+def q_basket_brand_pairs(sf_dir: str):
+    """Orders containing each unordered brand pair.  The brand domain is
+    tiny (TPC-H: 25), so per-order brand SETS are int64 bitmasks: dedup
+    (orderkey, brand-bit) with one groupby, OR the bits with a second
+    ``groupby(orderkey).sum`` (exact -- bits are unique per order after
+    the dedup), then a vectorized pair sweep over the mask column emits
+    per-batch partial pair counts into a tiny final groupby.  part is a
+    broadcast dimension (partkey -> brand id); nothing order- or
+    lineitem-cardinality-sized reaches the driver."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brands = sorted(set(part.column("p_brand").to_pylist()))
+    bid = {b: i for i, b in enumerate(brands)}
+    if len(brands) > 62:
+        raise ValueError("brand domain exceeds the int64 bitmask")
+    pk = part.column("p_partkey").to_numpy()
+    lut = np.zeros(int(pk.max()) + 1, np.int64)
+    lut[pk] = [bid[b] for b in part.column("p_brand").to_pylist()]
+    lut_ref = ray.put(lut)
+
+    def to_bits(b: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)  # zero-copy object-store read per task
+        ok = b.column("l_orderkey").to_numpy()
+        bit = np.int64(1) << m[b.column("l_partkey").to_numpy()]
+        # within-batch dedup cuts the first shuffle's volume
+        u = np.unique(np.stack([ok, bit], axis=1), axis=0)
+        return pa.table({"l_orderkey": pa.array(u[:, 0], pa.int64()),
+                         "bit": pa.array(u[:, 1], pa.int64())})
+
+    a = _agg()
+    masks = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+             .map_batches(to_bits, batch_format="pyarrow")
+             .groupby(["l_orderkey", "bit"])
+             .aggregate(a.Count(alias_name="_c"))
+             .groupby("l_orderkey")
+             .aggregate(a.Sum("bit", alias_name="mask")))
+
+    k = len(brands)
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        m = b.column("mask").to_numpy()
+        aa, bb, nn = [], [], []
+        for i in range(k):
+            mi = (m >> i) & 1
+            for j in range(i + 1, k):
+                c = int((mi & (m >> j)).sum())
+                if c:
+                    aa.append(brands[i])
+                    bb.append(brands[j])
+                    nn.append(c)
+        return pa.table({"brand_a": pa.array(aa, pa.string()),
+                         "brand_b": pa.array(bb, pa.string()),
+                         "n": pa.array(nn, pa.int64())})
+
+    return (masks.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["brand_a", "brand_b"])
+            .aggregate(a.Sum("n", alias_name="n_orders")))
+
+
+SQL_BASKET_BRAND_PAIRS = """
+with ob as (select distinct l_orderkey, p_brand
+            from lineitem join part on p_partkey = l_partkey)
+select a.p_brand as brand_a, b.p_brand as brand_b,
+       count(*) as n_orders
+from ob a join ob b
+  on a.l_orderkey = b.l_orderkey and a.p_brand < b.p_brand
+group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# ordered group concatenation (string_agg ... order by; the
+# event-sequence-construction role for session modeling)
+
+def q_status_string_agg(sf_dir: str):
+    """Per customer: order statuses concatenated in (orderdate,
+    orderkey) order -- a total order, so the string is deterministic."""
+    def seq(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
+        st = group.take(order).column("o_orderstatus").to_pylist()
+        return pa.table({
+            "o_custkey": [group.column("o_custkey")[0].as_py()],
+            "status_seq": pa.array(["".join(st)], pa.string()),
+            "n_orders": pa.array([len(st)], pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_orderdate",
+                   "o_orderstatus"])
+            .groupby("o_custkey")
+            .map_groups(seq, batch_format="pyarrow"))
+
+
+SQL_STATUS_STRING_AGG = """
+select o_custkey,
+       string_agg(o_orderstatus, '' order by o_orderdate, o_orderkey)
+         as status_seq,
+       count(*) as n_orders
+from orders group by o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# token-language association lift (PMI's exact-rational core; the
+# language-signature / keyword-extraction role)
+
+_LIFT_MIN_COUNT = 50
+
+
+def q_token_lift(sf_dir: str):
+    """lift(token, lang) = N * c(t,l) / (c(t) * c(l)) as an EXACT
+    round-half-up x1e6 integer (PMI = log(lift); the log is monotone, so
+    ranking on lift_e6 is ranking on PMI without float hashing).  One
+    explode + groupby builds c(t,l); c(t) derives from it by a second
+    small groupby; c(l) and N are lang-cardinality-bounded broadcasts.
+    The token-count attach is a token-keyed ``Dataset.join`` -- the
+    at-scale path, no vocab broadcast.  The final x1e6 division runs in
+    unbounded Python ints (2*N*c_tl*1e6 overflows int64 at corpus
+    scale); the loop is output formatting on the aggregate-bounded
+    result table, same as the PageRank formatter."""
+    a = _agg()
+    tok = _read(sf_dir, "documents", ["text", "lang"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        n_per = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        langs = np.repeat(b.column("lang").to_numpy(zero_copy_only=False),
+                          n_per)
+        return pa.table({"token": pc.list_flatten(toks),
+                         "lang": pa.array(langs, pa.string())})
+
+    tl = (tok.map_batches(explode, batch_format="pyarrow")
+          .groupby(["token", "lang"])
+          .aggregate(a.Count(alias_name="n_tl"))
+          .materialize())
+    t = (tl.groupby("token").aggregate(a.Sum("n_tl", alias_name="n_t")))
+    lang_rows = (tl.groupby("lang")
+                 .aggregate(a.Sum("n_tl", alias_name="n_l")).take_all())
+    n_l = {r["lang"]: int(r["n_l"]) for r in lang_rows}
+    N = sum(n_l.values())
+
+    from ..partitions import shuffle_width
+
+    joined = tl.join(
+        t.filter(expr=f"n_t >= {_LIFT_MIN_COUNT}"), "inner",
+        num_partitions=shuffle_width(N, lo=2), on=("token",))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        lifts = []
+        nls = [n_l[x] for x in b.column("lang").to_pylist()]
+        for ntl, nt, nl in zip(b.column("n_tl").to_pylist(),
+                               b.column("n_t").to_pylist(), nls):
+            lifts.append((2 * N * ntl * 10 ** 6 + nt * nl)
+                         // (2 * nt * nl))
+        return pa.table({"token": b.column("token"),
+                         "lang": b.column("lang"),
+                         "n_tl": b.column("n_tl"),
+                         "lift_e6": pa.array(lifts, pa.int64())})
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_TOKEN_LIFT = f"""
+with tok as (select unnest(string_split(text, ' ')) as token, lang
+             from documents),
+tl as (select token, lang, count(*) as n_tl from tok
+       group by token, lang),
+t as (select token, sum(n_tl) as n_t from tl group by token),
+l as (select lang, sum(n_tl) as n_l from tl group by lang),
+nn as (select sum(n_t) as n from t)
+select tl.token, tl.lang, tl.n_tl,
+       cast((2 * (select n from nn) * tl.n_tl * 1000000
+             + t.n_t * l.n_l) // (2 * t.n_t * l.n_l) as bigint)
+         as lift_e6
+from tl join t using (token) join l using (lang)
+where t.n_t >= {_LIFT_MIN_COUNT}
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3142,4 +3491,10 @@ SQL_CHECKED = {
     "winsorize_prices": (q_winsorize_prices, SQL_WINSORIZE_PRICES),
     "temperature_sample_docs": (q_temperature_sample_docs,
                                 SQL_TEMPERATURE_SAMPLE_DOCS),
+    "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
+    "basket_brand_pairs": (q_basket_brand_pairs, SQL_BASKET_BRAND_PAIRS),
+    "status_string_agg": (q_status_string_agg, SQL_STATUS_STRING_AGG),
+    "token_lift": (q_token_lift, SQL_TOKEN_LIFT),
 }

@@ -109,3 +109,97 @@ def test_pagerank_exact_overflow_guard(ray_session):
     ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
     with pytest.raises(ValueError, match="overflows"):
         pagerank_exact(ds, 20, iters=30)
+
+
+def _numpy_bfs(src, dst, seeds, n, max_hops):
+    """Reference multi-source BFS: dense frontier sweep."""
+    dist = np.full(n, -1, np.int64)
+    dist[seeds] = 0
+    frontier = set(seeds.tolist())
+    for k in range(1, max_hops + 1):
+        nxt = set()
+        for s, d in zip(src, dst):
+            if s in frontier and dist[d] < 0:
+                nxt.add(int(d))
+        for v in nxt:
+            dist[v] = k
+        frontier = nxt
+        if not frontier:
+            break
+    return {i: int(dist[i]) for i in range(n) if dist[i] >= 0}
+
+
+def test_bfs_levels_matches_numpy(ray_session):
+    import ray.data
+
+    from balrog_ray.functions.graph import bfs_levels
+
+    n = 211
+    src, dst = _edges(n)
+    seeds = np.array([0, 97, 194], np.int64)
+    eds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    sds = ray.data.from_arrow(pa.table({"node": seeds}))
+    got = {r["node"]: r["dist"]
+           for r in bfs_levels(eds, sds, max_hops=5,
+                               num_partitions=3).take_all()}
+    want = _numpy_bfs(src, dst, seeds, n, 5)
+    assert got == want
+
+
+def test_bfs_levels_unreachable_absent(ray_session):
+    """A node with no in-path from the seeds never appears; a frontier
+    that drains early terminates the loop without error."""
+    import ray.data
+
+    from balrog_ray.functions.graph import bfs_levels
+
+    # 0 -> 1 -> 2, and an isolated pair 10 -> 11
+    eds = ray.data.from_arrow(pa.table(
+        {"src": pa.array([0, 1, 10], pa.int64()),
+         "dst": pa.array([1, 2, 11], pa.int64())}))
+    sds = ray.data.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+    got = {r["node"]: r["dist"]
+           for r in bfs_levels(eds, sds, max_hops=8,
+                               num_partitions=2).take_all()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def _numpy_triangles(src, dst):
+    """Reference count: canonical a<b<c enumeration over the adjacency
+    set."""
+    und = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cnt = 0
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                cnt += 1
+    return cnt
+
+
+def test_triangle_count_matches_numpy(ray_session):
+    import ray.data
+
+    from balrog_ray.functions.graph import triangle_count
+
+    n = 97
+    src, dst = _edges(n)
+    eds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    assert triangle_count(eds, num_partitions=3) == \
+        _numpy_triangles(src, dst)
+
+
+def test_triangle_count_dedup_and_selfloops(ray_session):
+    """Parallel edges, reversed duplicates and self-loops collapse: one
+    triangle plus noise counts exactly 1."""
+    import ray.data
+
+    from balrog_ray.functions.graph import triangle_count
+
+    src = pa.array([0, 1, 2, 1, 0, 3, 3], pa.int64())
+    dst = pa.array([1, 2, 0, 0, 1, 3, 0], pa.int64())
+    eds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    assert triangle_count(eds, num_partitions=2) == 1

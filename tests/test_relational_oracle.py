@@ -10,7 +10,7 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ("orders", "lineitem", "customer", "nation", "events",
-          "documents", "supplier")
+          "documents", "supplier", "part")
 
 NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
@@ -23,7 +23,9 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "typo_pairs", "unpivot_metrics", "order_status_outer",
                "quantile_cont_flag", "semi_join_native", "cell_neighbors",
                "pagerank_suppliers", "resample_events", "winsorize_prices",
-               "temperature_sample_docs"]
+               "temperature_sample_docs", "bfs_hops", "triangle_count",
+               "interval_coverage", "basket_brand_pairs",
+               "status_string_agg", "token_lift"]
 
 
 def _canonical(tab: pa.Table):
