@@ -3411,6 +3411,173 @@ where t.n_t >= {_LIFT_MIN_COUNT}
 """
 
 
+# --------------------------------------------------------------------------
+# grouped top-k with per-block partial pruning (the "best N per entity"
+# serving shape; the partial prune is what survives web-scale groups)
+
+_TOPK_PER_GROUP = 3
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top ``_TOPK_PER_GROUP`` orders per customer by (price desc,
+    orderkey asc) -- a total order, so ranks are deterministic.
+
+    Scale shape: a per-BLOCK vectorized partial prune (lexsort + run
+    boundaries) caps each block's contribution at k rows per group seen
+    in that block BEFORE the shuffle, so the groupby ships at most
+    k x blocks rows per group instead of the group's full history; the
+    final per-group top-k then runs over tiny groups.  This is the
+    combiner rule applied to an order statistic -- top-k is
+    merge-decomposable even though rank itself is not."""
+    k = _TOPK_PER_GROUP
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        ok = b.column("o_orderkey").to_numpy()
+        cents = np.rint(b.column("o_totalprice").to_numpy() * 100.0) \
+            .astype(np.int64)
+        order = np.lexsort((ok, -cents, ck))
+        ck_s = ck[order]
+        # rank within each custkey run: position minus run start
+        new_run = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(ck_s)) - starts[run_id]
+        keep = order[rank < k]
+        return pa.table({
+            "o_custkey": pa.array(ck[keep], pa.int64()),
+            "o_orderkey": pa.array(ok[keep], pa.int64()),
+            "price_cents": pa.array(
+                np.rint(b.column("o_totalprice").to_numpy()[keep]
+                        * 100.0).astype(np.int64), pa.int64())})
+
+    def final(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("price_cents", "descending"), ("o_orderkey", "ascending")])
+        top = group.take(order[:k])
+        return top.append_column(
+            "rk", pa.array(np.arange(1, top.num_rows + 1), pa.int64()))
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(final, batch_format="pyarrow"))
+
+
+SQL_TOPK_PER_GROUP = f"""
+select o_custkey, o_orderkey, price_cents, rk from (
+  select o_custkey, o_orderkey,
+         cast(round(o_totalprice * 100) as bigint) as price_cents,
+         row_number() over (
+           partition by o_custkey
+           order by round(o_totalprice * 100) desc, o_orderkey) as rk
+  from orders) t
+where rk <= {_TOPK_PER_GROUP}
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC MERGE: apply a keyed changelog (upserts + deletes) to a base
+# snapshot -- the lakehouse upsert / table-maintenance role
+
+def q_merge_changelog(sf_dir: str):
+    """Deterministic changelog from orders (op = delete when
+    ``o_orderkey % 19 == 0`` else upsert-to-price), applied to the
+    customer snapshot: the LATEST op per key in (o_orderdate,
+    o_orderkey) order wins; deletes drop the key, upserts replace the
+    balance, untouched keys keep the base value.
+
+    One shuffle total: per-block partial latest-per-key prunes the
+    changelog first (same run-boundary trick as top-k with k=1), then
+    base rows (src 0) and pruned changelog rows (src 1) are union-tagged
+    into a single ``groupby(key).map_groups`` merge -- no join, no
+    driver-side state.  Union output is re-blocked before the shuffle
+    (empty-schema-block rule)."""
+    import ray.data
+
+    def chlog(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy()
+        ok = b.column("o_orderkey").to_numpy()
+        od = b.column("o_orderdate").to_numpy().astype(
+            "datetime64[D]").astype(np.int64)
+        cents = np.rint(b.column("o_totalprice").to_numpy() * 100.0) \
+            .astype(np.int64)
+        # partial latest-per-key inside the block: keep the max
+        # (orderdate, orderkey) row per custkey
+        order = np.lexsort((-ok, -od, ck))
+        ck_s = ck[order]
+        first = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        keep = order[first]
+        return pa.table({
+            "key": pa.array(ck[keep], pa.int64()),
+            "src": pa.array(np.ones(len(keep), np.int8), pa.int8()),
+            "seq_d": pa.array(od[keep], pa.int64()),
+            "seq_k": pa.array(ok[keep], pa.int64()),
+            "is_del": pa.array(ok[keep] % 19 == 0, pa.bool_()),
+            "bal_cents": pa.array(cents[keep], pa.int64())})
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "key": b.column("c_custkey"),
+            "src": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "seq_d": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "seq_k": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "is_del": pa.array(np.zeros(n, bool), pa.bool_()),
+            "bal_cents": pa.array(
+                np.rint(b.column("c_acctbal").to_numpy() * 100.0)
+                .astype(np.int64), pa.int64())})
+
+    def merge(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy()
+        has_base = bool((src == 0).any())
+        ch = np.flatnonzero(src == 1)
+        if len(ch) == 0:
+            winner = int(np.flatnonzero(src == 0)[0])
+        else:
+            d = group.column("seq_d").to_numpy()[ch]
+            kk = group.column("seq_k").to_numpy()[ch]
+            winner = int(ch[np.lexsort((-kk, -d))[0]])
+            if group.column("is_del")[winner].as_py() or not has_base:
+                # deletes drop the key; changelog keys absent from the
+                # base are ignored (no insert source in this dataset)
+                return pa.table({
+                    "c_custkey": pa.array([], pa.int64()),
+                    "bal_cents": pa.array([], pa.int64())})
+        return pa.table({
+            "c_custkey": [group.column("key")[0].as_py()],
+            "bal_cents": [group.column("bal_cents")[winner].as_py()]})
+
+    ch = (_read(sf_dir, "orders",
+                ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+          .map_batches(chlog, batch_format="pyarrow"))
+    base = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+            .map_batches(base_rows, batch_format="pyarrow"))
+    return (base.union(ch)
+            .repartition(_join_parts(sf_dir, "orders"))
+            .groupby("key")
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+SQL_MERGE_CHANGELOG = """
+with ch as (
+  select o_custkey as key,
+         o_orderkey % 19 = 0 as is_del,
+         cast(round(o_totalprice * 100) as bigint) as bal,
+         row_number() over (
+           partition by o_custkey
+           order by o_orderdate desc, o_orderkey desc) as rn
+  from orders),
+latest as (select key, is_del, bal from ch where rn = 1)
+select c.c_custkey,
+       cast(coalesce(l.bal, round(c.c_acctbal * 100)) as bigint)
+         as bal_cents
+from customer c left join latest l on l.key = c.c_custkey
+where not coalesce(l.is_del, false)
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3497,4 +3664,6 @@ SQL_CHECKED = {
     "basket_brand_pairs": (q_basket_brand_pairs, SQL_BASKET_BRAND_PAIRS),
     "status_string_agg": (q_status_string_agg, SQL_STATUS_STRING_AGG),
     "token_lift": (q_token_lift, SQL_TOKEN_LIFT),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "merge_changelog": (q_merge_changelog, SQL_MERGE_CHANGELOG),
 }

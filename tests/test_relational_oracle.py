@@ -25,7 +25,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "pagerank_suppliers", "resample_events", "winsorize_prices",
                "temperature_sample_docs", "bfs_hops", "triangle_count",
                "interval_coverage", "basket_brand_pairs",
-               "status_string_agg", "token_lift"]
+               "status_string_agg", "token_lift", "topk_per_group",
+               "merge_changelog"]
 
 
 def _canonical(tab: pa.Table):
