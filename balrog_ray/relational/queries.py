@@ -3578,6 +3578,110 @@ where not coalesce(l.is_del, false)
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 validity intervals: change-point compression of a keyed event
+# stream into [valid_from, valid_to) attribute history rows -- the
+# dimension-history / temporal-table role
+
+def q_scd2_intervals(sf_dir: str):
+    """Per user: collapse the event_type stream into change intervals.
+    Consecutive equal types merge; each surviving change opens an
+    interval at its ts and closes at the NEXT change's ts (open-ended
+    last interval = null).  (ts, event_id) is a total order, so the
+    result is deterministic.  One shuffle (the per-user groupby); the
+    per-group pass is a vectorized sort + shift compare."""
+    def intervals(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").to_numpy().astype(
+            "datetime64[us]").astype(np.int64)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        change = np.r_[True, et[1:] != et[:-1]]
+        f = ts[change]
+        to = np.append(f[1:].astype(np.float64), np.nan)
+        return pa.table({
+            "user_id": pa.array(np.full(len(f),
+                                        g.column("user_id")[0].as_py(),
+                                        np.int64), pa.int64()),
+            "event_type": pa.array(list(et[change]), pa.string()),
+            "valid_from_us": pa.array(f, pa.int64()),
+            "valid_to_us": pa.array(
+                [None if np.isnan(x) else int(x) for x in to],
+                pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                     "event_type"])
+            .groupby("user_id")
+            .map_groups(intervals, batch_format="pyarrow"))
+
+
+SQL_SCD2_INTERVALS = """
+with o as (
+  select user_id, event_id, event_type, epoch_us(ts) as ts_us,
+         lag(event_type) over (
+           partition by user_id order by ts, event_id) as prev
+  from events),
+ch as (
+  select user_id, event_id, event_type, ts_us
+  from o where prev is null or event_type <> prev)
+select user_id, event_type, ts_us as valid_from_us,
+       lead(ts_us) over (
+         partition by user_id order by ts_us, event_id) as valid_to_us
+from ch
+"""
+
+
+# --------------------------------------------------------------------------
+# event-transition matrix: consecutive-pair counts over per-key ordered
+# streams (the Markov-prior / session-model shape)
+
+def q_event_transitions(sf_dir: str):
+    """(prev_type, next_type) counts over each user's (ts, event_id)
+    ordered stream.  Per-group work emits a PARTIAL pair-count table
+    (bounded by type-domain squared, not events), so the final groupby
+    ships tiny aggregates."""
+    a = _agg()
+
+    def pairs(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        et = np.asarray(
+            group.take(order).column("event_type").to_pylist(),
+            dtype=object)
+        if len(et) < 2:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # factorize the type domain, count integer pair codes
+        vocab, codes = np.unique(et.astype(str), return_inverse=True)
+        key = codes[:-1] * len(vocab) + codes[1:]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "prev_type": pa.array(vocab[u // len(vocab)], pa.string()),
+            "next_type": pa.array(vocab[u % len(vocab)], pa.string()),
+            "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                     "event_type"])
+            .groupby("user_id")
+            .map_groups(pairs, batch_format="pyarrow")
+            .groupby(["prev_type", "next_type"])
+            .aggregate(a.Sum("n", alias_name="n")))
+
+
+SQL_EVENT_TRANSITIONS = """
+with o as (
+  select event_type,
+         lead(event_type) over (
+           partition by user_id order by ts, event_id) as nxt
+  from events)
+select event_type as prev_type, nxt as next_type, count(*) as n
+from o where nxt is not null
+group by 1, 2
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3666,4 +3770,6 @@ SQL_CHECKED = {
     "token_lift": (q_token_lift, SQL_TOKEN_LIFT),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "merge_changelog": (q_merge_changelog, SQL_MERGE_CHANGELOG),
+    "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
 }

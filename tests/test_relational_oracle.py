@@ -26,7 +26,7 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "temperature_sample_docs", "bfs_hops", "triangle_count",
                "interval_coverage", "basket_brand_pairs",
                "status_string_agg", "token_lift", "topk_per_group",
-               "merge_changelog"]
+               "merge_changelog", "scd2_intervals", "event_transitions"]
 
 
 def _canonical(tab: pa.Table):
