@@ -1838,6 +1838,44 @@ def q_dbscan_sites(sf_dir: str):
     return dbscan(pts, eps=400.0, min_pts=4)
 
 
+def q_mosaic_blend(sf_dir: str):
+    """Feathered mosaic of 3 overlapping synthetic acquisitions
+    (stages/mosaic.py, the seamline-blend role): footprint-distance
+    weights cross-fade the overlap bands -> per-tile valid-pixel count +
+    exact float64 pixel sum of the blended float32 mosaic."""
+    import ray.data
+    import ray.data.aggregate as agg
+
+    from ..stages.halo import GridSpec
+    from ..stages.mosaic import feather_blend
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import acquisition_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(acquisition_tiles_table(cfg, 3)).materialize()
+    blended = feather_blend(ds, GridSpec.from_synth(cfg), feather_px=16.0)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tx, ty, vv, ss = [], [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            tx.append(cap.tx)
+            ty.append(cap.ty)
+            vv.append(int(valid.sum()))
+            ss.append(round(float(arr[valid].astype(np.float64).sum()), 6))
+        return pa.table({"tx": pa.array(tx, pa.int64()),
+                         "ty": pa.array(ty, pa.int64()),
+                         "valid_px": pa.array(vv, pa.int64()),
+                         "px_sum": pa.array(ss, pa.float64())})
+
+    return blended.map_batches(stats, batch_format="pyarrow")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1904,4 +1942,5 @@ ROWS_ONLY = {
     "zonal_majority": q_zonal_majority,
     "audio_dup_clips": q_audio_dup_clips,
     "dbscan_sites": q_dbscan_sites,
+    "mosaic_blend": q_mosaic_blend,
 }

@@ -306,3 +306,52 @@ def temporal_tiles_table(cfg: SynthConfig, n_epochs: int) -> pa.Table:
     schema = TILES_SCHEMA.append(pa.field("epoch", pa.int64()))
     cols = {name: [r[name] for r in rows] for name in schema.names}
     return pa.table(cols, schema=schema)
+
+
+# ------------------------------------------------------------- acquisitions
+
+def source_tile_range(cfg: SynthConfig, source: int,
+                      n_sources: int) -> tuple[int, int]:
+    """Tile-row span ``[ty_first, ty_last]`` of acquisition ``source``:
+    horizontal bands, each ~half the world tall, staggered so every
+    adjacent pair overlaps (the swath-overlap layout a satellite
+    mosaic sees)."""
+    step = max(1, cfg.tiles_y // max(n_sources, 1))
+    depth = max(2, cfg.tiles_y // 2)
+    ty0 = min(source * step, max(cfg.tiles_y - 1, 0))
+    return ty0, min(cfg.tiles_y - 1, ty0 + depth - 1)
+
+
+def acquisition_tiles_table(cfg: SynthConfig, n_sources: int) -> pa.Table:
+    """Overlapping-acquisition tile table for mosaic blending: standard
+    ``TILES_SCHEMA`` plus a ``source`` int64 column.  Acquisition ``s``
+    delivers the tiles of its :func:`source_tile_range` band, valued by
+    :func:`epoch_dem_window` (epoch := source) -- so overlap zones
+    genuinely DISAGREE between sources and each acquisition carries its
+    own moving nodata cloud."""
+    from .codec import Caption, encode_tile, phash64
+
+    T = cfg.tile_px
+    rows = []
+    for s in range(n_sources):
+        ty0, ty1 = source_tile_range(cfg, s, n_sources)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(cfg.tiles_x):
+                data = epoch_dem_window(cfg, s, ty * T, tx * T, T, T)
+                cap = Caption(
+                    layer="dem", x0=tx * T * cfg.pixel_size,
+                    y0=cfg.y_north - ty * T * cfg.pixel_size,
+                    pixel_size=cfg.pixel_size,
+                    edge={"n": ty == ty0, "s": ty == ty1,
+                          "w": tx == 0, "e": tx == cfg.tiles_x - 1},
+                    tx=tx, ty=ty)
+                payload, cap = encode_tile(data, cfg.fmt, cap)
+                rows.append({"image_id": f"dem/s{s}/{tx}/{ty}",
+                             "bytes": payload, "w": np.int32(T),
+                             "h": np.int32(T), "fmt": cfg.fmt,
+                             "caption": cap.to_json(),
+                             "phash": np.int64(phash64(data)),
+                             "source": np.int64(s)})
+    schema = TILES_SCHEMA.append(pa.field("source", pa.int64()))
+    cols = {name: [r[name] for r in rows] for name in schema.names}
+    return pa.table(cols, schema=schema)
