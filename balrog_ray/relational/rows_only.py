@@ -1876,6 +1876,47 @@ def q_mosaic_blend(sf_dir: str):
     return blended.map_batches(stats, batch_format="pyarrow")
 
 
+def q_histogram_match(sf_dir: str):
+    """Histogram-match acquisition 1 to acquisition 0
+    (stages/enhance.histogram_match, the radiometric-alignment step
+    before mosaicking): per-tile valid-pixel count + float64 sum of the
+    matched tiles (deterministic -- the LUT is a pure function of the
+    two global histograms)."""
+    import ray.data
+
+    from ..stages.enhance import histogram_match
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import acquisition_tiles_table
+
+    cfg = _t1_cfg()
+    tab = acquisition_tiles_table(cfg, 3)
+    src = ray.data.from_arrow(
+        tab.filter(pa.compute.equal(tab.column("source"), 1)))
+    ref = ray.data.from_arrow(
+        tab.filter(pa.compute.equal(tab.column("source"), 0)))
+    matched = histogram_match(src, ref, "dem", bins=128)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tx, ty, vv, ss = [], [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            tx.append(cap.tx)
+            ty.append(cap.ty)
+            vv.append(int(valid.sum()))
+            ss.append(round(float(arr[valid].astype(np.float64).sum()), 6))
+        return pa.table({"tx": pa.array(tx, pa.int64()),
+                         "ty": pa.array(ty, pa.int64()),
+                         "valid_px": pa.array(vv, pa.int64()),
+                         "px_sum": pa.array(ss, pa.float64())})
+
+    return matched.map_batches(stats, batch_format="pyarrow")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1943,4 +1984,5 @@ ROWS_ONLY = {
     "audio_dup_clips": q_audio_dup_clips,
     "dbscan_sites": q_dbscan_sites,
     "mosaic_blend": q_mosaic_blend,
+    "histogram_match": q_histogram_match,
 }

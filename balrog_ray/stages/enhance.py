@@ -202,3 +202,44 @@ def percentile_stretch(ds, layer: str = "dem", *, p_lo: float = 2.0,
     return _remap_stage(ds, layer, f"stretch_{layer}",
                         stretch_lut(hist, vmin, vmax, p_lo, p_hi),
                         vmin, vmax, bins, fmt)
+
+
+def match_lut(src_hist: np.ndarray, ref_hist: np.ndarray,
+              ref_vmin: float, ref_vmax: float) -> np.ndarray:
+    """source bin -> reference-domain value: classic CDF matching.  Each
+    source bin maps to the CENTER of the first reference bin whose
+    inclusive CDF reaches the source bin's inclusive CDF (a step
+    function -- no interpolation, so the rule is exactly reproducible
+    whole-raster)."""
+    bins = len(src_hist)
+    if len(ref_hist) != bins:
+        raise ValueError("histograms must share a bin count")
+    ns, nr = int(src_hist.sum()), int(ref_hist.sum())
+    centers = (ref_vmin + (ref_vmax - ref_vmin)
+               * (np.arange(bins) + 0.5) / bins)
+    if ns == 0 or nr == 0:
+        return centers.astype(np.float32)
+    src_cdf = np.cumsum(src_hist) / ns
+    ref_cdf = np.cumsum(ref_hist) / nr
+    j = np.searchsorted(ref_cdf, src_cdf, side="left")
+    return centers[np.minimum(j, bins - 1)].astype(np.float32)
+
+
+def histogram_match(src_ds, ref_ds, layer: str = "dem", *,
+                    bins: int = 256, fmt: str = "npz"):
+    """Match ``src_ds``'s value distribution to ``ref_ds``'s -- the
+    radiometric-alignment step run on each acquisition before feathered
+    mosaicking (GDAL ecosystem: ``rio hist``/histogram-matching scripts;
+    no core gdal utility, which is why pipelines hand-roll it).
+
+    Same GLOBAL-STATISTIC -> BROADCAST -> MAP shape as
+    :func:`equalize`: two tiny min/max + histogram aggregates per side,
+    a ``bins``-entry LUT in the closure, one stateless remap over the
+    source tiles (layer ``match_<layer>``).  Pixels never shuffle."""
+    svmin, svmax = global_min_max(src_ds, layer)
+    rvmin, rvmax = global_min_max(ref_ds, layer)
+    src_hist = global_histogram(src_ds, layer, svmin, svmax, bins)
+    ref_hist = global_histogram(ref_ds, layer, rvmin, rvmax, bins)
+    return _remap_stage(src_ds, layer, f"match_{layer}",
+                        match_lut(src_hist, ref_hist, rvmin, rvmax),
+                        svmin, svmax, bins, fmt)

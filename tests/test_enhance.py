@@ -84,3 +84,54 @@ def test_lut_validation():
     with pytest.raises(ValueError):
         stretch_lut(np.ones(8, np.int64), 0.0, 1.0, 90.0, 10.0)
     assert equalize_lut(np.zeros(4, np.int64)).tolist() == [0, 0, 0, 0]
+
+
+def _match_oracle(src, ref, bins):
+    ok_s = src != np.float32(ND)
+    ok_r = ref != np.float32(ND)
+    vs = src[ok_s].astype(np.float64)
+    vr = ref[ok_r].astype(np.float64)
+    svmin, svmax = vs.min(), vs.max()
+    rvmin, rvmax = vr.min(), vr.max()
+    si = np.clip(np.floor((vs - svmin) / (svmax - svmin) * bins), 0,
+                 bins - 1).astype(int)
+    ri = np.clip(np.floor((vr - rvmin) / (rvmax - rvmin) * bins), 0,
+                 bins - 1).astype(int)
+    src_cdf = np.cumsum(np.bincount(si, minlength=bins)) / len(vs)
+    ref_cdf = np.cumsum(np.bincount(ri, minlength=bins)) / len(vr)
+    centers = (rvmin + (rvmax - rvmin) * (np.arange(bins) + 0.5) / bins)
+    j = np.minimum(np.searchsorted(ref_cdf, src_cdf, side="left"),
+                   bins - 1)
+    out = np.full(src.shape, np.float32(ND), np.float32)
+    out[ok_s] = centers[j].astype(np.float32)[si]
+    return out
+
+
+def test_histogram_match_matches_oracle(ray_session):
+    import ray.data
+
+    from balrog_ray.stages.enhance import histogram_match
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    src = _bumpy_dem((32, 48), 23)
+    # reference: different shape AND different range
+    ref = _bumpy_dem((32, 48), 24) * 2.0 + 100.0
+    ref[ref == np.float32(ND) * 2.0 + 100.0] = ND  # keep nodata sentinel
+    import ray
+
+    out = histogram_match(
+        ray.data.from_arrow(_tiles_from_array(src, cfg)),
+        ray.data.from_arrow(_tiles_from_array(ref, cfg)),
+        "dem", bins=64).materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), "match_dem", cfg)
+    want = _match_oracle(src, ref, 64)
+    assert np.array_equal(got, want)
+    # matched values live in the reference range, not the source range
+    ok = got != np.float32(ND)
+    assert got[ok].min() >= 100.0 - 1e-3
+    # and the matched CDF tracks the reference CDF (coarse check)
+    vr = ref[ref != np.float32(ND)]
+    assert abs(np.median(got[ok]) - np.median(vr)) \
+        < (vr.max() - vr.min()) / 8
