@@ -1917,6 +1917,44 @@ def q_histogram_match(sf_dir: str):
     return matched.map_batches(stats, batch_format="pyarrow")
 
 
+def q_area_average(sf_dir: str):
+    """Area-weighted average regrid (stages/warp.area_average_to_grid,
+    the ``gdalwarp -r average`` coarsening kernel): the t1 DEM onto a
+    1.6x-coarser grid -> per-tile valid-pixel count + float64 sum."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.warp import area_average_to_grid
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    # 256 px world at 25 m -> 160 px at 40 m (non-integer 1.6 ratio)
+    tspec = GridSpec(4, 4, 40, 40.0, y_north=cfg.y_north)
+    out = area_average_to_grid(ds, tspec)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tx, ty, vv, ss = [], [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            tx.append(cap.tx)
+            ty.append(cap.ty)
+            vv.append(int(valid.sum()))
+            ss.append(round(float(arr[valid].astype(np.float64).sum()), 6))
+        return pa.table({"tx": pa.array(tx, pa.int64()),
+                         "ty": pa.array(ty, pa.int64()),
+                         "valid_px": pa.array(vv, pa.int64()),
+                         "px_sum": pa.array(ss, pa.float64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -1985,4 +2023,5 @@ ROWS_ONLY = {
     "dbscan_sites": q_dbscan_sites,
     "mosaic_blend": q_mosaic_blend,
     "histogram_match": q_histogram_match,
+    "area_average": q_area_average,
 }

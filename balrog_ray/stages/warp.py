@@ -336,6 +336,105 @@ def make_warp_assembler(spec: GridSpec, layer: str, fmt: str = "npz"):
     return fn
 
 
+def overlap_matrix(t_start: float, ps_t: float, n_t: int,
+                   s_start: float, ps_s: float, n_s: int) -> np.ndarray:
+    """(n_t, n_s) exact 1-D interval overlap lengths between target
+    cells ``[t_start + i*ps_t, +ps_t)`` and source cells
+    ``[s_start + j*ps_s, +ps_s)`` -- the single source of truth for the
+    area-average weights (the test oracle builds its global matrices
+    with the same function)."""
+    te0 = t_start + np.arange(n_t, dtype=np.float64) * ps_t
+    se0 = s_start + np.arange(n_s, dtype=np.float64) * ps_s
+    lo = np.maximum(te0[:, None], se0[None, :])
+    hi = np.minimum(te0[:, None] + ps_t, se0[None, :] + ps_s)
+    return np.clip(hi - lo, 0.0, None)
+
+
+def make_area_average_emitter(spec: GridSpec):
+    """Source tile rows -> partial area-weighted sums keyed by target
+    cell: the ``gdalwarp -r average`` kernel for axis-aligned regrids
+    (the correct way to COARSEN a raster -- point-sampling kernels alias
+    when ps_target > ps_source).  Per target pixel::
+
+        value = sum(area(src px  target px) * v) / sum(area * valid)
+
+    over the source pixels overlapping its footprint, nodata excluded.
+    Separable: the 2-D area weights factor into 1-D column/row overlap
+    matrices, so each source tile's whole contribution is two matmuls
+    (``MY @ V @ MX.T``), not a pixel loop.  Same one-emit +
+    one-groupby(cell) shape and `_PATCH_SCHEMA` as the warp emitter;
+    source tiles partition the source raster, so every source pixel
+    contributes exactly once and the assembler's patch sum equals the
+    whole-raster weighted sum up to float addition order."""
+    T, ps_t = spec.tile_px, spec.pixel_size
+    nx, ny = spec.tiles_x * T, spec.tiles_y * T
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {n: [] for n in _PATCH_SCHEMA.names}
+        for row in batch.to_pylist():
+            cap = Caption.from_json(row["caption"])
+            src = np.asarray(decode_tile(row["bytes"], row["fmt"], cap),
+                             dtype=np.float32)
+            sh, sw = src.shape
+            ps_s, sx0 = cap.pixel_size, cap.x0
+            d0 = spec.y_north - cap.y0          # source top, depth coords
+            c_first = max(0, int(np.floor(sx0 / ps_t + 1e-9)))
+            c_last = min(nx - 1, int(np.ceil(
+                (sx0 + sw * ps_s) / ps_t - 1e-9)) - 1)
+            r_first = max(0, int(np.floor(d0 / ps_t + 1e-9)))
+            r_last = min(ny - 1, int(np.ceil(
+                (d0 + sh * ps_s) / ps_t - 1e-9)) - 1)
+            if c_first > c_last or r_first > r_last:
+                continue
+            mx = overlap_matrix(c_first * ps_t, ps_t,
+                                c_last - c_first + 1, sx0, ps_s, sw)
+            my = overlap_matrix(r_first * ps_t, ps_t,
+                                r_last - r_first + 1, d0, ps_s, sh)
+            valid = src != np.float32(cap.nodata)
+            v = np.where(valid, src.astype(np.float64), 0.0)
+            wv_full = my @ v @ mx.T
+            ws_full = my @ valid.astype(np.float64) @ mx.T
+            for ty in range(r_first // T, r_last // T + 1):
+                for tx in range(c_first // T, c_last // T + 1):
+                    pr0 = max(r_first, ty * T)
+                    pr1 = min(r_last, ty * T + T - 1)
+                    pc0 = max(c_first, tx * T)
+                    pc1 = min(c_last, tx * T + T - 1)
+                    wv = wv_full[pr0 - r_first:pr1 - r_first + 1,
+                                 pc0 - c_first:pc1 - c_first + 1]
+                    ws = ws_full[pr0 - r_first:pr1 - r_first + 1,
+                                 pc0 - c_first:pc1 - c_first + 1]
+                    if not (ws != 0).any():
+                        continue
+                    cols["cell_id"].append(spec.cell_id(tx, ty))
+                    cols["row0"].append(pr0)
+                    cols["col0"].append(pc0)
+                    cols["h"].append(wv.shape[0])
+                    cols["w"].append(wv.shape[1])
+                    cols["wv"].append(zlib.compress(
+                        np.ascontiguousarray(wv).tobytes(), 1))
+                    cols["wsum"].append(zlib.compress(
+                        np.ascontiguousarray(ws).tobytes(), 1))
+        return pa.table(
+            {n: pa.array(cols[n], _PATCH_SCHEMA.field(n).type)
+             for n in _PATCH_SCHEMA.names}, schema=_PATCH_SCHEMA)
+
+    return fn
+
+
+def area_average_to_grid(tiles_ds, spec: GridSpec, *,
+                         layer: str = "avg", fmt: str = "npz"):
+    """Area-weighted average regrid of an axis-aligned tile Dataset onto
+    ``spec`` (``gdalwarp -r average``): one emit pass, ONE
+    groupby(target cell), the shared warp assembler."""
+    return (tiles_ds
+            .map_batches(make_area_average_emitter(spec),
+                         batch_format="pyarrow")
+            .groupby("cell_id")
+            .map_groups(make_warp_assembler(spec, layer, fmt),
+                        batch_format="pyarrow"))
+
+
 def warp_to_grid(tiles_ds, spec: GridSpec, transform, *,
                  layer: str = "warp", fmt: str = "npz",
                  resampling: str = "bilinear"):

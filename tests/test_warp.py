@@ -235,3 +235,98 @@ def test_cubic_seam_negative_lobes(ray_session):
     assert np.array_equal(got_nd, want_nd)
     assert np.allclose(got[~got_nd], want[~want_nd],
                        rtol=1e-6, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# area-weighted average regrid (gdalwarp -r average) vs a global
+# overlap-matrix oracle
+
+def _avg_run(arr, cfg, tspec):
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.warp import area_average_to_grid
+
+    out = area_average_to_grid(
+        ray.data.from_arrow(_tiles_from_array(arr, cfg)),
+        tspec).materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+
+    class _C:
+        tile_px = tspec.tile_px
+        tiles_x = tspec.tiles_x
+        tiles_y = tspec.tiles_y
+
+    return _mosaic(pa.concat_tables(tabs), "avg", _C)
+
+
+def _avg_oracle(arr, ps_s, tspec):
+    from balrog_ray.stages.warp import overlap_matrix
+
+    sh, sw = arr.shape
+    T, ps_t = tspec.tile_px, tspec.pixel_size
+    H, W = tspec.tiles_y * T, tspec.tiles_x * T
+    mx = overlap_matrix(0.0, ps_t, W, 0.0, ps_s, sw)
+    my = overlap_matrix(0.0, ps_t, H, 0.0, ps_s, sh)
+    valid = arr != np.float32(ND)
+    wv = my @ np.where(valid, arr.astype(np.float64), 0.0) @ mx.T
+    ws = my @ valid.astype(np.float64) @ mx.T
+    return np.where(ws > 0, wv / np.where(ws > 0, ws, 1.0),
+                    np.float32(ND)).astype(np.float32)
+
+
+def test_area_average_noninteger_ratio(ray_session):
+    # source 48x24 px at 25 m; target 32x16 px at 37.5 m (ratio 1.5)
+    cfg = SynthConfig(tiles_x=2, tiles_y=1, tile_px=24)
+    arr = _bumpy_dem((24, 48), 31)
+    tspec = GridSpec(2, 1, 16, 37.5, y_north=24 * cfg.pixel_size)
+    got = _avg_run(arr, cfg, tspec)
+    want = _avg_oracle(arr, cfg.pixel_size, tspec)
+    got_nd = got == np.float32(ND)
+    assert np.array_equal(got_nd, want == np.float32(ND))
+    assert np.allclose(got[~got_nd], want[~got_nd], rtol=1e-6, atol=1e-4)
+    assert (arr == np.float32(ND)).any()          # nodata path exercised
+
+
+def test_area_average_conserves_mass(ray_session):
+    # clean array, full coverage, 2x ratio: total value*area conserved
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _bumpy_dem((32, 48), 32, nodata_frac=0.0)
+    tspec = GridSpec(3, 2, 8, 2 * cfg.pixel_size,
+                     y_north=32 * cfg.pixel_size)
+    got = _avg_run(arr, cfg, tspec)
+    assert not (got == np.float32(ND)).any()
+    mass_t = float(got.astype(np.float64).sum()) * tspec.pixel_size ** 2
+    mass_s = float(arr.astype(np.float64).sum()) * cfg.pixel_size ** 2
+    # float32 output tiles bound the achievable precision
+    assert mass_t == pytest.approx(mass_s, rel=1e-6)
+
+
+def test_area_average_partial_coverage(ray_session):
+    # target grid twice as tall as the source world: the uncovered
+    # bottom half is nodata, the covered top half matches the oracle
+    cfg = SynthConfig(tiles_x=2, tiles_y=1, tile_px=16)
+    arr = _bumpy_dem((16, 32), 33)
+    tspec = GridSpec(1, 1, 16, 2 * cfg.pixel_size,
+                     y_north=16 * cfg.pixel_size)
+    got = np.full((16, 16), np.float32(ND), np.float32)
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.warp import area_average_to_grid
+
+    out = area_average_to_grid(
+        ray.data.from_arrow(_tiles_from_array(arr, cfg)), tspec
+        ).materialize()
+    rows = out.take_all()
+    assert len(rows) == 1                # only the covered cell ships
+    from balrog_ray.tiles.codec import Caption as _Cap
+    from balrog_ray.tiles.codec import decode_tile as _dec
+    cap = _Cap.from_json(rows[0]["caption"])
+    got = _dec(rows[0]["bytes"], rows[0]["fmt"], cap)
+    want = _avg_oracle(arr, cfg.pixel_size, tspec)[:16, :16]
+    assert np.array_equal(got == np.float32(ND), want == np.float32(ND))
+    nd = got == np.float32(ND)
+    assert np.allclose(got[~nd], want[~nd], rtol=1e-6, atol=1e-4)
+    assert nd[8:].all() and not nd[:8].any()
