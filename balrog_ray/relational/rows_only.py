@@ -1955,6 +1955,49 @@ def q_area_average(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_bpe_tokens(sf_dir: str):
+    """Distributed BPE tokenizer training + corpus tokenization
+    (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
+    hash sample of the documents table (the train-on-sample /
+    apply-to-corpus shape), encode EVERY document under the learned
+    merge list, and report per-language word/token totals plus the
+    compression ratio.  Merge order is pinned by the single-process
+    oracle in tests/test_bpe.py."""
+    import ray.data
+
+    from ..functions.bpe import bpe_tokenize, train_bpe
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    def one_in_three(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.take(pa.array(np.flatnonzero(ids % 3 == 0)))
+
+    sample = ds.map_batches(one_in_three, batch_format="pyarrow")
+    merges = train_bpe(sample, 24, num_partitions=4)
+
+    counts = bpe_tokenize(ds, merges)
+    langs = ds.select_columns(["doc_id", "lang"])
+    joined = counts.join(langs, "inner", num_partitions=4,
+                         on=("doc_id",))
+
+    def agg(group: pa.Table) -> pa.Table:
+        nw = group.column("n_words").to_numpy().sum()
+        nt = group.column("n_tokens").to_numpy().sum()
+        return pa.table({
+            "lang": [group.column("lang")[0].as_py()],
+            "n_docs": pa.array([group.num_rows], pa.int64()),
+            "n_words": pa.array([int(nw)], pa.int64()),
+            "n_tokens": pa.array([int(nt)], pa.int64()),
+            "tokens_per_word": pa.array(
+                [round(float(nt) / max(1.0, float(nw)), 6)],
+                pa.float64())})
+
+    return (joined.groupby("lang")
+            .map_groups(agg, batch_format="pyarrow")
+            .sort("lang"))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2024,4 +2067,5 @@ ROWS_ONLY = {
     "mosaic_blend": q_mosaic_blend,
     "histogram_match": q_histogram_match,
     "area_average": q_area_average,
+    "bpe_tokens": q_bpe_tokens,
 }
