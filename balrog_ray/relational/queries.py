@@ -3682,6 +3682,98 @@ group by 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Per-group least-squares regression (regr_slope / regr_intercept role):
+# price-on-quantity fit per l_returnflag from exact integer sufficient
+# statistics.  The distributed fold ships 5 int64s per (block, group) --
+# bit-deterministic under any scheduling; the only float ops are the two
+# final IEEE divisions, mirrored operation-for-operation in the oracle.
+
+
+def q_regr_by_flag(sf_dir: str):
+    a = _agg()
+
+    def partials(b: pa.Table) -> pa.Table:
+        cols = ("n", "sx", "sy", "sxx", "sxy")
+        if b.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             **{c: pa.array([], pa.int64())
+                                for c in cols}})
+        f = np.asarray(b.column("l_returnflag").to_pylist(), dtype=object)
+        x = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        y = np.rint(b.column("l_extendedprice").to_numpy()
+                    * 100.0).astype(np.int64)
+        keys, inv = np.unique(f.astype(str), return_inverse=True)
+
+        def seg(v: np.ndarray) -> np.ndarray:
+            acc = np.zeros(len(keys), np.int64)
+            np.add.at(acc, inv, v)          # exact int64, no float fold
+            return acc
+
+        return pa.table({
+            "l_returnflag": pa.array(keys, pa.string()),
+            "n": pa.array(seg(np.ones(len(x), np.int64)), pa.int64()),
+            "sx": pa.array(seg(x), pa.int64()),
+            "sy": pa.array(seg(y), pa.int64()),
+            "sxx": pa.array(seg(x * x), pa.int64()),
+            "sxy": pa.array(seg(x * y), pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        flags, slopes, inters, ns = [], [], [], []
+        for r in b.to_pylist():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxx, sxy = int(r["sxx"]), int(r["sxy"])
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            slope = float(num) / float(den)
+            inter = (float(sy) - slope * float(sx)) / float(n)
+            flags.append(r["l_returnflag"])
+            ns.append(n)
+            slopes.append(round(slope, 6))
+            inters.append(round(inter, 6))
+        return pa.table({
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n_rows": pa.array(ns, pa.int64()),
+            "slope_cents": pa.array(slopes, pa.float64()),
+            "intercept_cents": pa.array(inters, pa.float64())})
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_quantity", "l_extendedprice"])
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(a.Sum("n", alias_name="n"),
+                       a.Sum("sx", alias_name="sx"),
+                       a.Sum("sy", alias_name="sy"),
+                       a.Sum("sxx", alias_name="sxx"),
+                       a.Sum("sxy", alias_name="sxy"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+SQL_REGR_BY_FLAG = """
+with m as (
+  select l_returnflag,
+         cast(count(*) as hugeint) as n,
+         cast(sum(cast(l_quantity as bigint)) as hugeint) as sx,
+         cast(sum(cast(round(l_extendedprice * 100) as bigint))
+              as hugeint) as sy,
+         cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint))
+              as hugeint) as sxx,
+         cast(sum(cast(l_quantity as bigint)
+                  * cast(round(l_extendedprice * 100) as bigint))
+              as hugeint) as sxy
+  from lineitem group by l_returnflag)
+select l_returnflag,
+       cast(n as bigint) as n_rows,
+       round(cast(n * sxy - sx * sy as double)
+             / cast(n * sxx - sx * sx as double), 6) as slope_cents,
+       round((cast(sy as double)
+              - (cast(n * sxy - sx * sy as double)
+                 / cast(n * sxx - sx * sx as double))
+                * cast(sx as double)) / cast(n as double), 6)
+           as intercept_cents
+from m
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3772,4 +3864,5 @@ SQL_CHECKED = {
     "merge_changelog": (q_merge_changelog, SQL_MERGE_CHANGELOG),
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "regr_by_flag": (q_regr_by_flag, SQL_REGR_BY_FLAG),
 }
