@@ -1955,6 +1955,46 @@ def q_area_average(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_mode_resample(sf_dir: str):
+    """Majority-class regrid (stages/warp.mode_resample_to_grid, the
+    ``gdalwarp -r mode`` categorical kernel): the t1 veg classes onto a
+    1.6x-coarser grid -> per-tile class histogram (integer counts; the
+    tie-break and area quantum are pinned by tests/test_warp.py)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.warp import mode_resample_to_grid
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(tiles_table(cfg, layers=("veg",)))
+    tspec = GridSpec(4, 4, 40, 40.0, y_north=cfg.y_north)
+    out = mode_resample_to_grid(ds, tspec)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        tx, ty, cls, n = [], [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            vals, counts = np.unique(arr, return_counts=True)
+            for v, c in zip(vals, counts):
+                tx.append(cap.tx)
+                ty.append(cap.ty)
+                cls.append(float(v))
+                n.append(int(c))
+        return pa.table({"tx": pa.array(tx, pa.int64()),
+                         "ty": pa.array(ty, pa.int64()),
+                         "cls": pa.array(cls, pa.float64()),
+                         "n_px": pa.array(n, pa.int64())})
+
+    return (out.map_batches(hist, batch_format="pyarrow")
+            .sort(["tx", "ty", "cls"]))
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -2068,4 +2108,5 @@ ROWS_ONLY = {
     "histogram_match": q_histogram_match,
     "area_average": q_area_average,
     "bpe_tokens": q_bpe_tokens,
+    "mode_resample": q_mode_resample,
 }

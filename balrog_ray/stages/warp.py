@@ -435,6 +435,146 @@ def area_average_to_grid(tiles_ds, spec: GridSpec, *,
                         batch_format="pyarrow"))
 
 
+_MODE_PATCH_SCHEMA = pa.schema([
+    ("cell_id", pa.int64()),
+    ("row0", pa.int32()), ("col0", pa.int32()),   # global target px
+    ("h", pa.int32()), ("w", pa.int32()),
+    ("cls", pa.float64()),                        # categorical value
+    ("area", pa.binary()),                        # deflated float64
+])
+
+#: mode-resample area quantum: per-class areas are normalized to
+#: fraction-of-target-pixel and snapped to 2^-20 before the argmax, so
+#: the winner is immune to float summation-order noise between the
+#: tiled engine and a whole-raster oracle (exact geometric ties resolve
+#: to the SMALLEST class value on both sides).
+MODE_QUANTUM = 1 << 20
+
+
+def make_mode_emitter(spec: GridSpec):
+    """Source tile rows -> per-class partial overlap areas keyed by
+    target cell: the ``gdalwarp -r mode`` (majority) kernel for
+    coarsening CATEGORICAL rasters, where averaging kernels would
+    invent classes that don't exist.  Per (target pixel, class)::
+
+        area(class) = sum over source px of that class of
+                      overlap(src px footprint, target px footprint)
+
+    and the assembled winner is the class with max area.  Separable
+    like the average kernel: one pair of matmuls per DISTINCT class in
+    the tile (class domains are small for categorical rasters -- veg
+    classes 1..7 in the reference), never a pixel loop.  Source nodata
+    contributes no area."""
+    T, ps_t = spec.tile_px, spec.pixel_size
+    nx, ny = spec.tiles_x * T, spec.tiles_y * T
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {n: [] for n in _MODE_PATCH_SCHEMA.names}
+        for row in batch.to_pylist():
+            cap = Caption.from_json(row["caption"])
+            src = np.asarray(decode_tile(row["bytes"], row["fmt"], cap),
+                             dtype=np.float32)
+            sh, sw = src.shape
+            ps_s, sx0 = cap.pixel_size, cap.x0
+            d0 = spec.y_north - cap.y0
+            c_first = max(0, int(np.floor(sx0 / ps_t + 1e-9)))
+            c_last = min(nx - 1, int(np.ceil(
+                (sx0 + sw * ps_s) / ps_t - 1e-9)) - 1)
+            r_first = max(0, int(np.floor(d0 / ps_t + 1e-9)))
+            r_last = min(ny - 1, int(np.ceil(
+                (d0 + sh * ps_s) / ps_t - 1e-9)) - 1)
+            if c_first > c_last or r_first > r_last:
+                continue
+            mx = overlap_matrix(c_first * ps_t, ps_t,
+                                c_last - c_first + 1, sx0, ps_s, sw)
+            my = overlap_matrix(r_first * ps_t, ps_t,
+                                r_last - r_first + 1, d0, ps_s, sh)
+            valid = src != np.float32(cap.nodata)
+            for cls in np.unique(src[valid]):
+                ind = (src == cls).astype(np.float64)
+                a_full = my @ ind @ mx.T
+                for ty in range(r_first // T, r_last // T + 1):
+                    for tx in range(c_first // T, c_last // T + 1):
+                        pr0 = max(r_first, ty * T)
+                        pr1 = min(r_last, ty * T + T - 1)
+                        pc0 = max(c_first, tx * T)
+                        pc1 = min(c_last, tx * T + T - 1)
+                        a = a_full[pr0 - r_first:pr1 - r_first + 1,
+                                   pc0 - c_first:pc1 - c_first + 1]
+                        if not (a > 0).any():
+                            continue
+                        cols["cell_id"].append(spec.cell_id(tx, ty))
+                        cols["row0"].append(pr0)
+                        cols["col0"].append(pc0)
+                        cols["h"].append(a.shape[0])
+                        cols["w"].append(a.shape[1])
+                        cols["cls"].append(float(cls))
+                        cols["area"].append(zlib.compress(
+                            np.ascontiguousarray(a).tobytes(), 1))
+        return pa.table(
+            {n: pa.array(cols[n], _MODE_PATCH_SCHEMA.field(n).type)
+             for n in _MODE_PATCH_SCHEMA.names},
+            schema=_MODE_PATCH_SCHEMA)
+
+    return fn
+
+
+def make_mode_assembler(spec: GridSpec, layer: str, fmt: str = "npz"):
+    """Patch group (one target cell) -> majority-class TILES_SCHEMA row.
+    Areas are accumulated per class, normalized to target-pixel
+    fractions, snapped to the MODE_QUANTUM grid, and the argmax runs
+    over classes sorted ascending -- so exact ties pick the smallest
+    class value, deterministically."""
+    T, ps = spec.tile_px, spec.pixel_size
+
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        cell = int(g["cell_id"][0])
+        tx, ty = cell % spec.tiles_x, cell // spec.tiles_x
+        planes: dict[float, np.ndarray] = {}
+        for i in range(len(g["cls"])):
+            h, w = int(g["h"][i]), int(g["w"][i])
+            rr = int(g["row0"][i]) - ty * T
+            cc = int(g["col0"][i]) - tx * T
+            plane = planes.setdefault(
+                float(g["cls"][i]), np.zeros((T, T), np.float64))
+            plane[rr:rr + h, cc:cc + w] += np.frombuffer(
+                zlib.decompress(g["area"][i]), np.float64).reshape(h, w)
+        clss = np.array(sorted(planes), np.float64)
+        stack = np.stack([planes[c] for c in clss])
+        q = np.rint(stack / (ps * ps) * MODE_QUANTUM).astype(np.int64)
+        tot = q.sum(axis=0)
+        best = q.argmax(axis=0)           # first max = smallest class
+        canvas = np.where(tot > 0, clss[best].astype(np.float32),
+                          np.float32(NODATA))
+        cap = Caption(layer=layer, x0=tx * T * ps,
+                      y0=spec.y_north - ty * T * ps, pixel_size=ps,
+                      edge={"n": ty == 0, "s": ty == spec.tiles_y - 1,
+                            "w": tx == 0, "e": tx == spec.tiles_x - 1},
+                      tx=tx, ty=ty)
+        payload, cap = encode_tile(canvas.astype(np.float32), fmt, cap)
+        return pa.table({
+            "image_id": [f"{layer}/{tx}/{ty}"],
+            "bytes": [payload], "w": [np.int32(T)], "h": [np.int32(T)],
+            "fmt": [fmt], "caption": [cap.to_json()],
+            "phash": [np.int64(phash64(canvas.astype(np.float32)))]},
+            schema=TILES_SCHEMA)
+
+    return fn
+
+
+def mode_resample_to_grid(tiles_ds, spec: GridSpec, *,
+                          layer: str = "mode", fmt: str = "npz"):
+    """Majority-class regrid of a categorical tile Dataset onto ``spec``
+    (``gdalwarp -r mode``): one emit pass, ONE groupby(target cell)."""
+    return (tiles_ds
+            .map_batches(make_mode_emitter(spec),
+                         batch_format="pyarrow")
+            .groupby("cell_id")
+            .map_groups(make_mode_assembler(spec, layer, fmt),
+                        batch_format="pyarrow"))
+
+
 def warp_to_grid(tiles_ds, spec: GridSpec, transform, *,
                  layer: str = "warp", fmt: str = "npz",
                  resampling: str = "bilinear"):

@@ -330,3 +330,94 @@ def test_area_average_partial_coverage(ray_session):
     nd = got == np.float32(ND)
     assert np.allclose(got[~nd], want[~nd], rtol=1e-6, atol=1e-4)
     assert nd[8:].all() and not nd[:8].any()
+
+
+# ---------------------------------------------------------------------------
+# majority (mode) regrid (gdalwarp -r mode) vs a global per-class
+# overlap-matrix oracle
+
+def _classy(shape, seed, n_classes=5, nodata_frac=0.05):
+    """Random categorical raster: blocky class regions + nodata holes."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, n_classes + 1,
+                     (shape[0] // 4 + 1, shape[1] // 4 + 1))
+    a = np.kron(a, np.ones((4, 4), np.int64))[:shape[0], :shape[1]]
+    a = a.astype(np.float32)
+    a[rng.random(shape) < nodata_frac] = ND
+    return a
+
+
+def _mode_run(arr, cfg, tspec):
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.warp import mode_resample_to_grid
+
+    out = mode_resample_to_grid(
+        ray.data.from_arrow(_tiles_from_array(arr, cfg, layer="veg")),
+        tspec).materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+
+    class _C:
+        tile_px = tspec.tile_px
+        tiles_x = tspec.tiles_x
+        tiles_y = tspec.tiles_y
+
+    return _mosaic(pa.concat_tables(tabs), "mode", _C)
+
+
+def _mode_oracle(arr, ps_s, tspec):
+    from balrog_ray.stages.warp import MODE_QUANTUM, overlap_matrix
+
+    sh, sw = arr.shape
+    T, ps_t = tspec.tile_px, tspec.pixel_size
+    H, W = tspec.tiles_y * T, tspec.tiles_x * T
+    mx = overlap_matrix(0.0, ps_t, W, 0.0, ps_s, sw)
+    my = overlap_matrix(0.0, ps_t, H, 0.0, ps_s, sh)
+    valid = arr != np.float32(ND)
+    clss = sorted(float(c) for c in np.unique(arr[valid]))
+    q = np.stack([
+        np.rint((my @ (arr == np.float32(c)).astype(np.float64) @ mx.T)
+                / (ps_t * ps_t) * MODE_QUANTUM).astype(np.int64)
+        for c in clss])
+    cl = np.array(clss)
+    return np.where(q.sum(0) > 0, cl[q.argmax(0)].astype(np.float32),
+                    np.float32(ND)).astype(np.float32)
+
+
+def test_mode_resample_integer_ratio_ties(ray_session):
+    # 2x coarsen of a 1-px checkerboard: every target pixel is an exact
+    # 2-2 area tie between the two classes -> smallest class must win
+    cfg = SynthConfig(tiles_x=2, tiles_y=1, tile_px=16)
+    arr = np.where((np.indices((16, 32)).sum(0) % 2) == 0, 3.0, 7.0
+                   ).astype(np.float32)
+    tspec = GridSpec(2, 1, 8, 2 * cfg.pixel_size,
+                     y_north=16 * cfg.pixel_size)
+    got = _mode_run(arr, cfg, tspec)
+    assert got.shape == (8, 16)
+    assert (got == np.float32(3.0)).all()
+
+
+def test_mode_resample_noninteger_ratio(ray_session):
+    # source 48x24 at 25 m -> target 32x16 at 37.5 m (1.5x), nodata holes
+    cfg = SynthConfig(tiles_x=2, tiles_y=1, tile_px=24)
+    arr = _classy((24, 48), 41)
+    tspec = GridSpec(2, 1, 16, 37.5, y_north=24 * cfg.pixel_size)
+    got = _mode_run(arr, cfg, tspec)
+    want = _mode_oracle(arr, cfg.pixel_size, tspec)
+    assert np.array_equal(got, want)
+    assert (arr == np.float32(ND)).any()
+
+
+def test_mode_resample_class_purity(ray_session):
+    # output contains ONLY input class values (the reason -r average is
+    # wrong for categorical rasters): coarsen 4x across tile seams
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _classy((32, 48), 42, n_classes=7)
+    tspec = GridSpec(3, 2, 4, 4 * cfg.pixel_size,
+                     y_north=32 * cfg.pixel_size)
+    got = _mode_run(arr, cfg, tspec)
+    want = _mode_oracle(arr, cfg.pixel_size, tspec)
+    assert np.array_equal(got, want)
+    assert set(np.unique(got)) <= set(np.unique(arr))
