@@ -1995,6 +1995,53 @@ def q_mode_resample(sf_dir: str):
             .sort(["tx", "ty", "cls"]))
 
 
+def q_expand_shrink(sf_dir: str):
+    """Morphological Expand then Shrink of veg class 1 by 2 cells
+    (stages/morphology, the ArcGIS Generalization-toolset pair) over
+    the t1 world -> per-class pixel counts for the original, expanded
+    and shrunk layers (closing-like roundtrip; counts pin the
+    Euclidean-disk reach and tie-break semantics)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.morphology import expand, shrink
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("veg",)))
+    grown = expand(base, spec, layer="veg", n_cells=2, zones=(1.0,))
+    eroded = shrink(base, spec, layer="veg", n_cells=2, zones=(1.0,))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        lay, cls, n = [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            vals, counts = np.unique(arr, return_counts=True)
+            for v, c in zip(vals, counts):
+                lay.append(cap.layer)
+                cls.append(float(v))
+                n.append(int(c))
+        return pa.table({"layer": pa.array(lay, pa.string()),
+                         "cls": pa.array(cls, pa.float64()),
+                         "n_px": pa.array(n, pa.int64())})
+
+    from .queries import _agg
+
+    a = _agg()
+    return (base.union(grown, eroded)
+            .map_batches(hist, batch_format="pyarrow")
+            .groupby(["layer", "cls"])
+            .aggregate(a.Sum("n_px", alias_name="n_px"))
+            .sort(["layer", "cls"]))
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -2109,4 +2156,5 @@ ROWS_ONLY = {
     "area_average": q_area_average,
     "bpe_tokens": q_bpe_tokens,
     "mode_resample": q_mode_resample,
+    "expand_shrink": q_expand_shrink,
 }
