@@ -3774,6 +3774,87 @@ from m
 """
 
 
+# --------------------------------------------------------------------------
+# percent_rank / cume_dist window functions per user over the events
+# stream.  High-cardinality partition key (one group per user), so
+# per-group materialization is the scale-safe shape; both statistics are
+# one small-integer IEEE division, bit-identical to the SQL builtins.
+
+
+def q_pct_rank_events(sf_dir: str):
+    def ranks(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("value", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        v = g.column("value").to_numpy()
+        n = len(v)
+        rank = np.searchsorted(v, v, side="left") + 1      # RANK w/ ties
+        cume = np.searchsorted(v, v, side="right") / float(n)
+        pr = ((rank - 1) / float(n - 1) if n > 1
+              else np.zeros(n, np.float64))
+        return pa.table({
+            "event_id": g.column("event_id"),
+            "user_id": g.column("user_id"),
+            "pct_rank": pa.array(np.asarray(pr, np.float64),
+                                 pa.float64()),
+            "cume": pa.array(cume, pa.float64())})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "value"])
+            .groupby("user_id")
+            .map_groups(ranks, batch_format="pyarrow"))
+
+
+SQL_PCT_RANK_EVENTS = """
+select event_id, user_id,
+       percent_rank() over (partition by user_id order by value)
+           as pct_rank,
+       cume_dist() over (partition by user_id order by value) as cume
+from events
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle for training-data sharding: every doc gets
+# a pseudo-random position inside a pseudo-random shard, reproducible
+# across runs and engines (the global-shuffle-without-random_shuffle
+# shape: ONE hash-keyed groupby instead of a full random all-to-all; a
+# new epoch/seed just changes the multiplier-XOR constant).
+
+
+def q_epoch_shuffle(sf_dir: str):
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        h = ((ids ^ 40503) * 2654435761) % 2147483647
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(h, pa.int64()),
+                         "shard": pa.array(h % 8, pa.int64())})
+
+    def number(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("h", "ascending"), ("doc_id", "ascending")])
+        g = group.take(order)
+        return pa.table({
+            "doc_id": g.column("doc_id"),
+            "shard": g.column("shard"),
+            "pos": pa.array(np.arange(1, g.num_rows + 1), pa.int64())})
+
+    return (_read(sf_dir, "documents", ["doc_id"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(number, batch_format="pyarrow"))
+
+
+SQL_EPOCH_SHUFFLE = """
+with k as (
+  select doc_id,
+         (xor(doc_id, 40503) * 2654435761) % 2147483647 as h
+  from documents)
+select doc_id, h % 8 as shard,
+       row_number() over (partition by h % 8 order by h, doc_id) as pos
+from k
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3865,4 +3946,6 @@ SQL_CHECKED = {
     "scd2_intervals": (q_scd2_intervals, SQL_SCD2_INTERVALS),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "regr_by_flag": (q_regr_by_flag, SQL_REGR_BY_FLAG),
+    "pct_rank_events": (q_pct_rank_events, SQL_PCT_RANK_EVENTS),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
 }
