@@ -1955,6 +1955,48 @@ def q_area_average(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_unigram_tokens(sf_dir: str):
+    """Distributed unigram-LM (SentencePiece-role) tokenizer training +
+    corpus tokenization (functions/unigram.py): hard-EM a 80-piece
+    model from a deterministic 1-in-3 hash sample, Viterbi-encode every
+    document, report per-language word/token totals.  Training is pinned
+    by the single-process oracle in tests/test_unigram.py."""
+    import ray.data
+
+    from ..functions.unigram import train_unigram, unigram_tokenize
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def one_in_three(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.take(pa.array(np.flatnonzero(ids % 3 == 0)))
+
+    sample = ds.map_batches(one_in_three, batch_format="pyarrow")
+    model = train_unigram(sample, 80, num_partitions=4)
+
+    counts = unigram_tokenize(ds, model)
+    langs = ds.select_columns(["doc_id", "lang"])
+    joined = counts.join(langs, "inner", num_partitions=4,
+                         on=("doc_id",))
+
+    def agg(group: pa.Table) -> pa.Table:
+        nw = group.column("n_words").to_numpy().sum()
+        nt = group.column("n_tokens").to_numpy().sum()
+        return pa.table({
+            "lang": [group.column("lang")[0].as_py()],
+            "n_docs": pa.array([group.num_rows], pa.int64()),
+            "n_words": pa.array([int(nw)], pa.int64()),
+            "n_tokens": pa.array([int(nt)], pa.int64()),
+            "tokens_per_word": pa.array(
+                [round(float(nt) / max(1.0, float(nw)), 6)],
+                pa.float64())})
+
+    return (joined.groupby("lang")
+            .map_groups(agg, batch_format="pyarrow")
+            .sort("lang"))
+
+
 def q_mode_resample(sf_dir: str):
     """Majority-class regrid (stages/warp.mode_resample_to_grid, the
     ``gdalwarp -r mode`` categorical kernel): the t1 veg classes onto a
@@ -2157,4 +2199,5 @@ ROWS_ONLY = {
     "bpe_tokens": q_bpe_tokens,
     "mode_resample": q_mode_resample,
     "expand_shrink": q_expand_shrink,
+    "unigram_tokens": q_unigram_tokens,
 }
