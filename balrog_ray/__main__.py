@@ -310,6 +310,14 @@ def cmd_derive(args) -> int:
         from .stages.fillnodata import fill_nodata
         out = fill_nodata(ds, spec,
                           max_dist=args.radius * spec.pixel_size, **kw)
+    elif op == "expand":
+        from .stages.morphology import expand
+        out = expand(ds, spec, n_cells=args.radius,
+                     zones=tuple(args.zones), **kw)
+    elif op == "shrink":
+        from .stages.morphology import shrink
+        out = shrink(ds, spec, n_cells=args.radius,
+                     zones=tuple(args.zones), **kw)
     else:                                # argparse choices guard this
         raise ValueError(f"unknown derive op {op!r}")
     write_image_table(out, args.out)
@@ -399,12 +407,16 @@ def main(argv=None) -> int:
     d.add_argument("--op", required=True,
                    choices=["hillshade", "tpi", "tri", "roughness", "d8",
                             "flow_acc", "watershed", "strahler", "gauss",
-                            "sobel", "median", "majority", "fill"])
+                            "sobel", "median", "majority", "fill",
+                            "expand", "shrink"])
     d.add_argument("--layer", default="dem")
     d.add_argument("--sigma", type=float, default=2.0)
     d.add_argument("--radius", type=int, default=1,
-                   help="focal window radius (median/majority) or "
-                        "fill-nodata search radius, in pixels")
+                   help="focal window radius (median/majority), "
+                        "fill-nodata search radius, or expand/shrink "
+                        "cell count, in pixels")
+    d.add_argument("--zones", type=float, nargs="+", default=[1.0],
+                   help="class values to expand/shrink")
     d.add_argument("--fmt", default="npz")
     d.set_defaults(fn=cmd_derive)
 

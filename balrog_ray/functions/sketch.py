@@ -242,3 +242,66 @@ def heavy_hitter_tokens(ds, col: str = "text", width: int = 512,
             .map_batches(lambda b: b.filter(
                 pc.greater_equal(b.column("n"), pa.scalar(thr))),
                 batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct counting (Flajolet et al. 2007, the published
+# estimator with the standard linear-counting small-range correction).
+# Each block's partial is ONE fixed 2^p-byte register row; registers
+# merge by elementwise max -- associative, commutative and idempotent,
+# so the estimate is bit-identical under any block layout or merge
+# order (tested).  Complements KMV: ~1.04/sqrt(2^p) relative error in
+# 4 KB at p=12, and the merge never needs the k-smallest sort.
+
+_HLL_P = 12
+
+
+def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """uint8[2^p] registers from 64-bit hashes: bucket = top p bits,
+    rank = leading-zeros-of-the-rest + 1."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # leading zeros via float64 exponent is unsafe >2^53; use bit scan
+    rank = np.zeros(len(h), np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    rest_c = rest.copy()
+    done = np.zeros(len(h), bool)
+    for i in range(64 - p + 1):
+        hit = ~done & ((rest_c & mask) != 0)
+        rank[hit] = i + 1
+        done |= hit
+        rest_c <<= np.uint64(1)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_distinct(ds, col: str, p: int = _HLL_P):
+    """Approximate ``count(distinct col)`` via HyperLogLog: returns a
+    1-row pyarrow Table ``(estimate: int64, m: int64)``."""
+    import ray
+
+    m = 1 << p
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"regs": pa.array([], pa.binary())})
+        regs = _hll_registers(_hash64(b.column(col)), p)
+        return pa.table({"regs": pa.array([regs.tobytes()],
+                                          pa.binary())})
+
+    parts = ray.get(ds.select_columns([col])
+                    .map_batches(partial, batch_format="pyarrow")
+                    .to_arrow_refs())
+    regs = np.zeros(m, np.uint8)
+    for t in parts:
+        for blob in t.column("regs").to_pylist():
+            np.maximum(regs, np.frombuffer(blob, np.uint8), out=regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:          # linear counting
+        est = m * np.log(m / zeros)
+    return pa.table({"estimate": pa.array([int(round(est))], pa.int64()),
+                     "m": pa.array([m], pa.int64())})

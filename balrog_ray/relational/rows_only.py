@@ -757,6 +757,20 @@ def q_kmv_distinct(sf_dir: str):
     return kmv_distinct(ds, "l_partkey", k=1024)
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-count over lineitem.l_partkey -- the
+    constant-4KB-partial twin of the KMV sketch (max-merged registers,
+    estimate bit-identical under any block layout; error bound pinned
+    in tests/test_functions.py)."""
+    import ray.data
+
+    from ..functions.sketch import hll_distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey"])
+    return hll_distinct(ds, "l_partkey")
+
+
 def q_approx_quantiles(sf_dir: str):
     """Histogram-sketch quantiles over lineitem.l_extendedprice -- the
     fixed-size-partial approx aggregate for continuous domains (exact
@@ -2175,6 +2189,7 @@ ROWS_ONLY = {
     "phash_dup_tiles": q_phash_dup_tiles,
     "phash_dup_clusters": q_phash_dup_clusters,
     "kmv_distinct": q_kmv_distinct,
+    "hll_distinct": q_hll_distinct,
     "approx_quantiles": q_approx_quantiles,
     "embedding_dups": q_embedding_dups,
     "kmeans_embeddings": q_kmeans_embeddings,

@@ -434,6 +434,46 @@ def test_kmv_distinct_string_column(ray_session):
     assert est == 37                      # below k -> exact
 
 
+def test_hll_distinct_error_and_merge_determinism(ray_session):
+    """HLL estimate within ~4 standard errors (1.04/sqrt(m)) of exact,
+    and bit-identical under different block layouts (max-merge is
+    order-independent)."""
+    import ray.data
+
+    from balrog_ray.functions.sketch import hll_distinct
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 80_000, size=300_000)
+    exact = len(np.unique(vals))
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    t = hll_distinct(ds, "v")
+    est = t.column("estimate")[0].as_py()
+    m = t.column("m")[0].as_py()
+    assert abs(est - exact) / exact < 4 * 1.04 / np.sqrt(m)
+    est2 = hll_distinct(ds.repartition(11), "v"
+                        ).column("estimate")[0].as_py()
+    assert est2 == est
+
+    # small-range linear counting: near-exact at low cardinality
+    small = ray.data.from_arrow(pa.table(
+        {"v": pa.array(rng.integers(0, 200, size=5_000), pa.int64())}))
+    est_small = hll_distinct(small, "v").column("estimate")[0].as_py()
+    exact_small = 200
+    assert abs(est_small - exact_small) <= 4
+
+
+def test_hll_distinct_string_column(ray_session):
+    import ray.data
+
+    from balrog_ray.functions.sketch import hll_distinct
+
+    tbl = pa.table({"s": pa.array([f"user-{i % 500}" for i in range(5000)],
+                                  pa.string())})
+    est = hll_distinct(ray.data.from_arrow(tbl),
+                       "s").column("estimate")[0].as_py()
+    assert abs(est - 500) <= 15
+
+
 def test_hash64_dup_pairs_skewed_bucket_blocked_verify(ray_session):
     """3000 rows sharing one 16-bit chunk land in a single bucket: the
     row-blocked popcount verify (peak memory capped) must still find
