@@ -3855,6 +3855,51 @@ from k
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic training-mix downsampling: every source is hash-admitted
+# down to the rarest source's row count (the equal-proportion data-mix
+# recipe), with the admission threshold in EXACT integer arithmetic so
+# engine and oracle agree row-for-row.  Two tiny shuffles: one count
+# groupby to size the rates (5-row table, broadcast in the closure), one
+# count groupby over the admitted rows.
+
+
+def q_mix_sources(sf_dir: str):
+    a = _agg()
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    counts = {r["source"]: r["n"] for r in
+              docs.groupby("source")
+              .aggregate(a.Count(alias_name="n")).take_all()}
+    lo = min(counts.values())
+    d = 1 << 20
+    thr = {s: (d * lo) // n for s, n in counts.items()}
+
+    def admit(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        src = np.asarray(b.column("source").to_pylist(), dtype=object)
+        h = ((ids * 2654435761) % 2147483647) % d
+        t = np.array([thr[s] for s in src], np.int64)
+        return b.take(pa.array(np.flatnonzero(h < t)))
+
+    return (docs.map_batches(admit, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(a.Count(alias_name="n_admitted")))
+
+
+SQL_MIX_SOURCES = """
+with c as (
+  select source, count(*) as n from documents group by source),
+t as (
+  select source,
+         ((1 << 20) * (select min(n) from c)) // n as thr
+  from c)
+select d.source, count(*) as n_admitted
+from documents d join t on d.source = t.source
+where ((d.doc_id * 2654435761) % 2147483647) % (1 << 20) < t.thr
+group by d.source
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3948,4 +3993,5 @@ SQL_CHECKED = {
     "regr_by_flag": (q_regr_by_flag, SQL_REGR_BY_FLAG),
     "pct_rank_events": (q_pct_rank_events, SQL_PCT_RANK_EVENTS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
+    "mix_sources": (q_mix_sources, SQL_MIX_SOURCES),
 }
