@@ -1969,6 +1969,24 @@ def q_area_average(sf_dir: str):
     return out.map_batches(stats, batch_format="pyarrow")
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR hashed-bigram importance weights (functions/dsir.py, the
+    Xie et al. data-selection method): target domain = the English
+    slice of the documents table; every document scored against it ->
+    top-15 by (weight desc, doc_id).  Counts fold in int64, so the
+    ranking is bit-deterministic (oracle: tests/test_dsir.py)."""
+    import ray.data
+
+    from ..functions.dsir import dsir_weights
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+    target = ds.filter(expr="lang == 'en'")
+    return (dsir_weights(ds, target)
+            .sort(["weight", "doc_id"], descending=[True, False])
+            .limit(15))
+
+
 def q_unigram_tokens(sf_dir: str):
     """Distributed unigram-LM (SentencePiece-role) tokenizer training +
     corpus tokenization (functions/unigram.py): hard-EM a 80-piece
@@ -2215,4 +2233,5 @@ ROWS_ONLY = {
     "mode_resample": q_mode_resample,
     "expand_shrink": q_expand_shrink,
     "unigram_tokens": q_unigram_tokens,
+    "dsir_weights": q_dsir_weights,
 }
