@@ -2029,6 +2029,38 @@ def q_unigram_tokens(sf_dir: str):
             .sort("lang"))
 
 
+def q_region_group(sf_dir: str):
+    """RegionGroup (stages/sieve.region_group, the Spatial Analyst op):
+    4-connected same-value components of the t1 veg layer labeled with
+    dense anchor-ordered global ids -> per-class region summary
+    (region count, largest region, total pixels).  Cross-tile labeling
+    is pinned by the BFS oracle in tests/test_region_group.py."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.sieve import region_group
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    ds = ray.data.from_arrow(tiles_table(cfg, layers=("veg",)))
+    _labels, regions = region_group(ds, spec, layer="veg")
+
+    vals = regions.column("value").to_numpy()
+    npx = regions.column("n_px").to_numpy()
+    rows = []
+    for v in np.unique(vals):
+        m = vals == v
+        rows.append((float(v), int(m.sum()), int(npx[m].max()),
+                     int(npx[m].sum())))
+    return pa.table({
+        "value": pa.array([r[0] for r in rows], pa.float64()),
+        "n_regions": pa.array([r[1] for r in rows], pa.int64()),
+        "max_region_px": pa.array([r[2] for r in rows], pa.int64()),
+        "total_px": pa.array([r[3] for r in rows], pa.int64())})
+
+
 def q_mode_resample(sf_dir: str):
     """Majority-class regrid (stages/warp.mode_resample_to_grid, the
     ``gdalwarp -r mode`` categorical kernel): the t1 veg classes onto a
@@ -2234,4 +2266,5 @@ ROWS_ONLY = {
     "expand_shrink": q_expand_shrink,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
+    "region_group_veg": q_region_group,
 }

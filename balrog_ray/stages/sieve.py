@@ -86,22 +86,13 @@ def _tile_regions(arr: np.ndarray, nodata: float, base: np.int64,
     return labels, gids, vals, counts.astype(np.int64), anchor, adj
 
 
-def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
-          fmt: str = "npz", max_regions: int = 5_000_000):
-    """Image-table Dataset -> image-table Dataset (layer
-    ``sieve_<layer>``) with sub-threshold regions dissolved into their
-    largest neighbours.  Exact whole-raster parity is asserted in
-    tests/test_sieve.py.
-
-    ``max_regions`` is the loud bound on the driver-side merge loop: the
-    raw region count is measured DISTRIBUTED first and the stage refuses
-    to proceed past the bound (speckle-heavy rasters can approach
-    pixels/min_px regions); everything except the final sequential merge
-    -- fragment->canonical mapping, per-region size/anchor aggregation,
-    adjacency dedup -- runs as Dataset joins/groupbys, so the driver
-    only ever holds the CONTRACTED canonical graph."""
-    if min_px < 2:
-        raise ValueError("min_px must be >= 2 (1 would be a no-op)")
+def _fragment_graph(ds, spec: GridSpec, layer: str):
+    """Shared front half of sieve / region_group: label every tile's
+    4-connected same-value fragments and resolve cross-tile pixel
+    adjacencies.  Returns ``(combined, cross)`` -- the materialized
+    fragment table (kind 0 partials, kind 2 within-tile adjacency) and
+    the cross-tile edge table (ek 0 same-value merge, ek 1
+    different-value adjacency)."""
     if spec.tile_px * spec.tile_px >= (1 << _LABEL_BITS):
         raise ValueError("tile_px packs more labels than _LABEL_BITS")
     T = spec.tile_px
@@ -193,6 +184,46 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
              .groupby("edge_id")
              .map_groups(cross_edges, batch_format="pyarrow")
              .materialize())
+    return combined, cross
+
+
+def _canon_join(src, key_col: str, mapping, n_parts: int):
+    """left-join ``src[key_col]`` against the components mapping and
+    coalesce misses to identity, into a ``canon`` column."""
+    import pyarrow.compute as pc2
+
+    j = src.join(mapping, "left_outer", num_partitions=n_parts,
+                 on=(key_col,), right_on=("doc_id",))
+
+    def fold(b: pa.Table) -> pa.Table:
+        canon = pc2.coalesce(b.column("component_id"),
+                             b.column(key_col)).cast(pa.int64())
+        b = b.drop_columns([c for c in ("doc_id", "component_id")
+                            if c in b.column_names])
+        return b.append_column("canon", canon)
+
+    return j.map_batches(fold, batch_format="pyarrow")
+
+
+def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
+          fmt: str = "npz", max_regions: int = 5_000_000):
+    """Image-table Dataset -> image-table Dataset (layer
+    ``sieve_<layer>``) with sub-threshold regions dissolved into their
+    largest neighbours.  Exact whole-raster parity is asserted in
+    tests/test_sieve.py.
+
+    ``max_regions`` is the loud bound on the driver-side merge loop: the
+    raw region count is measured DISTRIBUTED first and the stage refuses
+    to proceed past the bound (speckle-heavy rasters can approach
+    pixels/min_px regions); everything except the final sequential merge
+    -- fragment->canonical mapping, per-region size/anchor aggregation,
+    adjacency dedup -- runs as Dataset joins/groupbys, so the driver
+    only ever holds the CONTRACTED canonical graph."""
+    if min_px < 2:
+        raise ValueError("min_px must be >= 2 (1 would be a no-op)")
+    T = spec.tile_px
+
+    combined, cross = _fragment_graph(ds, spec, layer)
 
     import ray
     import ray.data.aggregate as agg
@@ -219,21 +250,7 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
         .select_columns(["id_a", "id_b"])
 
     def _with_canon(src, key_col: str, mapping):
-        """left-join ``src[key_col]`` against the components mapping and
-        coalesce misses to identity, into a ``canon`` column."""
-        import pyarrow.compute as pc2
-
-        j = src.join(mapping, "left_outer", num_partitions=n_parts,
-                     on=(key_col,), right_on=("doc_id",))
-
-        def fold(b: pa.Table) -> pa.Table:
-            canon = pc2.coalesce(b.column("component_id"),
-                                 b.column(key_col)).cast(pa.int64())
-            b = b.drop_columns([c for c in ("doc_id", "component_id")
-                                if c in b.column_names])
-            return b.append_column("canon", canon)
-
-        return j.map_batches(fold, batch_format="pyarrow")
+        return _canon_join(src, key_col, mapping, n_parts)
 
     if merge_edges.count():
         mapping = connected_components(
@@ -438,3 +455,124 @@ def sieve_merge(size: dict[int, int], value: dict[int, float],
         if size[tgt] < min_px:
             heapq.heappush(heap, (size[tgt], anchor[tgt], tgt))
     return {c: find(c) for c in parent}
+
+
+def region_group(ds, spec: GridSpec, *, layer: str, fmt: str = "npz",
+                 max_regions: int = 5_000_000):
+    """RegionGroup (the ArcGIS Spatial Analyst op): label every
+    4-connected same-value region of a categorical layer with a DENSE
+    global region id, stable across tilings (ids are assigned in
+    ascending order of each region's anchor = min row-major global
+    pixel index, starting at 1).  Returns ``(labels_ds, regions)``:
+
+    * ``labels_ds`` -- image-table Dataset (layer ``regions_<layer>``)
+      whose pixels are the region ids (float32 tiles -- exact because
+      ids are dense and gated <= ``max_regions`` < 2**24; nodata
+      passes through);
+    * ``regions`` -- a pyarrow Table ``(region_id, value, n_px,
+      anchor)``, the RegionGroup attribute table.
+
+    Scale shape: the shared `_fragment_graph` label pass + cross-edge
+    shuffle, components over same-value merge edges, one
+    groupby(canon) aggregation; the driver holds only region- and
+    fragment-count-bounded tables (gated loudly, the sieve contract)."""
+    combined, cross = _fragment_graph(ds, spec, layer)
+
+    import ray
+    import ray.data.aggregate as agg
+
+    from ..functions.components import connected_components
+    from ..partitions import shuffle_width
+
+    n_frags = combined.filter(expr="kind == 0").count()
+    if n_frags > max_regions:
+        raise RuntimeError(
+            f"region_group: {n_frags} raw fragments exceed max_regions="
+            f"{max_regions}; the dense-id assignment collects the "
+            f"fragment->region map driver-side (bounded-materialization "
+            f"contract) and float32 label tiles need ids < 2**24 -- "
+            f"raise max_regions (< 2**24) or label per sub-raster")
+    n_parts = shuffle_width(n_frags)
+
+    parts_ds = combined.filter(expr="kind == 0") \
+        .select_columns(["gid", "value", "n_px", "anchor"])
+    merge_edges = cross.filter(expr="ek == 0") \
+        .select_columns(["id_a", "id_b"])
+
+    if merge_edges.count():
+        mapping = connected_components(
+            merge_edges, "id_a", "id_b").materialize()
+        parts_c = _canon_join(parts_ds, "gid", mapping,
+                              n_parts).materialize()
+    else:
+        parts_c = parts_ds.map_batches(
+            lambda b: b.append_column("canon", b.column("gid")),
+            batch_format="pyarrow").materialize()
+
+    canon_rows = (parts_c
+                  .groupby("canon")
+                  .aggregate(agg.Sum("n_px", alias_name="n_px"),
+                             agg.Min("anchor", alias_name="anchor"),
+                             agg.Min("value", alias_name="value"))
+                  .take_all())
+    canon_rows.sort(key=lambda r: int(r["anchor"]))
+    rid = {int(r["canon"]): i + 1 for i, r in enumerate(canon_rows)}
+    regions = pa.table({
+        "region_id": pa.array(range(1, len(canon_rows) + 1), pa.int64()),
+        "value": pa.array([float(r["value"]) for r in canon_rows],
+                          pa.float64()),
+        "n_px": pa.array([int(r["n_px"]) for r in canon_rows],
+                         pa.int64()),
+        "anchor": pa.array([int(r["anchor"]) for r in canon_rows],
+                           pa.int64())})
+
+    frag_rows = parts_c.select_columns(["gid", "canon"]).take_all()
+    keys = np.array([r["gid"] for r in frag_rows], np.int64)
+    vals = np.array([rid[int(r["canon"])] for r in frag_rows],
+                    np.float32)
+    srt = np.argsort(keys)
+    map_ref = ray.put((keys[srt], vals[srt]))
+
+    def relabel(b: pa.Table) -> pa.Table:
+        import json
+
+        from ..tiles.codec import Caption, decode_tile, encode_tile, \
+            phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        k, v = ray.get(map_ref)
+        out = {n: [] for n in TILES_SCHEMA.names}
+        for i in range(b.num_rows):
+            cap_raw = b.column("caption")[i].as_py()
+            if json.loads(cap_raw).get("layer") != layer:
+                continue
+            cap = Caption.from_json(cap_raw)
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            tx, ty = cap.tx, cap.ty
+            base = np.int64(spec.cell_id(tx, ty)) << _LABEL_BITS
+            labels, _ = _label_tile(arr, float(cap.nodata))
+            new = np.full(arr.shape, np.float32(cap.nodata), np.float32)
+            if len(k) and labels.max() >= 0:
+                gid2d = base + labels.astype(np.int64)
+                pos = np.clip(np.searchsorted(k, gid2d.ravel()),
+                              0, len(k) - 1)
+                hit = (labels.ravel() >= 0) & (k[pos] == gid2d.ravel())
+                flat = new.ravel()
+                flat[hit] = v[pos[hit]]
+                new = flat.reshape(arr.shape)
+            ocap = Caption(layer=f"regions_{layer}", x0=cap.x0,
+                           y0=cap.y0, pixel_size=cap.pixel_size,
+                           crs=cap.crs, nodata=cap.nodata,
+                           edge=dict(cap.edge), tx=tx, ty=ty)
+            payload, ocap = encode_tile(new, fmt, ocap)
+            out["image_id"].append(f"regions_{layer}/{tx}/{ty}")
+            out["bytes"].append(payload)
+            out["w"].append(np.int32(new.shape[1]))
+            out["h"].append(np.int32(new.shape[0]))
+            out["fmt"].append(fmt)
+            out["caption"].append(ocap.to_json())
+            out["phash"].append(np.int64(phash64(new)))
+        return pa.table(out, schema=TILES_SCHEMA)
+
+    return ds.map_batches(relabel, batch_format="pyarrow"), regions
