@@ -310,6 +310,9 @@ def cmd_derive(args) -> int:
         from .stages.fillnodata import fill_nodata
         out = fill_nodata(ds, spec,
                           max_dist=args.radius * spec.pixel_size, **kw)
+    elif op == "fillsinks":
+        from .stages.fill_sinks import fill_sinks
+        out = fill_sinks(ds, spec, **kw)
     elif op == "expand":
         from .stages.morphology import expand
         out = expand(ds, spec, n_cells=args.radius,
@@ -408,7 +411,7 @@ def main(argv=None) -> int:
                    choices=["hillshade", "tpi", "tri", "roughness", "d8",
                             "flow_acc", "watershed", "strahler", "gauss",
                             "sobel", "median", "majority", "fill",
-                            "expand", "shrink"])
+                            "fillsinks", "expand", "shrink"])
     d.add_argument("--layer", default="dem")
     d.add_argument("--sigma", type=float, default=2.0)
     d.add_argument("--radius", type=int, default=1,

@@ -2029,6 +2029,60 @@ def q_unigram_tokens(sf_dir: str):
             .sort("lang"))
 
 
+def q_fill_sinks(sf_dir: str):
+    """Depression filling (stages/fill_sinks, the priority-flood DEM
+    conditioning step before D8 flow) over the t1 DEM -> per-tile
+    raised-pixel count and integer-quantized fill volume (mm-units, so
+    the cross-tile minimax fill is pinned exactly; whole-raster oracle:
+    tests/test_fill_sinks.py)."""
+    import ray.data
+
+    from ..stages.fill_sinks import fill_sinks
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    filled = fill_sinks(base, spec, layer="dem")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        # the synthetic source is a pure function: rebuild the dem rows
+        # in-task (deterministic, no nested Dataset execution)
+        dem_by_tile = {}
+        src = tiles_table(cfg, layers=("dem",))
+        for r in src.to_pylist():
+            c = Caption.from_json(r["caption"])
+            dem_by_tile[(c.tx, c.ty)] = decode_tile(
+                r["bytes"], r["fmt"], c)
+        tx, ty, n_up, vol = [], [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            f = decode_tile(payload, fmt, cap)
+            z = dem_by_tile[(cap.tx, cap.ty)]
+            valid = z != np.float32(cap.nodata)
+            d = np.zeros_like(f, np.float64)
+            d[valid] = (f[valid].astype(np.float64)
+                        - z[valid].astype(np.float64))
+            raised = valid & (d > 0)
+            tx.append(cap.tx)
+            ty.append(cap.ty)
+            n_up.append(int(raised.sum()))
+            vol.append(int(np.rint(d[raised] * 1000.0).sum()))
+        return pa.table({"tx": pa.array(tx, pa.int64()),
+                         "ty": pa.array(ty, pa.int64()),
+                         "raised_px": pa.array(n_up, pa.int64()),
+                         "fill_mm": pa.array(vol, pa.int64())})
+
+    return (filled.map_batches(stats, batch_format="pyarrow")
+            .sort(["tx", "ty"]))
+
+
 def q_region_group(sf_dir: str):
     """RegionGroup (stages/sieve.region_group, the Spatial Analyst op):
     4-connected same-value components of the t1 veg layer labeled with
@@ -2267,4 +2321,5 @@ ROWS_ONLY = {
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
+    "fill_sinks_dem": q_fill_sinks,
 }
