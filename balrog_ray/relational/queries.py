@@ -3900,6 +3900,54 @@ group by d.source
 """
 
 
+# --------------------------------------------------------------------------
+# Window-over-aggregate composition: per (month, status) order counts
+# plus each status's share of its month -- the aggregate feeds a second
+# grouped pass over MONTH-sized rows (tiny), so the expensive shuffle
+# happens once on the raw table and the window runs on aggregates.
+
+
+def q_share_of_month(sf_dir: str):
+    a = _agg()
+
+    def month_status(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").cast(pa.date32()).to_pylist()
+        return pa.table({
+            "month": pa.array([f"{x.year:04d}-{x.month:02d}"
+                               for x in d], pa.string()),
+            "o_orderstatus": b.column("o_orderstatus")})
+
+    counts = (_read(sf_dir, "orders", ["o_orderdate", "o_orderstatus"])
+              .map_batches(month_status, batch_format="pyarrow")
+              .groupby(["month", "o_orderstatus"])
+              .aggregate(a.Count(alias_name="n")))
+
+    def share(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy()
+        tot = int(n.sum())
+        return pa.table({
+            "month": group.column("month"),
+            "o_orderstatus": group.column("o_orderstatus"),
+            "n": group.column("n"),
+            "share": pa.array(n.astype(np.float64) / float(tot),
+                              pa.float64())})
+
+    return counts.groupby("month").map_groups(share,
+                                              batch_format="pyarrow")
+
+
+SQL_SHARE_OF_MONTH = """
+with c as (
+  select strftime(o_orderdate, '%Y-%m') as month, o_orderstatus,
+         count(*) as n
+  from orders group by 1, 2)
+select month, o_orderstatus, n,
+       cast(n as double)
+           / cast(sum(n) over (partition by month) as double) as share
+from c
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -3994,4 +4042,5 @@ SQL_CHECKED = {
     "pct_rank_events": (q_pct_rank_events, SQL_PCT_RANK_EVENTS),
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "mix_sources": (q_mix_sources, SQL_MIX_SOURCES),
+    "share_of_month": (q_share_of_month, SQL_SHARE_OF_MONTH),
 }
