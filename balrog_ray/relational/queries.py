@@ -3948,6 +3948,117 @@ from c
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (Robertson idf, k1=1.2, b=0.75): per-(doc,
+# query-term) scores for a fixed 3-term query, global top-10.  Scores
+# stay PER TERM (no cross-term float sum whose order could differ), so
+# engine and oracle compute the identical float64 op chain from exact
+# integer tf/df/dl statistics.  One tiny stats pass (2 ints), one
+# term-filtered df groupby (3 rows), one stateless scoring pass.
+
+_BM25_TERMS = ("hash", "merge", "window")
+
+
+def q_bm25_docs(sf_dir: str):
+    import math
+
+    import ray
+
+    a = _agg()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corpus_stats(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        return pa.table({
+            "n_docs": pa.array([b.num_rows], pa.int64()),
+            "n_words": pa.array(
+                [int(pc.sum(pc.list_value_length(toks)).as_py() or 0)],
+                pa.int64())})
+
+    stats = (docs.map_batches(corpus_stats, batch_format="pyarrow")
+             .aggregate(a.Sum("n_docs", alias_name="n"),
+                        a.Sum("n_words", alias_name="w")))
+    n, w = int(stats["n"]), int(stats["w"])
+    avgdl = float(w) / float(n)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ").to_pylist()
+        cnt = {t: 0 for t in _BM25_TERMS}
+        for lst in toks:
+            s = set(lst)
+            for t in _BM25_TERMS:
+                if t in s:
+                    cnt[t] += 1
+        ks = sorted(cnt)
+        return pa.table({"token": pa.array(ks, pa.string()),
+                         "df": pa.array([cnt[k] for k in ks],
+                                        pa.int64())})
+
+    df_rows = (docs.map_batches(df_partial, batch_format="pyarrow")
+               .groupby("token").aggregate(a.Sum("df", alias_name="df"))
+               .take_all())
+    idf = {r["token"]: math.log(
+        (n - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5) + 1.0)
+        for r in df_rows}
+    idf_ref = ray.put(idf)
+
+    def score(b: pa.Table) -> pa.Table:
+        k1, bb = 1.2, 0.75
+        idf_m: dict = ray.get(idf_ref)
+        ids, toks_out, scores = [], [], []
+        toks = pc.split_pattern(b.column("text"), " ").to_pylist()
+        for did, lst in zip(b.column("doc_id").to_pylist(), toks):
+            dl = len(lst)
+            for t in _BM25_TERMS:
+                tf = lst.count(t)
+                if tf == 0:
+                    continue
+                denom = tf + k1 * (1.0 - bb + bb * dl / avgdl)
+                s = idf_m[t] * (tf * (k1 + 1.0)) / denom
+                ids.append(did)
+                toks_out.append(t)
+                scores.append(round(s, 6))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks_out, pa.string()),
+                         "bm25": pa.array(scores, pa.float64())})
+
+    return (docs.map_batches(score, batch_format="pyarrow")
+            .sort(["bm25", "doc_id", "token"],
+                  descending=[True, False, False])
+            .limit(10))
+
+
+SQL_BM25_DOCS = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as token from documents
+),
+dl as (select doc_id, count(*) as dl from tok group by 1),
+stats as (
+  select (select count(*) from documents) as n,
+         (select count(*) from tok) as w),
+df as (
+  select token, count(distinct doc_id) as df from tok
+  where token in ('hash', 'merge', 'window') group by 1),
+tf as (
+  select doc_id, token, count(*) as tf from tok
+  where token in ('hash', 'merge', 'window') group by 1, 2),
+scored as (
+  select tf.doc_id, tf.token,
+         round(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75
+                             + 0.75 * dl.dl
+                               / (cast(stats.w as double)
+                                  / cast(stats.n as double)))),
+           6) as bm25
+  from tf join df using (token) join dl using (doc_id)
+  cross join stats)
+select doc_id, token, bm25 from scored
+order by bm25 desc, doc_id, token limit 10
+"""
+
+
 #: name -> (ray_fn, oracle_sql or None)
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -4043,4 +4154,5 @@ SQL_CHECKED = {
     "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "mix_sources": (q_mix_sources, SQL_MIX_SOURCES),
     "share_of_month": (q_share_of_month, SQL_SHARE_OF_MONTH),
+    "bm25_docs": (q_bm25_docs, SQL_BM25_DOCS),
 }
