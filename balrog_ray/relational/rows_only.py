@@ -409,6 +409,95 @@ def q_polygonize_veg(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_retile_blocks(sf_dir: str):
+    """Re-blocking (gdal_retile / BLOCKSIZE role): the t1 world re-tiled
+    from 64 px to a non-divisor 96 px grid, reduced to per-tile valid-px
+    counts and integer value sums -- pixel-exact re-bucketing means these
+    match the source mosaic's numbers redistributed onto the new grid."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.retile import retile
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out, _ = retile(ray.data.from_arrow(tiles_table(cfg)),
+                    GridSpec.from_synth(cfg), 96)
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_valid, vsum = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            ids.append(b.column("image_id")[i].as_py())
+            n_valid.append(int(valid.sum()))
+            vsum.append(int(np.round(arr[valid].astype(np.float64) * 100)
+                            .sum()) if valid.any() else 0)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "vsum_c": pa.array(vsum, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
+def q_rasterize_burn(sf_dir: str):
+    """Attribute-burn rasterization (gdal_rasterize -a's role, the
+    forward direction of the polygonize roundtrip; reference analogue
+    the arcpy vector->raster step inside reclass_veg, bal.py:26-73): a
+    deterministic seeded polygon table painted onto a tile grid, reduced
+    to per-tile (value, n_px) histograms."""
+    import ray.data
+
+    from ..geo.geometry import Polygon
+    from ..geo.wkb import polygon_to_wkb
+    from ..stages.halo import GridSpec
+    from ..stages.rasterize import rasterize_polygons
+    from ..tiles.codec import Caption, decode_tile
+
+    spec = GridSpec(tiles_x=4, tiles_y=3, tile_px=64, pixel_size=1.0,
+                    y_north=192.0)
+    rng = np.random.default_rng(20240817)
+    W, H = 256.0, 192.0
+    gids, vals, wkbs = [], [], []
+    for gid in range(40):
+        x, y = rng.uniform(-8, W), rng.uniform(-8, H)
+        w, h = rng.uniform(4, W * 0.4), rng.uniform(4, H * 0.4)
+        if gid % 3:
+            ring = [(x, y), (x + w, y), (x + w, y + h), (x, y + h)]
+        else:
+            ring = [(x, y), (x + w, y + rng.uniform(0, h)),
+                    (x + w / 2, y + h)]
+        gids.append(gid)
+        vals.append(float(rng.integers(1, 12)))
+        wkbs.append(polygon_to_wkb(Polygon(np.array(ring, float))))
+    polys = ray.data.from_arrow(pa.table({
+        "gid": pa.array(gids, pa.int64()),
+        "bal_number": pa.array(vals, pa.float64()),
+        "geom": pa.array(wkbs, pa.binary())})).repartition(4)
+    out = rasterize_polygons(polys, spec)
+
+    def hist(b: pa.Table) -> pa.Table:
+        ids, value, counts = [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            u, c = np.unique(arr[arr != np.float32(cap.nodata)],
+                             return_counts=True)
+            ids.extend([b.column("image_id")[i].as_py()] * len(u))
+            value.extend(np.round(u.astype(np.float64)).astype(np.int64)
+                         .tolist())
+            counts.extend(c.tolist())
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "value": pa.array(value, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    return out.map_batches(hist, batch_format="pyarrow")
+
+
 def q_veg_proximity(sf_dir: str):
     """Bounded proximity raster (gdal_proximity's role; the generalized
     distance-to-vegetation core, calculate_bal.py:169-214) over the t1
@@ -2285,6 +2374,8 @@ ROWS_ONLY = {
     "raster_calc_index": q_raster_calc_index,
     "focal_stats": q_focal_stats,
     "polygonize_veg": q_polygonize_veg,
+    "rasterize_burn": q_rasterize_burn,
+    "retile_blocks": q_retile_blocks,
     "veg_proximity": q_veg_proximity,
     "hillshade_dem": q_hillshade,
     "dem_metrics": q_dem_metrics,
