@@ -409,6 +409,41 @@ def q_polygonize_veg(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_glcm_texture(sf_dir: str):
+    """Haralick GLCM texture (GRASS r.texture role) over the t1 dem:
+    per-tile integer stats of the windowed co-occurrence contrast layer
+    (levels=8, radius=2, offset (0,1), global [0,600] quantization)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.texture import glcm_texture
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = glcm_texture(ray.data.from_arrow(tiles_table(cfg)),
+                       GridSpec.from_synth(cfg), metric="contrast",
+                       levels=8, vmin=0.0, vmax=600.0, radius=2)
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_valid, csum, cmax = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)].astype(np.float64)
+            ids.append(b.column("image_id")[i].as_py())
+            n_valid.append(int(v.size))
+            csum.append(int(np.round(v * 1000).sum()) if v.size else 0)
+            cmax.append(int(np.round(v.max() * 1000)) if v.size else 0)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "contrast_sum_m": pa.array(csum, pa.int64()),
+                         "contrast_max_m": pa.array(cmax, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def q_retile_blocks(sf_dir: str):
     """Re-blocking (gdal_retile / BLOCKSIZE role): the t1 world re-tiled
     from 64 px to a non-divisor 96 px grid, reduced to per-tile valid-px
@@ -2376,6 +2411,7 @@ ROWS_ONLY = {
     "polygonize_veg": q_polygonize_veg,
     "rasterize_burn": q_rasterize_burn,
     "retile_blocks": q_retile_blocks,
+    "glcm_texture_dem": q_glcm_texture,
     "veg_proximity": q_veg_proximity,
     "hillshade_dem": q_hillshade,
     "dem_metrics": q_dem_metrics,
