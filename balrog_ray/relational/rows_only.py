@@ -409,6 +409,40 @@ def q_polygonize_veg(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def q_twi_dem(sf_dir: str):
+    """Topographic Wetness Index (SAGA twi / GRASS r.topidx role): the
+    flow-accumulation + Horn-slope + raster_calc composite over the t1
+    dem, reduced to per-tile integer stats (TWI in milli-units)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.twi import twi
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = twi(ray.data.from_arrow(tiles_table(cfg)),
+              GridSpec.from_synth(cfg))
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_valid, tsum, tmax = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            v = arr[arr != np.float32(cap.nodata)].astype(np.float64)
+            ids.append(b.column("image_id")[i].as_py())
+            n_valid.append(int(v.size))
+            tsum.append(int(np.round(v * 1000).sum()) if v.size else 0)
+            tmax.append(int(np.round(v.max() * 1000)) if v.size else 0)
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "n_valid": pa.array(n_valid, pa.int64()),
+                         "twi_sum_m": pa.array(tsum, pa.int64()),
+                         "twi_max_m": pa.array(tmax, pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")
+
+
 def q_glcm_texture(sf_dir: str):
     """Haralick GLCM texture (GRASS r.texture role) over the t1 dem:
     per-tile integer stats of the windowed co-occurrence contrast layer
@@ -2412,6 +2446,7 @@ ROWS_ONLY = {
     "rasterize_burn": q_rasterize_burn,
     "retile_blocks": q_retile_blocks,
     "glcm_texture_dem": q_glcm_texture,
+    "twi_dem": q_twi_dem,
     "veg_proximity": q_veg_proximity,
     "hillshade_dem": q_hillshade,
     "dem_metrics": q_dem_metrics,
