@@ -4060,6 +4060,319 @@ order by bm25 desc, doc_id, token limit 10
 
 
 #: name -> (ray_fn, oracle_sql or None)
+# --------------------------------------------------------------------------
+# gaps-and-islands: consecutive-activity runs per customer (the classic
+# sessionize-on-dates window composition; deduped to distinct days so the
+# island assignment is tie-free and deterministic)
+
+def q_gaps_islands(sf_dir: str):
+    """Per customer: split the customer's DISTINCT order days into
+    islands broken by gaps > 7 days; report island count, the largest
+    island's distinct-day count and its day span (all exact ints)."""
+    US_DAY = 86_400_000_000
+
+    def isl(group: pa.Table) -> pa.Table:
+        days = np.unique(group.column("o_orderdate").cast(pa.int64())
+                         .to_numpy() // US_DAY)
+        brk = np.flatnonzero(np.diff(days) > 7)
+        starts = np.r_[0, brk + 1]
+        ends = np.r_[brk, len(days) - 1]
+        sizes = ends - starts + 1
+        spans = days[ends] - days[starts]
+        return pa.table({
+            "o_custkey": group.column("o_custkey").slice(0, 1),
+            "n_islands": pa.array([len(starts)], pa.int64()),
+            "max_island_days": pa.array([int(sizes.max())], pa.int64()),
+            "max_span_days": pa.array([int(spans.max())], pa.int64())})
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .groupby("o_custkey")
+            .map_groups(isl, batch_format="pyarrow"))
+
+
+SQL_GAPS_ISLANDS = """
+with d as (
+  select distinct o_custkey,
+         datediff('day', TIMESTAMP '1970-01-01', o_orderdate) as day
+  from orders),
+s as (
+  select o_custkey, day,
+         case when day - lag(day) over (partition by o_custkey
+                                        order by day) > 7
+              then 1 else 0 end as brk
+  from d),
+i as (
+  select o_custkey, day,
+         sum(brk) over (partition by o_custkey order by day
+                        rows unbounded preceding) as isl
+  from s),
+g as (
+  select o_custkey, isl, count(*) as n_days,
+         max(day) - min(day) as span
+  from i group by o_custkey, isl)
+select o_custkey,
+       count(*) as n_islands,
+       max(n_days) as max_island_days,
+       max(span) as max_span_days
+from g group by o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# per-group z-score standardization: exact integer sufficient statistics
+# per user (one groupby), per-user denominator finished driver-free, then
+# a distributed hash join back onto the event rows -- the scale shape for
+# any per-row standardization / anomaly score
+
+def q_zscore_anomalies(sf_dir: str):
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def vc(b: pa.Table) -> pa.Table:
+        v = np.rint(b.column("value").to_numpy() * 100.0).astype(np.int64)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "vcent": pa.array(v, pa.int64())})
+
+    v = ev.map_batches(vc, batch_format="pyarrow")
+
+    def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        u = b.column("user_id").to_numpy()
+        x = b.column("vcent").to_numpy()
+        keys, inv = np.unique(u, return_inverse=True)
+
+        def seg(vals):
+            acc = np.zeros(len(keys), np.int64)
+            np.add.at(acc, inv, vals)
+            return acc
+
+        return pa.table({"user_id": pa.array(keys, pa.int64()),
+                         "n": pa.array(seg(np.ones(len(x), np.int64)),
+                                       pa.int64()),
+                         "s": pa.array(seg(x), pa.int64()),
+                         "q": pa.array(seg(x * x), pa.int64())})
+
+    a = _agg()
+    stats = (v.map_batches(partials, batch_format="pyarrow")
+             .groupby("user_id")
+             .aggregate(a.Sum("n", alias_name="n"),
+                        a.Sum("s", alias_name="s"),
+                        a.Sum("q", alias_name="q")))
+
+    def mkden(b: pa.Table) -> pa.Table:
+        # Python-int exact n*q - s*s (never overflows), float only at
+        # the sqrt -- identical to the oracle's hugeint-then-double
+        den = [float(int(n) * int(q) - int(s) * int(s)) ** 0.5
+               for n, s, q in zip(b.column("n").to_pylist(),
+                                  b.column("s").to_pylist(),
+                                  b.column("q").to_pylist())]
+        return pa.table({"user_id": b.column("user_id"),
+                         "n": b.column("n"), "s": b.column("s"),
+                         "den": pa.array(den, pa.float64())})
+
+    stats = (stats.map_batches(mkden, batch_format="pyarrow")
+             .repartition(max(2, _join_parts(sf_dir, "events") // 4)))
+    joined = v.join(stats, "inner",
+                    num_partitions=_join_parts(sf_dir, "events"),
+                    on=("user_id",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.float64)
+        s = b.column("s").to_numpy().astype(np.float64)
+        den = b.column("den").to_numpy()
+        x = b.column("vcent").to_numpy().astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(den > 0, np.round((n * x - s) / den, 6), 0.0)
+        return pa.table({"event_id": b.column("event_id"),
+                         "user_id": b.column("user_id"),
+                         "zscore": pa.array(z, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ZSCORE_ANOMALIES = """
+with v as (
+  select event_id, user_id, cast(round(value * 100) as bigint) as vc
+  from events),
+m as (
+  select user_id, cast(count(*) as hugeint) as n,
+         cast(sum(vc) as hugeint) as s,
+         sum(cast(vc as hugeint) * vc) as q
+  from v group by user_id)
+select v.event_id, v.user_id,
+       case when m.n * m.q - m.s * m.s <= 0 then 0.0
+            else round(cast(m.n * v.vc - m.s as double)
+                       / sqrt(cast(m.n * m.q - m.s * m.s as double)), 6)
+       end as zscore
+from v join m using (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation, exact: both columns are low-cardinality, so
+# the joint value-count table (<= |q| x |d| cells) carries ALL the rank
+# information -- doubled average ranks stay integers, every moment is an
+# exact Python-int fold over the tiny cell table
+
+def q_spearman_qty_discount(sf_dir: str):
+    vc = _partial_count_sums(
+        _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+        .map_batches(lambda b: pa.table({
+            "q": pa.array(np.rint(b.column("l_quantity").to_numpy())
+                          .astype(np.int64), pa.int64()),
+            "d": pa.array(np.rint(b.column("l_discount").to_numpy()
+                                  * 100.0).astype(np.int64), pa.int64())}),
+            batch_format="pyarrow"),
+        ["q", "d"], {}, count_alias="cnt")
+    tab = _collect(vc)
+    qv = tab.column("q").to_numpy()
+    dv = tab.column("d").to_numpy()
+    cnt = tab.column("cnt").to_numpy().astype(np.int64)
+
+    def doubled_ranks(vals):
+        """value -> 2 * average rank (exact int), from marginal counts."""
+        u = np.unique(vals)
+        marg = {int(x): 0 for x in u}
+        for x, c in zip(vals, cnt):
+            marg[int(x)] += int(c)
+        r2, cum = {}, 0
+        for x in sorted(marg):
+            r2[x] = 2 * cum + marg[x] + 1      # 2*(cum + (m+1)/2)
+            cum += marg[x]
+        return r2
+
+    r2q = doubled_ranks(qv)
+    r2d = doubled_ranks(dv)
+    n = sx = sy = sxx = syy = sxy = 0
+    for x, y, c in zip(qv, dv, cnt):
+        X, Y, c = r2q[int(x)], r2d[int(y)], int(c)
+        n += c
+        sx += c * X
+        sy += c * Y
+        sxx += c * X * X
+        syy += c * Y * Y
+        sxy += c * X * Y
+    num = n * sxy - sx * sy
+    den = (float(n * sxx - sx * sx) ** 0.5
+           * float(n * syy - sy * sy) ** 0.5)
+    rho = round(float(num) / den, 6) if den > 0 else 0.0
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "spearman_rho": pa.array([rho], pa.float64())})
+
+
+SQL_SPEARMAN_QTY_DISCOUNT = """
+with r as (
+  select cast(l_quantity as bigint) as q,
+         cast(round(l_discount * 100) as bigint) as d
+  from lineitem),
+rk as (
+  select cast(2 * rank() over (order by q)
+              + count(*) over (partition by q) - 1 as hugeint) as x2,
+         cast(2 * rank() over (order by d)
+              + count(*) over (partition by d) - 1 as hugeint) as y2
+  from r),
+m as (
+  select cast(count(*) as hugeint) as n, sum(x2) as sx, sum(y2) as sy,
+         sum(x2 * x2) as sxx, sum(y2 * y2) as syy, sum(x2 * y2) as sxy
+  from rk)
+select cast(n as bigint) as n_rows,
+       round(cast(n * sxy - sx * sy as double)
+             / (sqrt(cast(n * sxx - sx * sx as double))
+                * sqrt(cast(n * syy - sy * sy as double))), 6)
+           as spearman_rho
+from m
+"""
+
+
+# --------------------------------------------------------------------------
+# skyline (Pareto frontier): maximize (price, recency) over a date-
+# filtered slice.  Per-block partial frontier (closed under union) then
+# one final pass -- no all-pairs stage anywhere; the predicate is pushed
+# into the parquet scan
+
+def _skyline_mask(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the maximize-both skyline; equal points all
+    survive (they don't strictly dominate each other)."""
+    order = np.lexsort((-d, -p))            # p desc, then d desc
+    p2, d2 = p[order], d[order]
+    new = np.r_[True, p2[1:] != p2[:-1]]
+    gid = np.cumsum(new) - 1
+    gmax = d2[new]                           # per-p max d (d desc in group)
+    run = np.maximum.accumulate(gmax)
+    bh = np.r_[np.int64(np.iinfo(np.int64).min), run[:-1]]
+    keepg = gmax > bh
+    keep_sorted = keepg[gid] & (d2 == gmax[gid])
+    keep = np.zeros(len(p), bool)
+    keep[order[keep_sorted]] = True
+    return keep
+
+
+def q_skyline_orders(sf_dir: str):
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1996, 7, 1), pa.timestamp("us"))
+    flt = ((pc.field("o_orderdate") >= lo)
+           & (pc.field("o_orderdate") < hi))
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice",
+                                  "o_orderdate"], row_filter=flt)
+    US_DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "price_cents": pa.array([], pa.int64()),
+                          "day": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        p = np.rint(b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64)
+        d = b.column("o_orderdate").cast(pa.int64()).to_numpy() // US_DAY
+        keep = _skyline_mask(p, d)
+        return pa.table({
+            "o_orderkey": pa.array(
+                b.column("o_orderkey").to_numpy()[keep], pa.int64()),
+            "price_cents": pa.array(p[keep], pa.int64()),
+            "day": pa.array(d[keep], pa.int64())})
+
+    def final(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        keep = _skyline_mask(b.column("price_cents").to_numpy(),
+                             b.column("day").to_numpy())
+        return b.filter(pa.array(keep))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         batch_size=None))
+
+
+SQL_SKYLINE_ORDERS = """
+with o as (
+  select o_orderkey,
+         cast(round(o_totalprice * 100) as bigint) as p,
+         datediff('day', TIMESTAMP '1970-01-01', o_orderdate) as d
+  from orders
+  where o_orderdate >= TIMESTAMP '1996-01-01'
+    and o_orderdate < TIMESTAMP '1996-07-01'),
+pd as (select p, max(d) as dmax from o group by p),
+run as (
+  select p, dmax,
+         coalesce(max(dmax) over (order by p desc
+                                  rows between unbounded preceding
+                                  and 1 preceding), -9223372036854775808)
+             as best_higher
+  from pd)
+select o.o_orderkey, o.p as price_cents, o.d as day
+from o join run on o.p = run.p
+where o.d = run.dmax and run.dmax > run.best_higher
+"""
+
+
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
     "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
@@ -4155,4 +4468,9 @@ SQL_CHECKED = {
     "mix_sources": (q_mix_sources, SQL_MIX_SOURCES),
     "share_of_month": (q_share_of_month, SQL_SHARE_OF_MONTH),
     "bm25_docs": (q_bm25_docs, SQL_BM25_DOCS),
+    "gaps_islands": (q_gaps_islands, SQL_GAPS_ISLANDS),
+    "zscore_anomalies": (q_zscore_anomalies, SQL_ZSCORE_ANOMALIES),
+    "spearman_qty_discount": (q_spearman_qty_discount,
+                              SQL_SPEARMAN_QTY_DISCOUNT),
+    "skyline_orders": (q_skyline_orders, SQL_SKYLINE_ORDERS),
 }
