@@ -1103,6 +1103,78 @@ def q_site_viewshed(sf_dir: str):
             .sort("site_id"))
 
 
+def _t1_lines():
+    """Deterministic transects over the t1 world for profile/LOS: random
+    interior segments plus the corner diagonal and one grid-exiting
+    line (the OUT_OF_AREA path)."""
+    cfg = _t1_cfg()
+    ps = cfg.pixel_size
+    W = cfg.tiles_x * cfg.tile_px * ps
+    H = cfg.tiles_y * cfg.tile_px * ps
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0.05, 0.95, (14, 4))
+    rows = [(f"l{i:02d}", x0 * W, y0 * H, x1 * W, y1 * H)
+            for i, (x0, y0, x1, y1) in enumerate(pts)]
+    rows += [("diag", 0.5 * ps, 0.5 * ps, W - 0.5 * ps, H - 0.5 * ps),
+             ("exit", 0.8 * W, 0.5 * H, 1.2 * W, 0.5 * H)]
+    return cfg, pa.table({
+        "line_id": pa.array([r[0] for r in rows], pa.string()),
+        "x0": pa.array([r[1] for r in rows], pa.float64()),
+        "y0": pa.array([r[2] for r in rows], pa.float64()),
+        "x1": pa.array([r[3] for r in rows], pa.float64()),
+        "y1": pa.array([r[4] for r in rows], pa.float64())})
+
+
+def q_terrain_profile(sf_dir: str):
+    """Elevation transects (gdallocationinfo-along-a-line role) over the
+    t1 dem: 16 deterministic lines densified at pixel spacing, sampled
+    through the one-shuffle cell-keyed plan (bit-exact vs the scalar
+    oracle in tests/test_profile.py), reduced to per-line aggregates."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.profile import OUT_OF_AREA, terrain_profile
+    from ..tiles.synth import tiles_table
+
+    cfg, lines = _t1_lines()
+    prof = terrain_profile(ray.data.from_arrow(lines),
+                           ray.data.from_arrow(tiles_table(cfg)),
+                           GridSpec.from_synth(cfg))
+
+    def agg(group: pa.Table) -> pa.Table:
+        z = group.column("z").to_numpy()
+        valid = z != OUT_OF_AREA
+        zmin = float(z[valid].min()) if valid.any() else OUT_OF_AREA
+        zmax = float(z[valid].max()) if valid.any() else OUT_OF_AREA
+        return pa.table({
+            "line_id": pa.array([group.column("line_id")[0].as_py()]),
+            "n_steps": pa.array([group.num_rows], pa.int64()),
+            "n_valid": pa.array([int(valid.sum())], pa.int64()),
+            "z_min": pa.array([round(zmin, 4)], pa.float64()),
+            "z_max": pa.array([round(zmax, 4)], pa.float64())})
+
+    return (prof.groupby("line_id")
+            .map_groups(agg, batch_format="pyarrow")
+            .sort("line_id"))
+
+
+def q_line_of_sight(sf_dir: str):
+    """Point-to-point line-of-sight verdicts (gdal_viewshed single-ray
+    role) for the same 16 transects, tangent-angle rule, oracle-exact in
+    tests/test_profile.py."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.profile import line_of_sight
+    from ..tiles.synth import tiles_table
+
+    cfg, lines = _t1_lines()
+    out = line_of_sight(ray.data.from_arrow(lines),
+                        ray.data.from_arrow(tiles_table(cfg)),
+                        GridSpec.from_synth(cfg), observer_height=1.8)
+    return out.sort("line_id")
+
+
 def q_sieve_veg(sf_dir: str):
     """gdal_sieve analogue: dissolve sub-threshold connected regions of
     the t1 veg raster into their largest neighbours (pixel-exact vs a
@@ -2421,6 +2493,8 @@ ROWS_ONLY = {
     "image_filters": q_image_filters,
     "contour_lines": q_contour_lines,
     "site_viewshed": q_site_viewshed,
+    "terrain_profile": q_terrain_profile,
+    "line_of_sight": q_line_of_sight,
     "sieve_veg": q_sieve_veg,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
