@@ -4373,6 +4373,61 @@ where o.d = run.dmax and run.dmax > run.best_higher
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrub (functions/pii.py): per-document email / IP / phone
+    detection counts + placeholder-redacted text.  The gate corpus is
+    synthesized by appending deterministic doc_id-derived PII to each
+    document (mirrored literally in the oracle SQL -- the parquet word
+    soup itself carries none); the operator under test is the
+    vectorized RE2 count+replace pass, identical engine-side (pyarrow)
+    and oracle-side (DuckDB) because both are RE2."""
+    from ..functions.pii import redact_pii
+
+    def augment(b: pa.Table) -> pa.Table:
+        # test scaffolding, not the operator: plant PII per doc
+        ids = b.column("doc_id").to_numpy()
+        txt = b.column("text").to_pylist()
+        aug = [f"{t} contact user{i}@mail.example.com from "
+               f"10.0.{i % 256}.{(i * 7) % 256} call +61-555-{i % 10000:04d}"
+               for t, i in zip(txt, ids)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(aug, pa.string())})
+
+    ds = (_read(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(augment, batch_format="pyarrow"))
+    return redact_pii(ds)
+
+
+from ..functions.pii import DEFAULT_PATTERNS as _PII_PATS  # noqa: E402
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || cast(doc_id as varchar)"
+    " || '@mail.example.com from 10.0.' || cast(doc_id % 256 as varchar)"
+    " || '.' || cast((doc_id * 7) % 256 as varchar)"
+    " || ' call +61-555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')")
+
+# the oracle replays the engine's order exactly: pattern k is counted
+# on the text AFTER patterns 1..k-1 were replaced, then replaced itself
+_PII_CLEAN_SQL = "t"
+_PII_COUNT_SQL = []
+for _name, _pat, _tok in _PII_PATS:
+    _PII_COUNT_SQL.append(
+        f"cast(len(regexp_extract_all({_PII_CLEAN_SQL}, '{_pat}')) "
+        f"as bigint) as {_name}")
+    _PII_CLEAN_SQL = (f"regexp_replace({_PII_CLEAN_SQL}, '{_pat}', "
+                      f"'{_tok}', 'g')")
+
+SQL_PII_REDACT = f"""
+with aug as (
+  select doc_id, {_PII_AUG_SQL} as t
+  from documents)
+select doc_id,
+       {", ".join(_PII_COUNT_SQL)},
+       {_PII_CLEAN_SQL} as clean
+from aug
+"""
+
+
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
     "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
@@ -4473,4 +4528,5 @@ SQL_CHECKED = {
     "spearman_qty_discount": (q_spearman_qty_discount,
                               SQL_SPEARMAN_QTY_DISCOUNT),
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE_ORDERS),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
 }
