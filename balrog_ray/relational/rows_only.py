@@ -1175,6 +1175,32 @@ def q_line_of_sight(sf_dir: str):
     return out.sort("line_id")
 
 
+def q_nms_boxes(sf_dir: str):
+    """Class-aware detection-box NMS (pseudo-label filtering for vision
+    training data) over deterministic clustered boxes on the t1 tile
+    images -- one groupby(image) shuffle, greedy oracle-exact in
+    tests/test_boxes.py."""
+    import ray.data
+
+    from ..functions.boxes import nms
+    from ..tiles.synth import boxes_table
+
+    out = nms(ray.data.from_arrow(boxes_table(_t1_cfg())), iou_thr=0.45)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "box_id": b.column("box_id"),
+            "cls": b.column("cls"),
+            "score": b.column("score"),
+            "x0": pc.round(b.column("x0"), 3),
+            "y0": pc.round(b.column("y0"), 3),
+            "x1": pc.round(b.column("x1"), 3),
+            "y1": pc.round(b.column("y1"), 3)})
+
+    return out.map_batches(fmt, batch_format="pyarrow").sort("box_id")
+
+
 def q_sieve_veg(sf_dir: str):
     """gdal_sieve analogue: dissolve sub-threshold connected regions of
     the t1 veg raster into their largest neighbours (pixel-exact vs a
@@ -2495,6 +2521,7 @@ ROWS_ONLY = {
     "site_viewshed": q_site_viewshed,
     "terrain_profile": q_terrain_profile,
     "line_of_sight": q_line_of_sight,
+    "nms_boxes": q_nms_boxes,
     "sieve_veg": q_sieve_veg,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,

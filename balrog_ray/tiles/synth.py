@@ -355,3 +355,49 @@ def acquisition_tiles_table(cfg: SynthConfig, n_sources: int) -> pa.Table:
     schema = TILES_SCHEMA.append(pa.field("source", pa.int64()))
     cols = {name: [r[name] for r in rows] for name in schema.names}
     return pa.table(cols, schema=schema)
+
+
+def boxes_table(cfg: SynthConfig, *, per_image: int = 24,
+                n_classes: int = 3) -> pa.Table:
+    """Deterministic detection boxes over the tile images (pixel
+    coords): clustered around a few anchors per image so greedy NMS has
+    real overlap groups, plus duplicated-score pairs (tie-break path)
+    and one degenerate zero-area box per image."""
+    rng = np.random.default_rng(cfg.seed + 9)
+    T = cfg.tile_px
+    rows = {"image_id": [], "box_id": [], "cls": [], "score": [],
+            "x0": [], "y0": [], "x1": [], "y1": []}
+    bid = 0
+    for ty in range(cfg.tiles_y):
+        for tx in range(cfg.tiles_x):
+            img = f"dem/{tx}/{ty}"
+            anchors = rng.uniform(0.15 * T, 0.85 * T, (4, 2))
+            for j in range(per_image):
+                ax, ay = anchors[j % 4]
+                cx = ax + rng.normal(0, 0.03 * T)
+                cy = ay + rng.normal(0, 0.03 * T)
+                w = rng.uniform(0.08 * T, 0.3 * T)
+                h = rng.uniform(0.08 * T, 0.3 * T)
+                if j == per_image - 1:
+                    w = h = 0.0                    # degenerate box
+                score = round(float(rng.uniform(0.05, 0.99)), 2)
+                if j % 7 == 3:
+                    score = 0.5                    # duplicate scores
+                rows["image_id"].append(img)
+                rows["box_id"].append(bid)
+                rows["cls"].append(int(j % n_classes))
+                rows["score"].append(score)
+                rows["x0"].append(float(cx - w / 2))
+                rows["y0"].append(float(cy - h / 2))
+                rows["x1"].append(float(cx + w / 2))
+                rows["y1"].append(float(cy + h / 2))
+                bid += 1
+    return pa.table({
+        "image_id": pa.array(rows["image_id"], pa.string()),
+        "box_id": pa.array(rows["box_id"], pa.int64()),
+        "cls": pa.array(rows["cls"], pa.int32()),
+        "score": pa.array(rows["score"], pa.float64()),
+        "x0": pa.array(rows["x0"], pa.float64()),
+        "y0": pa.array(rows["y0"], pa.float64()),
+        "x1": pa.array(rows["x1"], pa.float64()),
+        "y1": pa.array(rows["y1"], pa.float64())})
