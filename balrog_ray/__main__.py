@@ -262,6 +262,36 @@ def cmd_chips(args) -> int:
     return 0
 
 
+def cmd_scrub(args) -> int:
+    """PII scrub: parquet text corpus -> redacted parquet + match-count
+    summary (functions/pii.py), streaming end to end."""
+    import ray
+
+    owns_ray = _init_ray(args)
+    import ray.data
+
+    from .functions.pii import DEFAULT_PATTERNS, redact_pii
+
+    ds = ray.data.read_parquet(args.docs,
+                               columns=[args.id_col, args.text_col])
+    t0 = time.time()
+    out = redact_pii(ds, text_col=args.text_col,
+                     keep_cols=(args.id_col,))
+    out.write_parquet(args.out)
+    from ray.data.aggregate import Sum
+
+    count_cols = [name for name, _, _ in DEFAULT_PATTERNS]
+    totals_row = (ray.data.read_parquet(args.out, columns=count_cols)
+                  .aggregate(*[Sum(c, alias_name=c) for c in count_cols]))
+    print(json.dumps({"docs": ds.count(),
+                      **{c: int(totals_row[c]) for c in count_cols},
+                      "seconds": round(time.time() - t0, 2),
+                      "out": args.out}))
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
 def cmd_derive(args) -> int:
     """Raster-derivative toolbox: run one named derivative stage over a
     tile table and write the output image table (the gdaldem / Spatial
@@ -422,6 +452,14 @@ def main(argv=None) -> int:
                    help="class values to expand/shrink")
     d.add_argument("--fmt", default="npz")
     d.set_defaults(fn=cmd_derive)
+
+    s2 = sub.add_parser("scrub", help="PII-redact a parquet text corpus",
+                        parents=[common])
+    s2.add_argument("--docs", required=True)
+    s2.add_argument("--out", required=True)
+    s2.add_argument("--text-col", default="text")
+    s2.add_argument("--id-col", default="doc_id")
+    s2.set_defaults(fn=cmd_scrub)
 
     v = sub.add_parser("validate", help="quarantine scan: per-tile "
                                         "decode/quality report", parents=[common])

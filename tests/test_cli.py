@@ -94,3 +94,25 @@ def test_cli_derive(ray_session, tmp_path, capsys):
                      "--op", op]) == 0
         r = _json.loads(capsys.readouterr().out.strip())
         assert r["op"] == op and r["tiles"] == n_expect
+
+
+def test_cli_scrub(ray_session, tmp_path, capsys):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from balrog_ray.__main__ import main
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["mail a@b.co now", "ip 10.1.2.3", "clean"],
+                         pa.string())}), docs)
+    out = tmp_path / "clean"
+    assert main(["scrub", "--docs", str(docs), "--out", str(out)]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (rep["docs"], rep["n_email"], rep["n_ip"]) == (3, 1, 1)
+    got = {r["doc_id"]: r["clean"]
+           for r in pq.read_table(out).to_pylist()}
+    assert got == {1: "mail <EMAIL> now", 2: "ip <IP>", 3: "clean"}
