@@ -4373,6 +4373,41 @@ where o.d = run.dmax and run.dmax > run.best_higher
 """
 
 
+def q_hexbin_customers(sf_dir: str):
+    """Hexbin aggregation on the H3-analogue axial grid
+    (geo/hexgrid.py): key-derived points -> pointy-top hex cell ids ->
+    per-cell counts.  The oracle replays the identical IEEE expression
+    tree (HEX_OF_SQL), so cube rounding matches bit-exactly."""
+    from ..geo.hexgrid import hex_of
+
+    def assign(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy()
+        x = ((ck * 53) % 1200).astype(np.float64)
+        y = ((ck * 29) % 1200).astype(np.float64)
+        hq, hr = hex_of(x, y, 45.0)
+        return pa.table({"hq": pa.array(hq, pa.int64()),
+                         "hr": pa.array(hr, pa.int64())})
+
+    a = _agg()
+    return (_read(sf_dir, "customer", ["c_custkey"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby(["hq", "hr"])
+            .aggregate(a.Count(alias_name="n")))
+
+
+def _hexbin_sql() -> str:
+    from ..geo.hexgrid import HEX_OF_SQL
+
+    return (HEX_OF_SQL.format(src="customer", pk="c_custkey",
+                              x="(c_custkey * 53) % 1200",
+                              y="(c_custkey * 29) % 1200",
+                              size="45.0")
+            + "\nselect hq, hr, count(*) as n from hexed group by 1, 2")
+
+
+SQL_HEXBIN_CUSTOMERS = _hexbin_sql()
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub (functions/pii.py): per-document email / IP / phone
     detection counts + placeholder-redacted text.  The gate corpus is
@@ -4529,4 +4564,5 @@ SQL_CHECKED = {
                               SQL_SPEARMAN_QTY_DISCOUNT),
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE_ORDERS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "hexbin_customers": (q_hexbin_customers, SQL_HEXBIN_CUSTOMERS),
 }
