@@ -1175,6 +1175,30 @@ def q_line_of_sight(sf_dir: str):
     return out.sort("line_id")
 
 
+def q_layer_stats(sf_dir: str):
+    """Per-layer raster statistics (the BuildPyramidsandStatistics
+    stats half, op 20, and the training-normalization mean/std pass):
+    bit-reproducible ordered fold over per-tile partials, mosaic-exact
+    in tests/test_stats.py."""
+    import ray.data
+
+    from ..stages.stats import layer_statistics
+    from ..tiles.synth import tiles_table
+
+    out = layer_statistics(ray.data.from_arrow(tiles_table(_t1_cfg())))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "layer": b.column("layer"),
+            "n_valid": b.column("n_valid"),
+            "mean": pc.round(b.column("mean"), 6),
+            "std": pc.round(b.column("std"), 6),
+            "min": pc.round(b.column("min"), 4),
+            "max": pc.round(b.column("max"), 4)})
+
+    return out.map_batches(fmt, batch_format="pyarrow").sort("layer")
+
+
 def q_nms_boxes(sf_dir: str):
     """Class-aware detection-box NMS (pseudo-label filtering for vision
     training data) over deterministic clustered boxes on the t1 tile
@@ -2522,6 +2546,7 @@ ROWS_ONLY = {
     "terrain_profile": q_terrain_profile,
     "line_of_sight": q_line_of_sight,
     "nms_boxes": q_nms_boxes,
+    "layer_stats": q_layer_stats,
     "sieve_veg": q_sieve_veg,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
