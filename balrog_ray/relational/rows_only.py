@@ -1175,6 +1175,25 @@ def q_line_of_sight(sf_dir: str):
     return out.sort("line_id")
 
 
+def q_augment_epoch(sf_dir: str):
+    """Deterministic per-epoch augmentation (stages/augment.py): two
+    epochs over the t1 dem tiles, reduced to (image_id, phash) rows --
+    replay-exact in tests/test_augment.py, stable across block
+    orders."""
+    import ray.data
+
+    from ..stages.augment import augment_images
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    tab = tiles_table(cfg, layers=("dem",))
+    eps = [augment_images(ray.data.from_arrow(tab), epoch=e, crop_px=32)
+           for e in (0, 1)]
+    out = eps[0].union(eps[1])
+    return (out.select_columns(["image_id", "w", "h", "phash"])
+            .sort("image_id"))
+
+
 def q_layer_stats(sf_dir: str):
     """Per-layer raster statistics (the BuildPyramidsandStatistics
     stats half, op 20, and the training-normalization mean/std pass):
@@ -2547,6 +2566,7 @@ ROWS_ONLY = {
     "line_of_sight": q_line_of_sight,
     "nms_boxes": q_nms_boxes,
     "layer_stats": q_layer_stats,
+    "augment_epoch": q_augment_epoch,
     "sieve_veg": q_sieve_veg,
     "tile_pyramid": q_tile_pyramid,
     "tile_quarantine": q_tile_quarantine,
