@@ -1244,6 +1244,36 @@ def q_nms_boxes(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow").sort("box_id")
 
 
+def q_box_match(sf_dir: str):
+    """COCO-style greedy pred-vs-truth box assignment (detection eval /
+    pseudo-label QA): deterministic jittered detector output matched to
+    the t1 truth boxes at IoU>=0.3 -- tagged-union + one groupby(image)
+    shuffle, oracle-exact in tests/test_boxes.py.  FP rows carry
+    matched_id=-1, missed truths appear as box_id=-1 FN rows."""
+    import ray.data
+
+    from ..functions.boxes import match_boxes
+    from ..tiles.synth import boxes_table, pred_boxes_table
+
+    cfg = _t1_cfg()
+    out = match_boxes(ray.data.from_arrow(pred_boxes_table(cfg)),
+                      ray.data.from_arrow(boxes_table(cfg)),
+                      iou_thr=0.3)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": b.column("image_id"),
+            "box_id": b.column("box_id"),
+            "cls": b.column("cls"),
+            "score": b.column("score"),
+            "matched_id": b.column("matched_id"),
+            "iou": pc.round(b.column("iou"), 4),
+            "tp": b.column("tp")})
+
+    return (out.map_batches(fmt, batch_format="pyarrow")
+            .sort(["box_id", "matched_id"]))
+
+
 def q_sieve_veg(sf_dir: str):
     """gdal_sieve analogue: dissolve sub-threshold connected regions of
     the t1 veg raster into their largest neighbours (pixel-exact vs a
@@ -2565,6 +2595,7 @@ ROWS_ONLY = {
     "terrain_profile": q_terrain_profile,
     "line_of_sight": q_line_of_sight,
     "nms_boxes": q_nms_boxes,
+    "box_match": q_box_match,
     "layer_stats": q_layer_stats,
     "augment_epoch": q_augment_epoch,
     "sieve_veg": q_sieve_veg,

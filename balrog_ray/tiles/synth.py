@@ -401,3 +401,42 @@ def boxes_table(cfg: SynthConfig, *, per_image: int = 24,
         "y0": pa.array(rows["y0"], pa.float64()),
         "x1": pa.array(rows["x1"], pa.float64()),
         "y1": pa.array(rows["y1"], pa.float64())})
+
+
+def pred_boxes_table(cfg: SynthConfig, *, per_image: int = 24,
+                     n_classes: int = 3, drop_every: int = 5,
+                     fp_per_image: int = 2) -> pa.Table:
+    """Deterministic 'detector output' paired with :func:`boxes_table`:
+    every truth box except each ``drop_every``-th reappears jittered
+    with a fresh score (so matching sees TPs and localization error),
+    plus ``fp_per_image`` far-away pure false positives per image.
+    Dropped truths become the FN rows of ``match_boxes``."""
+    truth = boxes_table(cfg, per_image=per_image, n_classes=n_classes)
+    rng = np.random.default_rng(cfg.seed + 17)
+    cols = {c: truth.column(c).to_pylist() for c in truth.schema.names}
+    out = {k: [] for k in cols}
+    bid = 1_000_000
+    for i in range(truth.num_rows):
+        if i % drop_every == drop_every - 1:
+            continue
+        for c in truth.schema.names:
+            out[c].append(cols[c][i])
+        out["box_id"][-1] = bid
+        out["score"][-1] = round(float(rng.uniform(0.2, 0.99)), 2)
+        for c in ("x0", "y0", "x1", "y1"):
+            out[c][-1] = out[c][-1] + float(rng.normal(0, 0.6))
+        bid += 1
+    for img in sorted(set(cols["image_id"])):
+        for _ in range(fp_per_image):
+            x, y = rng.uniform(0.0, 20.0, 2)
+            out["image_id"].append(img)
+            out["box_id"].append(bid)
+            out["cls"].append(0)
+            out["score"].append(0.9)
+            out["x0"].append(float(x + 100.0))
+            out["y0"].append(float(y + 100.0))
+            out["x1"].append(float(x + 104.0))
+            out["y1"].append(float(y + 104.0))
+            bid += 1
+    return pa.table({k: pa.array(v, truth.schema.field(k).type)
+                     for k, v in out.items()})
