@@ -348,3 +348,91 @@ def triangle_count(edges_ds, *, num_partitions: int = 8) -> int:
                     num_partitions=num_partitions,
                     on=("x", "y"), right_on=("a", "b")))
     return closed.count()
+
+
+def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
+    """Multi-source shortest paths over non-negative integer weights --
+    frontier Bellman-Ford (the link-distance / crawl-cost role; also the
+    graph twin of ``stages/cost.py``'s raster cost-distance).
+
+    Invariant that makes the oracle exact: after round ``k`` the table
+    equals the k-step Bellman-Ford fold ``d_k(v) = min dist over paths
+    of <= k edges`` -- relaxing only from the ACTIVE FRONT (nodes whose
+    distance improved in round k-1) provably yields the same ``d_k`` as
+    relaxing every node, so a SQL chain of k min-folds replays it
+    exactly, converged or not.
+
+    Per round: one frontier x edges inner join (keyed by ``src``)
+    produces candidates, and the best-table UPDATE (the part
+    bfs_levels pays an anti-join for) is a tagged union folded by one
+    ``groupby(node).aggregate(Min)`` shuffle:
+    best rows carry ``old = dist``, candidate rows ``old = INT64_MAX``,
+    and ``min(dist) < min(old)`` marks exactly the improved nodes -- the
+    next frontier -- with no per-group Python.  Per-round motion is
+    O(|frontier| x avg-degree + |best|), the standard BSP-SSSP profile.
+
+    ``edges_ds``: (src, dst, w) int64, w >= 0.  ``seeds_ds``: (node).
+    Returns (node, dist int64): min over paths of <= ``rounds`` edges,
+    unreachable nodes absent."""
+    from ray.data.aggregate import Count, Min
+
+    _INF = np.iinfo(np.int64).max
+
+    def tag_seed(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        z = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table({"node": b.column("node").cast(pa.int64()),
+                         "dist": z, "old": z})
+
+    # seed dedup (a node may appear in several seed blocks)
+    best = (seeds_ds.groupby("node").aggregate(Count(alias_name="_c"))
+            .drop_columns(["_c"])
+            .map_batches(tag_seed, batch_format="pyarrow")
+            .repartition(num_partitions).materialize())
+    frontier = best
+
+    def relaxed(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        d = (b.column("dist").to_numpy()
+             + b.column("w").to_numpy()).astype(np.int64)
+        return pa.table({
+            "node": b.column("dst").cast(pa.int64()),
+            "dist": pa.array(d, pa.int64()),
+            "old": pa.array(np.full(n, _INF, np.int64), pa.int64())})
+
+    def improved_only(b: pa.Table) -> pa.Table:
+        d = b.column("dist").to_numpy()
+        keep = d < b.column("old").to_numpy()
+        dk = pa.array(d[keep], pa.int64())
+        return pa.table({
+            "node": pa.array(b.column("node").to_numpy()[keep],
+                             pa.int64()),
+            "dist": dk, "old": dk})
+
+    for _ in range(rounds):
+        if frontier.count() == 0:
+            break
+        cand = (frontier
+                .join(edges_ds, "inner", num_partitions=num_partitions,
+                      on=("node",), right_on=("src",))
+                .map_batches(relaxed, batch_format="pyarrow"))
+        # ONE materialize per round; frontier and best are cheap lazy
+        # maps over it (typed even when empty, so the next round's hash
+        # join never sees a schema-less block)
+        folded = (best.union(cand)
+                  .groupby("node")
+                  .aggregate(Min("dist", alias_name="dist"),
+                             Min("old", alias_name="old"))
+                  .repartition(num_partitions).materialize())
+        # repartition collapses the schema-less empty blocks a sparse
+        # late-round frontier inherits from union+groupby -- they break
+        # the next round's hash join (FieldRef has no schema to bind)
+        frontier = (folded.map_batches(improved_only,
+                                       batch_format="pyarrow")
+                    .repartition(num_partitions).materialize())
+        best = folded.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "dist": b.column("dist"),
+                                "old": b.column("dist")}),
+            batch_format="pyarrow")
+    return best.drop_columns(["old"])

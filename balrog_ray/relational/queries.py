@@ -3142,6 +3142,66 @@ SQL_BFS_HOPS = _bfs_sql(_BFS_HOPS)
 
 
 # --------------------------------------------------------------------------
+# weighted shortest paths (link-distance / crawl-cost prior)
+
+_SSSP_ROUNDS = 6
+
+
+def q_graph_sssp(sf_dir: str):
+    """Weighted multi-source shortest paths on the supplier graph with
+    deterministic integer weights ``1 + (src*5 + dst*3) % 9``
+    (:func:`balrog_ray.functions.graph.sssp`, frontier Bellman-Ford).
+    Round k == the oracle's k-th min-fold CTE by the d_k invariant, so
+    the capped-rounds tables match exactly, converged or not."""
+    from ..functions.graph import sssp
+
+    eds, _n, width = _supplier_graph(sf_dir)
+
+    def weight(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        return b.append_column(
+            "w", pa.array(1 + (s * 5 + d * 3) % 9, pa.int64()))
+
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy()
+        return pa.table({"node": pa.array(sk[sk % 97 == 0], pa.int64())})
+
+    seeds = (_read(sf_dir, "supplier", ["s_suppkey"])
+             .map_batches(pick_seeds, batch_format="pyarrow"))
+    return sssp(eds.map_batches(weight, batch_format="pyarrow"), seeds,
+                rounds=_SSSP_ROUNDS, num_partitions=width)
+
+
+def _sssp_sql(rounds: int) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+d{k} as (
+  select node, min(dist) as dist from (
+    select node, dist from d{k - 1}
+    union all
+    select e.dst as node, d.dist + e.w as dist
+    from wedges e join d{k - 1} d on d.node = e.src) t
+  group by node)""")
+    return """
+with nodes as (select s_suppkey as node from supplier),
+nn as (select count(*) as n from supplier),
+edges as (
+  select node as src, (node * 7 + j * 13) % (select n from nn) as dst
+  from nodes cross join (select unnest([1, 2, 3]) as j)
+  where (node % 3) >= (j - 1)),
+wedges as (select src, dst, 1 + (src * 5 + dst * 3) % 9 as w from edges),
+d0 as (select node, 0 as dist from nodes where node % 97 = 0),""" \
+        + ",".join(steps) + f"""
+select node, cast(dist as bigint) as dist from d{rounds}
+"""
+
+
+SQL_GRAPH_SSSP = _sssp_sql(_SSSP_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # exact triangle count (graph clustering / link-spam signal)
 
 def q_triangle_count(sf_dir: str):
@@ -4543,6 +4603,7 @@ SQL_CHECKED = {
     "temperature_sample_docs": (q_temperature_sample_docs,
                                 SQL_TEMPERATURE_SAMPLE_DOCS),
     "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+    "graph_sssp": (q_graph_sssp, SQL_GRAPH_SSSP),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "interval_coverage": (q_interval_coverage, SQL_INTERVAL_COVERAGE),
     "basket_brand_pairs": (q_basket_brand_pairs, SQL_BASKET_BRAND_PAIRS),

@@ -203,3 +203,77 @@ def test_triangle_count_dedup_and_selfloops(ray_session):
     dst = pa.array([1, 2, 0, 0, 1, 3, 0], pa.int64())
     eds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
     assert triangle_count(eds, num_partitions=2) == 1
+
+
+def _dijkstra(n, wedges, seeds):
+    """Scalar multi-source Dijkstra: dict node -> min dist."""
+    import heapq
+    adj = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0 for s in seeds}
+    h = [(0, s) for s in seeds]
+    heapq.heapify(h)
+    while h:
+        du, u = heapq.heappop(h)
+        if du > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(h, (nd, v))
+    return dist
+
+
+def test_sssp_converged_matches_dijkstra(ray_session):
+    """With rounds >= hop diameter the frontier Bellman-Ford equals
+    Dijkstra exactly; unreachable nodes are absent."""
+    import ray.data
+
+    from balrog_ray.functions.graph import sssp
+
+    rng = np.random.default_rng(5)
+    n = 60
+    wedges = []
+    for u in range(40):                       # nodes 40..59 unreachable
+        for v in rng.choice(40, size=3, replace=False):
+            if v != u:
+                wedges.append((u, int(v), int(rng.integers(1, 10))))
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in wedges], pa.int64()),
+        "dst": pa.array([e[1] for e in wedges], pa.int64()),
+        "w": pa.array([e[2] for e in wedges], pa.int64())}))
+    seeds = [0, 7]
+    sds = ray.data.from_arrow(pa.table(
+        {"node": pa.array(seeds + [0], pa.int64())}))  # dup seed row
+
+    got = {r["node"]: r["dist"]
+           for r in sssp(eds, sds, rounds=64,
+                         num_partitions=3).take_all()}
+    want = _dijkstra(n, wedges, seeds)
+    assert got == want
+    assert all(k < 40 for k in got)
+
+
+def test_sssp_capped_rounds_is_k_edge_fold(ray_session):
+    """rounds=k must equal min dist over paths of <= k edges (the
+    invariant the SQL oracle chain relies on)."""
+    import ray.data
+
+    from balrog_ray.functions.graph import sssp
+
+    # a chain 0->1->2->3 (w=1 each) plus a heavy shortcut 0->3 (w=10):
+    # k=1 sees dist(3)=10, k=3 sees dist(3)=3
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 0], pa.int64()),
+        "dst": pa.array([1, 2, 3, 3], pa.int64()),
+        "w": pa.array([1, 1, 1, 10], pa.int64())}))
+    sds = ray.data.from_arrow(pa.table({"node": pa.array([0], pa.int64())}))
+
+    one = {r["node"]: r["dist"]
+           for r in sssp(eds, sds, rounds=1, num_partitions=2).take_all()}
+    assert one == {0: 0, 1: 1, 3: 10}
+    three = {r["node"]: r["dist"]
+             for r in sssp(eds, sds, rounds=3, num_partitions=2).take_all()}
+    assert three == {0: 0, 1: 1, 2: 2, 3: 3}
