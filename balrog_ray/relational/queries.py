@@ -4468,6 +4468,43 @@ def _hexbin_sql() -> str:
 SQL_HEXBIN_CUSTOMERS = _hexbin_sql()
 
 
+def q_kernel_density(sf_dir: str):
+    """Quartic kernel-density heat map over a 40 m cell grid, radius
+    100 (stages/gridding.kernel_density_cells): key-derived integer
+    points -> vectorized local stamp -> ONE groupby(cell).sum.  The
+    integer numerator ``sum((R^2 - d2)^2)`` makes the fold bit-exact,
+    so the oracle replays it with a cells-x-points join."""
+    from ..stages.gridding import kernel_density_cells
+
+    def coords(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy()
+        return pa.table({"x": pa.array((ck * 53) % 1200, pa.int64()),
+                         "y": pa.array((ck * 29) % 1200, pa.int64())})
+
+    pts = (_read(sf_dir, "customer", ["c_custkey"])
+           .map_batches(coords, batch_format="pyarrow"))
+    return kernel_density_cells(pts, cell_size=40, radius=100)
+
+
+SQL_KERNEL_DENSITY = """
+with pts as (
+  select (c_custkey * 53) % 1200 as px, (c_custkey * 29) % 1200 as py
+  from customer),
+cells as (
+  select i.range as cx, j.range as cy
+  from range(-3, 33) i cross join range(-3, 33) j),
+hits as (
+  select c.cx, c.cy,
+         (c.cx * 40 + 20 - p.px) * (c.cx * 40 + 20 - p.px)
+       + (c.cy * 40 + 20 - p.py) * (c.cy * 40 + 20 - p.py) as d2
+  from cells c cross join pts p)
+select cx, cy, count(*) as n_points,
+       cast(sum((10000 - d2) * (10000 - d2)) as bigint) as density_num
+from hits where d2 <= 10000
+group by cx, cy
+"""
+
+
 def q_pii_redact(sf_dir: str):
     """PII scrub (functions/pii.py): per-document email / IP / phone
     detection counts + placeholder-redacted text.  The gate corpus is
@@ -4626,4 +4663,5 @@ SQL_CHECKED = {
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE_ORDERS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "hexbin_customers": (q_hexbin_customers, SQL_HEXBIN_CUSTOMERS),
+    "kernel_density": (q_kernel_density, SQL_KERNEL_DENSITY),
 }

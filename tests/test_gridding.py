@@ -101,3 +101,53 @@ def test_idw_validation():
         idw_grid(None, spec, radius=0.0)
     with pytest.raises(ValueError, match="re-tile"):
         idw_grid(None, spec, radius=1e7)
+
+
+def test_kernel_density_matches_bruteforce(ray_session):
+    """Distributed quartic KDE numerators == a scalar all-cells x
+    all-points loop, including negative cell indices (points near the
+    origin) and the zero-weight boundary ring d2 == R^2."""
+    import ray.data
+
+    from balrog_ray.stages.gridding import kernel_density_cells
+
+    rng = np.random.default_rng(3)
+    cs, R = 8, 20                      # K = 6 candidate cells per axis
+    px = rng.integers(-15, 120, 300).astype(np.int64)
+    py = rng.integers(-15, 120, 300).astype(np.int64)
+    # force an exact boundary hit: center (4, 4), point at d = R
+    px[0], py[0] = 4 + R, 4
+
+    pts = ray.data.from_arrow(pa.table({
+        "x": pa.array(px, pa.int64()), "y": pa.array(py, pa.int64())}))
+    got = {(r["cx"], r["cy"]): (r["n_points"], r["density_num"])
+           for r in kernel_density_cells(
+               pts, cell_size=cs, radius=R).take_all()}
+
+    want = {}
+    h, r2 = cs // 2, R * R
+    for i in range(-10, 20):
+        for j in range(-10, 20):
+            n = num = 0
+            for x, y in zip(px, py):
+                d2 = (i * cs + h - x) ** 2 + (j * cs + h - y) ** 2
+                if d2 <= r2:
+                    n += 1
+                    num += (r2 - d2) ** 2
+            if n:
+                want[(i, j)] = (n, num)
+    assert got == want
+    # the forced point at exactly d == R from cell (0,0)'s center (4,4)
+    # is counted there (the <= mask) even though its weight is zero
+    assert (0, 0) in want
+
+
+def test_kernel_density_validation():
+    from balrog_ray.stages.gridding import kernel_density_cells
+
+    with pytest.raises(ValueError, match="even"):
+        kernel_density_cells(None, cell_size=5, radius=10)
+    with pytest.raises(ValueError, match="radius"):
+        kernel_density_cells(None, cell_size=4, radius=0)
+    with pytest.raises(ValueError, match="fan-out"):
+        kernel_density_cells(None, cell_size=2, radius=100)
