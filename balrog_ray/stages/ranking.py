@@ -20,14 +20,19 @@ import pyarrow as pa
 
 
 def global_ranks(ds, sort_keys: list[str], *, rank_col: str = "rank",
-                 partition_col: str | None = None):
+                 partition_col: str | None = None,
+                 broadcast_partitions: int = 100_000):
     """Total-order row numbers (1-based) over ``sort_keys``.
 
-    With ``partition_col`` (must be the leading sort key, low
-    cardinality), ``rank_col`` restarts at 1 per partition --
-    ``row_number() over (partition by p order by ...)`` -- computed by
-    subtracting each partition's first global position (a tiny groupby
-    broadcast back through a closure dict)."""
+    With ``partition_col`` (must be the leading sort key), ``rank_col``
+    restarts at 1 per partition -- ``row_number() over (partition by p
+    order by ...)`` -- computed by subtracting each partition's first
+    global position.  The firsts table is size-gated: at or below
+    ``broadcast_partitions`` distinct keys it is broadcast (vectorized
+    ``pc.index_in`` gather, no per-row Python); above, it hash-joins
+    back on the partition key so nothing partition-cardinality-sized
+    ever reaches the driver (the per-user row_number at open-web scale
+    has ~1e9 partitions)."""
     import ray
     import ray.data
 
@@ -63,17 +68,40 @@ def global_ranks(ds, sort_keys: list[str], *, rank_col: str = "rank",
 
     firsts_ds = (pos_ds.select_columns([partition_col, "__pos"])
                  .groupby(partition_col)
-                 .aggregate(agg.Min("__pos", alias_name="__first")))
-    firsts = {r[partition_col]: r["__first"] for r in firsts_ds.take_all()}
+                 .aggregate(agg.Min("__pos", alias_name="__first"))
+                 .materialize())
 
-    def per_key(b: pa.Table) -> pa.Table:
-        keys = b.column(partition_col).to_pylist()
-        base = np.array([firsts[k] for k in keys], dtype=np.int64)
-        rank = b.column("__pos").to_numpy() - base + 1
-        b = b.drop_columns(["__pos"])
+    if firsts_ds.count() <= broadcast_partitions:
+        import pyarrow.compute as pc
+
+        rows = firsts_ds.take_all()
+        key_set = pa.array([r[partition_col] for r in rows])
+        first_pos = np.array([r["__first"] for r in rows], np.int64)
+
+        def per_key(b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b.column(partition_col),
+                              value_set=key_set).combine_chunks()
+            rank = (b.column("__pos").to_numpy()
+                    - first_pos[idx.to_numpy(zero_copy_only=False)] + 1)
+            b = b.drop_columns(["__pos"])
+            return b.append_column(rank_col, pa.array(rank, pa.int64()))
+
+        return pos_ds.map_batches(per_key, batch_format="pyarrow")
+
+    from ..partitions import shuffle_width
+
+    joined = pos_ds.join(
+        firsts_ds, "inner",
+        num_partitions=shuffle_width(sum(counts)),
+        on=(partition_col,))
+
+    def finish_part(b: pa.Table) -> pa.Table:
+        rank = (b.column("__pos").to_numpy()
+                - b.column("__first").to_numpy() + 1)
+        b = b.drop_columns(["__pos", "__first"])
         return b.append_column(rank_col, pa.array(rank, pa.int64()))
 
-    return pos_ds.map_batches(per_key, batch_format="pyarrow")
+    return joined.map_batches(finish_part, batch_format="pyarrow")
 
 
 def ntile_of_ranks(rank: np.ndarray, n: np.ndarray, k: int) -> np.ndarray:

@@ -57,3 +57,28 @@ def test_ntile_matches_duckdb():
             f"(select unnest(range(1, {n + 1})) as r)").fetchnumpy()
         want = next(iter(want.values())).astype(np.int64)
         np.testing.assert_array_equal(got, want)
+
+
+def test_global_ranks_join_path_matches_broadcast(ray_session):
+    """broadcast_partitions=0 forces the high-cardinality hash-join
+    path; ranks must equal the broadcast path exactly."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    key = rng.integers(0, 200, size=n)      # 200 partitions
+    val = rng.integers(0, 50, size=n)
+    rid = rng.permutation(n)
+    tab = pa.table({"k": pa.array(key, pa.int64()),
+                    "v": pa.array(val, pa.int64()),
+                    "id": pa.array(rid, pa.int64())})
+    ds = ray.data.from_arrow(tab).repartition(7)
+
+    bc = {r["id"]: r["r"]
+          for r in global_ranks(ds, ["k", "v", "id"], rank_col="r",
+                                partition_col="k").take_all()}
+    jn = {r["id"]: r["r"]
+          for r in global_ranks(ds, ["k", "v", "id"], rank_col="r",
+                                partition_col="k",
+                                broadcast_partitions=0).take_all()}
+    assert jn == bc and len(jn) == n
