@@ -436,3 +436,83 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
                                 "old": b.column("dist")}),
             batch_format="pyarrow")
     return best.drop_columns(["old"])
+
+
+def kcore(edges_ds, k: int, *, max_rounds: int = 32,
+          num_partitions: int = 8):
+    """Exact k-core decomposition membership -- the graph-curation
+    density filter (link-farm cores, dense social subgraphs, the
+    standard "peel the periphery" preprocessing before community
+    detection).
+
+    Peeling is the textbook fixed-point: drop every node with degree
+    < k, recompute degrees on the surviving edges, repeat until no node
+    drops.  Distributed shape per round: one ``groupby(node).count`` on
+    the CURRENT edge set for degrees, then TWO hash semi-joins (edges x
+    surviving nodes on each endpoint) to shrink the edge set -- the
+    survivors table is the join side, never a driver broadcast, so no
+    step is node-cardinality-sized on the driver.  The edge set shrinks
+    monotonically, so total motion across the run is bounded by
+    O(edges x rounds-with-change); converged rounds are free (the loop
+    exits on the first round that removes nothing).
+
+    Input edges may be directed / duplicated / self-looped: they are
+    canonicalized to unique undirected ``a < b`` pairs first.  Returns
+    ``(node, deg)`` -- members of the k-core with their within-core
+    degree (int64).  Deterministic: peeling order cannot change the
+    fixed point (the k-core is unique).
+
+    Raises after ``max_rounds`` without convergence (the oracle replays
+    a FIXED number of peel rounds, so the engine must prove it reached
+    the fixed point within that budget)."""
+    from ray.data.aggregate import Count
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    edges = (edges_ds.map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"])
+             .repartition(num_partitions).materialize())
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            b.column("a").combine_chunks().cast(pa.int64()),
+            b.column("b").combine_chunks().cast(pa.int64())])})
+
+    for _ in range(max_rounds):
+        if edges.count() == 0:
+            return edges.map_batches(
+                lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                    "deg": pa.array([], pa.int64())}),
+                batch_format="pyarrow")
+        deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="deg"))
+               .repartition(num_partitions).materialize())
+        n_all = deg.count()
+        survivors = (deg.filter(expr=f"deg >= {k}")
+                     .select_columns(["node"])
+                     .repartition(num_partitions).materialize())
+        n_keep = survivors.count()
+        if n_keep == n_all:                     # fixed point reached
+            return deg.filter(expr=f"deg >= {k}")
+        if n_keep == 0:
+            return deg.filter(expr=f"deg >= {k}")  # empty core, typed
+        edges = (edges
+                 .join(survivors, "inner",
+                       num_partitions=num_partitions,
+                       on=("a",), right_on=("node",))
+                 .select_columns(["a", "b"])
+                 .join(survivors, "inner",
+                       num_partitions=num_partitions,
+                       on=("b",), right_on=("node",))
+                 .select_columns(["a", "b"])
+                 .repartition(num_partitions).materialize())
+    raise RuntimeError(
+        f"kcore did not converge in {max_rounds} peel rounds -- "
+        f"raise max_rounds (the oracle replays the same budget)")

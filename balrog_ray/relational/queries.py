@@ -4560,6 +4560,201 @@ from aug
 """
 
 
+# --------------------------------------------------------------------------
+# time-RANGE window frame: sum over a sliding 1-hour interval per user
+
+def q_range_frame_sum(sf_dir: str):
+    """``sum(value) over (partition by user_id order by ts RANGE between
+    interval 1 hour preceding and current row)`` -- the value-based
+    window frame (a ROWS frame cannot express it: the frame width varies
+    per row and all ts-peers share one frame).  Per-group two-pointer:
+    sort by ts, prefix-sum integer cents, then
+    ``csum[searchsorted(ts, ts, right)] - csum[searchsorted(ts, ts-1h,
+    left)]`` vectorizes every frame at once.  Cents use
+    ``floor(v*100+0.5)`` so engine (numpy) and oracle (DuckDB) round the
+    same doubles identically; the fold is exact int64."""
+    def roll(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(g.column("value").to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        hi = np.searchsorted(ts, ts, side="right")
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        return pa.table({"event_id": g.column("event_id"),
+                         "user_id": g.column("user_id"),
+                         "win_cents": pa.array(csum[hi] - csum[lo],
+                                               pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+            .groupby("user_id")
+            .map_groups(roll, batch_format="pyarrow"))
+
+
+SQL_RANGE_FRAME_SUM = """
+select event_id, user_id,
+       cast(sum(cast(floor(value * 100 + 0.5) as bigint)) over (
+           partition by user_id order by ts
+           range between interval 1 hour preceding and current row
+       ) as bigint) as win_cents
+from events
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming watermark: late-arrival detection (event time vs arrival order)
+
+def q_late_events(sf_dir: str):
+    """Out-of-order arrival audit -- the streaming-watermark primitive.
+    Arrival order is ``event_id``; event time is ``ts``.  For each event
+    the high-watermark is ``max(ts)`` over all EARLIER-ARRIVED events of
+    the same user, and the event is late when its own ``ts`` lags that
+    watermark by more than the 15-minute allowed lateness.  Per-group:
+    sort by arrival, shifted ``np.maximum.accumulate`` -- exact integer
+    microseconds throughout."""
+    lateness_us = 15 * 60 * 1_000_000
+
+    def roll(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("event_id",
+                                                   "ascending")])
+        g = group.take(order)
+        ts = g.column("ts").cast(pa.int64()).to_numpy()
+        wm = np.empty(len(ts), np.int64)
+        if len(ts):
+            wm[0] = -1
+            np.maximum.accumulate(ts[:-1], out=wm[1:])
+        late = ((wm >= 0) & (ts < wm - lateness_us)).astype(np.int64)
+        return pa.table({"event_id": g.column("event_id"),
+                         "user_id": g.column("user_id"),
+                         "watermark_us": pa.array(wm, pa.int64()),
+                         "late": pa.array(late, pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
+            .groupby("user_id")
+            .map_groups(roll, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition: iterative degree peeling to the unique fixed point
+
+_KCORE_K = 5
+_KCORE_ROUNDS = 8
+
+
+def q_kcore_customers(sf_dir: str):
+    """Members of the 5-core of the deterministic customer graph
+    (out-degree 1 + c_custkey % 7, dst = (key*7 + j*13) % n) with their
+    within-core degree.  Iterative peel (functions/graph.kcore): one
+    degree groupby + two endpoint semi-joins per round, edge set
+    monotonically shrinking; converges in <= 5 rounds on this graph at
+    every sf and the engine RAISES if the oracle's fixed round budget
+    would be exceeded."""
+    from ..functions.graph import kcore
+    from ..partitions import shuffle_width
+
+    n = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+
+    def edges(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy()
+        src_l, dst_l = [], []
+        for j in range(1, 8):
+            s = ck[(ck % 7) >= (j - 1)]
+            src_l.append(s)
+            dst_l.append((s * 7 + j * 13) % n)
+        return pa.table({"src": pa.array(np.concatenate(src_l), pa.int64()),
+                         "dst": pa.array(np.concatenate(dst_l),
+                                         pa.int64())})
+
+    eds = (_read(sf_dir, "customer", ["c_custkey"])
+           .map_batches(edges, batch_format="pyarrow"))
+    return kcore(eds, _KCORE_K, max_rounds=_KCORE_ROUNDS,
+                 num_partitions=shuffle_width(4 * n, lo=2))
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""
+d{t} as materialized (
+  select node, count(*) as deg from (
+    select a as node from e{t - 1}
+    union all
+    select b as node from e{t - 1}) t
+  group by node),
+k{t} as materialized (select node from d{t} where deg >= {k}),
+e{t} as materialized (
+  select a, b from e{t - 1}
+  where a in (select node from k{t})
+    and b in (select node from k{t}))""")
+    return """
+with nodes as (select c_custkey as node from customer),
+nn as (select count(*) as n from customer),
+raw as (
+  select node as src, (node * 7 + j * 13) % (select n from nn) as dst
+  from nodes cross join (select unnest([1, 2, 3, 4, 5, 6, 7]) as j)
+  where (node % 7) >= (j - 1)),
+e0 as materialized (
+  select distinct least(src, dst) as a, greatest(src, dst) as b
+  from raw where src <> dst),""" + ",".join(steps) + f"""
+select node, cast(deg as bigint) as deg from (
+  select node, count(*) as deg from (
+    select a as node from e{rounds}
+    union all
+    select b as node from e{rounds}) t
+  group by node) final
+where deg >= {k}
+"""
+
+
+SQL_KCORE_CUSTOMERS = _kcore_sql(_KCORE_K, _KCORE_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# exact distributed Gram matrix over the embedding column (PCA moments)
+
+def q_embedding_gram(sf_dir: str):
+    """Upper-triangle exact Gram table of the quantized embedding
+    vectors (functions/pca.gram_fold): per-block int64 ``Q.T @ Q``
+    partials -> one tiny ``groupby((i,j)).sum``.  The only shuffled
+    payload is d*(d+1)/2 rows per block -- vectors never move.  The
+    oracle replays the quantization (``floor(v*10^4+0.5)``, identical
+    double math) with a vec_id self-join."""
+    from ..functions.pca import gram_fold
+
+    return gram_fold(_read(sf_dir, "embeddings", ["embedding"]), dim=64)
+
+
+SQL_EMBEDDING_GRAM = """
+with e as (
+  select vec_id, i.range as i,
+         cast(floor(cast(embedding[i.range] as double) * 10000 + 0.5) as bigint) as q
+  from embeddings, range(1, 65) i)
+select a.i as i, b.i as j,
+       cast(count(*) as bigint) as n,
+       cast(sum(a.q * b.q) as bigint) as sxy
+from e a join e b using (vec_id)
+where a.i <= b.i
+group by a.i, b.i
+"""
+
+
+SQL_LATE_EVENTS = """
+with wm as (
+  select event_id, user_id, epoch_us(ts) as t_us,
+         coalesce(max(epoch_us(ts)) over (
+             partition by user_id order by event_id
+             rows between unbounded preceding and 1 preceding), -1)
+             as watermark_us
+  from events)
+select event_id, user_id, watermark_us,
+       case when watermark_us >= 0
+                 and t_us < watermark_us - 900000000
+            then 1 else 0 end as late
+from wm
+"""
+
+
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
     "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
@@ -4664,4 +4859,8 @@ SQL_CHECKED = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "hexbin_customers": (q_hexbin_customers, SQL_HEXBIN_CUSTOMERS),
     "kernel_density": (q_kernel_density, SQL_KERNEL_DENSITY),
+    "range_frame_sum": (q_range_frame_sum, SQL_RANGE_FRAME_SUM),
+    "late_events": (q_late_events, SQL_LATE_EVENTS),
+    "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
+    "kcore_customers": (q_kcore_customers, SQL_KCORE_CUSTOMERS),
 }

@@ -767,6 +767,21 @@ def q_kmeans_embeddings(sf_dir: str):
             .groupby("cluster_id").aggregate(agg.Count(alias_name="n")))
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA projection (functions/pca.py): exact integer
+    moment fold (the SQL-checked ``embedding_gram`` machinery) -> driver
+    eigh on the d x d covariance -> broadcast matmul projection onto the
+    top-2 axes.  Parity vs a single-process numpy oracle in
+    test_pca.py."""
+    import ray.data
+
+    from ..functions.pca import pca_project
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return pca_project(ds, k=2)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means partition then exact within-cluster cosine pairs
     -- recall-limited subset of the SQL-checked exact ``cosine_pairs``
@@ -2636,6 +2651,7 @@ ROWS_ONLY = {
     "approx_quantiles": q_approx_quantiles,
     "embedding_dups": q_embedding_dups,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "pca_embeddings": q_pca_embeddings,
     "semantic_dedup": q_semantic_dedup,
     "ivf_ann": q_ivf_ann,
     "pq_ann": q_pq_ann,

@@ -277,3 +277,78 @@ def test_sssp_capped_rounds_is_k_edge_fold(ray_session):
     three = {r["node"]: r["dist"]
              for r in sssp(eds, sds, rounds=3, num_partitions=2).take_all()}
     assert three == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def _kcore_bruteforce(pairs, k):
+    E = set(pairs)
+    while True:
+        deg = {}
+        for x, y in E:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        keep = {v for v, c in deg.items() if c >= k}
+        E2 = {(x, y) for x, y in E if x in keep and y in keep}
+        if len(E2) == len(E):
+            return {v: c for v, c in deg.items() if c >= k}
+        E = E2
+
+
+def test_kcore_matches_bruteforce(ray_session):
+    """Engine peel vs a sequential peel on an irregular graph with
+    duplicates, reversed edges and self-loops thrown in -- the k-core
+    fixed point is unique so they must agree exactly."""
+    import ray.data
+
+    from balrog_ray.functions.graph import kcore
+
+    n = 60
+    src, dst = [], []
+    for i in range(n):
+        for j in range(1, 1 + (i % 5)):
+            src.append(i)
+            dst.append((i * 11 + j * 17) % n)
+    # noise: self-loops, duplicates, reversed duplicates
+    src += [5, 7, 7, 12]
+    dst += [5, 7, 3, 12]
+    pairs = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    for k in (2, 3):
+        want = _kcore_bruteforce(pairs, k)
+        got = {int(r["node"]): int(r["deg"])
+               for r in kcore(eds, k, num_partitions=3).take_all()}
+        assert got == want
+
+
+def test_kcore_empty_core(ray_session):
+    """A tree has an empty 2-core: the peel must drain and return a
+    typed empty result rather than erroring."""
+    import ray.data
+
+    from balrog_ray.functions.graph import kcore
+
+    src = list(range(1, 32))
+    dst = [i // 2 for i in src]
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    assert kcore(eds, 2, num_partitions=2).count() == 0
+
+
+def test_kcore_round_budget_raises(ray_session):
+    """A long path peels one layer per round from each end; with
+    max_rounds too small the engine must refuse (the oracle replays a
+    fixed budget, silence would desync them)."""
+    import ray.data
+
+    from balrog_ray.functions.graph import kcore
+
+    src = list(range(0, 40))
+    dst = [i + 1 for i in src]
+    eds = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64())}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(eds, 2, max_rounds=3, num_partitions=2)

@@ -10,7 +10,7 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = ("orders", "lineitem", "customer", "nation", "events",
-          "documents", "supplier", "part")
+          "documents", "supplier", "part", "embeddings")
 
 NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "nation_orders", "corr_qty_price", "monthly_orders",
@@ -26,7 +26,9 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "temperature_sample_docs", "bfs_hops", "triangle_count",
                "interval_coverage", "basket_brand_pairs",
                "status_string_agg", "token_lift", "topk_per_group",
-               "merge_changelog", "scd2_intervals", "event_transitions"]
+               "merge_changelog", "scd2_intervals", "event_transitions",
+               "range_frame_sum", "late_events", "embedding_gram",
+               "kcore_customers"]
 
 
 def _canonical(tab: pa.Table):
