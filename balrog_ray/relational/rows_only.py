@@ -2589,6 +2589,27 @@ def q_bpe_tokens(sf_dir: str):
             .sort("lang"))
 
 
+def q_template_match(sf_dir: str):
+    """NCC template matching (OpenCV matchTemplate TM_CCOEFF_NORMED
+    role) over the t1 dem: a 9x9 window lifted verbatim from the world
+    at (20, 30) is slid over every tile via the one-shuffle halo plan;
+    result is the global top-10 match locations with fixed-point micro
+    scores.  The planted window itself must surface as the #1 hit with
+    score_u = 1_000_000 (exact self-correlation), which pins the whole
+    score raster's ordering."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.match import template_match, top_matches
+    from ..tiles.synth import dem_window, tiles_table
+
+    cfg = _t1_cfg()
+    tmpl = dem_window(cfg, 20, 30, 9, 9).astype(np.float64)
+    score = template_match(ray.data.from_arrow(tiles_table(cfg)),
+                           GridSpec.from_synth(cfg), tmpl)
+    return top_matches(score, k_top=10)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2677,4 +2698,5 @@ ROWS_ONLY = {
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
     "fill_sinks_dem": q_fill_sinks,
+    "template_match_dem": q_template_match,
 }

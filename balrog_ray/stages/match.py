@@ -1,0 +1,156 @@
+"""Normalized cross-correlation (NCC) template matching: slide a small
+template over every raster tile and emit the per-pixel Pearson
+correlation between the template and the co-centered patch -- the
+classic feature-localisation op (OpenCV ``matchTemplate(TM_CCOEFF_
+NORMED)`` / scikit-image ``match_template`` role).  The reference's
+toolbox has no matching op; this is a beyond-reference image-payload
+stage riding the same one-shuffle halo-window plan as focal/terrain/
+GLCM (SURVEY op 13's neighborhood family).
+
+Definition (deterministic): for a ``k x k`` template ``t`` (k odd) and
+center pixel ``p``, with ``patch`` the k x k window centered at ``p``,
+
+    score(p) = sum((patch - mean(patch)) * (t - mean(t)))
+               / (||patch - mean(patch)|| * ||t - mean(t)||)
+
+i.e. the cosine of the mean-centered patch and template -- in
+``[-1, 1]``.  A center is nodata when its patch is not FULLY inside the
+raster, touches any nodata pixel, or is constant (zero variance, score
+undefined); likewise a constant template is rejected loudly.  The
+fully-inside rule is position-independent, so the tiled run equals the
+whole-raster kernel run (windowed_stage's parity contract).
+
+Scale shape: the template is tiny (k <= tile_px) and ships inside the
+stage closure once per task -- never per row; the kernel is k^2
+vectorized shift-accumulate adds plus two integral-image box sums (no
+per-pixel Python loop); the only exchange is windowed_stage's single
+``groupby(cell_id)`` halo shuffle; the global top-k reduction is a
+per-block partial top-k (bounded rows out of every block) followed by
+one tiny driver-side merge -- at 10^12 tiles the merge input is
+``k_top x n_blocks`` rows, never the score raster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .focal import windowed_stage
+from .halo import GridSpec
+
+
+def _box_sum_exact(plane: np.ndarray, k: int) -> np.ndarray:
+    """Sum over every FULLY-INSIDE k x k window: output shape
+    ``(H - k + 1, W - k + 1)`` (float64 integral image)."""
+    H, W = plane.shape
+    ii = np.zeros((H + 1, W + 1), np.float64)
+    np.cumsum(plane, axis=0, out=ii[1:, 1:])
+    np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+    return (ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k])
+
+
+def ncc_kernel(arr: np.ndarray, nodata: float,
+               template: np.ndarray) -> np.ndarray:
+    """Whole-array NCC score plane; same result tiled or not."""
+    t = np.asarray(template, np.float64)
+    if t.ndim != 2 or t.shape[0] != t.shape[1] or t.shape[0] % 2 != 1:
+        raise ValueError(f"template must be square with odd side, "
+                         f"got {t.shape}")
+    k = t.shape[0]
+    tm = t - t.mean()
+    tn = float(np.sqrt((tm * tm).sum()))
+    if tn <= 0.0:
+        raise ValueError("constant template: NCC is undefined")
+
+    a32 = np.asarray(arr, np.float32)
+    H, W = a32.shape
+    nd = np.float32(nodata)
+    out = np.full((H, W), nd, np.float32)
+    if H < k or W < k:
+        return out
+    valid = a32 != nd
+    a = np.where(valid, a32.astype(np.float64), 0.0)
+
+    vcnt = _box_sum_exact(valid.astype(np.float64), k)
+    s1 = _box_sum_exact(a, k)
+    s2 = _box_sum_exact(a * a, k)
+    oh, ow = H - k + 1, W - k + 1
+    cross = np.zeros((oh, ow), np.float64)
+    for i in range(k):
+        for j in range(k):
+            w = tm[i, j]
+            if w != 0.0:
+                cross += w * a[i:i + oh, j:j + ow]
+
+    var = s2 - s1 * s1 / (k * k)
+    denom = np.sqrt(np.maximum(var, 0.0)) * tn
+    ok = (vcnt > float(k * k) - 0.5) & (denom > 1e-12)
+    score = np.where(ok, cross / np.where(ok, denom, 1.0), nd)
+    r = k // 2
+    out[r:r + oh, r:r + ow] = np.clip(score, -1.0, 1.0).astype(np.float32)
+    out[r:r + oh, r:r + ow][~ok] = nd
+    return out
+
+
+def template_match(ds, spec: GridSpec, template: np.ndarray, *,
+                   layer: str = "dem", out_layer: str = "ncc_score",
+                   fmt: str = "npz"):
+    """Image-table Dataset -> per-pixel NCC score layer."""
+    t = np.ascontiguousarray(np.asarray(template, np.float64))
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return ncc_kernel(window, nd, t)
+
+    return windowed_stage(ds, spec, layer=layer,
+                          radius=t.shape[0] // 2,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)
+
+
+def top_matches(score_ds, *, k_top: int = 10,
+                score_scale: int = 1_000_000) -> pa.Table:
+    """Global top-k match locations from a score-layer image table.
+
+    Per-block partial top-k inside ``map_batches`` (each block emits at
+    most ``k_top`` rows), then ONE small driver-side merge -- the score
+    raster itself never leaves the cluster.  Scores are fixed-point
+    ``round(score * score_scale)`` int64 so the ordering (and any SQL
+    oracle) is exact; ties break on (row, col) ascending."""
+    from ..tiles.codec import Caption, decode_tile
+
+    def partial(b: pa.Table) -> pa.Table:
+        rows_out: list[tuple[int, int, int]] = []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            T = arr.shape[0]
+            m = arr != np.float32(cap.nodata)
+            if not m.any():
+                continue
+            sc = np.rint(arr.astype(np.float64)
+                         * score_scale).astype(np.int64)
+            flat = np.where(m.ravel(), sc.ravel(), np.int64(-(1 << 62)))
+            n = min(k_top, int(m.sum()))
+            idx = np.argpartition(-flat, n - 1)[:n]
+            for ix in idx:
+                y, x = divmod(int(ix), arr.shape[1])
+                rows_out.append((int(flat[ix]),
+                                 cap.ty * T + y, cap.tx * T + x))
+        if not rows_out:
+            return pa.table({"score_u": pa.array([], pa.int64()),
+                             "row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64())})
+        rows_out.sort(key=lambda r: (-r[0], r[1], r[2]))
+        rows_out = rows_out[:k_top]
+        return pa.table({
+            "score_u": pa.array([r[0] for r in rows_out], pa.int64()),
+            "row": pa.array([r[1] for r in rows_out], pa.int64()),
+            "col": pa.array([r[2] for r in rows_out], pa.int64())})
+
+    cand = score_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cand.sort(key=lambda r: (-r["score_u"], r["row"], r["col"]))
+    cand = cand[:k_top]
+    return pa.table({
+        "score_u": pa.array([r["score_u"] for r in cand], pa.int64()),
+        "row": pa.array([r["row"] for r in cand], pa.int64()),
+        "col": pa.array([r["col"] for r in cand], pa.int64())})
