@@ -2610,6 +2610,24 @@ def q_template_match(sf_dir: str):
     return top_matches(score, k_top=10)
 
 
+def q_ssim_change(sf_dir: str):
+    """Two-epoch SSIM change map (skimage structural_similarity role)
+    over the t1 temporal DEM stack: per-pixel uniform-window SSIM
+    between epochs 0 and 2 through the one-shuffle halo plan, reduced
+    to exact per-tile summary rows (fixed-point micro scores)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.ssim import ssim_change, ssim_tile_stats
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 3))
+    out = ssim_change(ds, GridSpec.from_synth(cfg), epoch_a=0, epoch_b=2,
+                      radius=3, data_range=100.0)
+    return ssim_tile_stats(out)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2699,4 +2717,5 @@ ROWS_ONLY = {
     "region_group_veg": q_region_group,
     "fill_sinks_dem": q_fill_sinks,
     "template_match_dem": q_template_match,
+    "ssim_change_dem": q_ssim_change,
 }
