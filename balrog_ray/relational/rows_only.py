@@ -2628,6 +2628,41 @@ def q_ssim_change(sf_dir: str):
     return ssim_tile_stats(out)
 
 
+def q_canny_edges(sf_dir: str):
+    """Distributed Canny (OpenCV Canny role) over the t1 DEM: Sobel +
+    NMS + double threshold through the halo plan, global cross-tile
+    hysteresis via border/corner exchange + tree-reduce components;
+    exact per-tile edge-pixel counts."""
+    import ray.data
+
+    from ..stages.canny import canny_edges
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = canny_edges(ray.data.from_arrow(tiles_table(cfg)),
+                      GridSpec.from_synth(cfg), low=4.0, high=12.0)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txs, tys, ne, nv = [], [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            txs.append(cap.tx)
+            tys.append(cap.ty)
+            ne.append(int((arr == 1.0).sum()))
+            nv.append(int((arr != np.float32(cap.nodata)).sum()))
+        return pa.table({"tx": pa.array(txs, pa.int64()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "n_edge": pa.array(ne, pa.int64()),
+                         "n_valid": pa.array(nv, pa.int64())})
+
+    return (out.map_batches(stats, batch_format="pyarrow")
+            .sort(["ty", "tx"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2718,4 +2753,5 @@ ROWS_ONLY = {
     "fill_sinks_dem": q_fill_sinks,
     "template_match_dem": q_template_match,
     "ssim_change_dem": q_ssim_change,
+    "canny_edges_dem": q_canny_edges,
 }
