@@ -2663,6 +2663,25 @@ def q_canny_edges(sf_dir: str):
             .sort(["ty", "tx"]))
 
 
+def q_hough_lines(sf_dir: str):
+    """Canny -> Hough composition (OpenCV Canny + HoughLines role) over
+    the t1 DEM: edge tiles feed the sparse (theta, rho) vote fold;
+    result is the exact global top-10 peak bins."""
+    import ray.data
+
+    from ..stages.canny import canny_edges
+    from ..stages.halo import GridSpec
+    from ..stages.hough import hough_lines
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    edges = canny_edges(ray.data.from_arrow(tiles_table(cfg)), spec,
+                        low=4.0, high=12.0)
+    return hough_lines(edges, spec, layer="canny", n_theta=60,
+                       rho_res=2.0, k_top=10)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2754,4 +2773,5 @@ ROWS_ONLY = {
     "template_match_dem": q_template_match,
     "ssim_change_dem": q_ssim_change,
     "canny_edges_dem": q_canny_edges,
+    "hough_lines_dem": q_hough_lines,
 }
