@@ -2682,6 +2682,24 @@ def q_hough_lines(sf_dir: str):
                        rho_res=2.0, k_top=10)
 
 
+def q_harris_corners(sf_dir: str):
+    """Harris corners (OpenCV cornerHarris + NMS role) over the t1 DEM:
+    structure-tensor response + window NMS through the halo plan, exact
+    global top-10 corners via the shared partial-top-k reduction."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.harris import harris_corners
+    from ..stages.match import top_matches
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    corners = harris_corners(ray.data.from_arrow(tiles_table(cfg)),
+                             GridSpec.from_synth(cfg), k=0.05, radius=2,
+                             nms_radius=2, thr=0.0)
+    return top_matches(corners, k_top=10, score_scale=1000)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2774,4 +2792,5 @@ ROWS_ONLY = {
     "ssim_change_dem": q_ssim_change,
     "canny_edges_dem": q_canny_edges,
     "hough_lines_dem": q_hough_lines,
+    "harris_corners_dem": q_harris_corners,
 }
