@@ -2700,6 +2700,48 @@ def q_harris_corners(sf_dir: str):
     return top_matches(corners, k_top=10, score_scale=1000)
 
 
+def q_optical_flow(sf_dir: str):
+    """Dense Lucas-Kanade optical flow (OpenCV calcOpticalFlowLK role)
+    between epochs 0 and 2 of the t1 temporal DEM: dual-plane halo
+    shuffle, 2x2 normal-equation solve per pixel; exact per-tile
+    fixed-point summaries of both flow components."""
+    import ray.data
+
+    from ..stages.flow import optical_flow
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 3))
+    out = optical_flow(ds, GridSpec.from_synth(cfg), epoch_a=0,
+                       epoch_b=2, radius=3)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        lys, txs, tys, nv, mean_u = [], [], [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            valid = arr != np.float32(cap.nodata)
+            n = int(valid.sum())
+            lys.append(cap.layer)
+            txs.append(cap.tx)
+            tys.append(cap.ty)
+            nv.append(n)
+            mean_u.append(int(np.rint(
+                arr[valid].astype(np.float64).mean() * 1_000_000))
+                if n else 0)
+        return pa.table({"layer": pa.array(lys, pa.string()),
+                         "tx": pa.array(txs, pa.int64()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "n_valid": pa.array(nv, pa.int64()),
+                         "mean_flow_u": pa.array(mean_u, pa.int64())})
+
+    return (out.map_batches(stats, batch_format="pyarrow")
+            .sort(["layer", "ty", "tx"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2793,4 +2835,5 @@ ROWS_ONLY = {
     "canny_edges_dem": q_canny_edges,
     "hough_lines_dem": q_hough_lines,
     "harris_corners_dem": q_harris_corners,
+    "optical_flow_dem": q_optical_flow,
 }

@@ -81,14 +81,18 @@ def ssim_kernel(a: np.ndarray, b: np.ndarray, nodata: float, *,
     return out
 
 
-def ssim_change(tiles_ds, spec: GridSpec, *, epoch_a: int, epoch_b: int,
-                layer: str = "dem", radius: int = 3,
-                data_range: float = 100.0, fmt: str = "npz"):
-    """Temporal tile table (TILES_SCHEMA + ``epoch``) -> image-table
-    Dataset of per-tile SSIM maps (layer ``ssim``) between the two
-    epochs.  One keyed halo shuffle; completeness-gated per cell exactly
-    like :func:`..stages.focal.windowed_stage` -- a cell computes only
-    when every in-grid neighbour delivered BOTH epochs' strips."""
+def dual_epoch_stage(tiles_ds, spec: GridSpec, *, epoch_a: int,
+                     epoch_b: int, layer: str, radius: int,
+                     out_layers: tuple, window_fn, fmt: str = "npz"):
+    """The shared dual-plane halo pipeline (SSIM, optical flow, stereo):
+    filter the temporal tile table to the two epochs, relabel each
+    epoch's strips, ONE ``groupby(cell_id)`` shuffle carrying both
+    planes, assemble the two windows and run ``window_fn(win_a, win_b,
+    nodata) -> tuple[ndarray, ...]`` (one array per entry of
+    ``out_layers``); each core crop re-encodes as an image-table row.
+    Completeness-gated per cell exactly like :func:`..stages.focal.
+    windowed_stage` -- a cell computes only when every in-grid
+    neighbour delivered BOTH epochs' strips."""
     if radius < 1:
         raise ValueError("radius must be >= 1")
     if radius >= spec.tile_px:
@@ -139,26 +143,30 @@ def ssim_change(tiles_ds, spec: GridSpec, *, epoch_a: int, epoch_b: int,
             return empty
         ref = next(Caption.from_json(g["caption"][i])
                    for i in range(len(g["is_core"])) if g["is_core"][i])
-        out_full = ssim_kernel(wa, wb, float(ref.nodata), radius=radius,
-                               data_range=data_range)
+        outs = window_fn(wa, wb, float(ref.nodata))
+        if len(outs) != len(out_layers):
+            raise ValueError(f"window_fn returned {len(outs)} planes "
+                             f"for {len(out_layers)} out_layers")
         r0, _, c0, _ = fspec.assembled_window(tx, ty)
         rs, cs = ty * T - r0, tx * T - c0
-        core = np.ascontiguousarray(out_full[rs:rs + T, cs:cs + T])
-        ocap = Caption(layer="ssim", x0=ref.x0, y0=ref.y0,
-                       pixel_size=ref.pixel_size, crs=ref.crs,
-                       nodata=ref.nodata, edge=dict(ref.edge),
-                       tx=ref.tx, ty=ref.ty)
-        payload, ocap = encode_tile(core, fmt, ocap)
-        h, w = core.shape
-        return pa.table({
-            "image_id": pa.array([f"ssim/{tx}/{ty}"], pa.string()),
-            "bytes": pa.array([payload], pa.binary()),
-            "w": pa.array([w], pa.int32()),
-            "h": pa.array([h], pa.int32()),
-            "fmt": pa.array([fmt], pa.string()),
-            "caption": pa.array([ocap.to_json()], pa.string()),
-            "phash": pa.array([phash64(core)], pa.int64())},
-            schema=TILES_SCHEMA)
+        cols = {c: [] for c in TILES_SCHEMA.names}
+        for oname, plane in zip(out_layers, outs):
+            core = np.ascontiguousarray(
+                np.asarray(plane, np.float32)[rs:rs + T, cs:cs + T])
+            ocap = Caption(layer=oname, x0=ref.x0, y0=ref.y0,
+                           pixel_size=ref.pixel_size, crs=ref.crs,
+                           nodata=ref.nodata, edge=dict(ref.edge),
+                           tx=ref.tx, ty=ref.ty)
+            payload, ocap = encode_tile(core, fmt, ocap)
+            h, w = core.shape
+            cols["image_id"].append(f"{oname}/{tx}/{ty}")
+            cols["bytes"].append(payload)
+            cols["w"].append(np.int32(w))
+            cols["h"].append(np.int32(h))
+            cols["fmt"].append(fmt)
+            cols["caption"].append(ocap.to_json())
+            cols["phash"].append(np.int64(phash64(core)))
+        return pa.table(cols, schema=TILES_SCHEMA)
 
     return (tiles_ds
             .filter(expr=f"epoch == {epoch_a} or epoch == {epoch_b}")
@@ -166,6 +174,21 @@ def ssim_change(tiles_ds, spec: GridSpec, *, epoch_a: int, epoch_b: int,
             .map_batches(emit, batch_format="pyarrow")
             .groupby("cell_id")
             .map_groups(compute, batch_format="pyarrow"))
+
+
+def ssim_change(tiles_ds, spec: GridSpec, *, epoch_a: int, epoch_b: int,
+                layer: str = "dem", radius: int = 3,
+                data_range: float = 100.0, fmt: str = "npz"):
+    """Temporal tile table (TILES_SCHEMA + ``epoch``) -> image-table
+    Dataset of per-tile SSIM maps (layer ``ssim``) between the two
+    epochs, via the shared dual-plane halo pipeline."""
+    return dual_epoch_stage(
+        tiles_ds, spec, epoch_a=epoch_a, epoch_b=epoch_b, layer=layer,
+        radius=radius, out_layers=("ssim",),
+        window_fn=lambda wa, wb, nd: (
+            ssim_kernel(wa, wb, nd, radius=radius,
+                        data_range=data_range),),
+        fmt=fmt)
 
 
 def ssim_tile_stats(ssim_ds):
