@@ -4755,6 +4755,57 @@ from wm
 """
 
 
+# --------------------------------------------------------------------------
+# retention cohort matrix -- the classic product-analytics triangle: each
+# customer's cohort is their first active month; count how many customers
+# of each cohort are active again N months later.  Shape: one
+# partial-deduped (custkey, month) shuffle, one per-customer fold (same
+# cardinality contract as cumsum_orders), one tiny (cohort, since) fold.
+
+def q_retention_cohorts(sf_dir: str):
+    def mth(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        m = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()), 12),
+                   pc.cast(pc.month(d), pa.int64()))
+        return pa.table({"o_custkey": b.column("o_custkey"), "mth": m})
+
+    pairs = _partial_count_sums(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(mth, batch_format="pyarrow"),
+        ["o_custkey", "mth"], {}, count_alias="n")
+
+    def per_cust(g: pa.Table) -> pa.Table:
+        ms = np.unique(np.asarray(g.column("mth"), np.int64))
+        cohort = int(ms[0])
+        return pa.table({
+            "cohort_month": pa.array(np.full(len(ms), cohort, np.int64)),
+            "months_since": pa.array(ms - cohort, pa.int64())})
+
+    tri = (pairs.groupby("o_custkey")
+           .map_groups(per_cust, batch_format="pyarrow"))
+    return (_partial_count_sums(tri, ["cohort_month", "months_since"],
+                                {}, count_alias="n_customers")
+            .select_columns(["cohort_month", "months_since",
+                             "n_customers"]))
+
+
+SQL_RETENTION_COHORTS = """
+with m as (
+  select o_custkey,
+         cast(extract(year from o_orderdate) * 12
+              + extract(month from o_orderdate) as bigint) as mth
+  from orders group by 1, 2
+), c as (
+  select o_custkey, min(mth) as cohort from m group by 1
+)
+select c.cohort as cohort_month,
+       m.mth - c.cohort as months_since,
+       cast(count(*) as bigint) as n_customers
+from m join c using (o_custkey)
+group by 1, 2
+"""
+
+
 SQL_CHECKED = {
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
     "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
@@ -4863,4 +4914,5 @@ SQL_CHECKED = {
     "late_events": (q_late_events, SQL_LATE_EVENTS),
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "kcore_customers": (q_kcore_customers, SQL_KCORE_CUSTOMERS),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
 }
