@@ -2742,6 +2742,45 @@ def q_optical_flow(sf_dir: str):
             .sort(["layer", "ty", "tx"]))
 
 
+def q_stereo_disparity(sf_dir: str):
+    """Stereo block-matching disparity (OpenCV StereoBM role) between
+    epochs 0 and 2 of the t1 temporal DEM on the dual-plane halo plan;
+    exact per-tile disparity histograms (disparities are small ints)."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.stereo import stereo_disparity
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 3))
+    out = stereo_disparity(ds, GridSpec.from_synth(cfg), epoch_a=0,
+                           epoch_b=2, radius=3, d_max=6)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        txs, tys, dss, ns = [], [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            m = arr != np.float32(cap.nodata)
+            vals, counts = np.unique(arr[m].astype(np.int64),
+                                     return_counts=True)
+            for v, c in zip(vals, counts):
+                txs.append(cap.tx)
+                tys.append(cap.ty)
+                dss.append(int(v))
+                ns.append(int(c))
+        return pa.table({"tx": pa.array(txs, pa.int64()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "disparity": pa.array(dss, pa.int64()),
+                         "n_px": pa.array(ns, pa.int64())})
+
+    return (out.map_batches(hist, batch_format="pyarrow")
+            .sort(["ty", "tx", "disparity"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2836,4 +2875,5 @@ ROWS_ONLY = {
     "hough_lines_dem": q_hough_lines,
     "harris_corners_dem": q_harris_corners,
     "optical_flow_dem": q_optical_flow,
+    "stereo_disparity_dem": q_stereo_disparity,
 }
