@@ -2781,6 +2781,24 @@ def q_stereo_disparity(sf_dir: str):
             .sort(["ty", "tx", "disparity"]))
 
 
+def q_phase_register(sf_dir: str):
+    """Phase-correlation registration audit (OpenCV phaseCorrelate
+    role) across epochs 0/1 of the t1 temporal DEM: per-tile FFT shift
+    votes (cloudy tiles abstain) + the winning global translation --
+    the pre-compositing alignment check."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.register import global_shift, phase_votes
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    ds = ray.data.from_arrow(temporal_tiles_table(cfg, 2))
+    votes = phase_votes(ds, GridSpec.from_synth(cfg), epoch_a=0,
+                        epoch_b=1, min_valid_frac=0.9)
+    return global_shift(votes)
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2876,4 +2894,5 @@ ROWS_ONLY = {
     "harris_corners_dem": q_harris_corners,
     "optical_flow_dem": q_optical_flow,
     "stereo_disparity_dem": q_stereo_disparity,
+    "phase_register_dem": q_phase_register,
 }
