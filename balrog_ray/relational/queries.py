@@ -4756,6 +4756,118 @@ from wm
 
 
 # --------------------------------------------------------------------------
+# local-supplier volume (TPC-H Q5 shape): the six-table join --
+# region/nation tiny and driver-broadcast, supplier broadcast as sorted
+# lookup arrays (1/10th of customers; at open-web scale this side stays
+# dim-sized), customer and lineitem pre-filtered AT THE MAP before the
+# only two real exchanges (orders |x| customer, lineitem |x| that), and
+# revenue carried as exact integer cents*(100-disc).
+
+def q_local_supplier_volume(sf_dir: str):
+    import ray
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia_rk = {r["r_regionkey"] for r in region.to_pylist()
+               if r["r_name"] == "ASIA"}
+    n_name = {r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
+              if r["n_regionkey"] in asia_rk}
+    asia_keys = np.asarray(sorted(n_name), np.int64)
+    name_arr = np.asarray([n_name[k] for k in asia_keys])
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    snat = sup.column("s_nationkey").to_numpy()
+    srt = np.argsort(sk)
+    sup_ref = ray.put((sk[srt], snat[srt]))
+
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1998-01-01")
+
+    def ord_keep(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy()
+        m = (d >= lo) & (d < hi)
+        return pa.table({
+            "o_orderkey": pa.array(b.column("o_orderkey").to_numpy()[m]),
+            "o_custkey": pa.array(b.column("o_custkey").to_numpy()[m])})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(ord_keep, batch_format="pyarrow"))
+
+    def cust_keep(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy()
+        nk = b.column("c_nationkey").to_numpy()
+        m = np.isin(nk, asia_keys)
+        return pa.table({"c_custkey": pa.array(ck[m]),
+                         "c_nationkey": pa.array(nk[m])})
+
+    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+            .map_batches(cust_keep, batch_format="pyarrow"))
+    oc = (orders.join(cust, "inner",
+                      num_partitions=_join_parts(sf_dir, "orders",
+                                                 "customer"),
+                      on=("o_custkey",), right_on=("c_custkey",))
+          .select_columns(["o_orderkey", "c_nationkey"]))
+
+    def li_map(b: pa.Table) -> pa.Table:
+        sk_, snat_ = ray.get(sup_ref)
+        lsk = b.column("l_suppkey").to_numpy()
+        pos = np.clip(np.searchsorted(sk_, lsk), 0, len(sk_) - 1)
+        nat = np.where(sk_[pos] == lsk, snat_[pos], -1)
+        m = np.isin(nat, asia_keys)
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        dc = np.rint(b.column("l_discount").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(b.column("l_orderkey").to_numpy()[m]),
+            "s_nationkey": pa.array(nat[m].astype(np.int64)),
+            "rev_c": pa.array(ep * (100 - dc), pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_map, batch_format="pyarrow"))
+    j = li.join(oc, "inner",
+                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy()
+        m = sn == b.column("c_nationkey").to_numpy()
+        names = name_arr[np.searchsorted(asia_keys, sn[m])]
+        return pa.table({
+            "n_name": pa.array(names.tolist(), pa.string()),
+            "rev_c": pa.array(b.column("rev_c").to_numpy()[m])})
+
+    return _partial_count_sums(
+        j.map_batches(local_only, batch_format="pyarrow"),
+        "n_name", {"rev_c": "revenue_c"}, count_alias="n_items")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+select n_name,
+       cast(count(*) as bigint) as n_items,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as revenue_c
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and c_nationkey = s_nationkey
+  and o_orderdate >= date '1996-01-01'
+  and o_orderdate < date '1998-01-01'
+group by n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # retention cohort matrix -- the classic product-analytics triangle: each
 # customer's cohort is their first active month; count how many customers
 # of each cohort are active again N months later.  Shape: one
@@ -4915,4 +5027,6 @@ SQL_CHECKED = {
     "embedding_gram": (q_embedding_gram, SQL_EMBEDDING_GRAM),
     "kcore_customers": (q_kcore_customers, SQL_KCORE_CUSTOMERS),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "local_supplier_volume": (q_local_supplier_volume,
+                              SQL_LOCAL_SUPPLIER_VOLUME),
 }
