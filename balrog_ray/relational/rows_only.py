@@ -2799,6 +2799,58 @@ def q_phase_register(sf_dir: str):
     return global_shift(votes)
 
 
+def q_slic_segments(sf_dir: str):
+    """SLIC superpixels (skimage segmentation.slic role) over the t1
+    DEM: broadcast-centers iteration with integer-exact moment folds;
+    result is the per-superpixel size table plus fixed-point centers."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..stages.halo import GridSpec
+    from ..stages.slic import slic_segment
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    lab_ds, ctab = slic_segment(
+        ray.data.from_arrow(tiles_table(cfg)), GridSpec.from_synth(cfg),
+        S=16, m=10.0, n_iter=3)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        cids, ns = [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            lab = arr[arr >= 0].astype(np.int64)
+            vals, counts = np.unique(lab, return_counts=True)
+            cids.extend(int(v) for v in vals)
+            ns.extend(int(c) for c in counts)
+        return pa.table({"cid": pa.array(cids, pa.int64()),
+                         "n_px": pa.array(ns, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    per_seg = (lab_ds.map_batches(sizes, batch_format="pyarrow")
+               .groupby("cid")
+               .aggregate(Sum("n_px", alias_name="n_px"))
+               .sort("cid"))
+    ctr = {int(c): (y, x) for c, y, x in
+           zip(ctab.column("cid").to_pylist(),
+               ctab.column("cy").to_pylist(),
+               ctab.column("cx").to_pylist())}
+
+    def attach(b: pa.Table) -> pa.Table:
+        cy = [int(np.rint(ctr[int(c)][0] * 1000))
+              for c in b.column("cid").to_pylist()]
+        cx = [int(np.rint(ctr[int(c)][1] * 1000))
+              for c in b.column("cid").to_pylist()]
+        return (b.append_column("cy_milli", pa.array(cy, pa.int64()))
+                .append_column("cx_milli", pa.array(cx, pa.int64())))
+
+    return per_seg.map_batches(attach, batch_format="pyarrow")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2895,4 +2947,5 @@ ROWS_ONLY = {
     "optical_flow_dem": q_optical_flow,
     "stereo_disparity_dem": q_stereo_disparity,
     "phase_register_dem": q_phase_register,
+    "slic_segments_dem": q_slic_segments,
 }
