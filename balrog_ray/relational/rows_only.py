@@ -2851,6 +2851,20 @@ def q_slic_segments(sf_dir: str):
     return per_seg.map_batches(attach, batch_format="pyarrow")
 
 
+def q_lbp_histogram(sf_dir: str):
+    """LBP texture codes (skimage local_binary_pattern role) over the
+    t1 DEM -> exact global 256-bin code histogram."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.lbp import lbp_codes, lbp_histogram
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    return lbp_histogram(lbp_codes(
+        ray.data.from_arrow(tiles_table(cfg)), GridSpec.from_synth(cfg)))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2948,4 +2962,5 @@ ROWS_ONLY = {
     "stereo_disparity_dem": q_stereo_disparity,
     "phase_register_dem": q_phase_register,
     "slic_segments_dem": q_slic_segments,
+    "lbp_histogram_dem": q_lbp_histogram,
 }
