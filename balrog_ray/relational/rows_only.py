@@ -2865,6 +2865,45 @@ def q_lbp_histogram(sf_dir: str):
         ray.data.from_arrow(tiles_table(cfg)), GridSpec.from_synth(cfg)))
 
 
+def q_rl_deconvolve(sf_dir: str):
+    """Richardson-Lucy deconvolution (skimage richardson_lucy role)
+    over the t1 DEM with a 3x3 binomial PSF, 3 rounds; exact per-tile
+    fixed-point mean of the estimate."""
+    import ray.data
+
+    from ..stages.deconv import rl_deconvolve
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    psf = np.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
+                     np.float64) / 16.0
+    out = rl_deconvolve(ray.data.from_arrow(tiles_table(cfg)),
+                        GridSpec.from_synth(cfg), psf=psf, n_iter=3)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txs, tys, nv, mean_u = [], [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            m = arr != np.float32(cap.nodata)
+            txs.append(cap.tx)
+            tys.append(cap.ty)
+            nv.append(int(m.sum()))
+            mean_u.append(int(np.rint(
+                arr[m].astype(np.float64).mean() * 1_000_000))
+                if m.any() else 0)
+        return pa.table({"tx": pa.array(txs, pa.int64()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "n_valid": pa.array(nv, pa.int64()),
+                         "mean_est_u": pa.array(mean_u, pa.int64())})
+
+    return (out.map_batches(stats, batch_format="pyarrow")
+            .sort(["ty", "tx"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -2963,4 +3002,5 @@ ROWS_ONLY = {
     "phase_register_dem": q_phase_register,
     "slic_segments_dem": q_slic_segments,
     "lbp_histogram_dem": q_lbp_histogram,
+    "rl_deconvolve_dem": q_rl_deconvolve,
 }
