@@ -2876,11 +2876,39 @@ def q_rl_deconvolve(sf_dir: str):
     from ..tiles.codec import Caption, decode_tile
     from ..tiles.synth import tiles_table
 
+    from ..tiles.codec import encode_tile, phash64
+    from ..tiles.synth import TILES_SCHEMA
+
     cfg = _t1_cfg()
     psf = np.asarray([[1, 2, 1], [2, 4, 2], [1, 2, 1]],
                      np.float64) / 16.0
-    out = rl_deconvolve(ray.data.from_arrow(tiles_table(cfg)),
-                        GridSpec.from_synth(cfg), psf=psf, n_iter=3)
+
+    def offset(batch: pa.Table) -> pa.Table:
+        """RL needs nonnegative intensities: shift the DEM +30 m (its
+        valid minimum is about -25 m on this synthetic world)."""
+        cols = {c: [] for c in TILES_SCHEMA.names}
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            m = arr != np.float32(cap.nodata)
+            out = np.where(m, arr + np.float32(30.0),
+                           np.float32(cap.nodata))
+            payload, ocap = encode_tile(out, "npz", cap)
+            cols["image_id"].append(
+                batch.column("image_id")[i].as_py())
+            cols["bytes"].append(payload)
+            cols["w"].append(batch.column("w")[i].as_py())
+            cols["h"].append(batch.column("h")[i].as_py())
+            cols["fmt"].append("npz")
+            cols["caption"].append(ocap.to_json())
+            cols["phash"].append(np.int64(phash64(out)))
+        return pa.table(cols, schema=TILES_SCHEMA)
+
+    src = (ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+           .map_batches(offset, batch_format="pyarrow"))
+    out = rl_deconvolve(src, GridSpec.from_synth(cfg), psf=psf,
+                        n_iter=3)
 
     def stats(batch: pa.Table) -> pa.Table:
         txs, tys, nv, mean_u = [], [], [], []

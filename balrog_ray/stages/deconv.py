@@ -55,10 +55,17 @@ def rl_step_kernel(obs: np.ndarray, est: np.ndarray, nodata: float, *,
     e32 = np.asarray(est, np.float32)
     nd = np.float32(nodata)
     valid = o32 != nd
+    if bool((valid & (o32 < 0)).any()):
+        raise ValueError("Richardson-Lucy requires nonnegative "
+                         "intensities; offset the input first")
     o = np.where(valid, o32.astype(np.float64), 0.0)
     e = np.where(e32 != nd, e32.astype(np.float64), 0.0)
     fwd = _conv_zero(e, psf)
-    ratio = np.where(valid, o / np.maximum(fwd, eps), 0.0)
+    # a vanished forward model contributes NO correction (ratio 0)
+    # rather than an obs/eps explosion -- the stable fixed point for
+    # zero-intensity regions
+    ratio = np.where(valid & (fwd > eps), o / np.where(fwd > eps, fwd,
+                                                       1.0), 0.0)
     back = _conv_zero(ratio, psf[::-1, ::-1])
     out = (e * back).astype(np.float32)
     out[~valid] = nd
