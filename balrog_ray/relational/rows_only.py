@@ -2932,6 +2932,29 @@ def q_rl_deconvolve(sf_dir: str):
             .sort(["ty", "tx"]))
 
 
+def q_feature_match(sf_dir: str):
+    """ORB-style feature registration (OpenCV ORB + BFMatcher role)
+    between epochs 0 and 1 of the t1 temporal DEM: Harris corners +
+    BRIEF descriptors per epoch, Hamming ratio-test matching, winning
+    integer translation by consensus vote."""
+    import ray.data
+
+    from ..stages.features import (extract_features, match_features,
+                                   translation_consensus)
+    from ..stages.halo import GridSpec
+    from ..tiles.synth import temporal_tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    tab = temporal_tiles_table(cfg, 2)
+    base = ray.data.from_arrow(tab)
+    fa = extract_features(base.filter(expr="epoch == 0")
+                          .drop_columns(["epoch"]), spec)
+    fb = extract_features(base.filter(expr="epoch == 1")
+                          .drop_columns(["epoch"]), spec)
+    return translation_consensus(match_features(fa, fb))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -3031,4 +3054,5 @@ ROWS_ONLY = {
     "slic_segments_dem": q_slic_segments,
     "lbp_histogram_dem": q_lbp_histogram,
     "rl_deconvolve_dem": q_rl_deconvolve,
+    "feature_match_dem": q_feature_match,
 }
