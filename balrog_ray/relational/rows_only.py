@@ -2955,6 +2955,40 @@ def q_feature_match(sf_dir: str):
     return translation_consensus(match_features(fa, fb))
 
 
+def q_skeletonize(sf_dir: str):
+    """Canny -> Zhang-Suen skeleton composition (cv2 thinning role)
+    over the t1 DEM edge mask; exact per-tile skeleton pixel counts."""
+    import ray.data
+
+    from ..stages.canny import canny_edges
+    from ..stages.halo import GridSpec
+    from ..stages.skeleton import skeletonize
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    edges = canny_edges(ray.data.from_arrow(tiles_table(cfg)), spec,
+                        low=4.0, high=12.0)
+    out = skeletonize(edges, spec, layer="canny")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txs, tys, ns = [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            txs.append(cap.tx)
+            tys.append(cap.ty)
+            ns.append(int((arr == np.float32(1.0)).sum()))
+        return pa.table({"tx": pa.array(txs, pa.int64()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "n_skel": pa.array(ns, pa.int64())})
+
+    return (out.map_batches(stats, batch_format="pyarrow")
+            .sort(["ty", "tx"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -3055,4 +3089,5 @@ ROWS_ONLY = {
     "lbp_histogram_dem": q_lbp_histogram,
     "rl_deconvolve_dem": q_rl_deconvolve,
     "feature_match_dem": q_feature_match,
+    "skeleton_dem": q_skeletonize,
 }
