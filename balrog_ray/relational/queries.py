@@ -4868,6 +4868,47 @@ group by n_name
 
 
 # --------------------------------------------------------------------------
+# shipping-delay SLA by order priority (TPC-H Q12's late-line shape on
+# this dataset's columns): ONE lineitem |x| orders exchange, integer
+# day arithmetic, per-priority partial fold.
+
+def q_priority_sla(sf_dir: str):
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    j = li.join(orders, "inner",
+                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def classify(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").to_numpy()
+        od = b.column("o_orderdate").to_numpy()
+        delay = ((ship - od) // np.timedelta64(1, "D")).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "delay_days": pa.array(delay, pa.int64()),
+            "is_late": pa.array((delay > 90).astype(np.int64),
+                                pa.int64())})
+
+    return _partial_count_sums(
+        j.map_batches(classify, batch_format="pyarrow"),
+        "o_orderpriority", {"is_late": "n_late"}, count_alias="n_lines",
+        max_cols={"delay_days": "max_delay"})
+
+
+SQL_PRIORITY_SLA = """
+select o_orderpriority,
+       cast(count(*) as bigint) as n_lines,
+       cast(sum(case when date_diff('day', o_orderdate, l_shipdate)
+                     > 90 then 1 else 0 end) as bigint) as n_late,
+       cast(max(date_diff('day', o_orderdate, l_shipdate)) as bigint)
+           as max_delay
+from lineitem join orders on l_orderkey = o_orderkey
+group by o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # retention cohort matrix -- the classic product-analytics triangle: each
 # customer's cohort is their first active month; count how many customers
 # of each cohort are active again N months later.  Shape: one
@@ -5029,4 +5070,5 @@ SQL_CHECKED = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "local_supplier_volume": (q_local_supplier_volume,
                               SQL_LOCAL_SUPPLIER_VOLUME),
+    "priority_sla": (q_priority_sla, SQL_PRIORITY_SLA),
 }
