@@ -2989,6 +2989,52 @@ def q_skeletonize(sf_dir: str):
             .sort(["ty", "tx"]))
 
 
+def q_hog_descriptors(sf_dir: str):
+    """Dense HOG block descriptors (skimage feature.hog / Dalal-Triggs
+    role) over the t1 DEM: one halo exchange, fixed-point per-block
+    L2-normalized 36-d rows reduced to a per-block checksum table."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.hog import hog_descriptors
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    rows = hog_descriptors(ray.data.from_arrow(tiles_table(cfg)),
+                           GridSpec.from_synth(cfg), cell=8, n_bins=9)
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        by = batch.column("by").to_numpy()
+        bx = batch.column("bx").to_numpy()
+        k = batch.column("k").to_numpy()
+        v = batch.column("v_u").to_numpy()
+        key = by * 1_000_000 + bx
+        order = np.argsort(key, kind="stable")
+        uq, starts = np.unique(key[order], return_index=True)
+        sums = np.add.reduceat(v[order], starts)
+        # position-weighted checksum makes swapped components visible
+        wsum = np.add.reduceat((v * (k + 1))[order], starts)
+        return pa.table({"key": pa.array(uq, pa.int64()),
+                         "sum_v": pa.array(sums, pa.int64()),
+                         "wsum_v": pa.array(wsum, pa.int64())})
+
+    # associative partial fold per batch, exact total via groupby sum
+    # (a block's 36 rows may straddle a batch boundary)
+    agg = (rows.map_batches(fold_partial, batch_format="pyarrow")
+           .groupby("key").sum(["sum_v", "wsum_v"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        return pa.table({
+            "by": pa.array(key // 1_000_000, pa.int64()),
+            "bx": pa.array(key % 1_000_000, pa.int64()),
+            "sum_v": batch.column("sum(sum_v)"),
+            "wsum_v": batch.column("sum(wsum_v)")})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["by", "bx"])
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -3090,4 +3136,5 @@ ROWS_ONLY = {
     "rl_deconvolve_dem": q_rl_deconvolve,
     "feature_match_dem": q_feature_match,
     "skeleton_dem": q_skeletonize,
+    "hog_descriptors_dem": q_hog_descriptors,
 }
