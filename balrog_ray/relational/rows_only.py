@@ -1662,13 +1662,14 @@ def q_cost_distance(sf_dir: str):
 
 
 def q_image_filters(sf_dir: str):
-    """Gaussian blur + Sobel edge magnitude + focal median over the t1
-    DEM (smoothing/edge/denoise trio, bit-exact vs whole-raster kernels
-    in tests/test_filters.py), reduced to per-layer valid-pixel stats."""
+    """Gaussian blur + Sobel edge magnitude + focal median + bilateral
+    (edge-preserving) over the t1 DEM, bit-exact vs whole-raster kernels
+    in tests/test_filters.py, reduced to per-layer valid-pixel stats."""
     import ray
     import ray.data
 
-    from ..stages.filters import focal_median, gaussian_blur, sobel_edges
+    from ..stages.filters import bilateral_filter, focal_median, \
+        gaussian_blur, sobel_edges
     from ..stages.halo import GridSpec
     from ..tiles.codec import Caption, decode_tile
     from ..tiles.synth import tiles_table
@@ -1678,7 +1679,9 @@ def q_image_filters(sf_dir: str):
     tiles = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
     out = (gaussian_blur(tiles, spec, sigma=2.0)
            .union(sobel_edges(tiles, spec))
-           .union(focal_median(tiles, spec, radius=2)))
+           .union(focal_median(tiles, spec, radius=2))
+           .union(bilateral_filter(tiles, spec, sigma_s=2.0,
+                                   sigma_r=6.0)))
 
     def stats(b: pa.Table) -> pa.Table:
         lay, n, s, mx = [], [], [], []

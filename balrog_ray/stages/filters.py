@@ -205,3 +205,55 @@ def focal_majority(ds, spec: GridSpec, *, layer: str = "veg",
 
     return windowed_stage(ds, spec, layer=layer, radius=radius,
                           out_layer=out_layer, window_fn=fn, fmt=fmt)
+
+
+def bilateral_kernel(arr: np.ndarray, sigma_s: float, sigma_r: float,
+                     radius: int, nodata: float) -> np.ndarray:
+    """Whole-array nodata-aware bilateral filter (OpenCV
+    ``bilateralFilter`` / skimage ``denoise_bilateral`` role) -- the
+    edge-preserving smoother: each neighbor is weighted by BOTH its
+    spatial distance (``exp(-0.5 (dy^2+dx^2)/sigma_s^2)``) and its value
+    difference from the center (``exp(-0.5 (v_n - v_c)^2/sigma_r^2)``,
+    ``sigma_r`` in value units), normalized over the VALID neighbors
+    under the window.  Output is nodata exactly where the input is
+    nodata; invalid / off-raster neighbors contribute neither weight
+    nor value.  Vectorized one shifted-add pass per window offset --
+    O((2r+1)^2) array ops, no per-pixel loop."""
+    a = np.asarray(arr, dtype=np.float32)
+    valid = a != np.float32(nodata)
+    vals = np.where(valid, a.astype(np.float64), 0.0)
+    inv_s2 = 0.5 / (float(sigma_s) ** 2)
+    inv_r2 = 0.5 / (float(sigma_r) ** 2)
+    num = np.zeros_like(vals)
+    den = np.zeros_like(vals)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            ws = np.exp(-(dy * dy + dx * dx) * inv_s2)
+            sv = _shift(vals, dy, dx, 0.0)
+            sm = _shift(valid.astype(np.float64), dy, dx, 0.0)
+            w = ws * np.exp(-((sv - vals) ** 2) * inv_r2) * sm
+            num += w * sv
+            den += w
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = (num / den).astype(np.float32)
+    out[~valid] = np.float32(nodata)
+    return out
+
+
+def bilateral_filter(ds, spec: GridSpec, *, layer: str = "dem",
+                     sigma_s: float = 2.0, sigma_r: float = 5.0,
+                     radius: int | None = None,
+                     out_layer: str = "bilateral", fmt: str = "npz"):
+    """Distributed edge-preserving bilateral filter: one halo shuffle
+    sized to the kernel radius; the per-pixel result depends only on
+    the radius-r neighborhood, so the tiled output is bit-identical to
+    :func:`bilateral_kernel` on the mosaicked raster."""
+    if sigma_s <= 0 or sigma_r <= 0:
+        raise ValueError("sigma_s and sigma_r must be > 0")
+    r = int(np.ceil(3.0 * sigma_s)) if radius is None else int(radius)
+
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return bilateral_kernel(window, sigma_s, sigma_r, r, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=r,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)

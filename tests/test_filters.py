@@ -241,3 +241,69 @@ def test_tiled_median_majority_match_whole_raster(ray_session, which):
                   "median" if which == "median" else "majority", cfg)
     assert np.array_equal(got, want), (
         f"{int((got != want).sum())} px differ")
+
+
+def _bilateral_scalar(a, sigma_s, sigma_r, radius, nd):
+    H, W = a.shape
+    out = np.full((H, W), np.float32(nd), np.float32)
+    for r in range(H):
+        for c in range(W):
+            if a[r, c] == np.float32(nd):
+                continue
+            vc = float(np.float64(a[r, c]))
+            num = den = 0.0
+            for dy in range(-radius, radius + 1):
+                for dx in range(-radius, radius + 1):
+                    r2, c2 = r + dy, c + dx
+                    if not (0 <= r2 < H and 0 <= c2 < W):
+                        continue
+                    if a[r2, c2] == np.float32(nd):
+                        continue
+                    vn = float(np.float64(a[r2, c2]))
+                    w = (np.exp(-0.5 * (dy * dy + dx * dx)
+                                / sigma_s ** 2)
+                         * np.exp(-0.5 * (vn - vc) ** 2 / sigma_r ** 2))
+                    num += w * vn
+                    den += w
+            out[r, c] = np.float32(num / den)
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 19])
+def test_bilateral_kernel_matches_scalar(seed):
+    from balrog_ray.stages.filters import bilateral_kernel
+
+    a = _field((14, 13), seed)
+    got = bilateral_kernel(a, 1.5, 8.0, 3, ND)
+    want = _bilateral_scalar(a, 1.5, 8.0, 3, ND)
+    m = a != np.float32(ND)
+    assert np.allclose(got[m], want[m], rtol=1e-6, atol=1e-4)
+    assert (got[~m] == np.float32(ND)).all()
+    # edge preservation: smooths less across a sharp step than gaussian
+    step = np.zeros((11, 11), np.float32)
+    step[:, 5:] = 100.0
+    bi = bilateral_kernel(step, 1.5, 8.0, 3, ND)
+    ga = gaussian_kernel(step, 1.5, 3, ND)
+    assert abs(float(bi[5, 4])) < abs(float(ga[5, 4]))
+    assert abs(float(bi[5, 4])) < 1.0
+
+
+def test_tiled_bilateral_matches_whole_raster(ray_session):
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.filters import bilateral_filter, \
+        bilateral_kernel
+
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _field((cfg.tiles_y * cfg.tile_px, cfg.tiles_x * cfg.tile_px),
+                 11)
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(_tiles_from_array(arr, cfg))
+    out = bilateral_filter(tiles, spec, sigma_s=2.0, sigma_r=6.0)
+    tabs = [t for t in (ray.get(rf) for rf in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), "bilateral", cfg)
+    want = bilateral_kernel(arr, 2.0, 6.0, 6, ND)
+    assert np.array_equal(got, want), (
+        f"{int((got != want).sum())} px differ")
