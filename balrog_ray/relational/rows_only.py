@@ -3038,6 +3038,46 @@ def q_hog_descriptors(sf_dir: str):
         .sort(["by", "bx"])
 
 
+def q_threshold_masks(sf_dir: str):
+    """Otsu global + adaptive mean thresholding (cv2 THRESH_OTSU /
+    adaptiveThreshold roles) over the t1 DEM -> per-tile foreground
+    pixel counts for both masks, plus the Otsu bin in every row."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.threshold import adaptive_threshold, otsu_threshold
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec.from_synth(cfg)
+    tiles = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    otsu_ds, info = otsu_threshold(tiles, layer="dem", bins=256)
+    both = otsu_ds.union(adaptive_threshold(tiles, spec, radius=6,
+                                            c=1.0))
+    thr = int(info["thr_bin"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        lay, tys, txs, nfg = [], [], [], []
+        for i in range(b.num_rows):
+            cap = Caption.from_json(b.column("caption")[i].as_py())
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            lay.append(cap.layer)
+            tys.append(cap.ty)
+            txs.append(cap.tx)
+            nfg.append(int((arr == np.float32(1.0)).sum()))
+        return pa.table({"layer": pa.array(lay, pa.string()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "tx": pa.array(txs, pa.int64()),
+                         "n_fg": pa.array(nfg, pa.int64()),
+                         "otsu_bin": pa.array([thr] * len(lay),
+                                              pa.int64())})
+
+    return (both.map_batches(counts, batch_format="pyarrow")
+            .sort(["layer", "ty", "tx"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -3140,4 +3180,5 @@ ROWS_ONLY = {
     "feature_match_dem": q_feature_match,
     "skeleton_dem": q_skeletonize,
     "hog_descriptors_dem": q_hog_descriptors,
+    "threshold_masks_dem": q_threshold_masks,
 }
