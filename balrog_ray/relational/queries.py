@@ -4959,7 +4959,71 @@ group by 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q1 shape (pricing summary report): scan-heavy single-table
+# aggregate over a shipdate cutoff, grouped by the 2-value flag pair.
+# Discount/tax arithmetic runs entirely in integer units (cents x
+# percent x percent), so no float product can disagree with the oracle:
+# disc_u = cents*(100-d_pct), charge_u = cents*(100-d_pct)*(100+t_pct).
+
+def q_pricing_summary(sf_dir: str):
+    cutoff = np.datetime64("1998-09-02T00:00:00", "us")
+
+    def prep(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").cast(pa.timestamp("us")).to_numpy()
+        keep = ship <= cutoff
+        mask = pa.array(keep)
+        qty = np.rint(b.column("l_quantity").to_numpy()[keep]) \
+            .astype(np.int64)
+        cents = np.rint(b.column("l_extendedprice").to_numpy()[keep]
+                        * 100.0).astype(np.int64)
+        d = np.rint(b.column("l_discount").to_numpy()[keep]
+                    * 100.0).astype(np.int64)
+        t = np.rint(b.column("l_tax").to_numpy()[keep]
+                    * 100.0).astype(np.int64)
+        disc_u = cents * (100 - d)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag").filter(mask),
+            "l_linestatus": b.column("l_linestatus").filter(mask),
+            "qty": pa.array(qty, pa.int64()),
+            "base_cents": pa.array(cents, pa.int64()),
+            "disc_u": pa.array(disc_u, pa.int64()),
+            "charge_u": pa.array(disc_u * (100 + t), pa.int64())})
+
+    return _partial_count_sums(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_quantity", "l_extendedprice",
+               "l_discount", "l_tax", "l_returnflag", "l_linestatus"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty": "sum_qty", "base_cents": "sum_base_cents",
+         "disc_u": "sum_disc_u", "charge_u": "sum_charge_u"},
+        count_alias="n_lines")
+
+
+SQL_PRICING_SUMMARY = """
+with c as (
+  select l_returnflag, l_linestatus,
+         cast(round(l_quantity) as bigint) as qty,
+         cast(round(l_extendedprice * 100) as bigint) as cents,
+         cast(round(l_discount * 100) as bigint) as d,
+         cast(round(l_tax * 100) as bigint) as t
+  from lineitem
+  where l_shipdate <= timestamp '1998-09-02 00:00:00'
+)
+select l_returnflag, l_linestatus,
+       cast(count(*) as bigint) as n_lines,
+       cast(sum(qty) as bigint) as sum_qty,
+       cast(sum(cents) as bigint) as sum_base_cents,
+       cast(sum(cents * (100 - d)) as bigint) as sum_disc_u,
+       cast(sum(cents * (100 - d) * (100 + t)) as bigint)
+           as sum_charge_u
+from c group by l_returnflag, l_linestatus
+"""
+
+
 SQL_CHECKED = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
     "region_customers": (q_region_customers, SQL_REGION_CUSTOMERS),
     "zonal_group_stats": (q_zonal_group_stats, SQL_ZONAL_GROUP_STATS),
