@@ -3078,6 +3078,23 @@ def q_threshold_masks(sf_dir: str):
             .sort(["layer", "ty", "tx"]))
 
 
+def q_wavelet_energy(sf_dir: str):
+    """2-level Haar DWT (PyWavelets wavedec2 role) over the t1 DEM ->
+    exact integer per-subband energy table (7 rows); the transform is
+    tile-local (no shuffle), the energy fold is integer-exact.  The t1
+    DEM carries a nodata patch, so this exercises the documented
+    zero-embedding contract."""
+    import ray.data
+
+    from ..stages.wavelet import haar_dwt, subband_energy
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    coef = haar_dwt(ray.data.from_arrow(tiles_table(cfg)),
+                    layer="dem", levels=2, nodata_policy="zero")
+    return subband_energy(coef).sort("band")
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -3181,4 +3198,5 @@ ROWS_ONLY = {
     "skeleton_dem": q_skeletonize,
     "hog_descriptors_dem": q_hog_descriptors,
     "threshold_masks_dem": q_threshold_masks,
+    "wavelet_energy_dem": q_wavelet_energy,
 }
