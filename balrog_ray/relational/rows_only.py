@@ -3095,6 +3095,44 @@ def q_wavelet_energy(sf_dir: str):
     return subband_energy(coef).sort("band")
 
 
+def q_pm_diffuse(sf_dir: str):
+    """Perona-Malik anisotropic diffusion (edge-preserving iterative
+    smoother) over the t1 DEM, 4 rounds; exact per-tile fixed-point
+    mean of the diffused estimate."""
+    import ray.data
+
+    from ..stages.diffusion import pm_diffuse
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    out = pm_diffuse(
+        ray.data.from_arrow(tiles_table(cfg, layers=("dem",))),
+        GridSpec.from_synth(cfg), kappa=8.0, lam=0.2, n_iter=4)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        txs, tys, nv, mean_u = [], [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            m = arr != np.float32(cap.nodata)
+            txs.append(cap.tx)
+            tys.append(cap.ty)
+            nv.append(int(m.sum()))
+            mean_u.append(int(np.rint(
+                arr[m].astype(np.float64).mean() * 1_000_000))
+                if m.any() else 0)
+        return pa.table({"tx": pa.array(txs, pa.int64()),
+                         "ty": pa.array(tys, pa.int64()),
+                         "n_valid": pa.array(nv, pa.int64()),
+                         "mean_u": pa.array(mean_u, pa.int64())})
+
+    return (out.map_batches(stats, batch_format="pyarrow")
+            .sort(["ty", "tx"]))
+
+
 ROWS_ONLY = {
     "curvature_dem": q_curvature_dem,
     "equalize_dem": q_equalize_dem,
@@ -3199,4 +3237,5 @@ ROWS_ONLY = {
     "hog_descriptors_dem": q_hog_descriptors,
     "threshold_masks_dem": q_threshold_masks,
     "wavelet_energy_dem": q_wavelet_energy,
+    "pm_diffuse_dem": q_pm_diffuse,
 }
