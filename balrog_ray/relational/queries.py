@@ -5022,6 +5022,240 @@ from c group by l_returnflag, l_linestatus
 """
 
 
+# --------------------------------------------------------------------------
+# Relational division: customers whose orders span EVERY order status
+# present in the table (the "suppliers who supply all parts" classic).
+# The divisor set is found first (per-batch uniques -> tiny driver set);
+# the dividend collapses to distinct (custkey, status) pairs inside each
+# batch before ONE keyed shuffle, so the exchange carries at most
+# |statuses| rows per (batch, customer) -- never raw orders.
+
+def q_division_customers(sf_dir: str):
+    statuses: set[str] = set()
+    for t in _collect(
+            _read(sf_dir, "orders", ["o_orderstatus"])
+            .map_batches(lambda b: b.group_by(["o_orderstatus"])
+                         .aggregate([]), batch_format="pyarrow")
+            ).column("o_orderstatus").to_pylist():
+        statuses.add(t)
+    n_total = len(statuses)
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        return b.group_by(["o_custkey", "o_orderstatus"]).aggregate([])
+
+    def per_cust(g: pa.Table) -> pa.Table:
+        n = pc.count_distinct(g.column("o_orderstatus")).as_py()
+        if n != n_total:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_status": pa.array([], pa.int64())})
+        return pa.table({"c_custkey": g.column("o_custkey")[:1],
+                         "n_status": pa.array([n], pa.int64())})
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+            .map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .map_groups(per_cust, batch_format="pyarrow"))
+
+
+SQL_DIVISION_CUSTOMERS = """
+select o_custkey as c_custkey,
+       cast(count(distinct o_orderstatus) as bigint) as n_status
+from orders
+group by o_custkey
+having count(distinct o_orderstatus) =
+       (select count(distinct o_orderstatus) from orders)
+"""
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration: exact integer Gini numerator per market segment.
+# Uses the rank form  G_num = sum_i (2i - n - 1) * x_i  over customers
+# sorted by revenue within their segment -- ranks come from the
+# distributed global_ranks primitive (one sort shuffle + block-offset
+# prefix), never a whole-segment map_groups.  All terms are integer
+# (cents x small rank), so the compare is bit-deterministic; int64 holds
+# to ~sf10 (1e16 per segment), noted here as the overflow bound.
+
+def q_gini_revenue(sf_dir: str):
+    from ..stages.ranking import global_ranks
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = np.rint(b.column("o_totalprice").to_numpy()
+                        * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    a = _agg()
+    per_cust = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                .map_batches(to_cents, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(a.Sum("cents", alias_name="cents")))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = per_cust.join(
+        cust, "inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def pick(b: pa.Table) -> pa.Table:
+        return pa.table({"seg": b.column("c_mktsegment"),
+                         "cents": b.column("cents"),
+                         "ck": b.column("o_custkey")})
+
+    ranked = global_ranks(
+        joined.map_batches(pick, batch_format="pyarrow"),
+        ["seg", "cents", "ck"], partition_col="seg",
+        rank_col="i").materialize()
+    n_seg = {r["seg"]: r["n"] for r in
+             ranked.groupby("seg")
+             .aggregate(a.Max("i", alias_name="n")).take_all()}
+
+    def terms(b: pa.Table) -> pa.Table:
+        seg = b.column("seg").to_pylist()
+        n = np.array([n_seg[s] for s in seg], dtype=np.int64)
+        i = b.column("i").to_numpy()
+        cents = b.column("cents").to_numpy()
+        return pa.table({"seg": b.column("seg"),
+                         "term": pa.array((2 * i - n - 1) * cents,
+                                          pa.int64()),
+                         "cents": b.column("cents")})
+
+    return _partial_count_sums(
+        ranked.map_batches(terms, batch_format="pyarrow"),
+        "seg", {"term": "gini_num", "cents": "total_cents"},
+        count_alias="n_cust")
+
+
+SQL_GINI_REVENUE = """
+with tot as (
+  select c_mktsegment as seg, o_custkey as ck,
+         sum(cast(round(o_totalprice * 100) as bigint)) as cents
+  from orders join customer on o_custkey = c_custkey
+  group by 1, 2
+), ranked as (
+  select seg, cents,
+         row_number() over (partition by seg order by cents, ck) as i,
+         count(*) over (partition by seg) as n
+  from tot
+)
+select seg,
+       cast(count(*) as bigint) as n_cust,
+       cast(sum((2*i - n - 1) * cents) as bigint) as gini_num,
+       cast(sum(cents) as bigint) as total_cents
+from ranked
+group by seg
+"""
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregates (bitmap-index semantics): bit_or / bit_and / bit_xor
+# of a per-event flag mask, folded per event type.  Each batch collapses
+# to <= |event_type| partial rows with numpy reduceat over the
+# dictionary-encoded key (or/and/xor are associative + commutative, so
+# partial-then-final is exact); the final fold runs over #batches-sized
+# tiny groups.
+
+_BIT_MOD = 13
+
+
+def q_bit_flags_events(sf_dir: str):
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "m_or": pa.array([], pa.int64()),
+                             "m_and": pa.array([], pa.int64()),
+                             "m_xor": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        mask = np.left_shift(
+            np.int64(1),
+            b.column("event_id").to_numpy() % _BIT_MOD).astype(np.int64)
+        enc = pc.dictionary_encode(
+            b.column("event_type").combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        srt = idx[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], srt[1:] != srt[:-1]]))
+        m = mask[order]
+        ends = np.concatenate([starts[1:], [len(srt)]])
+        return pa.table({
+            "event_type": enc.dictionary.take(
+                pa.array(srt[starts], pa.int32())),
+            "m_or": pa.array(np.bitwise_or.reduceat(m, starts), pa.int64()),
+            "m_and": pa.array(np.bitwise_and.reduceat(m, starts),
+                              pa.int64()),
+            "m_xor": pa.array(np.bitwise_xor.reduceat(m, starts),
+                              pa.int64()),
+            "n": pa.array(ends - starts, pa.int64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": g.column("event_type")[:1],
+            "m_or": pa.array([np.bitwise_or.reduce(
+                g.column("m_or").to_numpy())], pa.int64()),
+            "m_and": pa.array([np.bitwise_and.reduce(
+                g.column("m_and").to_numpy())], pa.int64()),
+            "m_xor": pa.array([np.bitwise_xor.reduce(
+                g.column("m_xor").to_numpy())], pa.int64()),
+            "n": pa.array([int(pc.sum(g.column("n")).as_py())],
+                          pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_type", "event_id"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
+SQL_BIT_FLAGS_EVENTS = f"""
+with m as (
+  select event_type,
+         cast(1 as bigint) << (event_id % {_BIT_MOD}) as mask
+  from events
+)
+select event_type,
+       cast(bit_or(mask) as bigint) as m_or,
+       cast(bit_and(mask) as bigint) as m_and,
+       cast(bit_xor(mask) as bigint) as m_xor,
+       cast(count(*) as bigint) as n
+from m group by event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford leading-digit histogram over order totals in integer cents --
+# the fraud-screening screening classic.  The leading digit is found with
+# a bounded vectorized integer divide loop (<= 19 rounds for int64), so
+# no float log10 can disagree with the oracle's string slice at decade
+# boundaries.
+
+def q_benford_prices(sf_dir: str):
+    def digits(b: pa.Table) -> pa.Table:
+        x = np.rint(b.column("o_totalprice").to_numpy()
+                    * 100.0).astype(np.int64)
+        x = np.abs(x)
+        for _ in range(19):
+            m = x >= 10
+            if not m.any():
+                break
+            x = np.where(m, x // 10, x)
+        return pa.table({"digit": pa.array(x, pa.int64())})
+
+    return _partial_count_sums(
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(digits, batch_format="pyarrow"),
+        "digit", {}, count_alias="n")
+
+
+SQL_BENFORD_PRICES = """
+select cast(substr(cast(cast(round(o_totalprice * 100) as bigint)
+                        as varchar), 1, 1) as bigint) as digit,
+       cast(count(*) as bigint) as n
+from orders
+group by 1
+"""
+
+
 SQL_CHECKED = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -5135,4 +5369,8 @@ SQL_CHECKED = {
     "local_supplier_volume": (q_local_supplier_volume,
                               SQL_LOCAL_SUPPLIER_VOLUME),
     "priority_sla": (q_priority_sla, SQL_PRIORITY_SLA),
+    "division_customers": (q_division_customers, SQL_DIVISION_CUSTOMERS),
+    "gini_revenue": (q_gini_revenue, SQL_GINI_REVENUE),
+    "bit_flags_events": (q_bit_flags_events, SQL_BIT_FLAGS_EVENTS),
+    "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
 }

@@ -28,7 +28,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "status_string_agg", "token_lift", "topk_per_group",
                "merge_changelog", "scd2_intervals", "event_transitions",
                "range_frame_sum", "late_events", "embedding_gram",
-               "kcore_customers"]
+               "kcore_customers", "division_customers", "gini_revenue",
+               "bit_flags_events", "benford_prices"]
 
 
 def _canonical(tab: pa.Table):
