@@ -2549,6 +2549,127 @@ def q_expand_shrink(sf_dir: str):
             .sort(["layer", "cls"]))
 
 
+def q_gray_morph(sf_dir: str):
+    """Grayscale morphology suite (stages/gray_morph: erode / dilate /
+    fused open / close / top-hats / gradient, each ONE halo exchange)
+    over the t1 dem -> per-op integer pixel stats: valid count, count
+    of strictly-positive residual cells, and the order-free exact max
+    (pins the fused radius-2n path and nodata inertness)."""
+    import ray.data
+
+    from ..stages.gray_morph import gray_morph
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    planes = [gray_morph(base, spec, op=op, layer="dem", n=2)
+              for op in ("erode", "dilate", "gradient", "open",
+                         "close", "white_tophat", "black_tophat")]
+    allp = planes[0]
+    for p in planes[1:]:
+        allp = allp.union(p)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        lay, nv, npos, vmax = [], [], [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            valid = arr != np.float32(cap.nodata)
+            lay.append(cap.layer)
+            nv.append(int(valid.sum()))
+            npos.append(int((valid & (arr > 0)).sum()))
+            vmax.append(float(arr[valid].max()) if valid.any()
+                        else float("-inf"))
+        return pa.table({"op": pa.array(lay, pa.string()),
+                         "n_valid": pa.array(nv, pa.int64()),
+                         "n_pos": pa.array(npos, pa.int64()),
+                         "vmax": pa.array(vmax, pa.float64())})
+
+    from .queries import _agg
+
+    a = _agg()
+    return (allp.map_batches(stats, batch_format="pyarrow")
+            .groupby("op")
+            .aggregate(a.Sum("n_valid", alias_name="n_valid"),
+                       a.Sum("n_pos", alias_name="n_pos"),
+                       a.Max("vmax", alias_name="vmax"))
+            .sort("op"))
+
+
+def q_h_maxima(sf_dir: str):
+    """h-maxima peak suppression (stages/gray_morph.h_maxima: geodesic
+    reconstruction by dilation, one dual-plane radius-1 exchange + one
+    count fold per round, exact convergence) on a 2x2-tile dem world
+    -> integer histogram of the suppression depth dem - hmax in
+    1/4-unit bins (0 <= depth <= h everywhere; the histogram pins both
+    the flood result and convergence)."""
+    import ray.data
+
+    from ..stages.gray_morph import h_maxima
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import SynthConfig, tiles_table
+
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    sup = h_maxima(base, spec, layer="dem", h=2.0)
+
+    def tag(name):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("plane",
+                                   pa.array([name] * b.num_rows))
+        return fn
+
+    both = (base.map_batches(tag("dem"), batch_format="pyarrow")
+            .union(sup.map_batches(tag("hmax"), batch_format="pyarrow")))
+
+    def per_tile(batch: pa.Table) -> pa.Table:
+        key, plane, blob, nd = [], [], [], []
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            key.append(f"{cap.tx}/{cap.ty}")
+            plane.append(batch.column("plane")[i].as_py())
+            blob.append(arr.tobytes())
+            nd.append(float(cap.nodata))
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "plane": pa.array(plane, pa.string()),
+                         "blob": pa.array(blob, pa.binary()),
+                         "nodata": pa.array(nd, pa.float64())})
+
+    def diff_hist(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        planes = dict(zip(g["plane"], g["blob"]))
+        dem = np.frombuffer(planes["dem"], np.float32)
+        hm = np.frombuffer(planes["hmax"], np.float32)
+        valid = dem != np.float32(g["nodata"][0])
+        depth = (dem - hm)[valid]
+        bins = np.minimum((depth * 4).astype(np.int64), 8)
+        vals, counts = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(vals, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    from .queries import _agg
+
+    a = _agg()
+    return (both.map_batches(per_tile, batch_format="pyarrow")
+            .groupby("key").map_groups(diff_hist,
+                                       batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(a.Sum("n_px", alias_name="n_px"))
+            .sort("bin"))
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3217,6 +3338,8 @@ ROWS_ONLY = {
     "bpe_tokens": q_bpe_tokens,
     "mode_resample": q_mode_resample,
     "expand_shrink": q_expand_shrink,
+    "gray_morph": q_gray_morph,
+    "h_maxima_depth": q_h_maxima,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
