@@ -2670,6 +2670,73 @@ def q_h_maxima(sf_dir: str):
             .sort("bin"))
 
 
+def q_clahe(sf_dir: str):
+    """CLAHE adaptive equalization (stages/clahe: per-tile clipped
+    histograms shipped as 2 KB sidecars -- ONE groupby shuffle whose
+    halo traffic is histograms, not pixel strips) over the t1 dem ->
+    16-bin integer histogram of the equalized [0, 255] surface plus
+    the valid-pixel total (pins the clip/redistribute/blend rules
+    bit-exactly; value range folded from the order-free global
+    min/max)."""
+    import ray.data
+
+    from ..stages.clahe import clahe
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        lo, hi = [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            v = arr[arr != np.float32(cap.nodata)]
+            if len(v):
+                lo.append(float(v.min()))
+                hi.append(float(v.max()))
+        return pa.table({"lo": pa.array(lo, pa.float64()),
+                         "hi": pa.array(hi, pa.float64())})
+
+    from .queries import _agg
+
+    a = _agg()
+    mm = (base.map_batches(minmax, batch_format="pyarrow")
+          .aggregate(a.Min("lo", alias_name="lo"),
+                     a.Max("hi", alias_name="hi")))
+    vmin, vmax = float(mm["lo"]), float(mm["hi"])
+    out = clahe(base, spec, layer="dem", bins=256, clip_limit=3.0,
+                vmin=vmin, vmax=np.nextafter(vmax, np.inf))
+
+    def hist16(batch: pa.Table) -> pa.Table:
+        bins, counts = [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            v = arr[arr != np.float32(cap.nodata)]
+            b = np.clip((v / 16.0).astype(np.int64), 0, 15)
+            vals, cnts = np.unique(b, return_counts=True)
+            bins.extend(int(x) for x in vals)
+            counts.extend(int(x) for x in cnts)
+        return pa.table({"bin": pa.array(bins, pa.int64()),
+                         "n_px": pa.array(counts, pa.int64())})
+
+    return (out.map_batches(hist16, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(a.Sum("n_px", alias_name="n_px"))
+            .sort("bin"))
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3340,6 +3407,7 @@ ROWS_ONLY = {
     "expand_shrink": q_expand_shrink,
     "gray_morph": q_gray_morph,
     "h_maxima_depth": q_h_maxima,
+    "clahe_enhance": q_clahe,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
