@@ -464,3 +464,46 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text",
 
     return (docs.select_columns([id_col, text_col])
             .map_batches(stats, batch_format="pyarrow"))
+
+
+def top_bigram_stats(docs, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     max_top_share: float = 0.1):
+    """Gopher repetition rule #2 (Rae et al. 2021 table A1, "fraction
+    of characters in the most common n-gram", n=2 re-expressed over
+    token pairs): flag documents whose most frequent ADJACENT token
+    pair accounts for >= ``max_top_share`` of all pairs.  Returns
+    ``(doc_id, n_pairs, top_count)`` integer rows for flagged docs;
+    docs with < 2 tokens have no pairs and are never flagged.
+
+    Scale shape: zero shuffles -- per-document statistics only, one
+    stateless ``map_batches``; the share test is integer
+    cross-multiplication (same exactness contract as
+    :func:`repetition_stats`)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    fr = Fraction(max_top_share).limit_denominator(10_000)
+    num, den = fr.numerator, fr.denominator
+
+    def stats(b: pa.Table) -> pa.Table:
+        ids, n_pr, top = [], [], []
+        id_arr = b.column(id_col).to_pylist()
+        for i, text in enumerate(b.column(text_col).to_pylist()):
+            toks = text.split(" ")
+            if len(toks) < 2:
+                continue
+            cnt = Counter(zip(toks, toks[1:]))
+            n = len(toks) - 1
+            t = max(cnt.values())
+            if t * den >= n * num:
+                ids.append(id_arr[i])
+                n_pr.append(n)
+                top.append(t)
+        return pa.table({
+            id_col: pa.array(ids, b.schema.field(id_col).type),
+            "n_pairs": pa.array(n_pr, pa.int64()),
+            "top_count": pa.array(top, pa.int64())})
+
+    return (docs.select_columns([id_col, text_col])
+            .map_batches(stats, batch_format="pyarrow"))

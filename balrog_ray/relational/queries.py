@@ -2390,6 +2390,111 @@ def q_repetition_docs(sf_dir: str):
                             max_top_share=0.2)
 
 
+def q_top_bigram_docs(sf_dir: str):
+    """Documents whose most frequent adjacent token pair is >= 10% of
+    all pairs (Gopher repetition rule family, n=2) -- integer
+    numerator/denominator output so the compare is exact."""
+    from ..functions.text import top_bigram_stats
+
+    return top_bigram_stats(_read(sf_dir, "documents",
+                                  ["doc_id", "text"]),
+                            max_top_share=0.1)
+
+
+SQL_TOP_BIGRAM_DOCS = """
+with toks as (select doc_id, string_split(text, ' ') as l
+              from documents),
+pairs as (
+  select doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) as pr
+  from toks where len(l) >= 2),
+cnt as (select doc_id, pr, count(*) as c from pairs group by 1, 2),
+top as (select doc_id, sum(c) as n_pairs, max(c) as top_count
+        from cnt group by 1)
+select doc_id, cast(n_pairs as bigint) as n_pairs,
+       cast(top_count as bigint) as top_count
+from top where top_count * 10 >= n_pairs
+"""
+
+
+def q_seasonal_decompose(sf_dir: str):
+    """Classical additive seasonal decomposition of the hourly event
+    count series (statsmodels ``seasonal_decompose`` role): dense
+    hourly counts -> centered 2x24 moving-average trend -> per
+    hour-of-day mean of the detrended series, centered to sum to
+    zero -> the 24 seasonal indexes.
+
+    Scale shape: the heavy pass is the distributed count -- per-batch
+    ``np.unique`` partials then ONE ``groupby(hr).sum`` whose output
+    is O(series length), independent of event count; the decomposition
+    itself runs on that stat-sized table (696 detrended points here).
+    Hour arithmetic is integer epoch-microseconds (TZ-independent,
+    the round-2 lesson).  Trend sums are integer-valued in float64 --
+    bit-exact under any summation order -- so only the final 29-value
+    means carry float rounding, inside the driver's 1e-9 compare."""
+    a = _agg()
+
+    def hours(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy()
+        hr, c = np.unique(us // 3_600_000_000, return_counts=True)
+        return pa.table({"hr": pa.array(hr, pa.int64()),
+                         "y": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (_read(sf_dir, "events", ["ts"])
+              .map_batches(hours, batch_format="pyarrow")
+              .groupby("hr")
+              .aggregate(a.Sum("y", alias_name="y"))
+              .to_pandas())                       # O(hours), tiny
+    hrs = counts["hr"].to_numpy(np.int64)
+    lo = int(hrs.min())
+    dense = np.zeros(int(hrs.max()) - lo + 1, np.float64)
+    dense[hrs - lo] = counts["y"].to_numpy(np.float64)
+    n = len(dense)
+    if n < 25:
+        return pa.table({"hod": pa.array([], pa.int64()),
+                         "seasonal": pa.array([], pa.float64())})
+    # trend[t] = (y[t-12]/2 + sum_{|k|<=11} y[t+k] + y[t+12]/2) / 24
+    s23 = np.convolve(dense, np.ones(23), "valid")   # s23[j]=sum j..j+22
+    t_idx = np.arange(12, n - 12)
+    trend = (0.5 * dense[t_idx - 12] + s23[t_idx - 11]
+             + 0.5 * dense[t_idx + 12]) / 24.0
+    d = dense[t_idx] - trend
+    hod = (lo + t_idx) % 24
+    s_raw = np.array([d[hod == h].mean() for h in range(24)])
+    seasonal = s_raw - s_raw.mean()
+    return pa.table({"hod": pa.array(np.arange(24), pa.int64()),
+                     "seasonal": pa.array(seasonal, pa.float64())})
+
+
+SQL_SEASONAL_DECOMPOSE = """
+with h as (
+  select cast(floor(epoch(ts) / 3600) as bigint) as hr, count(*) as y
+  from events group by 1),
+dense as (
+  select u.hr, coalesce(h.y, 0) as y
+  from (select unnest(range((select min(hr) from h),
+                            (select max(hr) from h) + 1)) as hr) u
+  left join h on h.hr = u.hr),
+tr as (
+  select hr, y,
+    case when count(*) over
+           (order by hr rows between 12 preceding and 12 following)
+         = 25
+    then (0.5 * first_value(y) over
+            (order by hr rows between 12 preceding and 12 following)
+          + sum(y) over
+            (order by hr rows between 11 preceding and 11 following)
+          + 0.5 * last_value(y) over
+            (order by hr rows between 12 preceding and 12 following)
+         ) / 24.0
+    end as trend
+  from dense),
+det as (select hr, y - trend as d from tr where trend is not null),
+si as (select hr % 24 as hod, avg(d) as s_raw from det group by 1),
+m as (select avg(s_raw) as mu from si)
+select si.hod, si.s_raw - m.mu as seasonal from si, m order by si.hod
+"""
+
+
 SQL_REPETITION_DOCS = """
 with toks as (
   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
@@ -5322,6 +5427,8 @@ SQL_CHECKED = {
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
+    "top_bigram_docs": (q_top_bigram_docs, SQL_TOP_BIGRAM_DOCS),
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),

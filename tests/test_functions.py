@@ -833,6 +833,27 @@ def test_repetition_stats_integer_boundary(ray_session):
     assert list(got["top_count"]) == [2, 1]
 
 
+def test_top_bigram_stats_boundary(ray_session):
+    """Adjacent-pair rule: exactly-at-threshold flagged (integer
+    cross-multiplication), single-token docs produce no pairs."""
+    import ray
+
+    from balrog_ray.functions.text import top_bigram_stats
+
+    docs = ["a b a b a b a b c d d",  # pairs=10, top('a b')=4: flagged
+            "a b c d e f g h i j k",  # pairs=10, top=1: 1*10>=10: flagged
+            "a b c d e f g h i j k l m n o p q r s t u v",  # top=1,n=21
+            "solo"]                   # no pairs
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = (top_bigram_stats(ray.data.from_arrow(tbl),
+                            max_top_share=0.1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(got["doc_id"]) == [0, 1]
+    assert list(got["n_pairs"]) == [10, 10]
+    assert list(got["top_count"]) == [4, 1]
+
+
 def test_phash_dup_clusters_closure(ray_session):
     """Cluster sizes equal the brute-force transitive closure of the
     verified phash pair set, and every survivor is its cluster's

@@ -29,7 +29,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "merge_changelog", "scd2_intervals", "event_transitions",
                "range_frame_sum", "late_events", "embedding_gram",
                "kcore_customers", "division_customers", "gini_revenue",
-               "bit_flags_events", "benford_prices"]
+               "bit_flags_events", "benford_prices", "top_bigram_docs",
+               "seasonal_decompose"]
 
 
 def _canonical(tab: pa.Table):
