@@ -2737,6 +2737,121 @@ def q_clahe(sf_dir: str):
             .sort("bin"))
 
 
+def q_granulometry(sf_dir: str):
+    """Granulometry / pattern spectrum (Maragos 1989; the
+    morphological size-distribution analysis): successive disk
+    openings of the t1 dem at radii 1..3, reporting per-radius
+    integer image mass ``sum(floor(v * 256))`` and the mass REMOVED
+    from the previous radius (the pattern-spectrum bin -- nonnegative
+    by anti-extensivity, which this query pins).  Composes the fused
+    one-exchange open stage; sums are int64 folds (order-free
+    exact)."""
+    import ray.data
+
+    from ..stages.gray_morph import gray_morph
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+
+    def mass(tag):
+        def fn(batch: pa.Table) -> pa.Table:
+            tot = 0
+            for payload, fmt, cap_json in zip(
+                    batch.column("bytes").to_pylist(),
+                    batch.column("fmt").to_pylist(),
+                    batch.column("caption").to_pylist()):
+                cap = Caption.from_json(cap_json)
+                arr = decode_tile(payload, fmt, cap)
+                v = arr[arr != np.float32(cap.nodata)]
+                tot += int(np.floor(v.astype(np.float64)
+                                    * 256.0).sum())
+            return pa.table({"radius": pa.array([tag], pa.int64()),
+                             "mass": pa.array([tot], pa.int64())})
+        return fn
+
+    parts = [base.map_batches(mass(0), batch_format="pyarrow")]
+    for r in (1, 2, 3):
+        opened = gray_morph(base, spec, op="open", layer="dem", n=r)
+        parts.append(opened.map_batches(mass(r),
+                                        batch_format="pyarrow"))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+
+    from .queries import _agg
+
+    a = _agg()
+    masses = (allp.groupby("radius")
+              .aggregate(a.Sum("mass", alias_name="mass"))
+              .sort("radius").to_pandas())
+    m = masses["mass"].to_numpy()
+    removed = np.concatenate([[0], m[:-1] - m[1:]])
+    return pa.table({"radius": pa.array(masses["radius"].to_numpy(),
+                                        pa.int64()),
+                     "mass": pa.array(m, pa.int64()),
+                     "removed": pa.array(removed, pa.int64())})
+
+
+def q_kuwahara(sf_dir: str):
+    """Kuwahara edge-preserving smoother (stages/filters.kuwahara)
+    over the t1 dem -> integer roughness comparison: count of valid
+    pixels whose 4-neighbor max absolute difference exceeds 1.0,
+    before vs after (the filter must strictly reduce it -- the
+    edge-preserving-smoothing contract)."""
+    import ray.data
+
+    from ..stages.filters import kuwahara
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    smooth = kuwahara(base, spec, layer="dem", radius=2)
+
+    def rough(batch: pa.Table) -> pa.Table:
+        lay, n = [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            nd = np.float32(cap.nodata)
+            valid = arr != nd
+            worst = np.zeros(arr.shape, np.float32)
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                sh = np.full(arr.shape, nd, np.float32)
+                ys = slice(max(0, dy), arr.shape[0] + min(0, dy))
+                xs = slice(max(0, dx), arr.shape[1] + min(0, dx))
+                yo = slice(max(0, -dy), arr.shape[0] + min(0, -dy))
+                xo = slice(max(0, -dx), arr.shape[1] + min(0, -dx))
+                sh[ys, xs] = arr[yo, xo]
+                ok = valid & (sh != nd)
+                d = np.where(ok, np.abs(arr - sh), 0.0)
+                worst = np.maximum(worst, d)
+            lay.append(cap.layer)
+            n.append(int((valid & (worst > 1.0)).sum()))
+        return pa.table({"layer": pa.array(lay, pa.string()),
+                         "n_rough": pa.array(n, pa.int64())})
+
+    from .queries import _agg
+
+    a = _agg()
+    return (base.union(smooth)
+            .map_batches(rough, batch_format="pyarrow")
+            .groupby("layer")
+            .aggregate(a.Sum("n_rough", alias_name="n_rough"))
+            .sort("layer"))
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3408,6 +3523,8 @@ ROWS_ONLY = {
     "gray_morph": q_gray_morph,
     "h_maxima_depth": q_h_maxima,
     "clahe_enhance": q_clahe,
+    "granulometry": q_granulometry,
+    "kuwahara_smooth": q_kuwahara,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,

@@ -257,3 +257,68 @@ def bilateral_filter(ds, spec: GridSpec, *, layer: str = "dem",
 
     return windowed_stage(ds, spec, layer=layer, radius=r,
                           out_layer=out_layer, window_fn=fn, fmt=fmt)
+
+
+def kuwahara_kernel(arr: np.ndarray, radius: int,
+                    nodata: float) -> np.ndarray:
+    """Kuwahara edge-preserving smoother (Kuwahara et al. 1976; the
+    classic pre-bilateral member of the family): the (2r+1)^2 window
+    splits into four overlapping (r+1)^2 quadrants sharing the center;
+    the output is the MEAN of the quadrant with the SMALLEST variance
+    -- flat regions average, edges pick the quadrant that does not
+    straddle them.
+
+    Determinism contract: per-quadrant sum/sumsq accumulate in float64
+    over a FIXED offset order, variance compares as float64, and ties
+    break by quadrant index (NW, NE, SW, SE), so tiled == whole is
+    bit-exact.  Nodata-aware: invalid neighbors drop out of their
+    quadrant's count; a quadrant with zero valid cells is skipped
+    (the center pixel keeps >= 1 quadrant alive); nodata centers stay
+    nodata."""
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    a32 = np.asarray(arr, np.float32)
+    nd = np.float32(nodata)
+    valid = a32 != nd
+    v = np.where(valid, a32.astype(np.float64), 0.0)
+    m = valid.astype(np.float64)
+    # quadrant dy/dx ranges, each includes the center row/col
+    quads = (((-radius, 0), (-radius, 0)),   # NW
+             ((-radius, 0), (0, radius)),    # NE
+             ((0, radius), (-radius, 0)),    # SW
+             ((0, radius), (0, radius)))     # SE
+    best_var = np.full(a32.shape, np.inf)
+    best_mean = np.zeros(a32.shape, np.float64)
+    for (ylo, yhi), (xlo, xhi) in quads:
+        s = np.zeros(a32.shape, np.float64)
+        s2 = np.zeros(a32.shape, np.float64)
+        c = np.zeros(a32.shape, np.float64)
+        for dy in range(ylo, yhi + 1):
+            for dx in range(xlo, xhi + 1):
+                sv = _shift(v, dy, dx, 0.0)
+                sm = _shift(m, dy, dx, 0.0)
+                s += sv
+                s2 += sv * sv
+                c += sm
+        alive = c > 0
+        mean = np.where(alive, s / np.where(alive, c, 1.0), 0.0)
+        var = np.where(alive, s2 / np.where(alive, c, 1.0)
+                       - mean * mean, np.inf)
+        take = var < best_var          # strict: earlier quadrant wins ties
+        best_var = np.where(take, var, best_var)
+        best_mean = np.where(take, mean, best_mean)
+    out = best_mean.astype(np.float32)
+    out[~valid] = nd
+    return out
+
+
+def kuwahara(ds, spec: GridSpec, *, layer: str = "dem",
+             radius: int = 2, out_layer: str = "kuwahara",
+             fmt: str = "npz"):
+    """Image-table Dataset -> Kuwahara-filtered tiles; one radius-sized
+    halo exchange on the shared windowed stage."""
+    def fn(window: np.ndarray, nd: float) -> np.ndarray:
+        return kuwahara_kernel(window, radius, nd)
+
+    return windowed_stage(ds, spec, layer=layer, radius=radius,
+                          out_layer=out_layer, window_fn=fn, fmt=fmt)
