@@ -2852,6 +2852,27 @@ def q_kuwahara(sf_dir: str):
             .sort("layer"))
 
 
+def q_zone_geometry(sf_dir: str):
+    """Zonal geometry (stages/zone_geometry: ArcGIS ZonalGeometry /
+    regionprops role) over the t1 veg classes -> per-zone area,
+    perimeter, centroid, central moments, orientation, eccentricity,
+    compactness.  ONE radius-1 halo exchange emitting integer partial
+    sums, ONE python-int zone fold -- nothing pixel-sized leaves the
+    tiles; every float derives from exact integers through the same
+    function the whole-raster oracle uses."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.zone_geometry import zone_geometry
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("veg",)))
+    return zone_geometry(base, spec, layer="veg")
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3525,6 +3546,7 @@ ROWS_ONLY = {
     "clahe_enhance": q_clahe,
     "granulometry": q_granulometry,
     "kuwahara_smooth": q_kuwahara,
+    "zone_geometry_veg": q_zone_geometry,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
