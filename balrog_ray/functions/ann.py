@@ -413,3 +413,111 @@ def sq_topk(code_ds, queries: np.ndarray, ranges: np.ndarray,
                                   batch_size=batch_size)
     return partial.groupby("query_id").map_groups(
         _merge_topk_fn(k), batch_format="pyarrow")
+
+
+def mmr_topk(emb_ds, queries: np.ndarray, k: int = 10, *,
+             lam: float = 0.7, pool: int = 40,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             batch_size: int = 4096):
+    """Maximal Marginal Relevance diversified retrieval (Carbonell &
+    Goldstein 1998): per query, greedily select k results maximizing
+    ``lam * cos(q, d) - (1 - lam) * max_{s in selected} cos(d, s)`` --
+    the relevance/diversity trade-off reranker search stacks put after
+    ANN.
+
+    Two stages: (1) the distributed exact top-``pool`` candidate pass
+    (same per-block partial top-k + tiny merge as
+    :func:`brute_force_topk`, but carrying each candidate's unit
+    vector -- pool * dim floats per query, still KB-sized); (2) a
+    per-query greedy MMR over the pool (k * pool dot products,
+    driver-free, inside ``map_groups``).  The greedy is EXACT over the
+    pool; pool membership is the standard rerank approximation
+    (pool >= k enforced).  Ties break (score desc, vec_id asc) after
+    an 1e-12 round, so block order cannot flip a selection.
+
+    Returns (query_id, rank, vec_id, cosine, mmr_score).
+    """
+    import ray
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if pool < k:
+        raise ValueError("pool must be >= k")
+    qunit = _unit(np.asarray(queries, np.float64))
+    ref = ray.put(qunit)
+
+    pool_schema = pa.schema([
+        ("query_id", pa.int64()), ("vec_id", pa.int64()),
+        ("cosine", pa.float64()),
+        ("unit", pa.list_(pa.float64())),
+    ])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
+        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
+                              np.float64))
+        sims = vecs @ q.T
+        kk = min(pool, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)
+        out = {"query_id": [], "vec_id": [], "cosine": [], "unit": []}
+        for qi in range(q.shape[0]):
+            rows = _topk_rows(sims[:, qi], ids, part[kk - 1, qi], kk)
+            out["query_id"].extend([qi] * len(rows))
+            out["vec_id"].extend(ids[rows].tolist())
+            out["cosine"].extend(sims[rows, qi].tolist())
+            out["unit"].extend(vecs[rows].tolist())
+        return pa.table(out, schema=pool_schema)
+
+    def mmr(group: pa.Table) -> pa.Table:
+        g = group.to_pydict()
+        qid = int(g["query_id"][0])
+        ids = np.asarray(g["vec_id"], np.int64)
+        cos = np.asarray(g["cosine"], np.float64)
+        units = np.array(g["unit"], np.float64)
+        # deterministic pool: best `pool` by (cosine desc, id asc)
+        order = np.lexsort((ids, -cos))[:pool]
+        ids, cos, units = ids[order], cos[order], units[order]
+        sel, scores = greedy_mmr(cos, units, ids, k=k, lam=lam,
+                                 return_scores=True)
+        return pa.table({
+            "query_id": pa.array([qid] * len(sel), pa.int64()),
+            "rank": pa.array(np.arange(len(sel)), pa.int64()),
+            "vec_id": pa.array(ids[sel], pa.int64()),
+            "cosine": pa.array(cos[sel], pa.float64()),
+            "mmr_score": pa.array(np.asarray(scores), pa.float64()),
+        })
+
+    partial = emb_ds.map_batches(scan, batch_format="pyarrow",
+                                 batch_size=batch_size)
+    return (partial.groupby("query_id")
+            .map_groups(mmr, batch_format="pyarrow"))
+
+
+def greedy_mmr(cos: np.ndarray, units: np.ndarray, ids: np.ndarray,
+               *, k: int, lam: float, return_scores: bool = False):
+    """Exact greedy MMR over a candidate pool; deterministic tie-break
+    (rounded score desc, vec_id asc).  Shared by the distributed path
+    and the single-process oracle."""
+    n = len(ids)
+    chosen: list[int] = []
+    scores: list[float] = []
+    max_sim = np.full(n, -np.inf)
+    taken = np.zeros(n, bool)
+    for _ in range(min(k, n)):
+        if chosen:
+            mmr_s = lam * cos - (1.0 - lam) * max_sim
+        else:
+            mmr_s = lam * cos
+        mmr_r = np.round(mmr_s, 12)
+        mmr_r[taken] = -np.inf
+        best = mmr_r.max()
+        cand = np.flatnonzero(mmr_r == best)
+        pick = cand[np.argmin(ids[cand])]
+        chosen.append(int(pick))
+        scores.append(float(mmr_s[pick]))
+        taken[pick] = True
+        max_sim = np.maximum(max_sim, units @ units[pick])
+    if return_scores:
+        return chosen, scores
+    return chosen

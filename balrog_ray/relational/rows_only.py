@@ -2873,6 +2873,41 @@ def q_zone_geometry(sf_dir: str):
     return zone_geometry(base, spec, layer="veg")
 
 
+def q_mmr_topk(sf_dir: str):
+    """MMR-diversified retrieval (functions/ann.mmr_topk, Carbonell &
+    Goldstein 1998): exact top-40 candidate pool per query (per-block
+    partial top-k + tiny merge, pool vectors ride the shuffle as
+    KB-sized rows) then the exact greedy rerank inside map_groups --
+    the greedy itself is not SQL-expressible, hence rows-only; its
+    semantics are pinned against the single-process oracle in
+    tests/test_functions.py."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.ann import mmr_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtab = emb.filter(pc.less(emb.column("vec_id"), 3))
+    qids = qtab.column("vec_id").to_pylist()
+    queries = np.array(qtab.column("embedding").to_pylist(),
+                       np.float64)
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = mmr_topk(ds, queries, k=8, lam=0.7, pool=40)
+
+    def remap(b: pa.Table) -> pa.Table:
+        qi = b.column("query_id").to_numpy()
+        return pa.table({
+            "query_id": pa.array([qids[i] for i in qi], pa.int64()),
+            "rank": b.column("rank"),
+            "vec_id": b.column("vec_id")})
+
+    return out.map_batches(remap, batch_format="pyarrow")
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3547,6 +3582,7 @@ ROWS_ONLY = {
     "granulometry": q_granulometry,
     "kuwahara_smooth": q_kuwahara,
     "zone_geometry_veg": q_zone_geometry,
+    "mmr_topk": q_mmr_topk,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,

@@ -938,3 +938,70 @@ def test_edit_distance_pairs_exact(ray_session):
                   if _lev1_dist(names[i], names[j]) <= 1)
     assert got_pairs == want
     assert len(want) >= 10
+
+
+def _numpy_mmr(vecs, query, k, lam, pool):
+    """Single-process oracle mirroring the distributed two-stage rule:
+    pool by (cosine desc, id asc), then greedy_mmr."""
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1, n)
+    u = unit(vecs.astype(np.float32).astype(np.float64))
+    q = unit(query[None, :])[0]
+    cos = u @ q
+    ids = np.arange(len(vecs), dtype=np.int64)
+    order = np.lexsort((ids, -cos))[:pool]
+    ids, cos, u = ids[order], cos[order], u[order]
+    sel, scores = ann.greedy_mmr(cos, u, ids, k=k, lam=lam,
+                                 return_scores=True)
+    return list(ids[sel]), scores
+
+
+def test_mmr_topk_matches_oracle(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, queries = emb_data
+    got = ann.mmr_topk(ray.data.from_arrow(tbl), queries, k=8,
+                       lam=0.6, pool=32).take_all()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["mmr_score"], 9)))
+    for qi in range(queries.shape[0]):
+        ids, scores = _numpy_mmr(vecs, queries[qi], 8, 0.6, 32)
+        assert by_q[qi] == [(i, round(s, 9))
+                            for i, s in zip(ids, scores)]
+
+
+def test_mmr_diversifies(ray_session, emb_data):
+    """lam < 1 must not increase the mean pairwise similarity of the
+    selection vs the plain top-k (equality only if top-k is already
+    diverse); lam=1.0 must reproduce the plain top-k order."""
+    import ray.data
+
+    tbl, vecs, queries = emb_data
+    ds = ray.data.from_arrow(tbl)
+
+    def mean_pair_sim(ids):
+        def unit(m):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            return m / np.where(n == 0, 1, n)
+        u = unit(vecs[ids].astype(np.float32).astype(np.float64))
+        s = u @ u.T
+        iu = np.triu_indices(len(ids), 1)
+        return float(s[iu].mean())
+
+    plain = ann.brute_force_topk(ds, queries, k=8).take_all()
+    div = ann.mmr_topk(ds, queries, k=8, lam=0.5, pool=64).take_all()
+    ident = ann.mmr_topk(ds, queries, k=8, lam=1.0, pool=64).take_all()
+    by_q_p, by_q_d, by_q_i = {}, {}, {}
+    for r in plain:
+        by_q_p.setdefault(r["query_id"], []).append(r["vec_id"])
+    for r in sorted(div, key=lambda r: (r["query_id"], r["rank"])):
+        by_q_d.setdefault(r["query_id"], []).append(r["vec_id"])
+    for r in sorted(ident, key=lambda r: (r["query_id"], r["rank"])):
+        by_q_i.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi in by_q_p:
+        assert by_q_i[qi] == by_q_p[qi]          # lam=1 == relevance
+        assert (mean_pair_sim(by_q_d[qi])
+                <= mean_pair_sim(by_q_p[qi]) + 1e-12)
