@@ -2495,6 +2495,117 @@ select si.hod, si.s_raw - m.mu as seasonal from si, m order by si.hod
 """
 
 
+def q_ewma_user_value(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.25) over the (ts, event_id)-ordered stream, reporting
+    the FINAL state per user -- the canonical sequential-state scan
+    (stream smoothing / online feature) that no window frame
+    expresses; the oracle drives DuckDB's recursive CTE through the
+    identical recurrence.
+
+    Scale shape: one groupby(user_id) shuffle; the per-group scan is
+    inherently sequential (each step reads the previous state) but
+    group-sized, and both sides evaluate ``s = 0.25 x + 0.75 s`` in
+    the same order with the same float64 arithmetic, so the compare
+    is bit-tight, not just 1e-9-tight."""
+
+    def scan(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        x = group.take(order).column("value").to_numpy()
+        s = float(x[0])
+        for v in x[1:]:
+            s = 0.25 * float(v) + 0.75 * s
+        return pa.table({
+            "user_id": pa.array([group.column("user_id")[0].as_py()],
+                                pa.int64()),
+            "ewma": pa.array([s], pa.float64())})
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                     "value"])
+            .groupby("user_id")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+SQL_EWMA_USER_VALUE = """
+with seq as (
+  select user_id, value,
+         row_number() over (partition by user_id
+                            order by ts, event_id) as t,
+         count(*) over (partition by user_id) as n
+  from events),
+final_state as (
+  with recursive r as (
+    select user_id, t, value as s, n from seq where t = 1
+    union all
+    select seq.user_id, seq.t, 0.25 * seq.value + 0.75 * r.s, r.n
+    from r join seq on seq.user_id = r.user_id and seq.t = r.t + 1)
+  select user_id, s from r where t = n)
+select user_id, s as ewma from final_state
+"""
+
+
+def q_session_paths(sf_dir: str):
+    """Clickstream path analysis: sessionize each user's stream (same
+    1800 s gap rule as `sessionize`), form the ordered event-type path
+    per session ('view>click>...'), and count identical paths
+    corpus-wide, keeping paths seen >= 3 times -- the funnel-mining /
+    common-journey shape.
+
+    Scale shape: one groupby(user_id) shuffle; per-group work emits
+    (path, n) PARTIALS (a Counter over that user's sessions), so the
+    final groupby(path) ships aggregates, not sessions."""
+    from collections import Counter
+
+    a = _agg()
+
+    def paths(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        ts = (g.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        et = g.column("event_type").to_pylist()
+        brk = np.zeros(len(ts), np.int64)
+        brk[1:] = (np.diff(ts) / 1e6 > 1800).astype(np.int64)
+        sess = np.cumsum(brk)
+        cnt = Counter()
+        for s in range(int(sess[-1]) + 1):
+            idx = np.flatnonzero(sess == s)
+            cnt[">".join(et[i] for i in idx)] += 1
+        return pa.table({
+            "path": pa.array(list(cnt.keys()), pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64())})
+
+    counted = (_read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                        "event_type"])
+               .groupby("user_id")
+               .map_groups(paths, batch_format="pyarrow")
+               .groupby("path")
+               .aggregate(a.Sum("n", alias_name="n")))
+    return counted.filter(expr="n >= 3")
+
+
+SQL_SESSION_PATHS = """
+with e as (
+  select user_id, ts, event_id, event_type,
+         case when epoch(ts) - lag(epoch(ts)) over
+                (partition by user_id order by ts, event_id) > 1800
+              then 1 else 0 end as brk
+  from events),
+s as (
+  select user_id, ts, event_id, event_type,
+         sum(brk) over (partition by user_id order by ts, event_id
+                        rows unbounded preceding) as sess
+  from e),
+p as (
+  select user_id, sess,
+         string_agg(event_type, '>' order by ts, event_id) as path
+  from s group by 1, 2)
+select path, count(*) as n from p group by 1 having count(*) >= 3
+"""
+
+
 SQL_REPETITION_DOCS = """
 with toks as (
   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
@@ -5429,6 +5540,8 @@ SQL_CHECKED = {
     "repetition_docs": (q_repetition_docs, SQL_REPETITION_DOCS),
     "top_bigram_docs": (q_top_bigram_docs, SQL_TOP_BIGRAM_DOCS),
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "ewma_user_value": (q_ewma_user_value, SQL_EWMA_USER_VALUE),
+    "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),

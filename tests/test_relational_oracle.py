@@ -30,7 +30,7 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "range_frame_sum", "late_events", "embedding_gram",
                "kcore_customers", "division_customers", "gini_revenue",
                "bit_flags_events", "benford_prices", "top_bigram_docs",
-               "seasonal_decompose"]
+               "seasonal_decompose", "ewma_user_value", "session_paths"]
 
 
 def _canonical(tab: pa.Table):
