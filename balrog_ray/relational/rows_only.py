@@ -2908,6 +2908,34 @@ def q_mmr_topk(sf_dir: str):
     return out.map_batches(remap, batch_format="pyarrow")
 
 
+def q_seam_carve(sf_dir: str):
+    """Seam carving (stages/seam: wavefront DP -- tiles_y sequential
+    band rounds, each one keyed exchange of the band's energy tiles +
+    one M boundary row per tile; banded == whole bit-exact by the
+    dependence-trapezoid argument) over the t1 dem as the energy
+    field -> the optimal vertical seam as (row, col) rows plus the
+    integer-scaled total cost; smallest-column tie-breaks make it
+    fully deterministic."""
+    import ray.data
+
+    from ..stages.halo import GridSpec
+    from ..stages.seam import extract_seam, seam_energy_map
+    from ..tiles.synth import tiles_table
+
+    cfg = _t1_cfg()
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+    m_ds = seam_energy_map(base, spec, layer="dem")
+    seam, cost = extract_seam(m_ds, spec)
+    n = len(seam)
+    return pa.table({
+        "row": pa.array(np.arange(n), pa.int64()),
+        "col": pa.array(seam, pa.int64()),
+        "cost_milli": pa.array([int(round(cost * 1000))] * n,
+                               pa.int64())})
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3583,6 +3611,7 @@ ROWS_ONLY = {
     "kuwahara_smooth": q_kuwahara,
     "zone_geometry_veg": q_zone_geometry,
     "mmr_topk": q_mmr_topk,
+    "seam_carve": q_seam_carve,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
