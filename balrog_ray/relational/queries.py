@@ -2606,6 +2606,74 @@ select path, count(*) as n from p group by 1 having count(*) >= 3
 """
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information (nats) between event type and hour-of-day,
+    plus the two marginal entropies -- the information-theoretic
+    dependence screen feature pipelines run before keeping a column.
+    Distributed shape: per-batch (type, hour) partial counts then ONE
+    tiny groupby; MI evaluates on the |types| x 24 contingency table
+    from exact integer counts, rounded to 9 dp on both sides (term
+    order is the only float freedom and sits at ~1e-16)."""
+    a = _agg()
+
+    def cells(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy()
+        h = (us // 3_600_000_000) % 24
+        t = np.asarray(b.column("event_type").to_pylist(), object)
+        key = np.char.add(np.char.add(t.astype(str), "|"),
+                          h.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u.tolist(), pa.string()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    tab = (_read(sf_dir, "events", ["ts", "event_type"])
+           .map_batches(cells, batch_format="pyarrow")
+           .groupby("k")
+           .aggregate(a.Sum("n", alias_name="n"))
+           .to_pandas())                      # |types| x 24, tiny
+    ks = tab["k"].str.split("|")
+    t_lab = ks.str[0].to_numpy()
+    h_lab = ks.str[1].astype(np.int64).to_numpy()
+    n = tab["n"].to_numpy(np.float64)
+    nn = n.sum()
+    nt = {t: n[t_lab == t].sum() for t in np.unique(t_lab)}
+    nh = {h: n[h_lab == h].sum() for h in np.unique(h_lab)}
+    mi = float(sum((n[i] / nn)
+                   * np.log((n[i] * nn) / (nt[t_lab[i]] * nh[h_lab[i]]))
+                   for i in range(len(n))))
+    ent_t = float(-sum((v / nn) * np.log(v / nn)
+                       for v in nt.values()))
+    ent_h = float(-sum((v / nn) * np.log(v / nn)
+                       for v in nh.values()))
+    return pa.table({"mi": pa.array([round(mi, 9)], pa.float64()),
+                     "entropy_type": pa.array([round(ent_t, 9)],
+                                              pa.float64()),
+                     "entropy_hour": pa.array([round(ent_h, 9)],
+                                              pa.float64())})
+
+
+SQL_MUTUAL_INFO = """
+with j as (select event_type as t,
+                  cast(floor(epoch(ts) / 3600) as bigint) % 24 as h,
+                  count(*) as n
+           from events group by 1, 2),
+tot as (select sum(n) as nn from j),
+tt as (select t, sum(n) as nt from j group by 1),
+hh as (select h, sum(n) as nh from j group by 1)
+select round(sum((j.n / tot.nn)
+                 * ln((j.n * tot.nn) / (tt.nt * hh.nh))), 9) as mi,
+       round(-sum_t, 9) as entropy_type,
+       round(-sum_h, 9) as entropy_hour
+from (select sum((nt / (select nn from tot))
+                 * ln(nt / (select nn from tot))) as sum_t from tt),
+     (select sum((nh / (select nn from tot))
+                 * ln(nh / (select nn from tot))) as sum_h from hh),
+     j, tot, tt, hh
+where j.t = tt.t and j.h = hh.h
+group by sum_t, sum_h
+"""
+
+
 SQL_REPETITION_DOCS = """
 with toks as (
   select doc_id, unnest(string_split(text, ' ')) as tok from documents),
@@ -5542,6 +5610,7 @@ SQL_CHECKED = {
     "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
     "ewma_user_value": (q_ewma_user_value, SQL_EWMA_USER_VALUE),
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
+    "mutual_info_type_hour": (q_mutual_info, SQL_MUTUAL_INFO),
     "customer_order_counts": (q_customer_order_counts,
                               SQL_CUSTOMER_ORDER_COUNTS),
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),

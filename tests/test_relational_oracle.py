@@ -30,7 +30,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "range_frame_sum", "late_events", "embedding_gram",
                "kcore_customers", "division_customers", "gini_revenue",
                "bit_flags_events", "benford_prices", "top_bigram_docs",
-               "seasonal_decompose", "ewma_user_value", "session_paths"]
+               "seasonal_decompose", "ewma_user_value", "session_paths",
+               "mutual_info_type_hour"]
 
 
 def _canonical(tab: pa.Table):
