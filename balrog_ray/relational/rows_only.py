@@ -2936,6 +2936,81 @@ def q_seam_carve(sf_dir: str):
                                pa.int64())})
 
 
+def q_watershed_markers(sf_dir: str):
+    """Marker-controlled watershed (stages/flood: order-free two-phase
+    formulation -- min-max flooding values, then min-label propagation
+    over the admissible subgraph, both as cost-style active-front
+    iterations) over the t1 dem with a deterministic 4x4 marker grid
+    -> per-basin pixel counts (integers pin both phases)."""
+    import ray.data
+
+    from ..stages.flood import watershed_flood
+    from ..stages.halo import GridSpec
+    from ..tiles.codec import Caption, decode_tile, encode_tile, \
+        phash64
+    from ..tiles.synth import TILES_SCHEMA, tiles_table
+
+    cfg = _t1_cfg()
+    T = cfg.tile_px
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    base = ray.data.from_arrow(tiles_table(cfg, layers=("dem",)))
+
+    def add_markers(batch: pa.Table) -> pa.Table:
+        """One marker at each tile centre, label = cell_id + 1."""
+        cols = {c: [] for c in TILES_SCHEMA.names}
+        for i in range(batch.num_rows):
+            cap = Caption.from_json(batch.column("caption")[i].as_py())
+            arr = decode_tile(batch.column("bytes")[i].as_py(),
+                              batch.column("fmt")[i].as_py(), cap)
+            mk = np.zeros(arr.shape, np.float32)
+            if arr[T // 2, T // 2] != np.float32(cap.nodata):
+                mk[T // 2, T // 2] = cap.ty * cfg.tiles_x + cap.tx + 1
+            ocap = Caption(layer="markers", x0=cap.x0, y0=cap.y0,
+                           pixel_size=cap.pixel_size, crs=cap.crs,
+                           nodata=cap.nodata, edge=dict(cap.edge),
+                           tx=cap.tx, ty=cap.ty)
+            payload, ocap = encode_tile(mk, "npz", ocap)
+            h, w = mk.shape
+            cols["image_id"].append(f"markers/{cap.tx}/{cap.ty}")
+            cols["bytes"].append(payload)
+            cols["w"].append(np.int32(w))
+            cols["h"].append(np.int32(h))
+            cols["fmt"].append("npz")
+            cols["caption"].append(ocap.to_json())
+            cols["phash"].append(np.int64(phash64(mk)))
+        return pa.table(cols, schema=TILES_SCHEMA)
+
+    markers = base.map_batches(add_markers, batch_format="pyarrow")
+    labels = watershed_flood(base.union(markers), spec,
+                             level_layer="dem",
+                             marker_layer="markers")
+
+    def hist(batch: pa.Table) -> pa.Table:
+        lab, n = [], []
+        for payload, fmt, cap_json in zip(
+                batch.column("bytes").to_pylist(),
+                batch.column("fmt").to_pylist(),
+                batch.column("caption").to_pylist()):
+            cap = Caption.from_json(cap_json)
+            arr = decode_tile(payload, fmt, cap)
+            v = arr[arr != np.float32(cap.nodata)]
+            vals, counts = np.unique(v.astype(np.int64),
+                                     return_counts=True)
+            lab.extend(int(x) for x in vals)
+            n.extend(int(x) for x in counts)
+        return pa.table({"basin": pa.array(lab, pa.int64()),
+                         "n_px": pa.array(n, pa.int64())})
+
+    from .queries import _agg
+
+    a = _agg()
+    return (labels.map_batches(hist, batch_format="pyarrow")
+            .groupby("basin")
+            .aggregate(a.Sum("n_px", alias_name="n_px"))
+            .sort("basin"))
+
+
 def q_bpe_tokens(sf_dir: str):
     """Distributed BPE tokenizer training + corpus tokenization
     (functions/bpe.py): learn 24 merges from a deterministic 1-in-3
@@ -3612,6 +3687,7 @@ ROWS_ONLY = {
     "zone_geometry_veg": q_zone_geometry,
     "mmr_topk": q_mmr_topk,
     "seam_carve": q_seam_carve,
+    "watershed_markers": q_watershed_markers,
     "unigram_tokens": q_unigram_tokens,
     "dsir_weights": q_dsir_weights,
     "region_group_veg": q_region_group,
