@@ -5540,6 +5540,826 @@ group by 1
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H completion shapes (Q15/Q17/Q18/Q19/Q21/Q22 on this dataset's
+# columns).  Each exercises a distinct dataflow the registry lacked:
+# aggregate -> global-max -> equality filter (Q15), two-pass correlated
+# aggregate with an exact rational comparison (Q17), having-over-groupby
+# then join back (Q18), disjunctive multi-band join predicate (Q19),
+# two-level grouped semi/anti logic on a self-ish join (Q21), and a
+# scalar-subquery threshold plus a date-windowed anti-join (Q22).
+
+def q_top_revenue_supplier(sf_dir: str):
+    """TPC-H Q15 shape: per-supplier revenue over a shipdate window,
+    then the supplier(s) achieving the global maximum.  Revenue is
+    exact integer cents*(100-disc).  The per-supplier table is
+    dim-sized (suppliers ~ customers/10 in TPC-H), so it is
+    materialized once and reused for the max + the equality filter;
+    supplier names come from the broadcast dim, not a shuffle."""
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-07-01")
+
+    def li_map(b: pa.Table) -> pa.Table:
+        d = b.column("l_shipdate").to_numpy()
+        m = (d >= lo) & (d < hi)
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        dc = np.rint(b.column("l_discount").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(b.column("l_suppkey").to_numpy()[m]),
+            "rev_c": pa.array(ep * (100 - dc), pa.int64())})
+
+    rev = _partial_count_sums(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice",
+               "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        "s_suppkey", {"rev_c": "total_rev_c"}).materialize()
+    best = int(rev.max("total_rev_c"))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy()
+    srt = np.argsort(sk)
+    sk = sk[srt]
+    snm = np.asarray(sup.column("s_name").to_pylist())[srt]
+
+    def name_map(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy()
+        return pa.table({
+            "s_suppkey": b.column("s_suppkey"),
+            "s_name": pa.array(snm[np.searchsorted(sk, k)].tolist(),
+                               pa.string()),
+            "total_rev_c": b.column("total_rev_c")})
+
+    return (rev.filter(expr=f"total_rev_c == {best}")
+            .map_batches(name_map, batch_format="pyarrow"))
+
+
+SQL_TOP_REVENUE_SUPPLIER = """
+with rev as (
+  select l_suppkey as s_suppkey,
+         cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                  * (100 - cast(round(l_discount * 100) as bigint)))
+              as bigint) as total_rev_c
+  from lineitem
+  where l_shipdate >= date '1996-01-01'
+    and l_shipdate < date '1996-07-01'
+  group by l_suppkey)
+select supplier.s_suppkey, s_name, total_rev_c
+from supplier join rev on supplier.s_suppkey = rev.s_suppkey
+where total_rev_c = (select max(total_rev_c) from rev)
+"""
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from lineitems of one brand whose
+    quantity is below 20% of that part's average order quantity.  The
+    correlated avg is an exact rational comparison
+    ``5 * qty * cnt < sum_qty`` (no float average), computed in a first
+    per-part fold over the brand's lineitems, broadcast (brand slice of
+    the part dim -- bounded by #parts/#brands; at open-web part
+    cardinality switch to a partkey-keyed ``Dataset.join``), then
+    applied in a second scan whose matches fold to one global row."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_keys = np.sort(part.column("p_partkey").to_numpy()[
+        np.asarray(part.column("p_brand").to_pylist()) == "Brand#4"])
+    keys_ref = ray.put(brand_keys)
+
+    def li_brand(b: pa.Table) -> pa.Table:
+        bk = ray.get(keys_ref)
+        pk = b.column("l_partkey").to_numpy()
+        pos = np.clip(np.searchsorted(bk, pk), 0, max(len(bk) - 1, 0))
+        m = (bk[pos] == pk) if len(bk) else np.zeros(len(pk), bool)
+        q = np.rint(b.column("l_quantity").to_numpy()[m]).astype(np.int64)
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(pk[m]),
+                         "qty": pa.array(q, pa.int64()),
+                         "ep_c": pa.array(ep, pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_partkey", "l_quantity", "l_extendedprice"])
+          .map_batches(li_brand, batch_format="pyarrow"))
+    per_part = _collect(_partial_count_sums(
+        li, "l_partkey", {"qty": "sum_qty"}, count_alias="cnt"))
+    ppk = per_part.column("l_partkey").to_numpy()
+    srt = np.argsort(ppk)
+    ppk = ppk[srt]
+    psum = per_part.column("sum_qty").to_numpy()[srt]
+    pcnt = per_part.column("cnt").to_numpy()[srt]
+    stats_ref = ray.put((ppk, psum, pcnt))
+
+    def small(b: pa.Table) -> pa.Table:
+        k, s, c = ray.get(stats_ref)
+        if len(k) == 0 or b.num_rows == 0:
+            return pa.table({"n_lines": pa.array([0], pa.int64()),
+                             "rev_c": pa.array([0], pa.int64())})
+        pk = b.column("l_partkey").to_numpy()
+        pos = np.searchsorted(k, pk)
+        m = 5 * b.column("qty").to_numpy() * c[pos] < s[pos]
+        return pa.table({
+            "n_lines": pa.array([int(m.sum())], pa.int64()),
+            "rev_c": pa.array([int(b.column("ep_c").to_numpy()[m].sum())],
+                              pa.int64())})
+
+    a = _agg()
+    row = (li.map_batches(small, batch_format="pyarrow")
+           .aggregate(a.Sum("n_lines", alias_name="n_lines"),
+                      a.Sum("rev_c", alias_name="rev_c")))
+    return pa.table({"n_lines": pa.array([row["n_lines"]], pa.int64()),
+                     "rev_c": pa.array([row["rev_c"]], pa.int64())})
+
+
+SQL_SMALL_QTY_REVENUE = """
+with pb as (select p_partkey from part where p_brand = 'Brand#4'),
+agg as (
+  select l_partkey,
+         cast(sum(cast(round(l_quantity) as bigint)) as bigint) as sq,
+         cast(count(*) as bigint) as cnt
+  from lineitem join pb on l_partkey = p_partkey
+  group by l_partkey)
+select cast(count(*) as bigint) as n_lines,
+       cast(coalesce(sum(cast(round(l_extendedprice * 100) as bigint)),
+                     0) as bigint) as rev_c
+from lineitem join agg using (l_partkey)
+where 5 * cast(round(l_quantity) as bigint) * cnt < sq
+"""
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 250 --
+    groupby-having on the high-cardinality order key (in-batch partial
+    collapse, ONE exchange), then the tiny surviving set joins back to
+    orders and customer for names.  Quantities are integral, price in
+    exact cents."""
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64())})
+        q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        g = (pa.table({"l_orderkey": b.column("l_orderkey"),
+                       "sum_qty": pa.array(q, pa.int64())})
+             .group_by(["l_orderkey"]).aggregate([("sum_qty", "sum")]))
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "sum_qty": g.column("sum_qty_sum")})
+
+    a = _agg()
+    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(a.Sum("sum_qty", alias_name="sum_qty"))
+           .filter(expr="sum_qty > 250"))
+
+    def ord_map(b: pa.Table) -> pa.Table:
+        p = np.rint(b.column("o_totalprice").to_numpy()
+                    * 100.0).astype(np.int64)
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "o_orderdate": b.column("o_orderdate"),
+                         "price_c": pa.array(p, pa.int64())})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"])
+              .map_batches(ord_map, batch_format="pyarrow"))
+    j = big.join(orders, "inner",
+                 num_partitions=_join_parts(sf_dir, "orders"),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    # the join keeps only the LEFT key column (l_orderkey) -- restore
+    # the oracle's o_orderkey name
+    return (j.join(cust, "inner",
+                   num_partitions=_join_parts(sf_dir, "customer"),
+                   on=("o_custkey",), right_on=("c_custkey",))
+            .rename_columns({"l_orderkey": "o_orderkey"})
+            .select_columns(["c_name", "o_custkey", "o_orderkey",
+                             "o_orderdate", "price_c", "sum_qty"]))
+
+
+SQL_LARGE_ORDERS = """
+with big as (
+  select l_orderkey,
+         cast(sum(cast(round(l_quantity) as bigint)) as bigint)
+             as sum_qty
+  from lineitem group by l_orderkey
+  having sum_qty > 250)
+select c_name, o_custkey, o_orderkey, o_orderdate,
+       cast(round(o_totalprice * 100) as bigint) as price_c, sum_qty
+from big
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+"""
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue by OR'd (brand, size-range, qty-range)
+    band over lineitem |x| part.  The three bands' partkey sets are
+    broadcast as sorted arrays with per-key band ids (part dim is
+    broadcastable; the bands are brand slices), so the scan applies the
+    whole disjunction in one vectorized pass with no join exchange."""
+    import ray
+
+    BANDS = [("Brand#1", 1, 15, 1, 20), ("Brand#2", 1, 25, 10, 30),
+             ("Brand#3", 1, 35, 20, 40)]
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy()
+    pb = np.asarray(part.column("p_brand").to_pylist())
+    psz = part.column("p_size").to_numpy()
+    band_of = np.zeros(len(pk), np.int64)
+    for i, (brand, s_lo, s_hi, _, _) in enumerate(BANDS, 1):
+        band_of[(pb == brand) & (psz >= s_lo) & (psz <= s_hi)] = i
+    keep = band_of > 0
+    bk = pk[keep]
+    srt = np.argsort(bk)
+    dim_ref = ray.put((bk[srt], band_of[keep][srt]))
+    qlo = np.array([b[3] for b in BANDS], np.int64)
+    qhi = np.array([b[4] for b in BANDS], np.int64)
+
+    def li_map(b: pa.Table) -> pa.Table:
+        k, band = ray.get(dim_ref)
+        lpk = b.column("l_partkey").to_numpy()
+        pos = np.clip(np.searchsorted(k, lpk), 0, max(len(k) - 1, 0))
+        hit = (k[pos] == lpk) if len(k) else np.zeros(len(lpk), bool)
+        bnd = np.where(hit, band[pos], 0)
+        q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        m = hit & (q >= qlo[bnd - 1]) & (q <= qhi[bnd - 1])
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        dc = np.rint(b.column("l_discount").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        return pa.table({"band": pa.array(bnd[m], pa.int64()),
+                         "rev_c": pa.array(ep * (100 - dc), pa.int64())})
+
+    return _partial_count_sums(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice",
+               "l_discount"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        "band", {"rev_c": "rev_c"}, count_alias="n_lines")
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+select band, cast(count(*) as bigint) as n_lines,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as rev_c
+from (
+  select case
+    when p_brand = 'Brand#1' and p_size between 1 and 15
+         and l_quantity between 1 and 20 then 1
+    when p_brand = 'Brand#2' and p_size between 1 and 25
+         and l_quantity between 10 and 30 then 2
+    when p_brand = 'Brand#3' and p_size between 1 and 35
+         and l_quantity between 20 and 40 then 3
+  end as band, l_extendedprice, l_discount
+  from lineitem join part on l_partkey = p_partkey) t
+where band is not null
+group by band
+"""
+
+
+def q_late_sole_supplier(sf_dir: str):
+    """TPC-H Q21 shape on this dataset's columns: suppliers who were
+    the SOLE late shipper (shipdate > orderdate + 730 days) on
+    multi-supplier orders, with per-supplier order counts.  One
+    lineitem |x| orders exchange tags lateness; per-(order, supplier)
+    flags collapse in-batch, then ONE groupby(orderkey) pass applies
+    the exists/not-exists pair inside each (tiny) order group."""
+    LATE = np.timedelta64(730, "D")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = li.join(orders, "inner",
+                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "late": pa.array([], pa.int64())})
+        late = ((b.column("l_shipdate").to_numpy()
+                 - b.column("o_orderdate").to_numpy()) > LATE)
+        g = (pa.table({"l_orderkey": b.column("l_orderkey"),
+                       "l_suppkey": b.column("l_suppkey"),
+                       "late": pa.array(late.astype(np.int64))})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("late", "max")]))
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "l_suppkey": g.column("l_suppkey"),
+                         "late": g.column("late_max")})
+
+    def sole(g: pa.Table) -> pa.Table:
+        sup, inv = np.unique(g.column("l_suppkey").to_numpy(),
+                             return_inverse=True)
+        late = np.zeros(len(sup), np.int64)
+        np.maximum.at(late, inv, g.column("late").to_numpy())
+        if len(sup) > 1 and late.sum() == 1:
+            return pa.table({"s_suppkey": pa.array(
+                sup[late == 1], pa.int64())})
+        return pa.table({"s_suppkey": pa.array([], pa.int64())})
+
+    counts = _partial_count_sums(
+        j.map_batches(flag, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .map_groups(sole, batch_format="pyarrow"),
+        "s_suppkey", {}, count_alias="n_orders")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy()
+    srt = np.argsort(sk)
+    sk = sk[srt]
+    snm = np.asarray(sup.column("s_name").to_pylist())[srt]
+
+    def name_map(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy()
+        return pa.table({
+            "s_suppkey": b.column("s_suppkey"),
+            "s_name": pa.array(snm[np.searchsorted(sk, k)].tolist(),
+                               pa.string()),
+            "n_orders": b.column("n_orders")})
+
+    return counts.map_batches(name_map, batch_format="pyarrow")
+
+
+SQL_LATE_SOLE_SUPPLIER = """
+with li as (
+  select l_orderkey, l_suppkey,
+         max(case when l_shipdate > o_orderdate + interval 730 day
+                  then 1 else 0 end) as late
+  from lineitem join orders on l_orderkey = o_orderkey
+  group by l_orderkey, l_suppkey),
+agg as (
+  select l_orderkey, count(*) as n_supp, sum(late) as n_late
+  from li group by l_orderkey)
+select s_suppkey, s_name, cast(count(*) as bigint) as n_orders
+from li
+join agg using (l_orderkey)
+join supplier on l_suppkey = s_suppkey
+where li.late = 1 and agg.n_supp > 1 and agg.n_late = 1
+group by s_suppkey, s_name
+"""
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers whose balance (exact cents) exceeds
+    the positive-balance average -- an exact rational comparison
+    ``bal_c * n_pos > sum_pos_c`` against a one-row global fold -- and
+    who placed NO order since 2001-01-01 (date-windowed anti-join,
+    filter pushed into the orders scan).  Grouped by nation."""
+    from datetime import datetime
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        bal = np.rint(b.column("c_acctbal").to_numpy()
+                      * 100.0).astype(np.int64)
+        p = bal[bal > 0]
+        return pa.table({"n": pa.array([len(p)], pa.int64()),
+                         "s": pa.array([int(p.sum())], pa.int64())})
+
+    a = _agg()
+    tot = (cust.map_batches(pos_partial, batch_format="pyarrow")
+           .aggregate(a.Sum("n", alias_name="n"),
+                      a.Sum("s", alias_name="s")))
+    n_pos, s_pos = int(tot["n"]), int(tot["s"])
+
+    def rich(b: pa.Table) -> pa.Table:
+        bal = np.rint(b.column("c_acctbal").to_numpy()
+                      * 100.0).astype(np.int64)
+        m = bal * n_pos > s_pos
+        return pa.table({
+            "c_custkey": pa.array(b.column("c_custkey").to_numpy()[m]),
+            "c_nationkey": pa.array(
+                b.column("c_nationkey").to_numpy()[m]),
+            "bal_c": pa.array(bal[m], pa.int64())})
+
+    cut = pa.scalar(datetime(2001, 1, 1), pa.timestamp("us"))
+    recent = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"],
+                    row_filter=pc.field("o_orderdate") >= cut)
+              .select_columns(["o_custkey"]))
+    idle = (cust.map_batches(rich, batch_format="pyarrow")
+            .join(recent, "left_anti",
+                  num_partitions=_join_parts(sf_dir, "customer",
+                                             "orders"),
+                  on=("c_custkey",), right_on=("o_custkey",)))
+    return _partial_count_sums(idle, "c_nationkey",
+                               {"bal_c": "bal_c"},
+                               count_alias="n_cust")
+
+
+SQL_IDLE_RICH_CUSTOMERS = """
+with pos as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+             as s
+  from customer where cast(round(c_acctbal * 100) as bigint) > 0)
+select c_nationkey,
+       cast(count(*) as bigint) as n_cust,
+       cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+           as bal_c
+from customer, pos
+where cast(round(c_acctbal * 100) as bigint) * pos.n > pos.s
+  and c_custkey not in (select o_custkey from orders
+                        where o_orderdate >= date '2001-01-01')
+group by c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion shapes, batch 2 (Q2/Q7/Q10/Q14/Q16/Q20): correlated
+# argmin join-back, nation-pair bidirectional volume, returned-revenue
+# top-k over a high-cardinality key, promo share as exact integer
+# numerator/denominator, anti-filtered distinct-count, and a
+# having-semi-join.  With batch 1 and the earlier Q1/Q3/Q4/Q5/Q6/Q12/Q13
+# analogues the registry now covers all 22 TPC-H dataflow shapes.
+
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """TPC-H Q2 shape: per part, the minimum extended price any
+    supplier charged, and the supplier achieving it (min-suppkey
+    tie-break) -- a correlated-min + join-back collapsed into ONE
+    exchange: in-batch argmin partials (one candidate row per part per
+    batch) feed a per-part final argmin; the combine is associative so
+    block order cannot change the result."""
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "min_ep_c": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64())})
+        pk = b.column("l_partkey").to_numpy()
+        ep = np.rint(b.column("l_extendedprice").to_numpy()
+                     * 100.0).astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy()
+        # lexicographic argmin (ep, suppkey) per part in one sort pass
+        order = np.lexsort((sk, ep, pk))
+        pk_s = pk[order]
+        first = np.ones(len(pk_s), bool)
+        first[1:] = pk_s[1:] != pk_s[:-1]
+        return pa.table({"p_partkey": pa.array(pk_s[first]),
+                         "min_ep_c": pa.array(ep[order][first], pa.int64()),
+                         "s_suppkey": pa.array(sk[order][first],
+                                               pa.int64())})
+
+    def final(g: pa.Table) -> pa.Table:
+        ep = g.column("min_ep_c").to_numpy()
+        sk = g.column("s_suppkey").to_numpy()
+        i = np.lexsort((sk, ep))[0]
+        return pa.table({"p_partkey": g.column("p_partkey")[:1],
+                         "min_ep_c": pa.array([int(ep[i])], pa.int64()),
+                         "s_suppkey": pa.array([int(sk[i])], pa.int64())})
+
+    return (_read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_suppkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("p_partkey")
+            .map_groups(final, batch_format="pyarrow"))
+
+
+SQL_CHEAPEST_SUPPLIER_PER_PART = """
+with m as (
+  select l_partkey,
+         min(cast(round(l_extendedprice * 100) as bigint)) as min_ep_c
+  from lineitem group by l_partkey)
+select lineitem.l_partkey as p_partkey, min_ep_c,
+       cast(min(l_suppkey) as bigint) as s_suppkey
+from lineitem join m
+  on lineitem.l_partkey = m.l_partkey
+ and cast(round(l_extendedprice * 100) as bigint) = min_ep_c
+group by 1, 2
+"""
+
+
+def q_nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between NATION_3 and NATION_8
+    in both directions, by shipdate year.  Supplier nation comes from
+    the broadcast supplier dim; customer nation rides the orders |x|
+    customer exchange; the lineitem |x| orders join is the only
+    large-large exchange.  Revenue in exact integer cents*(100-disc)."""
+    import ray
+
+    NA, NB = 3, 8
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup.column("s_suppkey").to_numpy()
+    srt = np.argsort(sk)
+    sup_ref = ray.put((sk[srt],
+                       sup.column("s_nationkey").to_numpy()[srt]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
+                 row_filter=pc.field("c_nationkey").isin([NA, NB]))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oc = (orders.join(cust, "inner",
+                      num_partitions=_join_parts(sf_dir, "orders",
+                                                 "customer"),
+                      on=("o_custkey",), right_on=("c_custkey",))
+          .select_columns(["o_orderkey", "c_nationkey"]))
+
+    def li_map(b: pa.Table) -> pa.Table:
+        k, nat = ray.get(sup_ref)
+        lsk = b.column("l_suppkey").to_numpy()
+        pos = np.clip(np.searchsorted(k, lsk), 0, len(k) - 1)
+        sn = np.where(k[pos] == lsk, nat[pos], -1)
+        m = (sn == NA) | (sn == NB)
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        dc = np.rint(b.column("l_discount").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        yr = (b.column("l_shipdate").to_numpy()[m]
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "l_orderkey": pa.array(b.column("l_orderkey").to_numpy()[m]),
+            "supp_nation": pa.array(sn[m].astype(np.int64)),
+            "ship_year": pa.array(yr, pa.int64()),
+            "rev_c": pa.array(ep * (100 - dc), pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_map, batch_format="pyarrow"))
+    j = li.join(oc, "inner",
+                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cross(b: pa.Table) -> pa.Table:
+        sn = b.column("supp_nation").to_numpy()
+        cn = b.column("c_nationkey").to_numpy().astype(np.int64)
+        m = sn != cn
+        return pa.table({"supp_nation": pa.array(sn[m]),
+                         "cust_nation": pa.array(cn[m]),
+                         "ship_year": pa.array(
+                             b.column("ship_year").to_numpy()[m]),
+                         "rev_c": pa.array(
+                             b.column("rev_c").to_numpy()[m])})
+
+    return _partial_count_sums(
+        j.map_batches(cross, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "ship_year"],
+        {"rev_c": "rev_c"}, count_alias="n_lines")
+
+
+SQL_NATION_PAIR_VOLUME = """
+select s_nationkey as supp_nation,
+       cast(c_nationkey as bigint) as cust_nation,
+       cast(year(l_shipdate) as bigint) as ship_year,
+       cast(count(*) as bigint) as n_lines,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as rev_c
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey
+where s_nationkey in (3, 8) and c_nationkey in (3, 8)
+  and s_nationkey != c_nationkey
+group by 1, 2, 3
+"""
+
+
+def q_returned_revenue_topk(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED
+    lineitems in a date window -- lineitem filter + ONE join exchange
+    to orders, per-customer partial fold, then a total-order top-k
+    (revenue desc, custkey asc) whose per-block partials keep only 20
+    candidate rows each before the final cut."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def li_map(b: pa.Table) -> pa.Table:
+        m = (np.asarray(b.column("l_returnflag").to_pylist()) == "R")
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        dc = np.rint(b.column("l_discount").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pa.array(b.column("l_orderkey").to_numpy()[m]),
+            "rev_c": pa.array(ep * (100 - dc), pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_map, batch_format="pyarrow"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   row_filter=((pc.field("o_orderdate") >= lo)
+                               & (pc.field("o_orderdate") < hi)))
+    j = li.join(orders, "inner",
+                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    per_cust = _partial_count_sums(j, "o_custkey",
+                                   {"rev_c": "rev_c"})
+    return (per_cust
+            .rename_columns({"o_custkey": "c_custkey"})
+            .sort(["rev_c", "c_custkey"], descending=[True, False])
+            .limit(20))
+
+
+SQL_RETURNED_REVENUE_TOPK = """
+select o_custkey as c_custkey,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as rev_c
+from lineitem join orders on l_orderkey = o_orderkey
+where l_returnflag = 'R'
+  and o_orderdate >= date '1996-01-01'
+  and o_orderdate < date '1997-01-01'
+group by 1
+order by rev_c desc, c_custkey
+limit 20
+"""
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: promo-type revenue vs total revenue in a
+    shipdate month.  Both sides stay exact integer cents (the oracle's
+    100*promo/total float is replaced by the integer numerator and
+    denominator, which determine it)."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy()
+    promo = (np.asarray(part.column("p_type").to_pylist()) == "PROMO")
+    srt = np.argsort(pk)
+    dim_ref = ray.put((pk[srt], promo[srt]))
+    lo = np.datetime64("1996-03-01")
+    hi = np.datetime64("1996-04-01")
+
+    def li_map(b: pa.Table) -> pa.Table:
+        k, isp = ray.get(dim_ref)
+        d = b.column("l_shipdate").to_numpy()
+        m = (d >= lo) & (d < hi)
+        lpk = b.column("l_partkey").to_numpy()[m]
+        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        dc = np.rint(b.column("l_discount").to_numpy()[m]
+                     * 100.0).astype(np.int64)
+        rev = ep * (100 - dc)
+        pos = np.clip(np.searchsorted(k, lpk), 0, len(k) - 1)
+        is_promo = (k[pos] == lpk) & isp[pos]
+        return pa.table({
+            "promo_rev_c": pa.array([int(rev[is_promo].sum())],
+                                    pa.int64()),
+            "total_rev_c": pa.array([int(rev.sum())], pa.int64())})
+
+    a = _agg()
+    row = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_shipdate", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(li_map, batch_format="pyarrow")
+           .aggregate(a.Sum("promo_rev_c", alias_name="promo_rev_c"),
+                      a.Sum("total_rev_c", alias_name="total_rev_c")))
+    return pa.table({
+        "promo_rev_c": pa.array([row["promo_rev_c"]], pa.int64()),
+        "total_rev_c": pa.array([row["total_rev_c"]], pa.int64())})
+
+
+SQL_PROMO_REVENUE_SHARE = """
+select cast(sum(case when p_type = 'PROMO'
+                then cast(round(l_extendedprice * 100) as bigint)
+                     * (100 - cast(round(l_discount * 100) as bigint))
+                else 0 end) as bigint) as promo_rev_c,
+       cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as total_rev_c
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= date '1996-03-01'
+  and l_shipdate < date '1996-04-01'
+"""
+
+
+def q_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per brand for small parts,
+    EXCLUDING blocklisted suppliers (negative account balance, the
+    complaints stand-in).  Both dims broadcast; the scan emits deduped
+    (brand, suppkey) partials so the exchange moves pairs, not
+    lineitems; final distinct-count per brand."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    keep = part.column("p_size").to_numpy() <= 25
+    pk = part.column("p_partkey").to_numpy()[keep]
+    pb = np.asarray(part.column("p_brand").to_pylist())[keep]
+    srt = np.argsort(pk)
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"])
+    bad = np.sort(sup.column("s_suppkey").to_numpy()[
+        sup.column("s_acctbal").to_numpy() < 0])
+    dim_ref = ray.put((pk[srt], pb[srt], bad))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        k, brand, blk = ray.get(dim_ref)
+        lpk = b.column("l_partkey").to_numpy()
+        sk = b.column("l_suppkey").to_numpy()
+        pos = np.clip(np.searchsorted(k, lpk), 0, max(len(k) - 1, 0))
+        m = (k[pos] == lpk) if len(k) else np.zeros(len(lpk), bool)
+        if len(blk):
+            bpos = np.clip(np.searchsorted(blk, sk), 0, len(blk) - 1)
+            m &= blk[bpos] != sk
+        t = pa.table({"p_brand": pa.array(brand[pos[m]].tolist(),
+                                          pa.string()),
+                      "s_suppkey": pa.array(sk[m], pa.int64())})
+        return t.group_by(["p_brand", "s_suppkey"]).aggregate([])
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        n = len(np.unique(g.column("s_suppkey").to_numpy()))
+        return pa.table({"p_brand": g.column("p_brand")[:1],
+                         "supplier_cnt": pa.array([n], pa.int64())})
+
+    return (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+            .map_batches(pairs, batch_format="pyarrow")
+            .groupby("p_brand")
+            .map_groups(count_distinct, batch_format="pyarrow"))
+
+
+SQL_SUPPLIER_VARIETY = """
+select p_brand,
+       cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+from lineitem join part on l_partkey = p_partkey
+where p_size <= 25
+  and l_suppkey not in
+      (select s_suppkey from supplier where s_acctbal < 0)
+group by p_brand
+"""
+
+
+def q_bulk_promo_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: suppliers who shipped more than 500 units of
+    PROMO-type parts during 1996 -- nested semi-join collapsed to a
+    broadcast part filter + per-supplier integer fold + having +
+    broadcast name lookup."""
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo_keys = np.sort(part.column("p_partkey").to_numpy()[
+        np.asarray(part.column("p_type").to_pylist()) == "PROMO"])
+    keys_ref = ray.put(promo_keys)
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def li_map(b: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        d = b.column("l_shipdate").to_numpy()
+        m = (d >= lo) & (d < hi)
+        lpk = b.column("l_partkey").to_numpy()
+        pos = np.clip(np.searchsorted(k, lpk), 0, max(len(k) - 1, 0))
+        m &= (k[pos] == lpk) if len(k) else False
+        q = np.rint(b.column("l_quantity").to_numpy()[m]).astype(np.int64)
+        return pa.table({
+            "s_suppkey": pa.array(b.column("l_suppkey").to_numpy()[m]),
+            "qty": pa.array(q, pa.int64())})
+
+    per_sup = _partial_count_sums(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"])
+        .map_batches(li_map, batch_format="pyarrow"),
+        "s_suppkey", {"qty": "promo_qty"}).filter(expr="promo_qty > 500")
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    sk = sup.column("s_suppkey").to_numpy()
+    srt = np.argsort(sk)
+    sk = sk[srt]
+    snm = np.asarray(sup.column("s_name").to_pylist())[srt]
+
+    def name_map(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy()
+        return pa.table({
+            "s_suppkey": b.column("s_suppkey"),
+            "s_name": pa.array(snm[np.searchsorted(sk, k)].tolist(),
+                               pa.string()),
+            "promo_qty": b.column("promo_qty")})
+
+    return per_sup.map_batches(name_map, batch_format="pyarrow")
+
+
+SQL_BULK_PROMO_SUPPLIERS = """
+with q as (
+  select l_suppkey as s_suppkey,
+         cast(sum(cast(round(l_quantity) as bigint)) as bigint)
+             as promo_qty
+  from lineitem join part on l_partkey = p_partkey
+  where p_type = 'PROMO'
+    and l_shipdate >= date '1996-01-01'
+    and l_shipdate < date '1997-01-01'
+  group by 1)
+select supplier.s_suppkey, s_name, promo_qty
+from supplier join q on supplier.s_suppkey = q.s_suppkey
+where promo_qty > 500
+"""
+
+
 SQL_CHECKED = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -5662,4 +6482,25 @@ SQL_CHECKED = {
     "gini_revenue": (q_gini_revenue, SQL_GINI_REVENUE),
     "bit_flags_events": (q_bit_flags_events, SQL_BIT_FLAGS_EVENTS),
     "benford_prices": (q_benford_prices, SQL_BENFORD_PRICES),
+    "top_revenue_supplier": (q_top_revenue_supplier,
+                             SQL_TOP_REVENUE_SUPPLIER),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "disjunctive_revenue": (q_disjunctive_revenue,
+                            SQL_DISJUNCTIVE_REVENUE),
+    "late_sole_supplier": (q_late_sole_supplier,
+                           SQL_LATE_SOLE_SUPPLIER),
+    "idle_rich_customers": (q_idle_rich_customers,
+                            SQL_IDLE_RICH_CUSTOMERS),
+    "cheapest_supplier_per_part": (q_cheapest_supplier_per_part,
+                                   SQL_CHEAPEST_SUPPLIER_PER_PART),
+    "nation_pair_volume": (q_nation_pair_volume,
+                           SQL_NATION_PAIR_VOLUME),
+    "returned_revenue_topk": (q_returned_revenue_topk,
+                              SQL_RETURNED_REVENUE_TOPK),
+    "promo_revenue_share": (q_promo_revenue_share,
+                            SQL_PROMO_REVENUE_SHARE),
+    "supplier_variety": (q_supplier_variety, SQL_SUPPLIER_VARIETY),
+    "bulk_promo_suppliers": (q_bulk_promo_suppliers,
+                             SQL_BULK_PROMO_SUPPLIERS),
 }

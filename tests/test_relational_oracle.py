@@ -31,7 +31,12 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "kcore_customers", "division_customers", "gini_revenue",
                "bit_flags_events", "benford_prices", "top_bigram_docs",
                "seasonal_decompose", "ewma_user_value", "session_paths",
-               "mutual_info_type_hour"]
+               "mutual_info_type_hour", "top_revenue_supplier",
+               "small_qty_revenue", "large_orders", "disjunctive_revenue",
+               "late_sole_supplier", "idle_rich_customers",
+               "cheapest_supplier_per_part", "nation_pair_volume",
+               "returned_revenue_topk", "promo_revenue_share",
+               "supplier_variety", "bulk_promo_suppliers"]
 
 
 def _canonical(tab: pa.Table):
