@@ -6360,6 +6360,80 @@ where promo_qty > 500
 """
 
 
+# --------------------------------------------------------------------------
+# CCNet-style segment-level dedup with document reconstruction: split
+# each document into consecutive 8-token segments, keep each distinct
+# segment's FIRST occurrence corpus-wide (ordered by doc, then position),
+# and report per surviving document how much text remains.  The classic
+# line-level dedup of CCNet (arXiv:1911.00359) on a corpus without
+# newlines.  ONE exchange keyed by segment text: the per-segment winner
+# is decided inside groupby(seg) -- no join back -- then a per-doc fold.
+
+_SEG_TOKENS = 8
+_SEG_KEYMUL = 1 << 20          # doc_id * MUL + seg_idx is injective while
+                               # docs stay under 2^20 segments (128-token
+                               # docs have <= 16)
+
+
+def q_segment_dedup_docs(sf_dir: str):
+    def segments(b: pa.Table) -> pa.Table:
+        doc_ids, segs, idxs = [], [], []
+        for did, text in zip(b.column("doc_id").to_pylist(),
+                             b.column("text").to_pylist()):
+            toks = text.split(" ")
+            for i in range(0, len(toks), _SEG_TOKENS):
+                segs.append(" ".join(toks[i:i + _SEG_TOKENS]))
+                doc_ids.append(did)
+                idxs.append(i // _SEG_TOKENS)
+        first_key = (np.asarray(doc_ids, np.int64) * _SEG_KEYMUL
+                     + np.asarray(idxs, np.int64))
+        t = pa.table({"seg": pa.array(segs, pa.string()),
+                      "first_key": pa.array(first_key, pa.int64())})
+        # in-batch partial: one candidate (min first_key) per segment
+        g = t.group_by(["seg"]).aggregate([("first_key", "min")])
+        return pa.table({"seg": g.column("seg"),
+                         "first_key": g.column("first_key_min")})
+
+    def winner(g: pa.Table) -> pa.Table:
+        k = int(g.column("first_key").to_numpy().min())
+        seg = g.column("seg")[0].as_py()
+        return pa.table({"doc_id": pa.array([k // _SEG_KEYMUL], pa.int64()),
+                         "seg_chars": pa.array([len(seg)], pa.int64())})
+
+    kept = (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(segments, batch_format="pyarrow")
+            .groupby("seg")
+            .map_groups(winner, batch_format="pyarrow"))
+    return _partial_count_sums(kept, "doc_id",
+                               {"seg_chars": "kept_chars"},
+                               count_alias="kept_segs")
+
+
+SQL_SEGMENT_DEDUP_DOCS = f"""
+with toks as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) as pos
+  from documents),
+seg as (
+  select doc_id, (pos - 1) // {_SEG_TOKENS} as seg_idx,
+         string_agg(tok, ' ' order by pos) as seg_text
+  from toks group by 1, 2),
+keep as (
+  select seg_text,
+         min(doc_id * {_SEG_KEYMUL} + seg_idx) as first_key
+  from seg group by seg_text)
+select s.doc_id,
+       cast(count(*) as bigint) as kept_segs,
+       cast(sum(length(s.seg_text)) as bigint) as kept_chars
+from seg s
+join keep k
+  on s.seg_text = k.seg_text
+ and s.doc_id * {_SEG_KEYMUL} + s.seg_idx = k.first_key
+group by s.doc_id
+"""
+
+
 SQL_CHECKED = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -6503,4 +6577,5 @@ SQL_CHECKED = {
     "supplier_variety": (q_supplier_variety, SQL_SUPPLIER_VARIETY),
     "bulk_promo_suppliers": (q_bulk_promo_suppliers,
                              SQL_BULK_PROMO_SUPPLIERS),
+    "segment_dedup_docs": (q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS),
 }

@@ -36,7 +36,8 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "late_sole_supplier", "idle_rich_customers",
                "cheapest_supplier_per_part", "nation_pair_volume",
                "returned_revenue_topk", "promo_revenue_share",
-               "supplier_variety", "bulk_promo_suppliers"]
+               "supplier_variety", "bulk_promo_suppliers",
+               "segment_dedup_docs"]
 
 
 def _canonical(tab: pa.Table):
