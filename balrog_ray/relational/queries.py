@@ -5691,12 +5691,17 @@ where 5 * cast(round(l_quantity) as bigint) * cnt < sq
 """
 
 
-def q_large_orders(sf_dir: str):
+def q_large_orders(sf_dir: str, broadcast_rows: int = 100_000):
     """TPC-H Q18 shape: orders whose total quantity exceeds 250 --
     groupby-having on the high-cardinality order key (in-batch partial
-    collapse, ONE exchange), then the tiny surviving set joins back to
-    orders and customer for names.  Quantities are integral, price in
-    exact cents."""
+    collapse, ONE exchange), then the surviving set rejoins orders and
+    customer for names.  The survivor set is size-gated (the ranking.py
+    pattern): at or below ``broadcast_rows`` it is broadcast and the
+    orders/customer scans filter against it map-only (zero further
+    exchanges -- having > 250 keeps ~1.5% of orders, so the common case
+    at bench scale); above, two hash joins so nothing
+    having-cardinality-sized reaches the driver.  Quantities are
+    integral, price in exact cents."""
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
@@ -5708,12 +5713,19 @@ def q_large_orders(sf_dir: str):
         return pa.table({"l_orderkey": g.column("l_orderkey"),
                          "sum_qty": g.column("sum_qty_sum")})
 
-    a = _agg()
-    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("l_orderkey")
-           .aggregate(a.Sum("sum_qty", alias_name="sum_qty"))
-           .filter(expr="sum_qty > 250"))
+    def having(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"]).aggregate([("sum_qty", "sum")])
+        t = pa.table({"l_orderkey": g.column("l_orderkey"),
+                      "sum_qty": g.column("sum_qty_sum")})
+        return t.filter(pc.greater(t.column("sum_qty"), 250))
+
+    from ..partitions import keyed_fold
+
+    big = keyed_fold(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], having,
+        num_partitions=_join_parts(sf_dir, "lineitem")).materialize()
 
     def ord_map(b: pa.Table) -> pa.Table:
         p = np.rint(b.column("o_totalprice").to_numpy()
@@ -5727,10 +5739,62 @@ def q_large_orders(sf_dir: str):
                     ["o_orderkey", "o_custkey", "o_orderdate",
                      "o_totalprice"])
               .map_batches(ord_map, batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    if big.count() <= broadcast_rows:
+        import ray
+
+        t = _collect(big)
+        ok = t.column("l_orderkey").to_numpy()
+        srt = np.argsort(ok)
+        big_ref = ray.put((ok[srt], t.column("sum_qty").to_numpy()[srt]))
+
+        def ord_filter(b: pa.Table) -> pa.Table:
+            k, sq = ray.get(big_ref)
+            okk = b.column("o_orderkey").to_numpy()
+            pos = np.clip(np.searchsorted(k, okk), 0, max(len(k) - 1, 0))
+            m = (k[pos] == okk) if len(k) else np.zeros(len(okk), bool)
+            return (b.filter(pa.array(m))
+                    .append_column("sum_qty",
+                                   pa.array(sq[pos[m]], pa.int64())))
+
+        hits = (orders.map_batches(ord_filter, batch_format="pyarrow")
+                .materialize())
+        ck = np.unique(_collect(hits).column("o_custkey").to_numpy())
+        ck_ref = ray.put(ck)
+
+        def cust_filter(b: pa.Table) -> pa.Table:
+            k = ray.get(ck_ref)
+            cc = b.column("c_custkey").to_numpy()
+            pos = np.clip(np.searchsorted(k, cc), 0, max(len(k) - 1, 0))
+            m = (k[pos] == cc) if len(k) else np.zeros(len(cc), bool)
+            return b.filter(pa.array(m))
+
+        names = _collect(cust.map_batches(cust_filter,
+                                          batch_format="pyarrow"))
+        nk = names.column("c_custkey").to_numpy()
+        nsrt = np.argsort(nk)
+        nk = nk[nsrt]
+        nname = np.asarray(names.column("c_name").to_pylist())[nsrt]
+        name_ref = ray.put((nk, nname))
+
+        def attach(b: pa.Table) -> pa.Table:
+            k, nm = ray.get(name_ref)
+            cc = b.column("o_custkey").to_numpy()
+            return pa.table({
+                "c_name": pa.array(
+                    nm[np.searchsorted(k, cc)].tolist(), pa.string()),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "price_c": b.column("price_c"),
+                "sum_qty": b.column("sum_qty")})
+
+        return hits.map_batches(attach, batch_format="pyarrow")
+
     j = big.join(orders, "inner",
                  num_partitions=_join_parts(sf_dir, "orders"),
                  on=("l_orderkey",), right_on=("o_orderkey",))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     # the join keeps only the LEFT key column (l_orderkey) -- restore
     # the oracle's o_orderkey name
     return (j.join(cust, "inner",
@@ -5856,21 +5920,52 @@ def q_late_sole_supplier(sf_dir: str):
                          "l_suppkey": g.column("l_suppkey"),
                          "late": g.column("late_max")})
 
-    def sole(g: pa.Table) -> pa.Table:
-        sup, inv = np.unique(g.column("l_suppkey").to_numpy(),
-                             return_inverse=True)
-        late = np.zeros(len(sup), np.int64)
-        np.maximum.at(late, inv, g.column("late").to_numpy())
-        if len(sup) > 1 and late.sum() == 1:
-            return pa.table({"s_suppkey": pa.array(
-                sup[late == 1], pa.int64())})
-        return pa.table({"s_suppkey": pa.array([], pa.int64())})
+    def sole(b: pa.Table) -> pa.Table:
+        # whole hash partition per call: complete order groups.  Fold
+        # (order, supplier) pairs, then per-order supplier/late counts,
+        # all via sorted-run reduceat -- no per-group Python.
+        if b.num_rows == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        ok = b.column("l_orderkey").to_numpy()
+        sk = b.column("l_suppkey").to_numpy()
+        lt = b.column("late").to_numpy()
+        order = np.lexsort((sk, ok))
+        ok, sk, lt = ok[order], sk[order], lt[order]
+        pair_start = np.ones(len(ok), bool)
+        pair_start[1:] = (ok[1:] != ok[:-1]) | (sk[1:] != sk[:-1])
+        starts = np.flatnonzero(pair_start)
+        p_ok = ok[starts]
+        p_sk = sk[starts]
+        p_late = np.maximum.reduceat(lt, starts)
+        ord_start = np.ones(len(p_ok), bool)
+        ord_start[1:] = p_ok[1:] != p_ok[:-1]
+        ostarts = np.flatnonzero(ord_start)
+        n_supp = np.diff(np.append(ostarts, len(p_ok)))
+        n_late = np.add.reduceat(p_late, ostarts)
+        ord_ok = (n_supp > 1) & (n_late == 1)
+        keep = np.repeat(ord_ok, n_supp) & (p_late == 1)
+        return pa.table({"s_suppkey": pa.array(p_sk[keep], pa.int64())})
 
-    counts = _partial_count_sums(
-        j.map_batches(flag, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .map_groups(sole, batch_format="pyarrow"),
-        "s_suppkey", {}, count_alias="n_orders")
+    def supp_count(b: pa.Table) -> pa.Table:
+        g = b.group_by(["s_suppkey"]).aggregate([("n_orders", "sum")])
+        return pa.table({"s_suppkey": g.column("s_suppkey"),
+                         "n_orders": g.column("n_orders_sum")})
+
+    def sole_partial(b: pa.Table) -> pa.Table:
+        t = sole(b)
+        g = t.group_by(["s_suppkey"]).aggregate([([], "count_all")])
+        return pa.table({"s_suppkey": g.column("s_suppkey"),
+                         "n_orders": g.column("count_all")})
+
+    from ..partitions import keyed_fold
+
+    # the plan is hash-strategy after the join + keyed_fold, so the
+    # supplier count is a second keyed_fold, not a sort-based groupby
+    counts = keyed_fold(
+        keyed_fold(j.map_batches(flag, batch_format="pyarrow"),
+                   ["l_orderkey"], sole_partial,
+                   num_partitions=_join_parts(sf_dir, "lineitem")),
+        ["s_suppkey"], supp_count, num_partitions=8)
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_name"])
@@ -6009,19 +6104,29 @@ def q_cheapest_supplier_per_part(sf_dir: str):
                          "s_suppkey": pa.array(sk[order][first],
                                                pa.int64())})
 
-    def final(g: pa.Table) -> pa.Table:
-        ep = g.column("min_ep_c").to_numpy()
-        sk = g.column("s_suppkey").to_numpy()
-        i = np.lexsort((sk, ep))[0]
-        return pa.table({"p_partkey": g.column("p_partkey")[:1],
-                         "min_ep_c": pa.array([int(ep[i])], pa.int64()),
-                         "s_suppkey": pa.array([int(sk[i])], pa.int64())})
+    def final(b: pa.Table) -> pa.Table:
+        # whole hash partition per call: many complete part groups --
+        # same lexicographic first-of-key sweep as the partial
+        pk = b.column("p_partkey").to_numpy()
+        ep = b.column("min_ep_c").to_numpy()
+        sk = b.column("s_suppkey").to_numpy()
+        order = np.lexsort((sk, ep, pk))
+        pk_s = pk[order]
+        first = np.ones(len(pk_s), bool)
+        first[1:] = pk_s[1:] != pk_s[:-1]
+        return pa.table({"p_partkey": pa.array(pk_s[first]),
+                         "min_ep_c": pa.array(ep[order][first], pa.int64()),
+                         "s_suppkey": pa.array(sk[order][first],
+                                               pa.int64())})
 
-    return (_read(sf_dir, "lineitem",
-                  ["l_partkey", "l_extendedprice", "l_suppkey"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("p_partkey")
-            .map_groups(final, batch_format="pyarrow"))
+    from ..partitions import keyed_fold
+
+    return keyed_fold(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_suppkey"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["p_partkey"], final,
+        num_partitions=_join_parts(sf_dir, "lineitem"))
 
 
 SQL_CHEAPEST_SUPPLIER_PER_PART = """
@@ -6394,19 +6499,39 @@ def q_segment_dedup_docs(sf_dir: str):
         return pa.table({"seg": g.column("seg"),
                          "first_key": g.column("first_key_min")})
 
-    def winner(g: pa.Table) -> pa.Table:
-        k = int(g.column("first_key").to_numpy().min())
-        seg = g.column("seg")[0].as_py()
-        return pa.table({"doc_id": pa.array([k // _SEG_KEYMUL], pa.int64()),
-                         "seg_chars": pa.array([len(seg)], pa.int64())})
+    def winner(b: pa.Table) -> pa.Table:
+        # whole hash partition per call: complete segment groups -- one
+        # Arrow group_by min, vectorized key decode, then an in-block
+        # per-doc partial so the second exchange moves <= #docs rows
+        g = b.group_by(["seg"]).aggregate([("first_key", "min")])
+        fk = g.column("first_key_min").to_numpy()
+        ln = pc.utf8_length(g.column("seg")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(fk // _SEG_KEYMUL, pa.int64()),
+                      "seg_chars": pa.array(ln, pa.int64())})
+        g2 = t.group_by(["doc_id"]).aggregate([("seg_chars", "sum"),
+                                               ([], "count_all")])
+        return pa.table({"doc_id": g2.column("doc_id"),
+                         "kept_segs": g2.column("count_all"),
+                         "kept_chars": g2.column("seg_chars_sum")})
 
-    kept = (_read(sf_dir, "documents", ["doc_id", "text"])
-            .map_batches(segments, batch_format="pyarrow")
-            .groupby("seg")
-            .map_groups(winner, batch_format="pyarrow"))
-    return _partial_count_sums(kept, "doc_id",
-                               {"seg_chars": "kept_chars"},
-                               count_alias="kept_segs")
+    def docfold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["doc_id"]).aggregate([("kept_segs", "sum"),
+                                              ("kept_chars", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "kept_segs": g.column("kept_segs_sum"),
+                         "kept_chars": g.column("kept_chars_sum")})
+
+    from ..partitions import keyed_fold
+
+    # both exchanges ride the plan's hash strategy (keyed_fold flips it
+    # plan-wide; sort-based aggregates must not be chained after it)
+    width = _join_parts(sf_dir, "documents")
+    kept = keyed_fold(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(segments, batch_format="pyarrow"),
+        ["seg"], winner, num_partitions=width)
+    return keyed_fold(kept, ["doc_id"], docfold, num_partitions=width)
 
 
 SQL_SEGMENT_DEDUP_DOCS = f"""
