@@ -3600,23 +3600,37 @@ def q_basket_brand_pairs(sf_dir: str):
         m = ray.get(lut_ref)  # zero-copy object-store read per task
         ok = b.column("l_orderkey").to_numpy()
         bit = np.int64(1) << m[b.column("l_partkey").to_numpy()]
-        # within-batch dedup cuts the first shuffle's volume
-        u = np.unique(np.stack([ok, bit], axis=1), axis=0)
-        return pa.table({"l_orderkey": pa.array(u[:, 0], pa.int64()),
-                         "bit": pa.array(u[:, 1], pa.int64())})
-
-    a = _agg()
-    masks = (_read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-             .map_batches(to_bits, batch_format="pyarrow")
-             .groupby(["l_orderkey", "bit"])
-             .aggregate(a.Count(alias_name="_c"))
-             .groupby("l_orderkey")
-             .aggregate(a.Sum("bit", alias_name="mask")))
+        # within-batch partial: OR-combine per order (associative, so
+        # the single keyed fold below finishes it) -- cuts the one
+        # exchange's volume to <= orders-per-batch rows
+        order = np.argsort(ok, kind="stable")
+        oks, bits = ok[order], bit[order]
+        start = np.ones(len(oks), bool)
+        start[1:] = oks[1:] != oks[:-1]
+        starts = np.flatnonzero(start)
+        return pa.table({
+            "l_orderkey": pa.array(oks[starts], pa.int64()),
+            "bit": pa.array(np.bitwise_or.reduceat(bits, starts)
+                            if len(starts) else bits, pa.int64())})
 
     k = len(brands)
 
-    def pair_partials(b: pa.Table) -> pa.Table:
-        m = b.column("mask").to_numpy()
+    def mask_pairs(b: pa.Table) -> pa.Table:
+        # whole hash partition per call: complete order groups.  OR the
+        # partial masks per order, then the k^2/2 vectorized pair sweep
+        # emits per-block partial pair counts (<= k^2/2 rows).
+        if b.num_rows == 0:
+            return pa.table({"brand_a": pa.array([], pa.string()),
+                             "brand_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ok = b.column("l_orderkey").to_numpy()
+        bit = b.column("bit").to_numpy()
+        order = np.argsort(ok, kind="stable")
+        oks, bits = ok[order], bit[order]
+        start = np.ones(len(oks), bool)
+        start[1:] = oks[1:] != oks[:-1]
+        starts = np.flatnonzero(start)
+        m = np.bitwise_or.reduceat(bits, starts)
         aa, bb, nn = [], [], []
         for i in range(k):
             mi = (m >> i) & 1
@@ -3630,9 +3644,25 @@ def q_basket_brand_pairs(sf_dir: str):
                          "brand_b": pa.array(bb, pa.string()),
                          "n": pa.array(nn, pa.int64())})
 
-    return (masks.map_batches(pair_partials, batch_format="pyarrow")
-            .groupby(["brand_a", "brand_b"])
-            .aggregate(a.Sum("n", alias_name="n_orders")))
+    from ..partitions import keyed_fold
+
+    # ONE exchange (keyed fold by order), then the <= blocks * k^2/2
+    # pair partials combine driver-side -- aggregate-sized, like the
+    # other partial-fold scalar queries
+    partials = _collect(keyed_fold(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(to_bits, batch_format="pyarrow",
+                     batch_size=65_536),
+        ["l_orderkey"], mask_pairs,
+        num_partitions=_join_parts(sf_dir, "lineitem")))
+    if partials.num_rows == 0:
+        return pa.table({"brand_a": pa.array([], pa.string()),
+                         "brand_b": pa.array([], pa.string()),
+                         "n_orders": pa.array([], pa.int64())})
+    g = partials.group_by(["brand_a", "brand_b"]).aggregate([("n", "sum")])
+    return pa.table({"brand_a": g.column("brand_a"),
+                     "brand_b": g.column("brand_b"),
+                     "n_orders": g.column("n_sum")})
 
 
 SQL_BASKET_BRAND_PAIRS = """
