@@ -6589,6 +6589,124 @@ group by s.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# positional-window collocations (PMI numerators): token pairs
+# co-occurring within 3 positions, with exact pair and unigram counts --
+# the collocation-mining / phrase-detection role (word2vec-style window
+# statistics).  Distinct from token_lift (document-level token x lang):
+# this is POSITION-level, the oracle's self-join on a position band.
+# Pair generation is a zero-shuffle vectorized shift (offsets 1..3 of
+# the token array); in-batch Arrow partials collapse before the ONE
+# keyed fold; unigram counts ride a second tiny fold and broadcast
+# (vocab-bounded here; the token-keyed join alternative for open-web
+# vocabularies is demonstrated in token_lift).
+
+_COLL_WINDOW = 3
+_COLL_MIN = 20
+
+
+def q_collocation_pairs(sf_dir: str):
+    import ray
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        la, lb = [], []
+        for text in b.column("text").to_pylist():
+            toks = np.asarray(text.split(" "))
+            for off in range(1, _COLL_WINDOW + 1):
+                if len(toks) > off:
+                    la.append(toks[:-off])
+                    lb.append(toks[off:])
+        if not la:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.table({"tok_a": pa.array(np.concatenate(la)),
+                      "tok_b": pa.array(np.concatenate(lb))})
+        g = t.group_by(["tok_a", "tok_b"]).aggregate([([], "count_all")])
+        return pa.table({"tok_a": g.column("tok_a"),
+                         "tok_b": g.column("tok_b"),
+                         "n": g.column("count_all")})
+
+    def pair_fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["tok_a", "tok_b"]).aggregate([("n", "sum")])
+        t = pa.table({"tok_a": g.column("tok_a"),
+                      "tok_b": g.column("tok_b"),
+                      "n_pair": g.column("n_sum")})
+        return t.filter(pc.greater_equal(t.column("n_pair"), _COLL_MIN))
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        toks = [t for text in b.column("text").to_pylist()
+                for t in text.split(" ")]
+        g = (pa.table({"tok": pa.array(toks, pa.string())})
+             .group_by(["tok"]).aggregate([([], "count_all")]))
+        return pa.table({"tok": g.column("tok"),
+                         "n": g.column("count_all")})
+
+    def uni_fold(b: pa.Table) -> pa.Table:
+        g = b.group_by(["tok"]).aggregate([("n", "sum")])
+        return pa.table({"tok": g.column("tok"),
+                         "n": g.column("n_sum")})
+
+    from ..partitions import keyed_fold
+
+    width = _join_parts(sf_dir, "documents")
+    docs = _read(sf_dir, "documents", ["text"])
+    pairs = keyed_fold(
+        docs.map_batches(pair_partial, batch_format="pyarrow",
+                         batch_size=4_096),
+        ["tok_a", "tok_b"], pair_fold, num_partitions=width)
+    uni = _collect(keyed_fold(
+        docs.map_batches(uni_partial, batch_format="pyarrow",
+                         batch_size=4_096),
+        ["tok"], uni_fold, num_partitions=width))
+    tk = np.asarray(uni.column("tok").to_pylist())
+    srt = np.argsort(tk)
+    tk = tk[srt]
+    tn = uni.column("n").to_numpy()[srt]
+    uni_ref = ray.put((tk, tn))
+
+    def attach(b: pa.Table) -> pa.Table:
+        k, n = ray.get(uni_ref)
+        a = np.asarray(b.column("tok_a").to_pylist())
+        bb = np.asarray(b.column("tok_b").to_pylist())
+        if len(a) == 0:
+            return pa.table({"tok_a": b.column("tok_a"),
+                             "tok_b": b.column("tok_b"),
+                             "n_pair": b.column("n_pair"),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        return pa.table({
+            "tok_a": b.column("tok_a"),
+            "tok_b": b.column("tok_b"),
+            "n_pair": b.column("n_pair"),
+            "n_a": pa.array(n[np.searchsorted(k, a)], pa.int64()),
+            "n_b": pa.array(n[np.searchsorted(k, bb)], pa.int64())})
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_COLLOCATION_PAIRS = f"""
+with toks as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as tok,
+         generate_subscripts(string_split(text, ' '), 1) as pos
+  from documents),
+pairs as (
+  select a.tok as tok_a, b.tok as tok_b,
+         cast(count(*) as bigint) as n_pair
+  from toks a join toks b
+    on a.doc_id = b.doc_id
+   and b.pos - a.pos between 1 and {_COLL_WINDOW}
+  group by 1, 2
+  having count(*) >= {_COLL_MIN}),
+uni as (select tok, cast(count(*) as bigint) as n from toks group by tok)
+select tok_a, tok_b, n_pair, ua.n as n_a, ub.n as n_b
+from pairs
+join uni ua on tok_a = ua.tok
+join uni ub on tok_b = ub.tok
+"""
+
+
 SQL_CHECKED = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -6733,4 +6851,5 @@ SQL_CHECKED = {
     "bulk_promo_suppliers": (q_bulk_promo_suppliers,
                              SQL_BULK_PROMO_SUPPLIERS),
     "segment_dedup_docs": (q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS),
+    "collocation_pairs": (q_collocation_pairs, SQL_COLLOCATION_PAIRS),
 }
