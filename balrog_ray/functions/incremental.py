@@ -1,0 +1,244 @@
+"""Incremental near-dup screening of NEW documents against a persistent
+sharded MinHash band-bucket index held by Ray actors -- the streaming /
+ingest-time dedup role: a crawl ingests a batch and must answer "is this
+a near-dup of the corpus?" WITHOUT re-running the corpus x corpus LSH
+(the reference's whole-corpus batch shape; cf. balrog's chunked fan-out,
+SURVEY op 41).
+
+This is the one pattern the Dataset API genuinely can't express -- a
+shared MUTABLE index consulted and updated across pipeline stages -- so
+it drops to raw Ray actors exactly as SURVEY §7.5 prescribes.  Scale
+design:
+
+* the index is SHARDED by bucket hash across ``num_shards`` actors;
+  each holds ``dict[bucket -> (ids, signatures)]`` for its share only.
+  Inserts and probes route straight to the owning shard, so no actor
+  materializes more than ~1/num_shards of the index, and shard count
+  scales index memory across a cluster the same way the partitioned
+  spatial join scales its STR-trees;
+* BUILD is a ``map_batches`` pass over the corpus: signatures are
+  computed once per doc (the vectorized minhash of functions/dedup.py)
+  and (bucket, id, sig) rows are pushed to their owning shards; the
+  build stage is forced to completion before any probe (a barrier by
+  semantics, not by materializing data -- only counts cross it);
+* PROBE is a ``map_batches`` pass over the new batch: the same band
+  keys are computed, owning shards return their candidate (id, sig)
+  lists, and verification -- full-signature agreement, the unbiased
+  Jaccard estimator with stderr ~ sqrt(t(1-t)/n_perm) -- runs inside
+  the map task.  Nothing index-sized or candidate-sized reaches the
+  driver; the output Dataset carries verified matches only;
+* ``admit=True`` inserts each probed doc into the index AFTER its own
+  batch's verdicts are computed, so docs are never matched against
+  themselves and a re-probe of the same text later IS matched -- the
+  streaming-ingest contract.
+
+Shard count and bands are the knobs: probes cost ``bands`` small actor
+calls per batch (grouped per shard, one call each), and a hot bucket is
+bounded by the LSH banding itself, not by skew handling here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _perm_params, minhash_signature, shingle_set
+
+
+def _band_buckets(sig: np.ndarray, bands: int, rows_per_band: int
+                  ) -> np.ndarray:
+    """The same band->bucket digest rule as minhash_lsh_pairs
+    (dedup.py:sig_buckets), returned as one int64 per band."""
+    out = np.empty(bands, np.int64)
+    for band in range(bands):
+        chunk = sig[band * rows_per_band:(band + 1) * rows_per_band]
+        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
+        bucket = (band << 56) ^ (int.from_bytes(digest, "big") >> 8)
+        out[band] = np.int64(bucket - (1 << 62))
+    return out
+
+
+class _BucketShardImpl:
+    """One shard: dict[bucket -> list of (doc_id, signature)].  Plain
+    class; wrapped by ray.remote in build_minhash_index so tests can
+    also drive it in-process."""
+
+    def __init__(self) -> None:
+        self._ids: dict[int, list[int]] = {}
+        self._sigs: dict[int, list[np.ndarray]] = {}
+        self._n = 0
+
+    def insert(self, buckets: np.ndarray, ids: np.ndarray,
+               sigs: np.ndarray) -> int:
+        """sigs: (n, n_perm) uint64; one row per (bucket, id) entry."""
+        for b, i, s in zip(buckets.tolist(), ids.tolist(), sigs):
+            self._ids.setdefault(b, []).append(i)
+            self._sigs.setdefault(b, []).append(s)
+            self._n += 1
+        return self._n
+
+    def probe(self, buckets: np.ndarray):
+        """Return (offsets, ids, sigs): candidates of query k are
+        ids[offsets[k]:offsets[k+1]] (duplicate ids across bands are
+        fine -- the caller dedups per query)."""
+        offs = np.zeros(len(buckets) + 1, np.int64)
+        ids: list[int] = []
+        sigs: list[np.ndarray] = []
+        for k, b in enumerate(buckets.tolist()):
+            got = self._ids.get(b)
+            if got:
+                ids.extend(got)
+                sigs.extend(self._sigs[b])
+            offs[k + 1] = len(ids)
+        return (offs, np.asarray(ids, np.int64),
+                np.stack(sigs) if sigs else
+                np.empty((0, 0), np.uint64))
+
+    def stats(self) -> dict:
+        return {"buckets": len(self._ids), "entries": self._n}
+
+
+@dataclass
+class MinHashIndex:
+    """Handle to the sharded index: actor handles + the signature
+    parameters every caller must reuse (signatures are only comparable
+    under identical permutations/banding)."""
+    shards: list
+    num_shards: int
+    n_perm: int
+    bands: int
+    k: int
+
+    def stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([s.stats.remote() for s in self.shards])
+
+
+def _shard_of(buckets: np.ndarray, num_shards: int) -> np.ndarray:
+    # cheap splitmix-style scramble so band bits don't bias the route
+    x = buckets.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = x ^ (x >> np.uint64(33))
+    return (x % np.uint64(num_shards)).astype(np.int64)
+
+
+def build_minhash_index(corpus_ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", n_perm: int = 64,
+                        bands: int = 16, k: int = 5,
+                        num_shards: int = 8) -> MinHashIndex:
+    """Build the sharded index from a corpus Dataset.  Returns the
+    handle once every shard has acknowledged every insert."""
+    import ray
+
+    shard_cls = ray.remote(_BucketShardImpl)
+    shards = [shard_cls.remote() for _ in range(num_shards)]
+    idx = MinHashIndex(shards, num_shards, n_perm, bands, k)
+    rows_per_band = n_perm // bands
+
+    def push(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        params = _perm_params(n_perm)
+        all_b, all_i, all_s = [], [], []
+        for i, text in zip(ids, texts):
+            sig = minhash_signature(shingle_set(text, k), n_perm,
+                                    params=params)
+            bks = _band_buckets(sig, bands, rows_per_band)
+            all_b.append(bks)
+            all_i.append(np.full(bands, i, np.int64))
+            all_s.append(np.repeat(sig[None, :], bands, axis=0))
+        if all_b:
+            bks = np.concatenate(all_b)
+            dids = np.concatenate(all_i)
+            sgs = np.concatenate(all_s)
+            route = _shard_of(bks, num_shards)
+            futs = []
+            for sh in np.unique(route):
+                m = route == sh
+                futs.append(shards[int(sh)].insert.remote(
+                    bks[m], dids[m], sgs[m]))
+            ray.get(futs)        # batch-level ack: build is durable
+                                 # before this map task reports done
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    total = (corpus_ds.map_batches(push, batch_format="pyarrow")
+             .sum("n"))
+    if total is None:
+        raise ValueError("empty corpus")
+    return idx
+
+
+def probe_minhash_index(index: MinHashIndex, new_ds, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = 0.8, admit: bool = False):
+    """Screen ``new_ds`` against the index.  Returns a Dataset of
+    ``(new_id, dup_of, est_e6)`` -- signature-agreement Jaccard
+    estimates >= threshold, est_e6 the estimate in exact parts-per-
+    million.  With ``admit=True`` every probed doc is inserted after
+    its OWN batch's verdicts (never matched against itself or its
+    batchmates; re-probes of the same text later do match)."""
+    shards = index.shards
+    num_shards = index.num_shards
+    n_perm, bands, k = index.n_perm, index.bands, index.k
+    rows_per_band = n_perm // bands
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray
+
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        params = _perm_params(n_perm)
+        sigs = np.empty((len(ids), n_perm), np.uint64)
+        bks = np.empty((len(ids), bands), np.int64)
+        for q, text in enumerate(texts):
+            sigs[q] = minhash_signature(shingle_set(text, k), n_perm,
+                                        params=params)
+            bks[q] = _band_buckets(sigs[q], bands, rows_per_band)
+        flat = bks.reshape(-1)
+        route = _shard_of(flat, num_shards)
+        # one probe call per shard, covering every query's keys
+        cand_ids = [[] for _ in ids]
+        cand_sigs = [[] for _ in ids]
+        for sh in np.unique(route):
+            m = route == sh
+            offs, cids, csigs = ray.get(
+                shards[int(sh)].probe.remote(flat[m]))
+            qpos = np.flatnonzero(m) // bands
+            for j, q in enumerate(qpos.tolist()):
+                lo, hi = offs[j], offs[j + 1]
+                if hi > lo:
+                    cand_ids[q].extend(cids[lo:hi].tolist())
+                    cand_sigs[q].append(csigs[lo:hi])
+        out_new, out_dup, out_est = [], [], []
+        for q in range(len(ids)):
+            if not cand_ids[q]:
+                continue
+            cids = np.asarray(cand_ids[q], np.int64)
+            csig = np.concatenate(cand_sigs[q], axis=0)
+            uniq, first = np.unique(cids, return_index=True)
+            agree = (csig[first] == sigs[q][None, :]).mean(axis=1)
+            keep = agree >= threshold
+            for dup, est in zip(uniq[keep].tolist(),
+                                agree[keep].tolist()):
+                out_new.append(ids[q])
+                out_dup.append(dup)
+                out_est.append(int(round(est * 1_000_000)))
+        if admit:
+            flat_ids = np.repeat(np.asarray(ids, np.int64), bands)
+            flat_sigs = np.repeat(sigs, bands, axis=0)
+            futs = []
+            for sh in np.unique(route):
+                m = route == sh
+                futs.append(shards[int(sh)].insert.remote(
+                    flat[m], flat_ids[m], flat_sigs[m]))
+            ray.get(futs)
+        return pa.table({
+            "new_id": pa.array(out_new, pa.int64()),
+            "dup_of": pa.array(out_dup, pa.int64()),
+            "est_e6": pa.array(out_est, pa.int64())})
+
+    return new_ds.map_batches(probe, batch_format="pyarrow")

@@ -296,6 +296,42 @@ def q_minhash_pairs_docs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.9)
 
 
+def q_incremental_dedup_docs(sf_dir: str):
+    """Streaming ingest-time dedup: build the sharded actor-held
+    MinHash band-bucket index over the documents corpus, then probe a
+    deterministic 'new batch' (every 25th doc lightly perturbed -- one
+    token swapped -- plus disjoint-vocab fresh docs) WITHOUT any
+    corpus x corpus pass.  Returns verified (new_id, dup_of, est_e6)
+    matches; the perturbed docs must hit their source, the fresh docs
+    must miss (asserted exactly in tests/test_incremental.py)."""
+    import ray.data
+
+    from ..functions.incremental import (build_minhash_index,
+                                         probe_minhash_index)
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    index = build_minhash_index(corpus, num_shards=4)
+
+    base = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    new_ids, new_texts = [], []
+    for j in range(0, len(ids), 25):
+        toks = texts[j].split(" ")
+        toks[len(toks) // 2] = "zzqxj"        # one-token perturbation
+        new_ids.append(1_000_000 + ids[j])
+        new_texts.append(" ".join(toks))
+    for j in range(10):                        # disjoint-vocab fresh docs
+        new_ids.append(2_000_000 + j)
+        new_texts.append(" ".join(f"qq{j}w{i}" for i in range(40)))
+    new_ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(new_ids, pa.int64()),
+        "text": pa.array(new_texts, pa.string())}))
+    return probe_minhash_index(index, new_ds, threshold=0.5)
+
+
 def q_pack_chunks(sf_dir: str):
     """tokenize -> chunk -> pack: 64-token document chunks (the
     SQL-checked chunk_docs stage) packed into 512-token training
@@ -3636,6 +3672,7 @@ ROWS_ONLY = {
     "video_frames": q_video_frames,
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
     "dedup_survivor_docs": q_dedup_survivor_docs,
     "pack_chunks": q_pack_chunks,
     "raster_calc_index": q_raster_calc_index,
