@@ -5701,6 +5701,8 @@ def q_small_qty_revenue(sf_dir: str):
     row = (li.map_batches(small, batch_format="pyarrow")
            .aggregate(a.Sum("n_lines", alias_name="n_lines"),
                       a.Sum("rev_c", alias_name="rev_c")))
+    if row is None:          # brand absent entirely: oracle's
+        row = {"n_lines": 0, "rev_c": 0}     # no-groups aggregate row
     return pa.table({"n_lines": pa.array([row["n_lines"]], pa.int64()),
                      "rev_c": pa.array([row["rev_c"]], pa.int64())})
 
