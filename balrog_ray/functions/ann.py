@@ -521,3 +521,140 @@ def greedy_mmr(cos: np.ndarray, units: np.ndarray, ids: np.ndarray,
     if return_scores:
         return chosen, scores
     return chosen
+
+
+# ------------------------------------------------------------ kNN graph
+
+def knn_graph(emb_ds, k: int = 10, *, n_centroids: int = 16,
+              n_probe: int = 4, id_col: str = "vec_id",
+              vec_col: str = "embedding", sample_size: int = 2048,
+              num_partitions: int = 8):
+    """Approximate kNN GRAPH: every vector's top-k cosine neighbors
+    (self excluded) -- the all-pairs building block under SemDeDup-style
+    semantic dedup, graph-based label propagation and kNN-classifier
+    curation, where ``*_topk`` answers a fixed external query set
+    instead.
+
+    IVF-bucketed construction, nothing quadratic anywhere:
+
+    * centroids fit on the deterministic hash-bottom-k sample (same rule
+      as ivf_topk);
+    * ONE pass tags each vector as a MEMBER of its home list and as a
+      QUERY in its ``n_probe`` nearest lists, so the single keyed
+      exchange ships each vector ``1 + n_probe`` times (unit-normalized,
+      float32) -- data motion O(n * n_probe), never O(n^2);
+    * the per-list fold multiplies the list's queries against its
+      members (one matmul per list, many complete lists per hash
+      partition) and emits exact per-list top-k partials with the
+      (cosine desc, id asc) tie-break;
+    * a second keyed fold merges each vector's partials from its
+      ``n_probe`` lists into the final top-k -- vectorized sorted-run
+      ranking, no per-group Python.
+
+    Returns a Dataset ``(query_id, vec_id, cosine)``, <= k rows per
+    vector.  Recall vs brute force is the usual IVF trade
+    (``n_probe``/``n_centroids``); tests/test_functions.py measures it
+    on planted clusters."""
+    import ray
+
+    from ..partitions import keyed_fold
+    from .cluster import _hash_sample_matrix
+
+    sample = _hash_sample_matrix(emb_ds, id_col, vec_col, sample_size)
+    cents = kmeans_lite(sample, n_centroids)
+    cents_ref = ray.put(cents)
+    dim = cents.shape[1]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "list_id": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int64()),
+                "vid": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float32(), dim))})
+        c = ray.get(cents_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
+        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
+                              np.float64))
+        sims = vecs @ c.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe]   # (n, n_probe)
+        home = order[:, 0] if n_probe else sims.argmax(axis=1)
+        # member rows (home list) + query rows (n_probe lists)
+        lid = np.concatenate([home, order.reshape(-1)])
+        role = np.concatenate([np.zeros(len(ids), np.int64),
+                               np.ones(len(ids) * n_probe, np.int64)])
+        vid = np.concatenate([ids, np.repeat(ids, n_probe)])
+        vmat = np.concatenate([vecs, np.repeat(vecs, n_probe, axis=0)])
+        return pa.table({
+            "list_id": pa.array(lid.astype(np.int64), pa.int64()),
+            "role": pa.array(role, pa.int64()),
+            "vid": pa.array(vid, pa.int64()),
+            "vec": pa.array(vmat.astype(np.float32).tolist(),
+                            pa.list_(pa.float32(), dim))})
+
+    def list_fold(b: pa.Table) -> pa.Table:
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        if b.num_rows == 0:
+            return pa.table(out, schema=PAIRS_SCHEMA)
+        lid = b.column("list_id").to_numpy()
+        role = b.column("role").to_numpy()
+        vid = b.column("vid").to_numpy()
+        vmat = np.array(b.column("vec").to_pylist(), np.float64)
+        order = np.argsort(lid, kind="stable")
+        lid_s = lid[order]
+        starts = np.flatnonzero(np.concatenate(
+            [[True], lid_s[1:] != lid_s[:-1]]))
+        bounds = np.append(starts, len(lid_s))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = order[s:e]
+            mem = seg[role[seg] == 0]
+            qry = seg[role[seg] == 1]
+            if len(mem) == 0 or len(qry) == 0:
+                continue
+            sims = vmat[qry] @ vmat[mem].T           # (q, m)
+            mids = vid[mem]
+            qids = vid[qry]
+            sims[mids[None, :] == qids[:, None]] = -np.inf  # no self
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)
+            for row in range(sims.shape[0]):
+                rows = _topk_rows(sims[row], mids,
+                                  part[row, kk - 1], kk)
+                keep = sims[row][rows] > -np.inf
+                rows = rows[keep]
+                out["query_id"].extend([int(qids[row])] * len(rows))
+                out["vec_id"].extend(mids[rows].tolist())
+                out["cosine"].extend(sims[row][rows].tolist())
+        return pa.table(out, schema=PAIRS_SCHEMA)
+
+    def merge_fold(b: pa.Table) -> pa.Table:
+        # complete query groups per partition: global (query, -cos, id)
+        # sort, rank-within-group via cumcount, keep rank < k, then drop
+        # duplicate (query, neighbor) rows (same pair can arrive from
+        # several probed lists)
+        if b.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names},
+                            schema=PAIRS_SCHEMA)
+        q = b.column("query_id").to_numpy()
+        v = b.column("vec_id").to_numpy()
+        c = b.column("cosine").to_numpy()
+        order = np.lexsort((v, -c, q))
+        qs, vs, cs = q[order], v[order], c[order]
+        pair_first = np.concatenate(
+            [[True], (qs[1:] != qs[:-1]) | (vs[1:] != vs[:-1])])
+        qs, vs, cs = qs[pair_first], vs[pair_first], cs[pair_first]
+        first = np.concatenate([[True], qs[1:] != qs[:-1]])
+        starts = np.flatnonzero(first)
+        grp = np.cumsum(first) - 1
+        rank = np.arange(len(qs)) - starts[grp]
+        keep = rank < k
+        return pa.table({"query_id": pa.array(qs[keep], pa.int64()),
+                         "vec_id": pa.array(vs[keep], pa.int64()),
+                         "cosine": pa.array(cs[keep], pa.float64())},
+                        schema=PAIRS_SCHEMA)
+
+    partials = keyed_fold(
+        emb_ds.map_batches(tag, batch_format="pyarrow"),
+        ["list_id"], list_fold, num_partitions=num_partitions)
+    return keyed_fold(partials, ["query_id"], merge_fold,
+                      num_partitions=num_partitions)

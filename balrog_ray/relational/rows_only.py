@@ -296,6 +296,20 @@ def q_minhash_pairs_docs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.9)
 
 
+def q_knn_graph_embeddings(sf_dir: str):
+    """Approximate kNN graph over the embeddings table (every vector's
+    top-5 cosine neighbors, self excluded): IVF-bucketed one-exchange
+    construction, exact-at-full-probe property tested in
+    tests/test_functions.py::test_knn_graph_recall."""
+    import ray.data
+
+    from ..functions.ann import knn_graph
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=5, n_centroids=16, n_probe=4)
+
+
 def q_incremental_dedup_docs(sf_dir: str):
     """Streaming ingest-time dedup: build the sharded actor-held
     MinHash band-bucket index over the documents corpus, then probe a
@@ -3673,6 +3687,7 @@ ROWS_ONLY = {
     "fingerprint_docs": q_fingerprint_docs,
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "knn_graph_embeddings": q_knn_graph_embeddings,
     "dedup_survivor_docs": q_dedup_survivor_docs,
     "pack_chunks": q_pack_chunks,
     "raster_calc_index": q_raster_calc_index,

@@ -1005,3 +1005,40 @@ def test_mmr_diversifies(ray_session, emb_data):
         assert by_q_i[qi] == by_q_p[qi]          # lam=1 == relevance
         assert (mean_pair_sim(by_q_d[qi])
                 <= mean_pair_sim(by_q_p[qi]) + 1e-12)
+
+
+def test_knn_graph_recall(ray_session, emb_data):
+    import ray.data
+
+    tbl, vecs, _ = emb_data
+    got = ann.knn_graph(ray.data.from_arrow(tbl), k=5, n_centroids=8,
+                        n_probe=4, num_partitions=4).take_all()
+    # brute-force oracle: per-vector top-5, self excluded,
+    # (cosine desc, id asc) tie-break, same float32 roundtrip
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0, 1, n)
+    u = unit(vecs.astype(np.float32).astype(np.float64))
+    sims = u @ u.T
+    np.fill_diagonal(sims, -np.inf)
+    exact = {}
+    for i in range(len(vecs)):
+        order = np.lexsort((np.arange(len(vecs)), -sims[i]))[:5]
+        exact[i] = set(order.tolist())
+    by_q = {}
+    for r in got:
+        assert r["vec_id"] != r["query_id"]          # self excluded
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(by_q) == len(vecs)                    # every vector ranked
+    assert all(len(v) <= 5 for v in by_q.values())
+    recalls = [len(by_q[q] & exact[q]) / 5 for q in exact]
+    assert np.mean(recalls) >= 0.6
+
+    # exactness where the probe covers the truth: raising n_probe to
+    # n_centroids makes the graph exact (every list probed)
+    full = ann.knn_graph(ray.data.from_arrow(tbl), k=5, n_centroids=8,
+                         n_probe=8, num_partitions=4).take_all()
+    by_q2 = {}
+    for r in full:
+        by_q2.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert all(by_q2[q] == exact[q] for q in exact)
