@@ -24,8 +24,16 @@ class TileValidator:
     actor form keeps per-worker codec warm-up out of the per-batch path
     and matches the engine's other decode stages)."""
 
+    #: max Hamming distance between the table's phash column and the
+    #: hash of the DECODED pixels.  The stored hash is computed on the
+    #: pre-encode array, so lossy png quantization may flip a couple of
+    #: block-mean comparisons; lossless codecs must round-trip the hash
+    #: exactly.  A payload/caption swap scrambles ~half the 64 bits, so
+    #: the gap between tolerance and failure is wide.
+    PHASH_TOL = {"png": 4}
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..tiles.codec import Caption, decode_tile
+        from ..tiles.codec import Caption, decode_tile, phash64
 
         n = batch.num_rows
         ids = batch.column("image_id").to_pylist()
@@ -34,9 +42,12 @@ class TileValidator:
         ws = batch.column("w").to_pylist()
         hs = batch.column("h").to_pylist()
         payloads = batch.column("bytes").to_pylist()
+        phashes = (batch.column("phash").to_pylist()
+                   if "phash" in batch.schema.names else [None] * n)
 
         ok = np.zeros(n, dtype=bool)
         err = [""] * n
+        phash_dist = np.full(n, -1, dtype=np.int64)
         nodata_frac = np.full(n, np.nan)
         vmin = np.full(n, np.nan)
         vmax = np.full(n, np.nan)
@@ -60,6 +71,13 @@ class TileValidator:
             if not np.isfinite(arr[valid]).all():
                 err[i] = "non_finite_pixels"
                 continue
+            if phashes[i] is not None:
+                d = int(bin(int(phash64(arr)) ^ int(phashes[i]))
+                        .count("1"))
+                phash_dist[i] = d
+                if d > self.PHASH_TOL.get(fmts[i], 0):
+                    err[i] = f"phash_mismatch: hamming {d}"
+                    continue
             ok[i] = True
             nodata_frac[i] = 1.0 - valid.mean()
             if valid.any():
@@ -71,6 +89,7 @@ class TileValidator:
             "image_id": pa.array(ids, batch.schema.field("image_id").type),
             "ok": pa.array(ok),
             "error": pa.array(err, pa.string()),
+            "phash_dist": pa.array(phash_dist, pa.int64()),
             "nodata_frac": pa.array(nodata_frac, pa.float64()),
             "vmin": pa.array(vmin, pa.float64()),
             "vmax": pa.array(vmax, pa.float64()),

@@ -96,3 +96,33 @@ def test_cli_validate(ray_session, tmp_path, capsys):
     assert main(["validate", "--tiles", tiles, "--strict"]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["quarantined"] == 1
+
+
+def test_phash_swap_detected():
+    """A payload swap decodes fine and has the right shape -- only the
+    phash cross-check catches it.  Clean rows (incl. lossy png) must
+    stay inside the tolerance."""
+    cfg = SynthConfig(tiles_x=2, tiles_y=2, tile_px=32)
+    tab = tiles_table(cfg).combine_chunks()
+    out_clean = TileValidator()(tab)
+    assert all(out_clean.column("ok").to_pylist())
+    dists = out_clean.column("phash_dist").to_pylist()
+    assert all(0 <= d <= 4 for d in dists)
+
+    cols = {c: tab.column(c).to_pylist() for c in tab.column_names}
+    # swap two payloads whose pixel content differs (dem vs veg layer)
+    ids = cols["image_id"]
+    i = next(k for k, s in enumerate(ids) if s.startswith("dem/"))
+    j = next(k for k, s in enumerate(ids) if s.startswith("veg/"))
+    for c in ("bytes", "fmt"):
+        cols[c][i], cols[c][j] = cols[c][j], cols[c][i]
+    swapped = pa.table({c: pa.array(cols[c], tab.schema.field(c).type)
+                        for c in tab.column_names})
+    out = TileValidator()(swapped)
+    ok = out.column("ok").to_pylist()
+    err = out.column("error").to_pylist()
+    for k in (i, j):
+        assert not ok[k] and (err[k].startswith("phash_mismatch")
+                              or err[k].startswith("decode:")), err[k]
+    good = [k for k in range(len(ok)) if k not in (i, j)]
+    assert all(ok[k] for k in good)
