@@ -296,6 +296,98 @@ def q_minhash_pairs_docs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.9)
 
 
+def q_curate_corpus(sf_dir: str):
+    """The full industrial curation chain, composed end-to-end as ONE
+    streaming pipeline over the documents table: quality gate (the
+    SQL-checked quality_filter rule) -> language filter (n-gram
+    heuristic, keep the corpus's majority language) -> exact dedup
+    (content-hash first-wins) -> near-dup survivors (MinHash LSH ->
+    union-find components -> canonical anti-join) -> 64-token chunking
+    -> 512-token FFD sequence packing.  Returns the integer funnel:
+    per-stage doc counts plus chunk/sequence/token conservation stats
+    -- every number deterministic, so the rows-only gate pins it."""
+    import ray.data
+
+    from ..functions.components import connected_components, dedup_survivors
+    from ..functions.dedup import content_hash_batch, minhash_lsh_pairs
+    from ..functions.packing import pack_sequences, packing_stats
+    from ..functions.text import langid_batch, quality_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    n_in = docs.count()
+
+    def quality_gate(b: pa.Table) -> pa.Table:
+        # length + mean-token-shape gates (the stopword-density rule of
+        # the SQL-checked quality_filter would gut this synthetic
+        # token-soup corpus and starve the downstream dedup stages)
+        m = quality_batch(b)
+        keep = ((m.column("n_tokens").to_numpy() >= 5)
+                & (m.column("avg_token_len").to_numpy() >= 2.0))
+        return b.filter(pa.array(keep))
+
+    q = docs.map_batches(quality_gate,
+                         batch_format="pyarrow").materialize()
+    n_quality = q.count()
+
+    lang_counts = (q.map_batches(langid_batch, batch_format="pyarrow")
+                   .groupby("lang_pred").count().take_all())
+    top_lang = max(lang_counts, key=lambda r: (r["count()"],
+                                               r["lang_pred"]))["lang_pred"]
+
+    def lang_gate(b: pa.Table) -> pa.Table:
+        m = langid_batch(b)
+        keep = pc.equal(m.column("lang_pred"), top_lang)
+        return b.filter(keep)
+
+    lng = q.map_batches(lang_gate, batch_format="pyarrow").materialize()
+    n_lang = lng.count()
+
+    # exact dedup: first-wins by min doc_id per content hash
+    hashed = lng.map_batches(content_hash_batch, batch_format="pyarrow")
+    a = _agg_mod()
+    firsts = (hashed.groupby("content_hash")
+              .aggregate(a.Min("doc_id", alias_name="doc_id"))
+              .select_columns(["doc_id"]))
+    exact = lng.join(firsts, "inner", num_partitions=8,
+                     on=("doc_id",)).materialize()
+    n_exact = exact.count()
+
+    pairs = minhash_lsh_pairs(exact, threshold=0.9)
+    comp = connected_components(pairs)
+    survivors = dedup_survivors(exact, comp).materialize()
+    n_neardup = survivors.count()
+
+    def chunks(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        lens = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        n_chunks = -(-lens // 64)
+        rep = np.repeat(np.arange(len(lens)), n_chunks)
+        starts = np.concatenate([[0], np.cumsum(n_chunks[:-1])])
+        chunk_id = np.arange(len(rep)) - starts[rep]
+        n_tok = np.minimum(lens[rep] - chunk_id * 64, 64)
+        return pa.table({
+            "doc_id": pa.array(b.column("doc_id").to_numpy()[rep],
+                               pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "n_tok": pa.array(n_tok, pa.int64())})
+
+    chunked = survivors.map_batches(chunks, batch_format="pyarrow")
+    packed = pack_sequences(chunked, budget=512, n_shards=8)
+    stats = packing_stats(packed, budget=512)
+    out = {"docs_in": n_in, "after_quality": n_quality,
+           "after_langid": n_lang, "after_exact_dedup": n_exact,
+           "after_neardup": n_neardup, **stats}
+    return pa.table({k: pa.array([int(v)], pa.int64())
+                     for k, v in out.items()})
+
+
+def _agg_mod():
+    import ray.data.aggregate as agg
+
+    return agg
+
+
 def q_knn_graph_embeddings(sf_dir: str):
     """Approximate kNN graph over the embeddings table (every vector's
     top-5 cosine neighbors, self excluded): IVF-bucketed one-exchange
@@ -3688,6 +3780,7 @@ ROWS_ONLY = {
     "minhash_pairs_docs": q_minhash_pairs_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "knn_graph_embeddings": q_knn_graph_embeddings,
+    "curate_corpus": q_curate_corpus,
     "dedup_survivor_docs": q_dedup_survivor_docs,
     "pack_chunks": q_pack_chunks,
     "raster_calc_index": q_raster_calc_index,

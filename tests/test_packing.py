@@ -65,3 +65,18 @@ def test_pack_stats_and_oversize(ray_session):
     assert row["n_tokens"] == int(good.column("n_tok").to_numpy().sum())
     assert row["over_budget"] == 0
     assert row["n_seq"] >= -(-row["n_tokens"] // 512)   # >= LP lower bound
+
+
+def test_curate_corpus_funnel(ray_session):
+    """Composite curation chain: monotone funnel, exact conservation
+    (tokens in surviving docs == tokens packed), zero over-budget."""
+    from balrog_ray.relational.rows_only import q_curate_corpus
+
+    t = q_curate_corpus("/root/testdata/sf0.001")
+    row = {c: t.column(c)[0].as_py() for c in t.column_names}
+    assert (row["docs_in"] >= row["after_quality"]
+            >= row["after_langid"] >= row["after_exact_dedup"]
+            >= row["after_neardup"] > 0)
+    assert row["over_budget"] == 0
+    assert row["n_chunks"] >= row["after_neardup"]   # >=1 chunk per doc
+    assert row["n_seq"] * 512 >= row["n_tokens"]     # budget arithmetic
