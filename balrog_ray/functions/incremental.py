@@ -69,12 +69,19 @@ class _BucketShardImpl:
     def __init__(self) -> None:
         self._ids: dict[int, list[int]] = {}
         self._sigs: dict[int, list[np.ndarray]] = {}
+        self._seen: set[tuple[int, int]] = set()
         self._n = 0
 
     def insert(self, buckets: np.ndarray, ids: np.ndarray,
                sigs: np.ndarray) -> int:
-        """sigs: (n, n_perm) uint64; one row per (bucket, id) entry."""
+        """sigs: (n, n_perm) uint64; one row per (bucket, id) entry.
+        IDEMPOTENT on (bucket, id): a Ray task retry (or a re-executed
+        lazy dataset) re-sending the same rows is a no-op, so the index
+        never holds duplicate entries."""
         for b, i, s in zip(buckets.tolist(), ids.tolist(), sigs):
+            if (b, i) in self._seen:
+                continue
+            self._seen.add((b, i))
             self._ids.setdefault(b, []).append(i)
             self._sigs.setdefault(b, []).append(s)
             self._n += 1
@@ -180,7 +187,11 @@ def probe_minhash_index(index: MinHashIndex, new_ds, *,
     estimates >= threshold, est_e6 the estimate in exact parts-per-
     million.  With ``admit=True`` every probed doc is inserted after
     its OWN batch's verdicts (never matched against itself or its
-    batchmates; re-probes of the same text later do match)."""
+    batchmates; re-probes of the same text later do match).  The admit
+    path MATERIALIZES the result before returning: a lazy dataset
+    re-executed after the inserts landed would re-probe against its own
+    admissions and self-match (shard inserts are also idempotent on
+    (bucket, id), so a task retry never duplicates index entries)."""
     shards = index.shards
     num_shards = index.num_shards
     n_perm, bands, k = index.n_perm, index.bands, index.k
@@ -200,13 +211,16 @@ def probe_minhash_index(index: MinHashIndex, new_ds, *,
             bks[q] = _band_buckets(sigs[q], bands, rows_per_band)
         flat = bks.reshape(-1)
         route = _shard_of(flat, num_shards)
-        # one probe call per shard, covering every query's keys
+        # one probe call per shard, covering every query's keys --
+        # launched together, gathered once (not a serial per-shard
+        # round-trip)
         cand_ids = [[] for _ in ids]
         cand_sigs = [[] for _ in ids]
-        for sh in np.unique(route):
+        probe_shards = np.unique(route)
+        futs = [shards[int(sh)].probe.remote(flat[route == sh])
+                for sh in probe_shards]
+        for sh, (offs, cids, csigs) in zip(probe_shards, ray.get(futs)):
             m = route == sh
-            offs, cids, csigs = ray.get(
-                shards[int(sh)].probe.remote(flat[m]))
             qpos = np.flatnonzero(m) // bands
             for j, q in enumerate(qpos.tolist()):
                 lo, hi = offs[j], offs[j + 1]
@@ -241,4 +255,5 @@ def probe_minhash_index(index: MinHashIndex, new_ds, *,
             "dup_of": pa.array(out_dup, pa.int64()),
             "est_e6": pa.array(out_est, pa.int64())})
 
-    return new_ds.map_batches(probe, batch_format="pyarrow")
+    out = new_ds.map_batches(probe, batch_format="pyarrow")
+    return out.materialize() if admit else out

@@ -330,26 +330,28 @@ def q_curate_corpus(sf_dir: str):
                          batch_format="pyarrow").materialize()
     n_quality = q.count()
 
-    lang_counts = (q.map_batches(langid_batch, batch_format="pyarrow")
-                   .groupby("lang_pred").count().take_all())
+    # ONE langid pass: tag, pick the majority language from the tagged
+    # set, filter the same tagged set
+    tagged = q.map_batches(langid_batch,
+                           batch_format="pyarrow").materialize()
+    lang_counts = tagged.groupby("lang_pred").count().take_all()
     top_lang = max(lang_counts, key=lambda r: (r["count()"],
                                                r["lang_pred"]))["lang_pred"]
-
-    def lang_gate(b: pa.Table) -> pa.Table:
-        m = langid_batch(b)
-        keep = pc.equal(m.column("lang_pred"), top_lang)
-        return b.filter(keep)
-
-    lng = q.map_batches(lang_gate, batch_format="pyarrow").materialize()
+    lng = (tagged.filter(expr=f"lang_pred == '{top_lang}'")
+           .drop_columns(["lang_pred"]).materialize())
     n_lang = lng.count()
 
     # exact dedup: first-wins by min doc_id per content hash
+    import ray.data.aggregate as a
+
+    from ..partitions import shuffle_width
+
+    width = shuffle_width(n_lang)
     hashed = lng.map_batches(content_hash_batch, batch_format="pyarrow")
-    a = _agg_mod()
     firsts = (hashed.groupby("content_hash")
               .aggregate(a.Min("doc_id", alias_name="doc_id"))
               .select_columns(["doc_id"]))
-    exact = lng.join(firsts, "inner", num_partitions=8,
+    exact = lng.join(firsts, "inner", num_partitions=width,
                      on=("doc_id",)).materialize()
     n_exact = exact.count()
 
@@ -380,12 +382,6 @@ def q_curate_corpus(sf_dir: str):
            "after_neardup": n_neardup, **stats}
     return pa.table({k: pa.array([int(v)], pa.int64())
                      for k, v in out.items()})
-
-
-def _agg_mod():
-    import ray.data.aggregate as agg
-
-    return agg
 
 
 def q_knn_graph_embeddings(sf_dir: str):

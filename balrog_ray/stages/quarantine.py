@@ -72,8 +72,11 @@ class TileValidator:
                 err[i] = "non_finite_pixels"
                 continue
             if phashes[i] is not None:
-                d = int(bin(int(phash64(arr)) ^ int(phashes[i]))
-                        .count("1"))
+                # phash64 values live in signed-int64 range: mask the
+                # XOR to 64 bits so a sign-bit difference counts as ONE
+                # flipped bit, not a two's-complement magnitude blowup
+                d = (((int(phash64(arr)) ^ int(phashes[i]))
+                      & ((1 << 64) - 1)).bit_count())
                 phash_dist[i] = d
                 if d > self.PHASH_TOL.get(fmts[i], 0):
                     err[i] = f"phash_mismatch: hamming {d}"

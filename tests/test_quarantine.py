@@ -126,3 +126,32 @@ def test_phash_swap_detected():
                               or err[k].startswith("decode:")), err[k]
     good = [k for k in range(len(ok)) if k not in (i, j)]
     assert all(ok[k] for k in good)
+
+
+def test_phash_distance_masks_sign_bit():
+    """A stored hash differing from the recomputed one ONLY in bit 63
+    is Hamming distance 1 (inside png tolerance), not a two's-complement
+    magnitude blowup; a ~32-bit scramble is flagged."""
+    cfg = SynthConfig(tiles_x=1, tiles_y=1, tile_px=32)
+    tab = tiles_table(cfg).combine_chunks()
+    cols = {c: tab.column(c).to_pylist() for c in tab.column_names}
+
+    def to_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    h = cols["phash"][0] & ((1 << 64) - 1)
+    cols["phash"][0] = to_signed(h ^ (1 << 63))          # sign bit only
+    one = pa.table({c: pa.array(cols[c], tab.schema.field(c).type)
+                    for c in tab.column_names})
+    out = TileValidator()(one)
+    # the sign-bit flip costs exactly ONE bit on top of any codec noise
+    # (the unmasked two's-complement bug computed ~60 here)
+    base = TileValidator()(tab).column("phash_dist")[0].as_py()
+    assert out.column("phash_dist")[0].as_py() == base + 1
+
+    cols["phash"][0] = to_signed(h ^ ((1 << 63) | 0xFFFFFFFF))
+    many = pa.table({c: pa.array(cols[c], tab.schema.field(c).type)
+                     for c in tab.column_names})
+    out2 = TileValidator()(many)
+    assert not out2.column("ok")[0].as_py()
+    assert out2.column("error")[0].as_py().startswith("phash_mismatch")
