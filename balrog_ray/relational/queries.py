@@ -6709,6 +6709,211 @@ join uni ub on tok_b = ub.tok
 """
 
 
+# --------------------------------------------------------------------------
+# nearest-neighbor temporal join + its anti-join complement, and a
+# percent-of-parent hierarchy share.  The nearest join is the ASOF
+# NEAREST variant (asof_join covers backward-only): each purchase pairs
+# with its closest click by |dt| within a +/-24 h band, tie-broken
+# (earlier click, then event id).  Day-bucket replication (x3) makes the
+# band a hash-joinable key, exactly like range_join_clicks; the argmin
+# collapses in ONE keyed fold.
+
+_NEAR_BAND_US = 86_400_000_000
+
+
+def _purchase_click_cands(sf_dir: str):
+    """(pid, cid, adt, cts) candidate rows: purchases x clicks of the
+    same user within +/-24 h, via day-bucket x3 click replication."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def purchases(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "purchase")
+        t = b.filter(m)
+        us = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "pid": t.column("event_id"),
+            "p_user": t.column("user_id"),
+            "p_us": pa.array(us, pa.int64()),
+            "bucket": pa.array(us // _NEAR_BAND_US, pa.int64())})
+
+    def clicks(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "click")
+        t = b.filter(m)
+        us = t.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        base = us // _NEAR_BAND_US
+        n = len(us)
+        rep = np.repeat(np.arange(n), 3)
+        off = np.tile(np.array([-1, 0, 1], np.int64), n)
+        return pa.table({
+            "cid": pa.array(t.column("event_id").to_numpy()[rep]),
+            "c_user": pa.array(t.column("user_id").to_numpy()[rep]),
+            "c_us": pa.array(us[rep], pa.int64()),
+            "cbucket": pa.array(base[rep] + off, pa.int64())})
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    c = ev.map_batches(clicks, batch_format="pyarrow")
+    j = p.join(c, "inner",
+               num_partitions=_join_parts(sf_dir, "events"),
+               on=("p_user", "bucket"), right_on=("c_user", "cbucket"))
+
+    def band(b: pa.Table) -> pa.Table:
+        dt = b.column("c_us").to_numpy() - b.column("p_us").to_numpy()
+        m = np.abs(dt) <= _NEAR_BAND_US
+        return pa.table({
+            "pid": pa.array(b.column("pid").to_numpy()[m]),
+            "cid": pa.array(b.column("cid").to_numpy()[m]),
+            "adt": pa.array(np.abs(dt)[m], pa.int64()),
+            "cts": pa.array(b.column("c_us").to_numpy()[m], pa.int64())})
+
+    return j.map_batches(band, batch_format="pyarrow")
+
+
+def q_nearest_click(sf_dir: str):
+    def argmin_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"purchase_id": pa.array([], pa.int64()),
+                             "click_id": pa.array([], pa.int64()),
+                             "adt_us": pa.array([], pa.int64())})
+        pid = b.column("pid").to_numpy()
+        cid = b.column("cid").to_numpy()
+        adt = b.column("adt").to_numpy()
+        cts = b.column("cts").to_numpy()
+        order = np.lexsort((cid, cts, adt, pid))
+        first = np.ones(len(pid), bool)
+        first[1:] = pid[order][1:] != pid[order][:-1]
+        w = order[first]
+        return pa.table({"purchase_id": pa.array(pid[w], pa.int64()),
+                         "click_id": pa.array(cid[w], pa.int64()),
+                         "adt_us": pa.array(adt[w], pa.int64())})
+
+    from ..partitions import keyed_fold
+
+    return keyed_fold(_purchase_click_cands(sf_dir), ["pid"],
+                      argmin_fold,
+                      num_partitions=_join_parts(sf_dir, "events"))
+
+
+SQL_NEAREST_CLICK = f"""
+with cand as (
+  select p.event_id as pid, c.event_id as cid,
+         abs(epoch_us(c.ts) - epoch_us(p.ts)) as adt,
+         epoch_us(c.ts) as cts
+  from events p join events c
+    on p.event_type = 'purchase' and c.event_type = 'click'
+   and c.user_id = p.user_id
+   and abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {_NEAR_BAND_US})
+select pid as purchase_id, cid as click_id, adt as adt_us
+from (select pid, cid, adt,
+             row_number() over (partition by pid
+                                order by adt, cts, cid) as rn
+      from cand) t
+where rn = 1
+"""
+
+
+def q_no_recent_click(sf_dir: str):
+    """Anti-band complement: purchases with NO click by the same user
+    within +/-24 h -- matched purchase ids dedup to a distinct table
+    (in-batch partial + one groupby; sort strategy on purpose, because
+    the left_anti join below executes under the LEFT side's captured
+    context, and a keyed_fold here would flip only this side), then the
+    purchases stream through a left_anti join."""
+    def matched(b: pa.Table) -> pa.Table:
+        return pa.table({"pid": b.column("pid")}) \
+            .group_by(["pid"]).aggregate([])
+
+    a = _agg()
+    hit = (_purchase_click_cands(sf_dir)
+           .map_batches(matched, batch_format="pyarrow")
+           .groupby("pid").aggregate(a.Count(alias_name="_c"))
+           .drop_columns(["_c"]))
+
+    def purchases(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("event_type"), "purchase")
+        t = b.filter(m)
+        return pa.table({"purchase_id": t.column("event_id"),
+                         "user_id": t.column("user_id")})
+
+    p = (_read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+         .map_batches(purchases, batch_format="pyarrow"))
+    return p.join(hit, "left_anti",
+                  num_partitions=_join_parts(sf_dir, "events"),
+                  on=("purchase_id",), right_on=("pid",))
+
+
+SQL_NO_RECENT_CLICK = f"""
+select p.event_id as purchase_id, p.user_id
+from events p
+where p.event_type = 'purchase'
+  and not exists (
+    select 1 from events c
+    where c.event_type = 'click' and c.user_id = p.user_id
+      and abs(epoch_us(c.ts) - epoch_us(p.ts)) <= {_NEAR_BAND_US})
+"""
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Percent-of-parent hierarchy share: each nation's order revenue
+    (exact cents) alongside its REGION's total -- the two-level rollup
+    ratio, emitted as integer numerator/denominator.  One orders |x|
+    customer exchange; nation->region is the broadcast dim; region
+    totals derive from the 25-row nation table driver-side."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    nk = nation.column("n_nationkey").to_numpy()
+    rk = nation.column("n_regionkey").to_numpy()
+    srt = np.argsort(nk)
+    nk, rk = nk[srt], rk[srt]
+
+    def ord_map(b: pa.Table) -> pa.Table:
+        p = np.rint(b.column("o_totalprice").to_numpy()
+                    * 100.0).astype(np.int64)
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "cents": pa.array(p, pa.int64())})
+
+    orders = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+              .map_batches(ord_map, batch_format="pyarrow"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = orders.join(cust, "inner",
+                    num_partitions=_join_parts(sf_dir, "orders",
+                                               "customer"),
+                    on=("o_custkey",), right_on=("c_custkey",))
+    per_nation = _collect(_partial_count_sums(
+        j, "c_nationkey", {"cents": "nation_rev_c"}))
+    nat = per_nation.column("c_nationkey").to_numpy()
+    rev = per_nation.column("nation_rev_c").to_numpy()
+    reg = rk[np.searchsorted(nk, nat)]
+    reg_tot = {}
+    for r, v in zip(reg.tolist(), rev.tolist()):
+        reg_tot[r] = reg_tot.get(r, 0) + v
+    return pa.table({
+        "c_nationkey": pa.array(nat, pa.int64()),
+        "n_regionkey": pa.array(reg.astype(np.int64), pa.int64()),
+        "nation_rev_c": pa.array(rev, pa.int64()),
+        "region_rev_c": pa.array([reg_tot[r] for r in reg.tolist()],
+                                 pa.int64())})
+
+
+SQL_NATION_REVENUE_SHARE = """
+with nat as (
+  select cast(c_nationkey as bigint) as c_nationkey,
+         cast(n_regionkey as bigint) as n_regionkey,
+         cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             as nation_rev_c
+  from orders
+  join customer on o_custkey = c_custkey
+  join nation on c_nationkey = n_nationkey
+  group by 1, 2)
+select c_nationkey, n_regionkey, nation_rev_c,
+       cast(sum(nation_rev_c) over (partition by n_regionkey) as bigint)
+           as region_rev_c
+from nat
+"""
+
+
 SQL_CHECKED = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "reclassify_bins": (q_reclassify_bins, SQL_RECLASSIFY),
@@ -6854,4 +7059,8 @@ SQL_CHECKED = {
                              SQL_BULK_PROMO_SUPPLIERS),
     "segment_dedup_docs": (q_segment_dedup_docs, SQL_SEGMENT_DEDUP_DOCS),
     "collocation_pairs": (q_collocation_pairs, SQL_COLLOCATION_PAIRS),
+    "nearest_click": (q_nearest_click, SQL_NEAREST_CLICK),
+    "no_recent_click": (q_no_recent_click, SQL_NO_RECENT_CLICK),
+    "nation_revenue_share": (q_nation_revenue_share,
+                             SQL_NATION_REVENUE_SHARE),
 }

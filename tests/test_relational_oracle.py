@@ -37,7 +37,9 @@ NEW_QUERIES = ["latest_event", "mode_per_flag", "status_except",
                "cheapest_supplier_per_part", "nation_pair_volume",
                "returned_revenue_topk", "promo_revenue_share",
                "supplier_variety", "bulk_promo_suppliers",
-               "segment_dedup_docs", "collocation_pairs"]
+               "segment_dedup_docs", "collocation_pairs",
+               "nearest_click", "no_recent_click",
+               "nation_revenue_share"]
 
 
 def _canonical(tab: pa.Table):
