@@ -562,6 +562,10 @@ def knn_graph(emb_ds, k: int = 10, *, n_centroids: int = 16,
 
     sample = _hash_sample_matrix(emb_ds, id_col, vec_col, sample_size)
     cents = kmeans_lite(sample, n_centroids)
+    # kmeans_lite can return fewer centroids than requested (tiny
+    # sample); an unclamped n_probe would make argsort[:, :n_probe]
+    # emit fewer query rows than role/vid expect and break pa.table.
+    n_probe = min(n_probe, cents.shape[0])
     cents_ref = ray.put(cents)
     dim = cents.shape[1]
 

@@ -114,6 +114,7 @@ def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
     float path."""
     import math
 
+    import ray
     from ray.data.aggregate import Count, Sum
 
     if iters < 1:
@@ -121,6 +122,18 @@ def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
     a, b = damping
     if not (0 < a < b):
         raise ValueError("damping must be a proper fraction (a, b)")
+
+    # LATENCY shape (the round-3 lesson, shared with bfs/sssp/kcore):
+    # under the node-count broadcast gate the rank NUMERATORS -- node-
+    # cardinality-bounded, exactly the class the gate admits -- ride
+    # ray.put into per-block contribution partials that driver-merge
+    # exactly (integer arithmetic is order-independent), one task run
+    # per iteration with no hash exchange; edges stay distributed
+    # either way.  Past the gate the join+groupby path below owns it.
+    if num_nodes <= 4_000_000:
+        return _pagerank_exact_broadcast(
+            edges_ds, num_nodes, iters=iters, damping=damping,
+            num_partitions=num_partitions)
 
     deg = edges_ds.groupby("src").aggregate(Count(alias_name="deg"))
     edges_deg = edges_ds.join(
@@ -181,6 +194,106 @@ def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
     return nums, num_nodes * F ** iters
 
 
+def _pagerank_exact_broadcast(edges_ds, num_nodes: int, *, iters: int,
+                              damping: tuple[int, int],
+                              num_partitions: int):
+    """Under-gate body of :func:`pagerank_exact`: identical fixed-point
+    integer arithmetic, but the node-bounded numerator vector is
+    driver-held and each iteration is ONE task run of per-block
+    contribution partials (np.unique/reduceat) merged driver-side --
+    bit-identical to the distributed groupby because int64 addition is
+    order-free.  Edges never leave the object store."""
+    import math
+
+    import ray
+    import ray.data as _rd
+
+    a, b = damping
+    edges = _compact_nonempty(
+        edges_ds.repartition(num_partitions).materialize())
+    if edges is None:
+        raise ValueError("pagerank_exact: empty edge set")
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("src").to_numpy(),
+                         return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    parts = [t for t in ray.get(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .to_arrow_refs()) if t.num_rows]
+    nd = np.concatenate([t.column("node").to_numpy() for t in parts])
+    dg = np.concatenate([t.column("deg").to_numpy() for t in parts])
+    order = np.argsort(nd, kind="stable")
+    nd, dg = nd[order], dg[order]
+    starts = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
+    nodes = nd[starts]
+    deg = np.add.reduceat(dg, starts)
+
+    L = math.lcm(*sorted(set(deg.tolist()))) if len(deg) else 1
+    F = b * L
+    if num_nodes * F ** iters > (1 << 62):
+        raise ValueError(
+            f"denominator {num_nodes} * {F}^{iters} overflows int64 "
+            "numerators; use fewer iters or the float pagerank()")
+    aL = a * L
+    coeff_of_node = aL // deg                  # aligned with nodes
+    nums = np.ones(len(nodes), np.int64)
+
+    for it in range(iters):
+        state_ref = ray.put((nodes, coeff_of_node * nums))
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            nsorted, share = ray.get(state_ref)
+            s = t.column("src").to_numpy()
+            d = t.column("dst").to_numpy()
+            pos = np.searchsorted(nsorted, s)   # precondition: all hit
+            part = share[pos]
+            u, inv = np.unique(d, return_inverse=True)
+            tot = np.zeros(len(u), np.int64)
+            np.add.at(tot, inv, part)
+            return pa.table({"node": pa.array(u, pa.int64()),
+                             "part": pa.array(tot, pa.int64())})
+
+        ptabs = [t for t in ray.get(
+            edges.map_batches(contrib_partial, batch_format="pyarrow")
+            .to_arrow_refs()) if t.num_rows]
+        inflow = np.zeros(len(nodes), np.int64)
+        for t in ptabs:
+            pn = t.column("node").to_numpy()
+            pv = t.column("part").to_numpy()
+            pos = np.searchsorted(nodes, pn)
+            hit = (pos < len(nodes)) & (nodes[np.clip(pos, 0,
+                                        len(nodes) - 1)] == pn)
+            np.add.at(inflow, pos[hit], pv[hit])
+        nums = inflow + np.int64((b - a) * L * F ** it)
+    denom = num_nodes * F ** iters
+    return (_rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "num": pa.array(nums, pa.int64())})), denom)
+
+
+def _compact_nonempty(ds):
+    """Strip empty blocks from a MATERIALIZED dataset (metadata-only,
+    no block is fetched): ray 2.49's hash ops skip their schema
+    broadcast when an input's first submitted block is empty
+    (hash_shuffle.py:223), which can present a zero-column partition to
+    a downstream join's FieldRef; feeding joins only non-empty blocks
+    sidesteps it without a re-blocking exchange.  Returns None when no
+    rows remain (the caller's termination signal)."""
+    import ray.data
+
+    refs = [block_ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, meta in zip(bundle.block_refs,
+                                       bundle.metadata)
+            if (meta.num_rows or 0) > 0]
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
 def bfs_levels(edges_ds, seeds_ds, *, max_hops: int = 8,
                num_partitions: int = 8):
     """Multi-source BFS hop distance -- the crawl-frontier / link-depth
@@ -190,62 +303,127 @@ def bfs_levels(edges_ds, seeds_ds, *, max_hops: int = 8,
     ACTIVE-FRONT shape (the same rule the iterative raster stages
     follow): per hop the join ships ONLY the frontier -- nodes first
     reached last hop -- not the whole visited set, so total data motion
-    is O(edges reachable) across the run, not O(edges x hops).  Each hop
-    is one frontier x edges hash join, a ``groupby(node)`` dedup, and a
-    ``left_anti`` join against the visited set; the visited set stays a
-    Dataset end-to-end.  Union outputs are re-blocked (``repartition``)
-    before the next join -- union+groupby can emit schema-less empty
-    blocks that break a following hash join.
+    is O(edges reachable) across the run, not O(edges x hops).
+
+    LATENCY shape (the round-3 lesson: per-hop cost at toy scale is
+    executor/exchange startup, not data -- bfs_hops spent 12.8 s on a
+    1000-node graph): each hop is ONE materialized pipeline instead of
+    round 3's four, the static edge set is materialized once instead
+    of re-scanned per hop, and the visited-set subtraction is
+    SIZE-GATED -- under ``broadcast_visited_max`` the visited node ids
+    ride ``ray.put`` into a vectorized searchsorted filter (saving a
+    whole hash-join exchange per hop); past the gate it falls back to
+    the distributed ``left_anti`` join, so web-scale visited sets
+    never pin the driver.  The visited set itself stays a Dataset
+    end-to-end, growing by pure block union of materialized hops.
 
     ``seeds_ds`` holds one ``node`` column; returns ``(node, dist)``
     with ``dist`` the exact minimum hop count (int64), nodes beyond
     ``max_hops`` absent."""
+    import ray
     from ray.data.aggregate import Count
+
+    broadcast_visited_max = 4_000_000      # ~32 MB of int64 node ids
 
     def tag(dist):
         def fn(b: pa.Table, dist=dist) -> pa.Table:
+            node = (b.column("node").cast(pa.int64())
+                    if "node" in b.column_names
+                    else pa.array([], pa.int64()))
             return pa.table({
-                "node": b.column("node"),
-                "dist": pa.array(np.full(b.num_rows, dist, np.int64),
+                "node": node,
+                "dist": pa.array(np.full(len(node), dist, np.int64),
                                  pa.int64())})
         return fn
 
-    frontier = (seeds_ds
-                .groupby("node").aggregate(Count(alias_name="_c"))
-                .drop_columns(["_c"])
-                .repartition(num_partitions).materialize())
-    visited = frontier.map_batches(tag(0),
-                                   batch_format="pyarrow").materialize()
+    visited = _compact_nonempty(
+        seeds_ds
+        .groupby("node").aggregate(Count(alias_name="_c"))
+        .map_batches(tag(0), batch_format="pyarrow")
+        .materialize())
+    if visited is None:
+        raise ValueError("bfs_levels: empty seed set")
+    frontier = visited.select_columns(["node"])
+    # static across hops: materialize once, never re-scan the source
+    edges = _compact_nonempty(
+        edges_ds.repartition(num_partitions).materialize())
+    if edges is None:
+        return visited
+
+    # driver-held sorted visited/frontier ids while under the broadcast
+    # gate; None once a set outgrows it (the join paths then own it)
+    vnodes = np.sort(np.concatenate(
+        [t.column("node").to_numpy()
+         for t in ray.get(visited.to_arrow_refs())]))
+    fnodes = vnodes
+    if len(vnodes) > broadcast_visited_max:
+        vnodes = fnodes = None
 
     def to_node(b: pa.Table) -> pa.Table:
         return pa.table({"node": b.column("dst")})
 
     for k in range(1, max_hops + 1):
-        if frontier.count() == 0:
-            break
-        cand = (frontier
-                .join(edges_ds, "inner", num_partitions=num_partitions,
-                      on=("node",), right_on=("src",))
-                .map_batches(to_node, batch_format="pyarrow")
+        if fnodes is not None:
+            # broadcast-frontier expansion: a bounded frontier rides
+            # ray.put into a searchsorted scan of the materialized edge
+            # blocks -- a task-only hop with NO hash exchange (the
+            # per-hop aggregator-pool spin-up was the bench's cost)
+            fref = ray.put(fnodes)
+
+            def expand(b: pa.Table) -> pa.Table:
+                f = ray.get(fref)
+                s = b.column("src").to_numpy()
+                if len(f) == 0 or len(s) == 0:
+                    return pa.table({"node": pa.array([], pa.int64())})
+                pos = np.clip(np.searchsorted(f, s), 0, len(f) - 1)
+                hit = f[pos] == s
+                return pa.table({
+                    "node": b.column("dst").filter(pa.array(hit))
+                    .cast(pa.int64())})
+
+            expanded = edges.map_batches(expand, batch_format="pyarrow")
+        else:
+            expanded = (frontier
+                        .join(edges, "inner",
+                              num_partitions=num_partitions,
+                              on=("node",), right_on=("src",))
+                        .map_batches(to_node, batch_format="pyarrow"))
+        cand = (expanded
                 .groupby("node").aggregate(Count(alias_name="_c"))
-                .drop_columns(["_c"])
-                .repartition(num_partitions).materialize())
-        if cand.count() == 0:
-            # a drained frontier (no out-edges) leaves cand with ONLY
-            # schema-less empty blocks -- repartition cannot restore a
-            # schema from zero rows, and the anti-join below would fail
-            # on an unresolvable FieldRef; terminate instead
+                .map_batches(tag(k), batch_format="pyarrow"))
+        if vnodes is not None:
+            vref = ray.put(vnodes)
+
+            def drop_visited(b: pa.Table) -> pa.Table:
+                v = ray.get(vref)
+                nd = b.column("node").to_numpy()
+                if len(v) == 0 or len(nd) == 0:
+                    return b
+                pos = np.clip(np.searchsorted(v, nd), 0, len(v) - 1)
+                return b.filter(pa.array(v[pos] != nd))
+
+            new = _compact_nonempty(
+                cand.map_batches(drop_visited, batch_format="pyarrow")
+                .materialize())
+        else:
+            new = _compact_nonempty(
+                cand.join(visited.select_columns(["node"]), "left_anti",
+                          num_partitions=num_partitions, on=("node",))
+                .materialize())
+        if new is None:
             break
-        new = (cand
-               .join(visited.select_columns(["node"]), "left_anti",
-                     num_partitions=num_partitions, on=("node",))
-               .repartition(num_partitions).materialize())
-        if new.count() == 0:
-            break
-        frontier = new
-        visited = (visited
-                   .union(new.map_batches(tag(k), batch_format="pyarrow"))
-                   .repartition(num_partitions).materialize())
+        frontier = new.select_columns(["node"])
+        visited = visited.union(new)
+        if vnodes is not None:
+            fresh = np.concatenate(
+                [t.column("node").to_numpy()
+                 for t in ray.get(new.to_arrow_refs())])
+            fnodes = np.sort(fresh)
+            vnodes = np.sort(np.concatenate([vnodes, fresh]))
+            if len(vnodes) > broadcast_visited_max:
+                vnodes = fnodes = None
+        else:
+            fnodes = None
     return visited
 
 
@@ -362,21 +540,29 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
     relaxing every node, so a SQL chain of k min-folds replays it
     exactly, converged or not.
 
-    Per round: one frontier x edges inner join (keyed by ``src``)
-    produces candidates, and the best-table UPDATE (the part
-    bfs_levels pays an anti-join for) is a tagged union folded by one
-    ``groupby(node).aggregate(Min)`` shuffle:
+    Per round: frontier x edges relaxation produces candidates, and the
+    best-table UPDATE (the part bfs_levels pays an anti-join for) is a
+    tagged union folded by one ``groupby(node).aggregate(Min)`` shuffle:
     best rows carry ``old = dist``, candidate rows ``old = INT64_MAX``,
     and ``min(dist) < min(old)`` marks exactly the improved nodes -- the
     next frontier -- with no per-group Python.  Per-round motion is
     O(|frontier| x avg-degree + |best|), the standard BSP-SSSP profile.
 
+    LATENCY shape (the round-3 lesson, shared with bfs_levels): edges
+    materialize ONCE instead of re-scanning per round, each round is a
+    single materialized pipeline, and while the frontier stays under
+    the broadcast gate its (node, dist) arrays ride ``ray.put`` into a
+    searchsorted relaxation scan -- a task-only step with no hash-join
+    exchange; past the gate the distributed join path owns it.
+
     ``edges_ds``: (src, dst, w) int64, w >= 0.  ``seeds_ds``: (node).
     Returns (node, dist int64): min over paths of <= ``rounds`` edges,
     unreachable nodes absent."""
+    import ray
     from ray.data.aggregate import Count, Min
 
     _INF = np.iinfo(np.int64).max
+    broadcast_frontier_max = 4_000_000
 
     def tag_seed(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -385,11 +571,31 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
                          "dist": z, "old": z})
 
     # seed dedup (a node may appear in several seed blocks)
-    best = (seeds_ds.groupby("node").aggregate(Count(alias_name="_c"))
-            .drop_columns(["_c"])
-            .map_batches(tag_seed, batch_format="pyarrow")
-            .repartition(num_partitions).materialize())
+    best = _compact_nonempty(
+        seeds_ds.groupby("node").aggregate(Count(alias_name="_c"))
+        .map_batches(lambda b: tag_seed(
+            b if "node" in b.column_names
+            else pa.table({"node": pa.array([], pa.int64())})),
+            batch_format="pyarrow")
+        .materialize())
+    if best is None:
+        raise ValueError("sssp: empty seed set")
+    edges = _compact_nonempty(
+        edges_ds.repartition(num_partitions).materialize())
+    if edges is None:
+        return best.drop_columns(["old"])
     frontier = best
+
+    def collect_frontier(ds):
+        tabs = ray.get(ds.to_arrow_refs())
+        nd = np.concatenate([t.column("node").to_numpy() for t in tabs])
+        dd = np.concatenate([t.column("dist").to_numpy() for t in tabs])
+        order = np.argsort(nd, kind="stable")
+        return nd[order], dd[order]
+
+    farrs = collect_frontier(frontier)
+    if len(farrs[0]) > broadcast_frontier_max:
+        farrs = None
 
     def relaxed(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -410,31 +616,74 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
             "dist": dk, "old": dk})
 
     for _ in range(rounds):
-        if frontier.count() == 0:
-            break
-        cand = (frontier
-                .join(edges_ds, "inner", num_partitions=num_partitions,
-                      on=("node",), right_on=("src",))
-                .map_batches(relaxed, batch_format="pyarrow"))
+        if farrs is not None:
+            fref = ray.put(farrs)
+
+            def relax_scan(b: pa.Table) -> pa.Table:
+                fn_, fd_ = ray.get(fref)
+                s = b.column("src").to_numpy()
+                if len(fn_) == 0 or len(s) == 0:
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.int64()),
+                        "old": pa.array([], pa.int64())})
+                pos = np.clip(np.searchsorted(fn_, s), 0, len(fn_) - 1)
+                hit = fn_[pos] == s
+                d = (fd_[pos[hit]]
+                     + b.column("w").to_numpy()[hit]).astype(np.int64)
+                return pa.table({
+                    "node": b.column("dst").filter(pa.array(hit))
+                    .cast(pa.int64()),
+                    "dist": pa.array(d, pa.int64()),
+                    "old": pa.array(np.full(len(d), _INF, np.int64),
+                                    pa.int64())})
+
+            cand = edges.map_batches(relax_scan, batch_format="pyarrow")
+        else:
+            cand = (frontier
+                    .join(edges, "inner", num_partitions=num_partitions,
+                          on=("node",), right_on=("src",))
+                    .map_batches(relaxed, batch_format="pyarrow"))
         # ONE materialize per round; frontier and best are cheap lazy
         # maps over it (typed even when empty, so the next round's hash
         # join never sees a schema-less block)
-        folded = (best.union(cand)
-                  .groupby("node")
-                  .aggregate(Min("dist", alias_name="dist"),
-                             Min("old", alias_name="old"))
-                  .repartition(num_partitions).materialize())
-        # repartition collapses the schema-less empty blocks a sparse
-        # late-round frontier inherits from union+groupby -- they break
-        # the next round's hash join (FieldRef has no schema to bind)
+        folded_m = (best.union(cand)
+                    .groupby("node")
+                    .aggregate(Min("dist", alias_name="dist"),
+                               Min("old", alias_name="old"))
+                    .map_batches(
+                        lambda b: b if "node" in b.column_names
+                        else pa.table({
+                            "node": pa.array([], pa.int64()),
+                            "dist": pa.array([], pa.int64()),
+                            "old": pa.array([], pa.int64())}),
+                        batch_format="pyarrow")
+                    .materialize())
+        folded = _compact_nonempty(folded_m)
+        if folded is None:
+            break
         frontier = (folded.map_batches(improved_only,
                                        batch_format="pyarrow")
-                    .repartition(num_partitions).materialize())
+                    .materialize())
         best = folded.map_batches(
             lambda b: pa.table({"node": b.column("node"),
                                 "dist": b.column("dist"),
                                 "old": b.column("dist")}),
             batch_format="pyarrow")
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+        if n_front <= broadcast_frontier_max:
+            fc = _compact_nonempty(frontier)
+            farrs = collect_frontier(fc) if fc is not None else None
+            if farrs is None:
+                break
+        else:
+            farrs = None
+            fc = _compact_nonempty(frontier)
+            if fc is None:
+                break
+            frontier = fc
     return best.drop_columns(["old"])
 
 
@@ -464,8 +713,18 @@ def kcore(edges_ds, k: int, *, max_rounds: int = 32,
 
     Raises after ``max_rounds`` without convergence (the oracle replays
     a FIXED number of peel rounds, so the engine must prove it reached
-    the fixed point within that budget)."""
+    the fixed point within that budget).
+
+    LATENCY shape (the round-3 lesson, shared with bfs_levels/sssp):
+    two materialized pipelines per round, and while the SURVIVOR set
+    stays under the broadcast gate its sorted ids ride ``ray.put``
+    into a searchsorted edge filter -- replacing the two hash
+    semi-joins with one task-only map; past the gate the distributed
+    join path owns the shrink."""
+    import ray
     from ray.data.aggregate import Count
+
+    broadcast_survivors_max = 4_000_000
 
     def canon(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy()
@@ -475,44 +734,112 @@ def kcore(edges_ds, k: int, *, max_rounds: int = 32,
         return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
                          "b": pa.array(np.maximum(s, d), pa.int64())})
 
-    edges = (edges_ds.map_batches(canon, batch_format="pyarrow")
-             .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
-             .drop_columns(["_c"])
-             .repartition(num_partitions).materialize())
+    import ray.data as _rd
+
+    edges = _compact_nonempty(
+        edges_ds.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize())
+    if edges is None:
+        return _rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64())}))
 
     def endpoints(b: pa.Table) -> pa.Table:
         return pa.table({"node": pa.concat_arrays([
             b.column("a").combine_chunks().cast(pa.int64()),
             b.column("b").combine_chunks().cast(pa.int64())])})
 
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate([b.column("a").to_numpy(),
+                                b.column("b").to_numpy()])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
     for _ in range(max_rounds):
-        if edges.count() == 0:
+        n_edges = edges.count()
+        if n_edges == 0:
             return edges.map_batches(
                 lambda b: pa.table({"node": pa.array([], pa.int64()),
                                     "deg": pa.array([], pa.int64())}),
                 batch_format="pyarrow")
-        deg = (edges.map_batches(endpoints, batch_format="pyarrow")
-               .groupby("node").aggregate(Count(alias_name="deg"))
-               .repartition(num_partitions).materialize())
-        n_all = deg.count()
-        survivors = (deg.filter(expr=f"deg >= {k}")
-                     .select_columns(["node"])
-                     .repartition(num_partitions).materialize())
-        n_keep = survivors.count()
-        if n_keep == n_all:                     # fixed point reached
-            return deg.filter(expr=f"deg >= {k}")
-        if n_keep == 0:
-            return deg.filter(expr=f"deg >= {k}")  # empty core, typed
-        edges = (edges
-                 .join(survivors, "inner",
-                       num_partitions=num_partitions,
-                       on=("a",), right_on=("node",))
-                 .select_columns(["a", "b"])
-                 .join(survivors, "inner",
-                       num_partitions=num_partitions,
-                       on=("b",), right_on=("node",))
-                 .select_columns(["a", "b"])
-                 .repartition(num_partitions).materialize())
+        if n_edges <= broadcast_survivors_max:
+            # one task run: per-block (node, count) partials, merged
+            # driver-side -- bounded by the gate, so the whole round is
+            # two task-only runs with no shuffle op at all
+            import ray.data
+
+            parts = [t for t in ray.get(
+                edges.map_batches(deg_partial, batch_format="pyarrow")
+                .to_arrow_refs()) if t.num_rows]
+            nd = np.concatenate([t.column("node").to_numpy()
+                                 for t in parts])
+            dg = np.concatenate([t.column("deg").to_numpy()
+                                 for t in parts])
+            order = np.argsort(nd, kind="stable")
+            nd, dg = nd[order], dg[order]
+            starts = np.flatnonzero(np.r_[True, nd[1:] != nd[:-1]])
+            u = nd[starts]
+            tot = np.add.reduceat(dg, starts)
+            keep = tot >= k
+            surv = u[keep]
+            if len(surv) == len(u) or len(surv) == 0:  # fixed point
+                return ray.data.from_arrow(pa.table({
+                    "node": pa.array(u[keep], pa.int64()),
+                    "deg": pa.array(tot[keep], pa.int64())}))
+            sref = ray.put(surv)            # already sorted (unique)
+        else:
+            deg = (edges.map_batches(endpoints, batch_format="pyarrow")
+                   .groupby("node").aggregate(Count(alias_name="deg"))
+                   .materialize())
+            n_all = deg.count()
+            survivors = (deg.filter(expr=f"deg >= {k}")
+                         .select_columns(["node"]).materialize())
+            n_keep = survivors.count()
+            if n_keep == n_all or n_keep == 0:  # fixed point / empty
+                return deg.filter(expr=f"deg >= {k}")
+            if n_keep <= broadcast_survivors_max:
+                sv_ = np.sort(np.concatenate(
+                    [t.column("node").to_numpy()
+                     for t in ray.get(survivors.to_arrow_refs())
+                     if t.num_rows]))
+                sref = ray.put(sv_)
+            else:
+                sref = None
+                surv_c = _compact_nonempty(survivors)
+
+        if sref is not None:
+            def shrink(b: pa.Table, sref=sref) -> pa.Table:
+                sv = ray.get(sref)
+                a = b.column("a").to_numpy()
+                bb = b.column("b").to_numpy()
+                pa_ = np.clip(np.searchsorted(sv, a), 0, len(sv) - 1)
+                pb_ = np.clip(np.searchsorted(sv, bb), 0, len(sv) - 1)
+                keep = (sv[pa_] == a) & (sv[pb_] == bb)
+                return b.filter(pa.array(keep))
+
+            nxt = _compact_nonempty(
+                edges.map_batches(shrink,
+                                  batch_format="pyarrow").materialize())
+        else:
+            nxt = _compact_nonempty(
+                edges
+                .join(surv_c, "inner", num_partitions=num_partitions,
+                      on=("a",), right_on=("node",))
+                .select_columns(["a", "b"])
+                .join(surv_c, "inner", num_partitions=num_partitions,
+                      on=("b",), right_on=("node",))
+                .select_columns(["a", "b"])
+                .materialize())
+        if nxt is None:
+            import ray.data
+
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64())}))
+        edges = nxt
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} peel rounds -- "
         f"raise max_rounds (the oracle replays the same budget)")

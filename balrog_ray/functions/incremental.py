@@ -107,6 +107,47 @@ class _BucketShardImpl:
     def stats(self) -> dict:
         return {"buckets": len(self._ids), "entries": self._n}
 
+    def dump(self, path: str) -> int:
+        """Snapshot this shard's (bucket, doc_id, signature) rows as ONE
+        parquet file, written ATOMICALLY (tmp + rename) by the shard
+        itself -- the driver never holds index-sized data.  Returns the
+        entry count written."""
+        import os
+
+        import pyarrow.parquet as _pq
+
+        rows_b, rows_i, rows_s = [], [], []
+        for b, ids in self._ids.items():
+            sigs = self._sigs[b]
+            rows_b.extend([b] * len(ids))
+            rows_i.extend(ids)
+            rows_s.extend(s.tolist() for s in sigs)
+        n_perm = len(rows_s[0]) if rows_s else 0
+        tab = pa.table({
+            "bucket": pa.array(rows_b, pa.int64()),
+            "doc_id": pa.array(rows_i, pa.int64()),
+            "sig": pa.array(rows_s, pa.list_(pa.uint64(), n_perm)
+                            if n_perm else pa.list_(pa.uint64()))})
+        tmp = path + ".tmp"
+        _pq.write_table(tab, tmp)
+        os.replace(tmp, path)
+        return self._n
+
+    def load(self, path: str) -> int:
+        """Restore from a :meth:`dump` snapshot (idempotent: re-loading
+        over existing entries is a no-op via the (bucket, id) seen-set).
+        Returns the entry count after load."""
+        import pyarrow.parquet as _pq
+
+        tab = _pq.read_table(path)
+        if tab.num_rows == 0:
+            return self._n
+        bks = tab.column("bucket").to_numpy()
+        ids = tab.column("doc_id").to_numpy()
+        sigs = np.asarray(tab.column("sig").to_pylist(), np.uint64)
+        self.insert(bks, ids, sigs)
+        return self._n
+
 
 @dataclass
 class MinHashIndex:
@@ -123,6 +164,61 @@ class MinHashIndex:
         import ray
 
         return ray.get([s.stats.remote() for s in self.shards])
+
+    def save(self, path: str) -> None:
+        """Persist the index as a partitioned parquet snapshot: every
+        shard writes its own ``shard-NNNN.parquet`` in parallel (atomic
+        tmp+rename each), then the driver commits a ``_meta.json``
+        carrying the signature parameters LAST -- a snapshot without
+        meta is incomplete and ignored by :func:`load_minhash_index`.
+        Closes the round-3 gap: every other stage had checkpoint/resume
+        while a driver restart lost the ingest-dedup corpus index
+        (reference restart analogue, nsw_dcs 03_*.py:107-122)."""
+        import json
+        import os
+
+        import ray
+
+        os.makedirs(path, exist_ok=True)
+        meta_tmp = os.path.join(path, "_meta.json.tmp")
+        meta = os.path.join(path, "_meta.json")
+        if os.path.exists(meta):
+            os.remove(meta)     # invalidate while shard files change
+        ray.get([s.dump.remote(os.path.join(path,
+                                            f"shard-{i:04d}.parquet"))
+                 for i, s in enumerate(self.shards)])
+        with open(meta_tmp, "w") as f:
+            json.dump({"num_shards": self.num_shards,
+                       "n_perm": self.n_perm, "bands": self.bands,
+                       "k": self.k}, f)
+        os.replace(meta_tmp, meta)
+
+
+def load_minhash_index(path: str) -> MinHashIndex:
+    """Rebuild the sharded index actors from a :meth:`MinHashIndex.save`
+    snapshot: shard i loads shard-i's file (parallel, idempotent
+    inserts), so a restored index yields byte-identical probe/admit
+    decisions to the uninterrupted actor set.  Shard count and signature
+    parameters come from the committed ``_meta.json``; a missing meta
+    means the snapshot never committed and raises."""
+    import json
+    import os
+
+    import ray
+
+    meta_path = os.path.join(path, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no committed MinHash index snapshot at {path!r} "
+            "(_meta.json absent: save() never completed)")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    shard_cls = ray.remote(_BucketShardImpl)
+    shards = [shard_cls.remote() for _ in range(meta["num_shards"])]
+    ray.get([s.load.remote(os.path.join(path, f"shard-{i:04d}.parquet"))
+             for i, s in enumerate(shards)])
+    return MinHashIndex(shards, meta["num_shards"], meta["n_perm"],
+                        meta["bands"], meta["k"])
 
 
 def _shard_of(buckets: np.ndarray, num_shards: int) -> np.ndarray:
@@ -191,7 +287,13 @@ def probe_minhash_index(index: MinHashIndex, new_ds, *,
     path MATERIALIZES the result before returning: a lazy dataset
     re-executed after the inserts landed would re-probe against its own
     admissions and self-match (shard inserts are also idempotent on
-    (bucket, id), so a task retry never duplicates index entries)."""
+    (bucket, id), so a task retry never duplicates index entries), and
+    the probe itself drops self/batchmate candidate ids so a task
+    RETRY after its inserts landed emits the same verdicts as the
+    first run.  Cross-BATCH ordering within one admit call is
+    concurrency-dependent by design: batch B may or may not see batch
+    A's admissions; callers needing a total order must admit in
+    separate, smaller calls."""
     shards = index.shards
     num_shards = index.num_shards
     n_perm, bands, k = index.n_perm, index.bands, index.k
@@ -228,12 +330,27 @@ def probe_minhash_index(index: MinHashIndex, new_ds, *,
                     cand_ids[q].extend(cids[lo:hi].tolist())
                     cand_sigs[q].append(csigs[lo:hi])
         out_new, out_dup, out_est = [], [], []
+        # Retry safety: if this task re-runs AFTER its admit inserts
+        # landed (shard inserts are idempotent but persistent), the
+        # re-probe would see its own batch's docs.  Dropping the
+        # query's own id -- and, under admit, every batchmate id --
+        # makes the emitted verdicts identical between first run and
+        # retry, preserving the "never matched against itself or its
+        # batchmates" contract.
+        batch_ids = np.asarray(ids, np.int64)
         for q in range(len(ids)):
             if not cand_ids[q]:
                 continue
             cids = np.asarray(cand_ids[q], np.int64)
             csig = np.concatenate(cand_sigs[q], axis=0)
             uniq, first = np.unique(cids, return_index=True)
+            drop = uniq == ids[q]
+            if admit:
+                drop |= np.isin(uniq, batch_ids)
+            if drop.any():
+                uniq, first = uniq[~drop], first[~drop]
+                if uniq.size == 0:
+                    continue
             agree = (csig[first] == sigs[q][None, :]).mean(axis=1)
             keep = agree >= threshold
             for dup, est in zip(uniq[keep].tolist(),

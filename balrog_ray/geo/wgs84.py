@@ -1,0 +1,310 @@
+"""WGS84 ellipsoidal geodesics: the exact-ellipsoid counterpart of the
+mean-sphere kit in :mod:`geodesic`.
+
+The reference computes distances/azimuths with pyproj's WGS84
+``Geod.inv`` (``data_prep/vegetation/xx_fiona_testing.py:205-218``) and
+polygon areas with ``Geod.geometry_area_perimeter``
+(``04_merge_geometries.py:188``); the spherical kit documents a ~0.3%
+systematic delta against those.  This module closes it:
+
+* :func:`wgs84_inverse` / :func:`wgs84_forward` -- vectorized Vincenty
+  (1975) solutions of the inverse/direct geodesic problems on the WGS84
+  ellipsoid.  Sub-millimetre on lines up to hundreds of km (validated in
+  tests/test_wgs84.py against independent oracles: exact ECEF chords for
+  short lines, Gauss-Legendre meridian quadrature, the closed-form
+  equatorial arc, and an RK4 integration of the geodesic ODEs).  The
+  classical Vincenty caveat applies: nearly-antipodal pairs (~>179.4
+  deg apart) may not converge -- those raise rather than degrade
+  silently (Karney 2013 solves them; no such pair occurs in a
+  distance-to-vegetation workload whose ``max_dist`` is km-scale).
+* :func:`ellipsoidal_ring_area_m2` / :func:`ellipsoidal_polygon_area_m2`
+  -- equal-area (authalic) latitude mapping + spherical-excess line
+  integral: exact for quadrangles bounded by meridians/parallels and
+  accurate to O((edge/R)^2 * e^2) per edge for short-edged polygons
+  (sub-ppm at vegetation-polygon vertex spacing), vs the ~0.3% bias of
+  the mean-sphere formula.
+* :func:`wgs84_point_buffer` -- the geodesic point buffer with every
+  vertex at the exact ellipsoidal radius.
+
+Everything is pure numpy -- callable per batch inside ``map_batches``
+with no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geometry import Polygon
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+_E2 = WGS84_F * (2.0 - WGS84_F)           # first eccentricity squared
+_EP2 = _E2 / (1.0 - _E2)                  # second eccentricity squared
+_RAD = np.pi / 180.0
+
+
+def _as_rad(*vals):
+    return tuple(np.asarray(v, np.float64) * _RAD for v in vals)
+
+
+def wgs84_inverse(lon1, lat1, lon2, lat2, *, max_iter: int = 100,
+                  tol: float = 1e-13):
+    """Vincenty inverse on WGS84 (vectorized): returns
+    ``(s_m, azi1_deg, azi2_deg)`` -- geodesic distance in metres,
+    forward azimuths at both ends (degrees clockwise from north,
+    azi2 is the FORWARD continuation, pyproj convention minus the
+    back-azimuth flip).  Raises on non-convergence (near-antipodal)."""
+    lam1, phi1, lam2, phi2 = _as_rad(lon1, lat1, lon2, lat2)
+    shape = np.broadcast(lam1, phi1, lam2, phi2).shape
+    lam1, phi1, lam2, phi2 = np.broadcast_arrays(lam1, phi1, lam2, phi2)
+
+    U1 = np.arctan((1.0 - WGS84_F) * np.tan(phi1))
+    U2 = np.arctan((1.0 - WGS84_F) * np.tan(phi2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    L = lam2 - lam1
+    # wrap to [-pi, pi]
+    L = (L + np.pi) % (2.0 * np.pi) - np.pi
+
+    lam = L.copy()
+    active = np.ones(lam.shape, bool)
+    sin_sig = np.zeros_like(lam)
+    cos_sig = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    sin_alp = np.zeros_like(lam)
+    cos2_alp = np.ones_like(lam)
+    cos_2sigm = np.ones_like(lam)
+    for _ in range(max_iter):
+        sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+        t1 = cosU2 * sin_lam
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cos_lam
+        ss = np.hypot(t1, t2)
+        cs = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sig = np.arctan2(ss, cs)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sa = np.where(ss > 0.0, cosU1 * cosU2 * sin_lam / ss, 0.0)
+        c2a = 1.0 - sa * sa
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c2sm = np.where(c2a > 0.0,
+                            cs - 2.0 * sinU1 * sinU2 / np.where(
+                                c2a > 0.0, c2a, 1.0),
+                            0.0)                       # equatorial line
+        C = WGS84_F / 16.0 * c2a * (4.0 + WGS84_F * (4.0 - 3.0 * c2a))
+        lam_new = L + (1.0 - C) * WGS84_F * sa * (
+            sig + C * ss * (c2sm + C * cs * (-1.0 + 2.0 * c2sm * c2sm)))
+        upd = active
+        sin_sig = np.where(upd, ss, sin_sig)
+        cos_sig = np.where(upd, cs, cos_sig)
+        sigma = np.where(upd, sig, sigma)
+        sin_alp = np.where(upd, sa, sin_alp)
+        cos2_alp = np.where(upd, c2a, cos2_alp)
+        cos_2sigm = np.where(upd, c2sm, cos_2sigm)
+        delta = np.abs(lam_new - lam)
+        lam = np.where(upd, lam_new, lam)
+        active = active & (delta > tol)
+        if not active.any():
+            break
+    else:
+        raise ArithmeticError(
+            "wgs84_inverse: Vincenty failed to converge (near-antipodal "
+            "pair); use a Karney solver for antipodal geodesics")
+
+    u2 = cos2_alp * _EP2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 *
+                                             (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sig * (
+        cos_2sigm + B / 4.0 * (
+            cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+            - B / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig ** 2)
+            * (-3.0 + 4.0 * cos_2sigm ** 2)))
+    s = WGS84_B * A * (sigma - dsig)
+
+    sin_lam, cos_lam = np.sin(lam), np.cos(lam)
+    azi1 = np.arctan2(cosU2 * sin_lam,
+                      cosU1 * sinU2 - sinU1 * cosU2 * cos_lam)
+    azi2 = np.arctan2(cosU1 * sin_lam,
+                      -sinU1 * cosU2 + cosU1 * sinU2 * cos_lam)
+    # coincident points: zero distance, zero azimuth
+    coincident = (sin_sig == 0.0) & (np.abs(L) < 1e-15) & (phi1 == phi2)
+    s = np.where(coincident, 0.0, s)
+    out_s = s.reshape(shape) if shape else float(s)
+    a1 = np.mod(np.degrees(azi1), 360.0).reshape(shape)
+    a2 = np.mod(np.degrees(azi2), 360.0).reshape(shape)
+    return out_s, a1, a2
+
+
+def wgs84_forward(lon1, lat1, azi1_deg, s_m):
+    """Vincenty direct on WGS84 (vectorized): returns
+    ``(lon2, lat2, azi2_deg)`` for a start point, forward azimuth and
+    geodesic distance in metres."""
+    lam1, phi1, alp1 = _as_rad(lon1, lat1, azi1_deg)
+    s = np.asarray(s_m, np.float64)
+    shape = np.broadcast(lam1, phi1, alp1, s).shape
+    lam1, phi1, alp1, s = np.broadcast_arrays(lam1, phi1, alp1, s)
+
+    U1 = np.arctan((1.0 - WGS84_F) * np.tan(phi1))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sin_a1, cos_a1 = np.sin(alp1), np.cos(alp1)
+    sig1 = np.arctan2(np.tan(U1), cos_a1)
+    sin_alp = cosU1 * sin_a1
+    cos2_alp = 1.0 - sin_alp * sin_alp
+    u2 = cos2_alp * _EP2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 *
+                                             (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+
+    sigma = s / (WGS84_B * A)
+    for _ in range(100):
+        two_sigm = 2.0 * sig1 + sigma
+        cos_2sigm = np.cos(two_sigm)
+        sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+        dsig = B * sin_sig * (
+            cos_2sigm + B / 4.0 * (
+                cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)
+                - B / 6.0 * cos_2sigm * (-3.0 + 4.0 * sin_sig ** 2)
+                * (-3.0 + 4.0 * cos_2sigm ** 2)))
+        sigma_new = s / (WGS84_B * A) + dsig
+        if np.max(np.abs(sigma_new - sigma)) < 1e-14:
+            sigma = sigma_new
+            break
+        sigma = sigma_new
+    sin_sig, cos_sig = np.sin(sigma), np.cos(sigma)
+    cos_2sigm = np.cos(2.0 * sig1 + sigma)
+
+    phi2 = np.arctan2(
+        sinU1 * cos_sig + cosU1 * sin_sig * cos_a1,
+        (1.0 - WGS84_F) * np.hypot(
+            sin_alp, sinU1 * sin_sig - cosU1 * cos_sig * cos_a1))
+    lam = np.arctan2(sin_sig * sin_a1,
+                     cosU1 * cos_sig - sinU1 * sin_sig * cos_a1)
+    C = WGS84_F / 16.0 * cos2_alp * (4.0 + WGS84_F *
+                                     (4.0 - 3.0 * cos2_alp))
+    L = lam - (1.0 - C) * WGS84_F * sin_alp * (
+        sigma + C * sin_sig * (
+            cos_2sigm + C * cos_sig * (-1.0 + 2.0 * cos_2sigm ** 2)))
+    lam2 = lam1 + L
+    azi2 = np.arctan2(sin_alp, -(sinU1 * sin_sig
+                                 - cosU1 * cos_sig * cos_a1))
+    lon2 = np.degrees((lam2 + np.pi) % (2.0 * np.pi) - np.pi)
+    return (lon2.reshape(shape), np.degrees(phi2).reshape(shape),
+            np.mod(np.degrees(azi2), 360.0).reshape(shape))
+
+
+def wgs84_point_buffer(lon: float, lat: float, radius_m: float,
+                       n_seg: int = 32) -> Polygon:
+    """Circular buffer around a lon/lat point with every vertex at the
+    exact WGS84 ellipsoidal radius (the ``st_buffer(geography)``
+    analogue of :func:`geodesic.geodesic_point_buffer`, minus the
+    spherical bias)."""
+    bearings = np.linspace(0.0, 360.0, n_seg, endpoint=False)
+    lons, lats, _ = wgs84_forward(lon, lat, bearings, radius_m)
+    return Polygon(np.column_stack([lons, lats]))
+
+
+# ------------------------------------------------------- ellipsoidal area
+
+#: authalic sphere radius: R_a^2 = a^2/2 * q(pi/2) with q below
+def _q(sin_phi: np.ndarray) -> np.ndarray:
+    e = np.sqrt(_E2)
+    return ((1.0 - _E2) * (
+        sin_phi / (1.0 - _E2 * sin_phi * sin_phi)
+        + np.log((1.0 + e * sin_phi) / (1.0 - e * sin_phi)) / (2.0 * e)))
+
+
+_QP = float(_q(np.float64(1.0)))
+AUTHALIC_R = WGS84_A * np.sqrt(_QP / 2.0)
+
+
+def authalic_lat_rad(lat_deg) -> np.ndarray:
+    """Authalic (equal-area) latitude in radians for geodetic degrees."""
+    phi = np.asarray(lat_deg, np.float64) * _RAD
+    return np.arcsin(np.clip(_q(np.sin(phi)) / _QP, -1.0, 1.0))
+
+
+def ellipsoidal_ring_area_m2(ring: np.ndarray) -> float:
+    """Signed WGS84 area (m^2) of a closed lon/lat ring (degrees):
+    spherical-excess line integral on the authalic sphere.  Exact for
+    rings bounded by meridians/parallels; short free-azimuth edges add
+    O((edge/R)^2 * e^2) relative error each.  Positive CCW."""
+    ring = np.asarray(ring, np.float64)
+    lon = np.deg2rad(ring[:, 0])
+    xi = authalic_lat_rad(ring[:, 1])
+    dlon = np.diff(lon)
+    dlon = (dlon + np.pi) % (2.0 * np.pi) - np.pi
+    a = -(dlon * (np.sin(xi[:-1]) + np.sin(xi[1:]))).sum() / 2.0
+    return float(a * AUTHALIC_R * AUTHALIC_R)
+
+
+def ellipsoidal_polygon_area_m2(poly: Polygon) -> float:
+    """WGS84 area of a lon/lat Polygon, holes subtracted (the
+    ``Geod.geometry_area_perimeter`` role)."""
+    a = abs(ellipsoidal_ring_area_m2(poly.exterior))
+    return a - sum(abs(ellipsoidal_ring_area_m2(h)) for h in poly.holes)
+
+
+# ------------------------------------------------ independent test oracles
+
+def ecef(lon_deg, lat_deg, h_m=0.0):
+    """Geodetic lon/lat/height -> ECEF xyz (exact closed form)."""
+    lam, phi = _as_rad(lon_deg, lat_deg)
+    N = WGS84_A / np.sqrt(1.0 - _E2 * np.sin(phi) ** 2)
+    x = (N + h_m) * np.cos(phi) * np.cos(lam)
+    y = (N + h_m) * np.cos(phi) * np.sin(lam)
+    z = (N * (1.0 - _E2) + h_m) * np.sin(phi)
+    return np.stack([x, y, z], axis=-1)
+
+
+def meridian_arc_m(lat1_deg: float, lat2_deg: float, n: int = 64) -> float:
+    """Meridian arc length by Gauss-Legendre quadrature of the exact
+    meridian curvature integrand M(phi) = a(1-e^2)/(1-e^2 sin^2)^1.5 --
+    machine-precision independent oracle for meridian geodesics."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    p1, p2 = lat1_deg * _RAD, lat2_deg * _RAD
+    phi = 0.5 * (p2 - p1) * x + 0.5 * (p1 + p2)
+    M = WGS84_A * (1.0 - _E2) / (1.0 - _E2 * np.sin(phi) ** 2) ** 1.5
+    return float(0.5 * (p2 - p1) * (w * M).sum())
+
+
+def geodesic_rk4(lon_deg: float, lat_deg: float, azi_deg: float,
+                 s_m: float, n_steps: int = 4000):
+    """Direct geodesic by RK4 integration of the geodesic ODEs in
+    (phi, lam, alpha) with arc length parameter -- an oracle for
+    :func:`wgs84_forward` that shares no series expansion with it:
+    dphi/ds = cos(alpha)/M, dlam/ds = sin(alpha)/(N cos phi),
+    dalpha/ds = sin(alpha) tan(phi)/N (Clairaut)."""
+    def deriv(state):
+        phi, lam, alp = state
+        sphi2 = np.sin(phi) ** 2
+        M = WGS84_A * (1.0 - _E2) / (1.0 - _E2 * sphi2) ** 1.5
+        N = WGS84_A / np.sqrt(1.0 - _E2 * sphi2)
+        return np.array([np.cos(alp) / M,
+                         np.sin(alp) / (N * np.cos(phi)),
+                         np.sin(alp) * np.tan(phi) / N])
+
+    state = np.array([lat_deg * _RAD, lon_deg * _RAD, azi_deg * _RAD])
+    h = s_m / n_steps
+    for _ in range(n_steps):
+        k1 = deriv(state)
+        k2 = deriv(state + 0.5 * h * k1)
+        k3 = deriv(state + 0.5 * h * k2)
+        k4 = deriv(state + h * k3)
+        state = state + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+    return (float(np.degrees(state[1])), float(np.degrees(state[0])),
+            float(np.degrees(state[2]) % 360.0))
+
+
+def quadrangle_area_quadrature(lon1, lon2, lat1, lat2, n: int = 64):
+    """Exact-ellipsoid area of the quadrangle bounded by two meridians
+    and two parallels via Gauss-Legendre quadrature of
+    integral M(phi) N(phi) cos(phi) dphi dlam -- an area oracle sharing
+    no authalic machinery with :func:`ellipsoidal_ring_area_m2`."""
+    x, w = np.polynomial.legendre.leggauss(n)
+    p1, p2 = lat1 * _RAD, lat2 * _RAD
+    phi = 0.5 * (p2 - p1) * x + 0.5 * (p1 + p2)
+    sphi2 = np.sin(phi) ** 2
+    M = WGS84_A * (1.0 - _E2) / (1.0 - _E2 * sphi2) ** 1.5
+    N = WGS84_A / np.sqrt(1.0 - _E2 * sphi2)
+    strip = 0.5 * (p2 - p1) * (w * M * N * np.cos(phi)).sum()
+    return float(strip * (lon2 - lon1) * _RAD)

@@ -16,6 +16,38 @@ def shuffle_width(rows: int, *, rows_per_part: int = 500_000,
     return int(min(hi, max(lo, rows // rows_per_part + 1)))
 
 
+#: Ray minor versions whose hash_shuffle finalize has been verified to
+#: emit exactly one block per partition id (the keyed_fold contract).
+#: Extend ONLY after re-reading ray.data's hash_shuffle aggregator for
+#: the new version and re-running tests/test_keyed_fold.py.
+_VERIFIED_RAY_MINORS = ("2.49",)
+_contract_checked = False
+
+
+def _check_fold_contract() -> None:
+    """Fail loudly if running on a Ray version whose one-block-per-
+    hash-partition finalize behaviour has not been re-verified.
+
+    Checked once per process; see keyed_fold's docstring for why a
+    silent change here would corrupt results rather than crash.
+    """
+    global _contract_checked
+    if _contract_checked:
+        return
+    import ray
+
+    minor = ".".join(ray.__version__.split(".")[:2])
+    if minor not in _VERIFIED_RAY_MINORS:
+        raise RuntimeError(
+            f"keyed_fold requires a verified Ray version: running "
+            f"{ray.__version__}, verified minors {_VERIFIED_RAY_MINORS}. "
+            "Ray's hash_shuffle finalize must emit exactly one block per "
+            "partition or keys may straddle fold calls; re-verify the "
+            "aggregator source and extend _VERIFIED_RAY_MINORS."
+        )
+    _contract_checked = True
+
+
 def keyed_fold(ds, keys, fold_fn, *, num_partitions: int):
     """Co-locate all rows of each key into ONE block via a keyed hash
     shuffle, then run ``fold_fn`` once per block -- vectorized Arrow /
@@ -43,10 +75,31 @@ def keyed_fold(ds, keys, fold_fn, *, num_partitions: int):
     process-global context) -- so sibling pipelines keep the default
     sort-based strategy while this plan (and ops later chained onto
     its result) executes with hash shuffles.
+
+    VERSION COUPLING: the complete-groups guarantee rests on Ray
+    2.49's hash_shuffle finalize emitting exactly ONE block per
+    partition id (``HashShuffleAggregator`` concatenates each
+    partition before yield; the upstream source carries a TODO to
+    split large partitions to target block size).  If a future Ray
+    starts splitting finalized partitions, a key could straddle two
+    ``fold_fn`` calls and silently corrupt every consumer, so
+    :func:`_check_fold_contract` hard-fails on unverified Ray
+    versions rather than guessing.
     """
     from ray.data.context import ShuffleStrategy
 
+    _check_fold_contract()
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    # Aggregator actors default to reserving CPU/2 per hash op
+    # (min(1, (CPU/2)/num_partitions) each); a plan that stacks two+
+    # hash exchanges (fold -> groupby, fold -> fold) then reserves the
+    # whole machine for mostly-idle actors and the producing map tasks
+    # starve -- a LOCAL deadlock at small num_cpus.  Aggregators do
+    # their real work in finalize bursts, so a nominal reservation is
+    # correct; parallelism stays governed by the actor count.
+    ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    ds.context.join_operator_actor_num_cpus_per_partition_override = 0.01
     return (ds.repartition(num_partitions, keys=list(keys),
                            shuffle=False)
             .map_batches(fold_fn, batch_format="pyarrow",

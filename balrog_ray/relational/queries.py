@@ -65,6 +65,202 @@ def _collect(ds) -> pa.Table:
     return tabs[0] if tabs else pa.table({})
 
 
+#: Broadcast gate for dimension lookups: a dim whose parquet footer
+#: exceeds this row count is attached via a distributed hash join, not
+#: a driver read + ray.put.  2M rows ~= TPC-H `part` at SF10; above
+#: that, pinning the dim in the driver and every task closure is the
+#: scale failure the 100 TB bar forbids.
+_DIM_BROADCAST_MAX_ROWS = 2_000_000
+
+#: Test hook: monkeypatch to True to force the distributed-join path of
+#: _attach_dim/_attach_small regardless of size (tests/test_dim_gate.py).
+_FORCE_DIM_JOIN = False
+
+
+def _sidecar_join(fact_ds, dim_ds, *, key: str, fact_schema: pa.Schema,
+                  dim_schema: pa.Schema, width: int):
+    """Distributed INNER attach of a unique-keyed dim Dataset onto a
+    fact Dataset via ONE keyed hash repartition (the keyed_fold
+    machinery): both sides are tagged with a ``__side`` marker and
+    unioned, every key's rows land in one block (ray's shard builder
+    null-unifies the two schemas), and a vectorized searchsorted fold
+    attaches the dim attrs to the fact rows.
+
+    Used instead of ``Dataset.join`` for the dim-attach shape because
+    ray 2.49's join finalize builds ZERO-COLUMN tables for partitions
+    whose side never broadcast a schema (an input whose first shuffled
+    block is empty -- e.g. a sparsely filtered aggregate -- skips the
+    schema broadcast, hash_shuffle.py:223), crashing pyarrow's join;
+    the fold degrades to an empty typed table instead.  Both schemas
+    must share exactly the ``key`` column name."""
+    import numpy as _np
+
+    from ..partitions import keyed_fold
+
+    attrs = [n for n in dim_schema.names if n != key]
+    out_fields = ([(n, fact_schema.field(n).type)
+                   for n in fact_schema.names]
+                  + [(a, dim_schema.field(a).type) for a in attrs])
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__side", pa.array(_np.full(b.num_rows, side, _np.int8)))
+        return f
+
+    def empty_out() -> pa.Table:
+        return pa.table({n: pa.array([], t) for n, t in out_fields})
+
+    def fold(b: pa.Table) -> pa.Table:
+        # single-side partitions arrive WITHOUT the other side's
+        # columns (unification is per-shard-builder); both degenerate
+        # to the empty inner-join result
+        if (b.num_rows == 0
+                or any(a not in b.column_names for a in attrs)
+                or any(n not in b.column_names
+                       for n in fact_schema.names)):
+            return empty_out()
+        side = b.column("__side").to_numpy()
+        keys = b.column(key).to_numpy(zero_copy_only=False)
+        dsel = side == 1
+        dk = keys[dsel]
+        if len(dk) == 0 or dsel.all():
+            return empty_out()
+        dord = np.argsort(dk, kind="stable")
+        dks = dk[dord]
+        fsel = ~dsel
+        fk = keys[fsel]
+        pos = np.clip(np.searchsorted(dks, fk), 0, len(dks) - 1)
+        hit = dks[pos] == fk
+        fb = b.filter(pa.array(fsel)).filter(pa.array(hit))
+        take_idx = pa.array(dord[pos[hit]], pa.int64())
+        dmask = pa.array(dsel)
+        cols = {n: fb.column(n).cast(t)
+                for n, t in out_fields if n not in attrs}
+        for a in attrs:
+            cols[a] = pc.take(b.column(a).filter(dmask),
+                              take_idx).cast(dim_schema.field(a).type)
+        return pa.table(cols)
+
+    u = (fact_ds.map_batches(tag(0), batch_format="pyarrow")
+         .union(dim_ds.map_batches(tag(1), batch_format="pyarrow")))
+    return keyed_fold(u, [key], fold, num_partitions=width)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset (executes a minimal prefix if needed)."""
+    sch = ds.schema(fetch_if_missing=True)
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def _attach_small(fact_ds, dim_tab: pa.Table, *, fact_key: str,
+                  dim_key: str, join_width: int,
+                  max_broadcast_rows: int = _DIM_BROADCAST_MAX_ROWS):
+    """INNER-attach the non-key columns of ``dim_tab`` (a
+    driver-materialized, UNIQUE-keyed table) onto ``fact_ds`` rows,
+    size-gated: under the gate the dim is ``ray.put`` once and every
+    batch joins via masked searchsorted + ``pc.take`` (misses dropped --
+    inner semantics, never an out-of-range index); past the gate (or
+    under ``_FORCE_DIM_JOIN``) it falls back to the distributed
+    :func:`_sidecar_join`.  Both paths emit fact columns (fact_key
+    name kept) + dim attr columns with identical names and types."""
+    import ray
+    import ray.data
+
+    attrs = [c for c in dim_tab.column_names if c != dim_key]
+    if dim_tab.num_rows > max_broadcast_rows or _FORCE_DIM_JOIN:
+        if dim_key != fact_key:
+            dim_tab = dim_tab.rename_columns(
+                [fact_key if c == dim_key else c
+                 for c in dim_tab.column_names])
+        return _sidecar_join(fact_ds, ray.data.from_arrow(dim_tab),
+                             key=fact_key,
+                             fact_schema=_arrow_schema(fact_ds),
+                             dim_schema=dim_tab.schema,
+                             width=join_width)
+
+    keys = dim_tab.column(dim_key).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    dim_ref = ray.put((keys[order],
+                       dim_tab.select(attrs).take(pa.array(order))))
+
+    def attach(b: pa.Table) -> pa.Table:
+        k, attr_tab = ray.get(dim_ref)
+        fk = b.column(fact_key).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            b = b.slice(0, 0)
+            for name in attrs:
+                b = b.append_column(name, attr_tab.column(name))
+            return b
+        pos = np.clip(np.searchsorted(k, fk), 0, len(k) - 1)
+        hit = k[pos] == fk
+        if not hit.all():
+            b = b.filter(pa.array(hit))
+            pos = pos[hit]
+        idx = pa.array(pos, pa.int64())
+        for name in attrs:
+            b = b.append_column(
+                name, pc.take(attr_tab.column(name), idx))
+        return b
+
+    return fact_ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _attach_dim(fact_ds, sf_dir: str, table: str, *, fact_key: str,
+                dim_key: str, columns, row_filter=None, transform=None,
+                join_width: int | None = None,
+                max_broadcast_rows: int = _DIM_BROADCAST_MAX_ROWS):
+    """INNER-join dimension columns from ``{table}.parquet`` onto
+    ``fact_ds`` by unique key, size-gated on the dim's parquet FOOTER
+    row count (metadata-only -- no data is read to decide).
+
+    Under the gate the (filtered, ``transform``ed) dim is collected
+    once and broadcast via :func:`_attach_small`'s searchsorted path;
+    past it the dim stays a distributed Dataset and a hash
+    ``Dataset.join`` attaches the attrs -- no driver ever materializes
+    a table that grows with SF.  ``transform`` must be a pure
+    ``pa.Table -> pa.Table`` batch function reducing the read columns
+    to ``dim_key`` + attr columns (it runs inside tasks on the join
+    path); attr misses never reach it -- FK semantics are inner either
+    way.  Replaces the round-3 unconditional ``pq.read_table`` dim
+    pattern (VERDICT r3 item 1; the scale-safe analogue of the
+    reference's dim join, 02_create_nvis_bal_map_table.sql:54-101)."""
+    meta_rows = pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+    width = join_width if join_width is not None else \
+        _join_parts(sf_dir, table)
+    if meta_rows > max_broadcast_rows or _FORCE_DIM_JOIN:
+        dim_ds = _read(sf_dir, table, columns, row_filter=row_filter)
+        if transform is not None:
+            dim_ds = dim_ds.map_batches(transform, batch_format="pyarrow")
+        # dim schema derived deterministically from the parquet footer
+        # + transform on an empty slice (no data read, no execution)
+        file_sch = pq.read_schema(f"{sf_dir}/{table}.parquet")
+        empty = pa.table({c: pa.array([], file_sch.field(c).type)
+                          for c in columns})
+        dim_sch = (transform(empty) if transform is not None
+                   else empty).schema
+        if dim_key != fact_key:
+            dim_ds = dim_ds.rename_columns({dim_key: fact_key})
+            idx = dim_sch.get_field_index(dim_key)
+            dim_sch = dim_sch.set(
+                idx, dim_sch.field(idx).with_name(fact_key))
+        return _sidecar_join(fact_ds, dim_ds, key=fact_key,
+                             fact_schema=_arrow_schema(fact_ds),
+                             dim_schema=dim_sch, width=width)
+    dim_tab = pq.read_table(f"{sf_dir}/{table}.parquet",
+                            columns=list(columns),
+                            filters=row_filter)
+    if transform is not None:
+        dim_tab = transform(dim_tab)
+    return _attach_small(fact_ds, dim_tab, fact_key=fact_key,
+                         dim_key=dim_key, join_width=width,
+                         max_broadcast_rows=max(max_broadcast_rows,
+                                                dim_tab.num_rows))
+
+
 def _partial_count_sums(ds, key: str | list[str], sum_cols: dict[str, str],
                         count_alias: str | None = None,
                         max_cols: dict[str, str] | None = None):
@@ -3580,26 +3776,35 @@ def q_basket_brand_pairs(sf_dir: str):
     (orderkey, brand-bit) with one groupby, OR the bits with a second
     ``groupby(orderkey).sum`` (exact -- bits are unique per order after
     the dedup), then a vectorized pair sweep over the mask column emits
-    per-batch partial pair counts into a tiny final groupby.  part is a
-    broadcast dimension (partkey -> brand id); nothing order- or
+    per-batch partial pair counts into a tiny final groupby.  The
+    partkey -> brand-bit dimension attaches through the size-gated
+    broadcast/hash path (``_attach_dim``); nothing order-, part- or
     lineitem-cardinality-sized reaches the driver."""
-    import ray
-
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand"])
-    brands = sorted(set(part.column("p_brand").to_pylist()))
-    bid = {b: i for i, b in enumerate(brands)}
+    # the brand DOMAIN is tiny (TPC-H: 25; asserted <= 62) and comes
+    # from a distributed distinct; the SF-sized partkey->bit mapping
+    # goes through the size-gated dim attach, never the driver
+    brands = sorted(_read(sf_dir, "part", ["p_brand"]).unique("p_brand"))
     if len(brands) > 62:
         raise ValueError("brand domain exceeds the int64 bitmask")
-    pk = part.column("p_partkey").to_numpy()
-    lut = np.zeros(int(pk.max()) + 1, np.int64)
-    lut[pk] = [bid[b] for b in part.column("p_brand").to_pylist()]
-    lut_ref = ray.put(lut)
+    bnames = np.asarray(brands)
+
+    def part_bits(t: pa.Table) -> pa.Table:
+        idx = np.searchsorted(
+            bnames, np.asarray(t.column("p_brand").to_pylist()))
+        return pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "bit": pa.array(np.int64(1) << idx.astype(np.int64),
+                            pa.int64())})
+
+    li = _attach_dim(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        sf_dir, "part", fact_key="l_partkey", dim_key="p_partkey",
+        columns=["p_partkey", "p_brand"], transform=part_bits,
+        join_width=_join_parts(sf_dir, "lineitem"))
 
     def to_bits(b: pa.Table) -> pa.Table:
-        m = ray.get(lut_ref)  # zero-copy object-store read per task
         ok = b.column("l_orderkey").to_numpy()
-        bit = np.int64(1) << m[b.column("l_partkey").to_numpy()]
+        bit = b.column("bit").to_numpy()
         # within-batch partial: OR-combine per order (associative, so
         # the single keyed fold below finishes it) -- cuts the one
         # exchange's volume to <= orders-per-batch rows
@@ -3650,9 +3855,8 @@ def q_basket_brand_pairs(sf_dir: str):
     # pair partials combine driver-side -- aggregate-sized, like the
     # other partial-fold scalar queries
     partials = _collect(keyed_fold(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .map_batches(to_bits, batch_format="pyarrow",
-                     batch_size=65_536),
+        li.map_batches(to_bits, batch_format="pyarrow",
+                       batch_size=65_536),
         ["l_orderkey"], mask_pairs,
         num_partitions=_join_parts(sf_dir, "lineitem")))
     if partials.num_rows == 0:
@@ -5071,15 +5275,13 @@ from wm
 
 # --------------------------------------------------------------------------
 # local-supplier volume (TPC-H Q5 shape): the six-table join --
-# region/nation tiny and driver-broadcast, supplier broadcast as sorted
-# lookup arrays (1/10th of customers; at open-web scale this side stays
-# dim-sized), customer and lineitem pre-filtered AT THE MAP before the
-# only two real exchanges (orders |x| customer, lineitem |x| that), and
-# revenue carried as exact integer cents*(100-disc).
+# region/nation tiny (constant-size) and driver-broadcast, supplier
+# nation attached through the size-gated broadcast/hash dim path,
+# customer and lineitem pre-filtered AT THE MAP before the only two
+# real exchanges (orders |x| customer, lineitem |x| that), and revenue
+# carried as exact integer cents*(100-disc).
 
 def q_local_supplier_volume(sf_dir: str):
-    import ray
-
     region = pq.read_table(f"{sf_dir}/region.parquet")
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     asia_rk = {r["r_regionkey"] for r in region.to_pylist()
@@ -5088,13 +5290,6 @@ def q_local_supplier_volume(sf_dir: str):
               if r["n_regionkey"] in asia_rk}
     asia_keys = np.asarray(sorted(n_name), np.int64)
     name_arr = np.asarray([n_name[k] for k in asia_keys])
-
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup.column("s_suppkey").to_numpy()
-    snat = sup.column("s_nationkey").to_numpy()
-    srt = np.argsort(sk)
-    sup_ref = ray.put((sk[srt], snat[srt]))
 
     lo = np.datetime64("1996-01-01")
     hi = np.datetime64("1998-01-01")
@@ -5126,24 +5321,25 @@ def q_local_supplier_volume(sf_dir: str):
           .select_columns(["o_orderkey", "c_nationkey"]))
 
     def li_map(b: pa.Table) -> pa.Table:
-        sk_, snat_ = ray.get(sup_ref)
-        lsk = b.column("l_suppkey").to_numpy()
-        pos = np.clip(np.searchsorted(sk_, lsk), 0, len(sk_) - 1)
-        nat = np.where(sk_[pos] == lsk, snat_[pos], -1)
-        m = np.isin(nat, asia_keys)
-        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+        ep = np.rint(b.column("l_extendedprice").to_numpy()
                      * 100.0).astype(np.int64)
-        dc = np.rint(b.column("l_discount").to_numpy()[m]
+        dc = np.rint(b.column("l_discount").to_numpy()
                      * 100.0).astype(np.int64)
         return pa.table({
-            "l_orderkey": pa.array(b.column("l_orderkey").to_numpy()[m]),
-            "s_nationkey": pa.array(nat[m].astype(np.int64)),
+            "l_orderkey": b.column("l_orderkey"),
+            "s_nationkey": b.column("s_nationkey").cast(pa.int64()),
             "rev_c": pa.array(ep * (100 - dc), pa.int64())})
 
-    li = (_read(sf_dir, "lineitem",
-                ["l_orderkey", "l_suppkey", "l_extendedprice",
-                 "l_discount"])
-          .map_batches(li_map, batch_format="pyarrow"))
+    li = (_attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_extendedprice",
+               "l_discount"]),
+        sf_dir, "supplier", fact_key="l_suppkey", dim_key="s_suppkey",
+        columns=["s_suppkey", "s_nationkey"],
+        row_filter=pc.field("s_nationkey").isin(
+            [int(k) for k in asia_keys]),
+        join_width=_join_parts(sf_dir, "lineitem"))
+        .map_batches(li_map, batch_format="pyarrow"))
     j = li.join(oc, "inner",
                 num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
                 on=("l_orderkey",), right_on=("o_orderkey",))
@@ -5606,25 +5802,17 @@ def q_top_revenue_supplier(sf_dir: str):
                "l_discount"])
         .map_batches(li_map, batch_format="pyarrow"),
         "s_suppkey", {"rev_c": "total_rev_c"}).materialize()
-    best = int(rev.max("total_rev_c"))
+    best = rev.max("total_rev_c") if rev.count() else None
+    if best is None:   # no lineitem in the window: oracle yields 0 rows
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_rev_c": pa.array([], pa.int64())})
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    top = rev.filter(expr=f"total_rev_c == {int(best)}")
+    return (_attach_dim(top, sf_dir, "supplier",
+                        fact_key="s_suppkey", dim_key="s_suppkey",
                         columns=["s_suppkey", "s_name"])
-    sk = sup.column("s_suppkey").to_numpy()
-    srt = np.argsort(sk)
-    sk = sk[srt]
-    snm = np.asarray(sup.column("s_name").to_pylist())[srt]
-
-    def name_map(b: pa.Table) -> pa.Table:
-        k = b.column("s_suppkey").to_numpy()
-        return pa.table({
-            "s_suppkey": b.column("s_suppkey"),
-            "s_name": pa.array(snm[np.searchsorted(sk, k)].tolist(),
-                               pa.string()),
-            "total_rev_c": b.column("total_rev_c")})
-
-    return (rev.filter(expr=f"total_rev_c == {best}")
-            .map_batches(name_map, batch_format="pyarrow"))
+            .select_columns(["s_suppkey", "s_name", "total_rev_c"]))
 
 
 SQL_TOP_REVENUE_SUPPLIER = """
@@ -5648,57 +5836,46 @@ def q_small_qty_revenue(sf_dir: str):
     quantity is below 20% of that part's average order quantity.  The
     correlated avg is an exact rational comparison
     ``5 * qty * cnt < sum_qty`` (no float average), computed in a first
-    per-part fold over the brand's lineitems, broadcast (brand slice of
-    the part dim -- bounded by #parts/#brands; at open-web part
-    cardinality switch to a partkey-keyed ``Dataset.join``), then
-    applied in a second scan whose matches fold to one global row."""
-    import ray
-
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand"])
-    brand_keys = np.sort(part.column("p_partkey").to_numpy()[
-        np.asarray(part.column("p_brand").to_pylist()) == "Brand#4"])
-    keys_ref = ray.put(brand_keys)
-
-    def li_brand(b: pa.Table) -> pa.Table:
-        bk = ray.get(keys_ref)
-        pk = b.column("l_partkey").to_numpy()
-        pos = np.clip(np.searchsorted(bk, pk), 0, max(len(bk) - 1, 0))
-        m = (bk[pos] == pk) if len(bk) else np.zeros(len(pk), bool)
-        q = np.rint(b.column("l_quantity").to_numpy()[m]).astype(np.int64)
-        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+    per-part fold over the brand's lineitems; both the brand semi-join
+    and the stats re-attach go through the size-gated broadcast/hash
+    path (``_attach_dim``/``_attach_small``), so open-web part
+    cardinality flips them to partkey-keyed ``Dataset.join``s."""
+    def li_cents(b: pa.Table) -> pa.Table:
+        q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
+        ep = np.rint(b.column("l_extendedprice").to_numpy()
                      * 100.0).astype(np.int64)
-        return pa.table({"l_partkey": pa.array(pk[m]),
+        return pa.table({"l_partkey": b.column("l_partkey"),
                          "qty": pa.array(q, pa.int64()),
                          "ep_c": pa.array(ep, pa.int64())})
 
-    li = (_read(sf_dir, "lineitem",
-                ["l_partkey", "l_quantity", "l_extendedprice"])
-          .map_batches(li_brand, batch_format="pyarrow"))
+    width = _join_parts(sf_dir, "lineitem")
+    li = _attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"]),
+        sf_dir, "part", fact_key="l_partkey", dim_key="p_partkey",
+        columns=["p_partkey", "p_brand"],
+        row_filter=pc.field("p_brand") == "Brand#4",
+        transform=lambda t: t.select(["p_partkey"]),
+        join_width=width,
+    ).map_batches(li_cents, batch_format="pyarrow").materialize()
+    # the brand slice is reused by both the stats fold and the final
+    # scan; per-part stats stay a Dataset and re-attach via the same
+    # size-gated path (part-slice cardinality grows with SF)
     per_part = _collect(_partial_count_sums(
         li, "l_partkey", {"qty": "sum_qty"}, count_alias="cnt"))
-    ppk = per_part.column("l_partkey").to_numpy()
-    srt = np.argsort(ppk)
-    ppk = ppk[srt]
-    psum = per_part.column("sum_qty").to_numpy()[srt]
-    pcnt = per_part.column("cnt").to_numpy()[srt]
-    stats_ref = ray.put((ppk, psum, pcnt))
 
     def small(b: pa.Table) -> pa.Table:
-        k, s, c = ray.get(stats_ref)
-        if len(k) == 0 or b.num_rows == 0:
-            return pa.table({"n_lines": pa.array([0], pa.int64()),
-                             "rev_c": pa.array([0], pa.int64())})
-        pk = b.column("l_partkey").to_numpy()
-        pos = np.searchsorted(k, pk)
-        m = 5 * b.column("qty").to_numpy() * c[pos] < s[pos]
+        m = (5 * b.column("qty").to_numpy() * b.column("cnt").to_numpy()
+             < b.column("sum_qty").to_numpy())
         return pa.table({
             "n_lines": pa.array([int(m.sum())], pa.int64()),
             "rev_c": pa.array([int(b.column("ep_c").to_numpy()[m].sum())],
                               pa.int64())})
 
     a = _agg()
-    row = (li.map_batches(small, batch_format="pyarrow")
+    row = (_attach_small(li, per_part, fact_key="l_partkey",
+                         dim_key="l_partkey", join_width=width)
+           .map_batches(small, batch_format="pyarrow")
            .aggregate(a.Sum("n_lines", alias_name="n_lines"),
                       a.Sum("rev_c", alias_name="rev_c")))
     if row is None:          # brand absent entirely: oracle's
@@ -5854,37 +6031,30 @@ join customer on o_custkey = c_custkey
 
 def q_disjunctive_revenue(sf_dir: str):
     """TPC-H Q19 shape: revenue by OR'd (brand, size-range, qty-range)
-    band over lineitem |x| part.  The three bands' partkey sets are
-    broadcast as sorted arrays with per-key band ids (part dim is
-    broadcastable; the bands are brand slices), so the scan applies the
-    whole disjunction in one vectorized pass with no join exchange."""
-    import ray
-
+    band over lineitem |x| part.  The partkey -> band-id mapping (band
+    brand slices of the part dim) attaches through the size-gated
+    broadcast/hash path, then the scan applies the whole qty
+    disjunction in one vectorized pass."""
     BANDS = [("Brand#1", 1, 15, 1, 20), ("Brand#2", 1, 25, 10, 30),
              ("Brand#3", 1, 35, 20, 40)]
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand", "p_size"])
-    pk = part.column("p_partkey").to_numpy()
-    pb = np.asarray(part.column("p_brand").to_pylist())
-    psz = part.column("p_size").to_numpy()
-    band_of = np.zeros(len(pk), np.int64)
-    for i, (brand, s_lo, s_hi, _, _) in enumerate(BANDS, 1):
-        band_of[(pb == brand) & (psz >= s_lo) & (psz <= s_hi)] = i
-    keep = band_of > 0
-    bk = pk[keep]
-    srt = np.argsort(bk)
-    dim_ref = ray.put((bk[srt], band_of[keep][srt]))
     qlo = np.array([b[3] for b in BANDS], np.int64)
     qhi = np.array([b[4] for b in BANDS], np.int64)
 
+    def part_bands(t: pa.Table) -> pa.Table:
+        pb = np.asarray(t.column("p_brand").to_pylist())
+        psz = t.column("p_size").to_numpy()
+        band_of = np.zeros(len(pb), np.int64)
+        for i, (brand, s_lo, s_hi, _, _) in enumerate(BANDS, 1):
+            band_of[(pb == brand) & (psz >= s_lo) & (psz <= s_hi)] = i
+        keep = band_of > 0
+        return pa.table({
+            "p_partkey": t.column("p_partkey").filter(pa.array(keep)),
+            "band": pa.array(band_of[keep], pa.int64())})
+
     def li_map(b: pa.Table) -> pa.Table:
-        k, band = ray.get(dim_ref)
-        lpk = b.column("l_partkey").to_numpy()
-        pos = np.clip(np.searchsorted(k, lpk), 0, max(len(k) - 1, 0))
-        hit = (k[pos] == lpk) if len(k) else np.zeros(len(lpk), bool)
-        bnd = np.where(hit, band[pos], 0)
+        bnd = b.column("band").to_numpy()
         q = np.rint(b.column("l_quantity").to_numpy()).astype(np.int64)
-        m = hit & (q >= qlo[bnd - 1]) & (q <= qhi[bnd - 1])
+        m = (q >= qlo[bnd - 1]) & (q <= qhi[bnd - 1])
         ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
                      * 100.0).astype(np.int64)
         dc = np.rint(b.column("l_discount").to_numpy()[m]
@@ -5892,11 +6062,16 @@ def q_disjunctive_revenue(sf_dir: str):
         return pa.table({"band": pa.array(bnd[m], pa.int64()),
                          "rev_c": pa.array(ep * (100 - dc), pa.int64())})
 
-    return _partial_count_sums(
+    li = _attach_dim(
         _read(sf_dir, "lineitem",
               ["l_partkey", "l_quantity", "l_extendedprice",
-               "l_discount"])
-        .map_batches(li_map, batch_format="pyarrow"),
+               "l_discount"]),
+        sf_dir, "part", fact_key="l_partkey", dim_key="p_partkey",
+        columns=["p_partkey", "p_brand", "p_size"],
+        transform=part_bands,
+        join_width=_join_parts(sf_dir, "lineitem"))
+    return _partial_count_sums(
+        li.map_batches(li_map, batch_format="pyarrow"),
         "band", {"rev_c": "rev_c"}, count_alias="n_lines")
 
 
@@ -5999,22 +6174,10 @@ def q_late_sole_supplier(sf_dir: str):
                    num_partitions=_join_parts(sf_dir, "lineitem")),
         ["s_suppkey"], supp_count, num_partitions=8)
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+    return (_attach_dim(counts, sf_dir, "supplier",
+                        fact_key="s_suppkey", dim_key="s_suppkey",
                         columns=["s_suppkey", "s_name"])
-    sk = sup.column("s_suppkey").to_numpy()
-    srt = np.argsort(sk)
-    sk = sk[srt]
-    snm = np.asarray(sup.column("s_name").to_pylist())[srt]
-
-    def name_map(b: pa.Table) -> pa.Table:
-        k = b.column("s_suppkey").to_numpy()
-        return pa.table({
-            "s_suppkey": b.column("s_suppkey"),
-            "s_name": pa.array(snm[np.searchsorted(sk, k)].tolist(),
-                               pa.string()),
-            "n_orders": b.column("n_orders")})
-
-    return counts.map_batches(name_map, batch_format="pyarrow")
+            .select_columns(["s_suppkey", "s_name", "n_orders"]))
 
 
 SQL_LATE_SOLE_SUPPLIER = """
@@ -6177,20 +6340,13 @@ group by 1, 2
 
 def q_nation_pair_volume(sf_dir: str):
     """TPC-H Q7 shape: shipping volume between NATION_3 and NATION_8
-    in both directions, by shipdate year.  Supplier nation comes from
-    the broadcast supplier dim; customer nation rides the orders |x|
-    customer exchange; the lineitem |x| orders join is the only
-    large-large exchange.  Revenue in exact integer cents*(100-disc)."""
-    import ray
-
+    in both directions, by shipdate year.  Supplier nation attaches
+    through the size-gated broadcast/hash dim path (pre-filtered to the
+    two nations, so the inner attach IS the filter); customer nation
+    rides the orders |x| customer exchange; the lineitem |x| orders
+    join is the only unavoidable large-large exchange.  Revenue in
+    exact integer cents*(100-disc)."""
     NA, NB = 3, 8
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_nationkey"])
-    sk = sup.column("s_suppkey").to_numpy()
-    srt = np.argsort(sk)
-    sup_ref = ray.put((sk[srt],
-                       sup.column("s_nationkey").to_numpy()[srt]))
-
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
                  row_filter=pc.field("c_nationkey").isin([NA, NB]))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
@@ -6200,28 +6356,33 @@ def q_nation_pair_volume(sf_dir: str):
                       on=("o_custkey",), right_on=("c_custkey",))
           .select_columns(["o_orderkey", "c_nationkey"]))
 
+    def sup_nat(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "supp_nation": t.column("s_nationkey").cast(pa.int64())})
+
     def li_map(b: pa.Table) -> pa.Table:
-        k, nat = ray.get(sup_ref)
-        lsk = b.column("l_suppkey").to_numpy()
-        pos = np.clip(np.searchsorted(k, lsk), 0, len(k) - 1)
-        sn = np.where(k[pos] == lsk, nat[pos], -1)
-        m = (sn == NA) | (sn == NB)
-        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+        ep = np.rint(b.column("l_extendedprice").to_numpy()
                      * 100.0).astype(np.int64)
-        dc = np.rint(b.column("l_discount").to_numpy()[m]
+        dc = np.rint(b.column("l_discount").to_numpy()
                      * 100.0).astype(np.int64)
-        yr = (b.column("l_shipdate").to_numpy()[m]
+        yr = (b.column("l_shipdate").to_numpy()
               .astype("datetime64[Y]").astype(np.int64) + 1970)
         return pa.table({
-            "l_orderkey": pa.array(b.column("l_orderkey").to_numpy()[m]),
-            "supp_nation": pa.array(sn[m].astype(np.int64)),
+            "l_orderkey": b.column("l_orderkey"),
+            "supp_nation": b.column("supp_nation"),
             "ship_year": pa.array(yr, pa.int64()),
             "rev_c": pa.array(ep * (100 - dc), pa.int64())})
 
-    li = (_read(sf_dir, "lineitem",
-                ["l_orderkey", "l_suppkey", "l_shipdate",
-                 "l_extendedprice", "l_discount"])
-          .map_batches(li_map, batch_format="pyarrow"))
+    li = (_attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate",
+               "l_extendedprice", "l_discount"]),
+        sf_dir, "supplier", fact_key="l_suppkey", dim_key="s_suppkey",
+        columns=["s_suppkey", "s_nationkey"],
+        row_filter=pc.field("s_nationkey").isin([NA, NB]),
+        transform=sup_nat, join_width=_join_parts(sf_dir, "lineitem"))
+        .map_batches(li_map, batch_format="pyarrow"))
     j = li.join(oc, "inner",
                 num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
                 on=("l_orderkey",), right_on=("o_orderkey",))
@@ -6319,42 +6480,48 @@ def q_promo_revenue_share(sf_dir: str):
     """TPC-H Q14 shape: promo-type revenue vs total revenue in a
     shipdate month.  Both sides stay exact integer cents (the oracle's
     100*promo/total float is replaced by the integer numerator and
-    denominator, which determine it)."""
-    import ray
-
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type"])
-    pk = part.column("p_partkey").to_numpy()
-    promo = (np.asarray(part.column("p_type").to_pylist()) == "PROMO")
-    srt = np.argsort(pk)
-    dim_ref = ray.put((pk[srt], promo[srt]))
+    denominator, which determine it).  The partkey -> is-promo flag is
+    a FULL-coverage dim column (every l_partkey exists in part), so the
+    size-gated INNER attach keeps every window row and the total stays
+    exact."""
     lo = np.datetime64("1996-03-01")
     hi = np.datetime64("1996-04-01")
 
-    def li_map(b: pa.Table) -> pa.Table:
-        k, isp = ray.get(dim_ref)
+    def window(b: pa.Table) -> pa.Table:
         d = b.column("l_shipdate").to_numpy()
-        m = (d >= lo) & (d < hi)
-        lpk = b.column("l_partkey").to_numpy()[m]
-        ep = np.rint(b.column("l_extendedprice").to_numpy()[m]
+        m = pa.array((d >= lo) & (d < hi))
+        return b.filter(m).drop_columns(["l_shipdate"])
+
+    def part_promo(t: pa.Table) -> pa.Table:
+        isp = (np.asarray(t.column("p_type").to_pylist()) == "PROMO")
+        return pa.table({"p_partkey": t.column("p_partkey"),
+                         "is_promo": pa.array(isp)})
+
+    def li_map(b: pa.Table) -> pa.Table:
+        ep = np.rint(b.column("l_extendedprice").to_numpy()
                      * 100.0).astype(np.int64)
-        dc = np.rint(b.column("l_discount").to_numpy()[m]
+        dc = np.rint(b.column("l_discount").to_numpy()
                      * 100.0).astype(np.int64)
         rev = ep * (100 - dc)
-        pos = np.clip(np.searchsorted(k, lpk), 0, len(k) - 1)
-        is_promo = (k[pos] == lpk) & isp[pos]
+        isp = b.column("is_promo").to_numpy(zero_copy_only=False)
         return pa.table({
-            "promo_rev_c": pa.array([int(rev[is_promo].sum())],
-                                    pa.int64()),
+            "promo_rev_c": pa.array([int(rev[isp].sum())], pa.int64()),
             "total_rev_c": pa.array([int(rev.sum())], pa.int64())})
 
+    li = _attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_shipdate", "l_extendedprice",
+               "l_discount"])
+        .map_batches(window, batch_format="pyarrow"),
+        sf_dir, "part", fact_key="l_partkey", dim_key="p_partkey",
+        columns=["p_partkey", "p_type"], transform=part_promo,
+        join_width=_join_parts(sf_dir, "lineitem"))
     a = _agg()
-    row = (_read(sf_dir, "lineitem",
-                 ["l_partkey", "l_shipdate", "l_extendedprice",
-                  "l_discount"])
-           .map_batches(li_map, batch_format="pyarrow")
+    row = (li.map_batches(li_map, batch_format="pyarrow")
            .aggregate(a.Sum("promo_rev_c", alias_name="promo_rev_c"),
                       a.Sum("total_rev_c", alias_name="total_rev_c")))
+    if row is None or row["promo_rev_c"] is None:  # empty window
+        row = {"promo_rev_c": 0, "total_rev_c": 0}
     return pa.table({
         "promo_rev_c": pa.array([row["promo_rev_c"]], pa.int64()),
         "total_rev_c": pa.array([row["total_rev_c"]], pa.int64())})
@@ -6377,35 +6544,17 @@ where l_shipdate >= date '1996-03-01'
 def q_supplier_variety(sf_dir: str):
     """TPC-H Q16 shape: distinct suppliers per brand for small parts,
     EXCLUDING blocklisted suppliers (negative account balance, the
-    complaints stand-in).  Both dims broadcast; the scan emits deduped
-    (brand, suppkey) partials so the exchange moves pairs, not
-    lineitems; final distinct-count per brand."""
-    import ray
-
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_brand", "p_size"])
-    keep = part.column("p_size").to_numpy() <= 25
-    pk = part.column("p_partkey").to_numpy()[keep]
-    pb = np.asarray(part.column("p_brand").to_pylist())[keep]
-    srt = np.argsort(pk)
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_acctbal"])
-    bad = np.sort(sup.column("s_suppkey").to_numpy()[
-        sup.column("s_acctbal").to_numpy() < 0])
-    dim_ref = ray.put((pk[srt], pb[srt], bad))
+    complaints stand-in).  Both dims attach through the size-gated
+    broadcast/hash path -- the small-part filter as an inner brand
+    attach, the blocklist as an inner semi against the GOOD suppliers
+    (unique keys + FK coverage make not-in-blocklist == in-goodlist);
+    the scan emits deduped (brand, suppkey) partials so the exchange
+    moves pairs, not lineitems; final distinct-count per brand."""
+    width = _join_parts(sf_dir, "lineitem")
 
     def pairs(b: pa.Table) -> pa.Table:
-        k, brand, blk = ray.get(dim_ref)
-        lpk = b.column("l_partkey").to_numpy()
-        sk = b.column("l_suppkey").to_numpy()
-        pos = np.clip(np.searchsorted(k, lpk), 0, max(len(k) - 1, 0))
-        m = (k[pos] == lpk) if len(k) else np.zeros(len(lpk), bool)
-        if len(blk):
-            bpos = np.clip(np.searchsorted(blk, sk), 0, len(blk) - 1)
-            m &= blk[bpos] != sk
-        t = pa.table({"p_brand": pa.array(brand[pos[m]].tolist(),
-                                          pa.string()),
-                      "s_suppkey": pa.array(sk[m], pa.int64())})
+        t = pa.table({"p_brand": b.column("p_brand"),
+                      "s_suppkey": b.column("l_suppkey").cast(pa.int64())})
         return t.group_by(["p_brand", "s_suppkey"]).aggregate([])
 
     def count_distinct(g: pa.Table) -> pa.Table:
@@ -6413,8 +6562,20 @@ def q_supplier_variety(sf_dir: str):
         return pa.table({"p_brand": g.column("p_brand")[:1],
                          "supplier_cnt": pa.array([n], pa.int64())})
 
-    return (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-            .map_batches(pairs, batch_format="pyarrow")
+    li = _attach_dim(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]),
+        sf_dir, "part", fact_key="l_partkey", dim_key="p_partkey",
+        columns=["p_partkey", "p_brand", "p_size"],
+        row_filter=pc.field("p_size") <= 25,
+        transform=lambda t: t.select(["p_partkey", "p_brand"]),
+        join_width=width)
+    li = _attach_dim(
+        li, sf_dir, "supplier", fact_key="l_suppkey",
+        dim_key="s_suppkey", columns=["s_suppkey", "s_acctbal"],
+        row_filter=pc.field("s_acctbal") >= 0,
+        transform=lambda t: t.select(["s_suppkey"]),
+        join_width=width)
+    return (li.map_batches(pairs, batch_format="pyarrow")
             .groupby("p_brand")
             .map_groups(count_distinct, batch_format="pyarrow"))
 
@@ -6433,52 +6594,36 @@ group by p_brand
 def q_bulk_promo_suppliers(sf_dir: str):
     """TPC-H Q20 shape: suppliers who shipped more than 500 units of
     PROMO-type parts during 1996 -- nested semi-join collapsed to a
-    broadcast part filter + per-supplier integer fold + having +
-    broadcast name lookup."""
-    import ray
-
-    part = pq.read_table(f"{sf_dir}/part.parquet",
-                         columns=["p_partkey", "p_type"])
-    promo_keys = np.sort(part.column("p_partkey").to_numpy()[
-        np.asarray(part.column("p_type").to_pylist()) == "PROMO"])
-    keys_ref = ray.put(promo_keys)
+    size-gated promo-part semi attach + per-supplier integer fold +
+    having + size-gated name attach."""
     lo = np.datetime64("1996-01-01")
     hi = np.datetime64("1997-01-01")
+    width = _join_parts(sf_dir, "lineitem")
 
     def li_map(b: pa.Table) -> pa.Table:
-        k = ray.get(keys_ref)
         d = b.column("l_shipdate").to_numpy()
         m = (d >= lo) & (d < hi)
-        lpk = b.column("l_partkey").to_numpy()
-        pos = np.clip(np.searchsorted(k, lpk), 0, max(len(k) - 1, 0))
-        m &= (k[pos] == lpk) if len(k) else False
         q = np.rint(b.column("l_quantity").to_numpy()[m]).astype(np.int64)
         return pa.table({
             "s_suppkey": pa.array(b.column("l_suppkey").to_numpy()[m]),
             "qty": pa.array(q, pa.int64())})
 
-    per_sup = _partial_count_sums(
+    li = _attach_dim(
         _read(sf_dir, "lineitem",
-              ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"])
-        .map_batches(li_map, batch_format="pyarrow"),
+              ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"]),
+        sf_dir, "part", fact_key="l_partkey", dim_key="p_partkey",
+        columns=["p_partkey", "p_type"],
+        row_filter=pc.field("p_type") == "PROMO",
+        transform=lambda t: t.select(["p_partkey"]), join_width=width)
+    per_sup = _partial_count_sums(
+        li.map_batches(li_map, batch_format="pyarrow"),
         "s_suppkey", {"qty": "promo_qty"}).filter(expr="promo_qty > 500")
 
-    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
-                        columns=["s_suppkey", "s_name"])
-    sk = sup.column("s_suppkey").to_numpy()
-    srt = np.argsort(sk)
-    sk = sk[srt]
-    snm = np.asarray(sup.column("s_name").to_pylist())[srt]
-
-    def name_map(b: pa.Table) -> pa.Table:
-        k = b.column("s_suppkey").to_numpy()
-        return pa.table({
-            "s_suppkey": b.column("s_suppkey"),
-            "s_name": pa.array(snm[np.searchsorted(sk, k)].tolist(),
-                               pa.string()),
-            "promo_qty": b.column("promo_qty")})
-
-    return per_sup.map_batches(name_map, batch_format="pyarrow")
+    return (_attach_dim(per_sup, sf_dir, "supplier",
+                        fact_key="s_suppkey", dim_key="s_suppkey",
+                        columns=["s_suppkey", "s_name"],
+                        join_width=width)
+            .select_columns(["s_suppkey", "s_name", "promo_qty"]))
 
 
 SQL_BULK_PROMO_SUPPLIERS = """

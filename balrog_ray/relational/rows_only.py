@@ -133,6 +133,63 @@ def q_partitioned_join_sites(sf_dir: str):
         veg_polygon_table(cfg), cfg.grid, hot_cell_threshold=3, n_salt=2)
 
 
+def q_wgs84_veg_distance(sf_dir: str):
+    """Distance-to-vegetation on the WGS84 ELLIPSOID
+    (metric='geodesic_wgs84', geo/wgs84.py Vincenty): lon/lat sites
+    derived deterministically from supplier keys near Perth, joined
+    against a fixed degree-CRS polygon set -- the pyproj ``Geod.inv``
+    numbers of the reference (xx_fiona_testing.py:205-218) with no
+    spherical bias.  Distances reported in exact integer millimetres;
+    mm-level correctness is proven in tests/test_wgs84.py against
+    ECEF-chord / RK4 / quadrature oracles."""
+    import ray.data
+
+    from ..geo.geometry import Polygon
+    from ..geo.wkb import polygon_to_wkb
+    from ..stages.spatial_join import broadcast_spatial_join
+
+    rings = [
+        np.array([[115.00, -32.00], [115.02, -32.00], [115.02, -31.98],
+                  [115.00, -31.98], [115.00, -32.00]]),
+        np.array([[115.05, -32.03], [115.07, -32.03], [115.07, -32.01],
+                  [115.05, -32.01], [115.05, -32.03]]),
+        np.array([[114.96, -31.95], [114.99, -31.96], [114.98, -31.93],
+                  [114.96, -31.95]]),
+    ]
+    veg = pa.table({
+        "gid": pa.array([1, 2, 3], pa.int64()),
+        "bal_number": pa.array([2, 5, 7], pa.int16()),
+        "geom": pa.array([polygon_to_wkb(Polygon(r)) for r in rings],
+                         pa.binary())})
+
+    def sites(b: pa.Table) -> pa.Table:
+        k = b.column("s_suppkey").to_numpy()
+        return pa.table({
+            "site_id": pa.array([f"s{v}" for v in k], pa.string()),
+            "x": pa.array(114.94 + (k * 53 % 1000) / 7000.0),
+            "y": pa.array(-32.05 + (k * 97 % 1000) / 9000.0)})
+
+    import pyarrow.parquet as _pq
+
+    site_ds = (ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                     columns=["s_suppkey"])
+               .map_batches(sites, batch_format="pyarrow"))
+    joined = broadcast_spatial_join(site_ds, veg, max_dist=5_000.0,
+                                    metric="geodesic_wgs84")
+
+    def to_mm(b: pa.Table) -> pa.Table:
+        d = b.column("distance_m").to_numpy()
+        mm = np.where(d < 0, -1, np.rint(d * 1000.0)).astype(np.int64)
+        return pa.table({
+            "site_id": b.column("site_id"),
+            "in_gid": b.column("in_gid"),
+            "near_gid": b.column("near_gid"),
+            "near_bal_number": b.column("near_bal_number"),
+            "dist_mm": pa.array(mm, pa.int64())})
+
+    return joined.map_batches(to_mm, batch_format="pyarrow")
+
+
 def q_buffer_clip_areas(sf_dir: str):
     """Per-site buffer ^ vegetation intersection areas per class (SURVEY
     op 39, reference xx_fiona_testing.py:155-170) on the boolean kit."""
@@ -3766,6 +3823,7 @@ ROWS_ONLY = {
     "bal_offgrid_veg": q_bal_offgrid_veg,
     "spatial_join_sites": q_spatial_join_sites,
     "partitioned_join_sites": q_partitioned_join_sites,
+    "wgs84_veg_distance": q_wgs84_veg_distance,
     "polygon_cell_cover": q_polygon_cell_cover,
     "quad_polygon_cover": q_quad_polygon_cover,
     "buffer_clip_areas": q_buffer_clip_areas,

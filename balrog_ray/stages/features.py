@@ -182,12 +182,29 @@ def _hamming(da: np.ndarray, db: np.ndarray) -> np.ndarray:
     return out
 
 
-def match_features(feat_a, feat_b, *, max_dist: int = 64):
+def match_features(feat_a, feat_b, *, max_dist: int = 64,
+                   max_broadcast_features: int = 2_000_000):
     """Two feature Datasets -> match rows ``(ya, xa, yb, xb, dist)``:
-    the smaller side (B) broadcast, A streamed; ratio test 10*best <
-    8*second, distance cap, ties to smallest (yb, xb)."""
+    the smaller side (B) broadcast via ``ray.put`` once, A streamed;
+    ratio test 10*best < 8*second, distance cap, ties to smallest
+    (yb, xb).
+
+    The broadcast is LOUDLY GATED at ``max_broadcast_features`` rows
+    (~80 MB of descriptors): corner counts are detector-thresholded and
+    image-pair-bounded in every current use, but an unbounded ``feat_b``
+    would pin the driver -- past the gate, pre-bucket both sides by
+    coarse image/cell key and match per bucket (the partitioned
+    spatial-join pattern, stages/spatial_join.py) instead of raising
+    the cap."""
     import ray
 
+    n_b = feat_b.count()
+    if n_b > max_broadcast_features:
+        raise RuntimeError(
+            f"match_features: feat_b has {n_b} rows, past the "
+            f"{max_broadcast_features}-row broadcast gate; bucket both "
+            "sides by cell key and match per bucket (see docstring) "
+            "rather than broadcasting an unbounded descriptor table")
     b_rows = feat_b.take_all()
     if not b_rows:
         return pa.table({c: pa.array([], pa.int64())

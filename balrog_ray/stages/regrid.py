@@ -91,9 +91,19 @@ def covered_target_cells(spec: GridSpec, tiles_ds) -> np.ndarray:
         return _pa.table({"cell_id": _pa.array(sorted(cells),
                                                _pa.int64())})
 
-    parts = (tiles_ds.select_columns(["caption", "h", "w"])
-             .map_batches(cover, batch_format="pyarrow")
-             .take_all())
+    # Driver pull is metadata-scale by construction: the RESULT is
+    # <= grid cell count (8 B/cell; ~80 MB at a 10^7-tile world) and
+    # callers consume it as a driver-side mask, so that floor is
+    # inherent.  What take_all() additionally multiplies is per-batch
+    # DUPLICATION (each batch re-emits cells its tiles touch); past the
+    # gate a distributed unique collapses duplicates remotely first so
+    # the pull is exactly result-sized.
+    cover_ds = (tiles_ds.select_columns(["caption", "h", "w"])
+                .map_batches(cover, batch_format="pyarrow"))
+    if spec.tiles_x * spec.tiles_y > 5_000_000:
+        return np.unique(np.asarray(cover_ds.unique("cell_id"),
+                                    dtype=np.int64))
+    parts = cover_ds.take_all()
     return np.unique(np.array([r["cell_id"] for r in parts],
                               dtype=np.int64))
 

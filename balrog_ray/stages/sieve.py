@@ -21,13 +21,14 @@ Semantics (deterministic, documented where GDAL leaves order undefined):
 Scale shape: the pixel-scale work is two ``map_batches`` passes (label +
 rewrite) and the shared border-strip shuffle; everything in between
 operates on the REGION graph, which is orders of magnitude smaller than
-the raster for categorical layers.  The merge loop itself runs
-driver-side over that bounded graph (the same bounded-materialization
-contract as the lineage tables); the final (changed-region -> new value)
-map is broadcast via ``ray.put`` into the rewrite pass.  At scales where
-the region graph itself outgrows the driver, replace the loop with
-rounds of distributed graph contraction -- the label/rewrite passes are
-unchanged.
+the raster for categorical layers.  Under ``max_regions`` the merge loop
+runs driver-side over that bounded graph (the same bounded-
+materialization contract as the lineage tables); past it,
+``_sieve_merge_distributed`` contracts the graph per CONNECTED COMPONENT
+-- merges never cross components, so the sequential loop runs
+independently inside ``map_groups`` with byte-identical results -- and
+only the (changed-region -> new value) map reaches the driver for the
+``ray.put`` rewrite broadcast.
 """
 
 from __future__ import annotations
@@ -206,19 +207,23 @@ def _canon_join(src, key_col: str, mapping, n_parts: int):
 
 
 def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
-          fmt: str = "npz", max_regions: int = 5_000_000):
+          fmt: str = "npz", max_regions: int = 5_000_000,
+          max_component_regions: int = 5_000_000):
     """Image-table Dataset -> image-table Dataset (layer
     ``sieve_<layer>``) with sub-threshold regions dissolved into their
     largest neighbours.  Exact whole-raster parity is asserted in
     tests/test_sieve.py.
 
-    ``max_regions`` is the loud bound on the driver-side merge loop: the
-    raw region count is measured DISTRIBUTED first and the stage refuses
-    to proceed past the bound (speckle-heavy rasters can approach
-    pixels/min_px regions); everything except the final sequential merge
-    -- fragment->canonical mapping, per-region size/anchor aggregation,
-    adjacency dedup -- runs as Dataset joins/groupbys, so the driver
-    only ever holds the CONTRACTED canonical graph."""
+    ``max_regions`` bounds the driver-side merge loop: the raw region
+    count is measured DISTRIBUTED first, and past the bound the merge
+    switches to :func:`_sieve_merge_distributed` -- per-component
+    distributed contraction with identical output (speckle-heavy
+    rasters approach pixels/min_px regions but their components stay
+    tiny).  Either way the fragment->canonical mapping, per-region
+    size/anchor aggregation and adjacency dedup run as Dataset
+    joins/groupbys; the driver only ever holds the changed-value map.
+    ``max_component_regions`` loudly bounds the one irreducibly
+    sequential unit, a single connected component's graph."""
     if min_px < 2:
         raise ValueError("min_px must be >= 2 (1 would be a no-op)")
     T = spec.tile_px
@@ -230,15 +235,12 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
 
     from ..functions.components import connected_components
 
-    # loud bound check BEFORE anything region-sized reaches the driver
+    # bound check BEFORE anything region-sized reaches the driver: under
+    # the gate the merge loop runs driver-side over the bounded graph;
+    # past it the per-COMPONENT distributed contraction path takes over
+    # (the docstring's named alternative -- no hard stop)
     n_regions = combined.filter(expr="kind == 0").count()
-    if n_regions > max_regions:
-        raise RuntimeError(
-            f"sieve: {n_regions} raw regions exceed max_regions="
-            f"{max_regions}; the final merge loop runs driver-side over "
-            f"the region graph (bounded-materialization contract, as "
-            f"basin_zonal gates its 26-bit ids) -- raise max_regions if "
-            f"the driver has the memory, or sieve per sub-raster")
+    distributed_merge = n_regions > max_regions
     from ..partitions import shuffle_width
 
     n_parts = shuffle_width(n_regions)
@@ -289,49 +291,55 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
                         .select_columns(["id_a", "id_b"])))
 
     # canonical-region partials (<= n_regions rows, usually far fewer)
-    canon_rows = (parts_c
-                  .groupby("canon")
-                  .aggregate(agg.Sum("n_px", alias_name="n_px"),
-                             agg.Min("anchor", alias_name="anchor"),
-                             agg.Min("value", alias_name="value"))
-                  .take_all())
-    size: dict[int, int] = {}
-    value: dict[int, float] = {}
-    anchor: dict[int, int] = {}
-    for r in canon_rows:
-        c = int(r["canon"])
-        size[c] = int(r["n_px"])
-        value[c] = float(r["value"])
-        anchor[c] = int(r["anchor"])
+    canon_ds = (parts_c
+                .groupby("canon")
+                .aggregate(agg.Sum("n_px", alias_name="n_px"),
+                           agg.Min("anchor", alias_name="anchor"),
+                           agg.Min("value", alias_name="value")))
 
-    # canonical adjacency, deduped distributed before collection
+    # canonical adjacency, deduped distributed
     def drop_self(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc2
 
         return b.filter(pc2.not_equal(b.column("id_a"),
                                       b.column("id_b")))
 
-    neigh: dict[int, set] = {c: set() for c in size}
-    adj_rows = (adj_c
-                .map_batches(drop_self, batch_format="pyarrow")
-                .groupby(["id_a", "id_b"])
-                .aggregate(agg.Count(alias_name="_n"))
-                .take_all())
-    for r in adj_rows:
-        a, b_ = int(r["id_a"]), int(r["id_b"])
-        neigh[a].add(b_)
-        neigh[b_].add(a)
+    adj_dedup = (adj_c
+                 .map_batches(drop_self, batch_format="pyarrow")
+                 .groupby(["id_a", "id_b"])
+                 .aggregate(agg.Count(alias_name="_n"))
+                 .select_columns(["id_a", "id_b"]))
 
-    final = sieve_merge(size, value, anchor, neigh, min_px)
+    if distributed_merge:
+        ck, cv = _sieve_merge_distributed(
+            canon_ds, adj_dedup, min_px, n_parts,
+            max_component_regions=max_component_regions)
+    else:
+        size: dict[int, int] = {}
+        value: dict[int, float] = {}
+        anchor: dict[int, int] = {}
+        for r in canon_ds.take_all():
+            c = int(r["canon"])
+            size[c] = int(r["n_px"])
+            value[c] = float(r["value"])
+            anchor[c] = int(r["anchor"])
+        neigh: dict[int, set] = {c: set() for c in size}
+        for r in adj_dedup.take_all():
+            a, b_ = int(r["id_a"]), int(r["id_b"])
+            neigh[a].add(b_)
+            neigh[b_].add(a)
 
-    # raw gid -> final value, only where the value changed.  Merge edges
-    # connect same-value fragments, so a fragment changes iff its
-    # canonical region changes: broadcast the canonical change map
-    # (bounded by the gate) and scan the fragment table distributed.
-    changed_canon = {c: value[final[c]] for c in size
-                     if value[final[c]] != value[c]}
-    ck = np.array(sorted(changed_canon), np.int64)
-    cv = np.array([changed_canon[k] for k in ck], np.float32)
+        final = sieve_merge(size, value, anchor, neigh, min_px)
+
+        # raw gid -> final value, only where the value changed.  Merge
+        # edges connect same-value fragments, so a fragment changes iff
+        # its canonical region changes.
+        changed_canon = {c: value[final[c]] for c in size
+                         if value[final[c]] != value[c]}
+        ck = np.array(sorted(changed_canon), np.int64)
+        cv = np.array([changed_canon[k] for k in ck], np.float32)
+    # broadcast the canonical change map (bounded by the changed-region
+    # count) and scan the fragment table distributed
     cref = ray.put((ck, cv))
 
     def changed_frags(b: pa.Table) -> pa.Table:
@@ -399,6 +407,120 @@ def sieve(ds, spec: GridSpec, *, layer: str, min_px: int,
         return pa.table(out, schema=S)
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _sieve_merge_distributed(canon_ds, adj_ds, min_px: int,
+                             n_parts: int,
+                             max_component_regions: int = 5_000_000,
+                             max_changed_broadcast: int = 50_000_000):
+    """Past-gate merge: rounds of distributed region-graph contraction
+    (the docstring's named alternative to the driver loop).
+
+    EXACTNESS: :func:`sieve_merge`'s global smallest-first order only
+    matters BETWEEN regions that can reach each other -- merges never
+    cross a connected component of the region adjacency graph, so
+    running the identical sequential loop independently per component
+    yields the same final labeling as the global loop (tested against
+    whole-raster parity with the gate forced down).  So: components via
+    the union-find tree-reduce (functions/components.py), one keyed
+    exchange co-locating each component's region rows + edges, and the
+    sequential core runs PER COMPONENT inside ``map_groups`` -- the
+    driver never holds the region graph, only the changed-value map.
+
+    Bounds, loud: a single component larger than
+    ``max_component_regions`` is irreducibly sequential state and
+    raises (a speckle raster's components are tiny -- the count grows,
+    not the component); a changed-map larger than
+    ``max_changed_broadcast`` would blow the rewrite broadcast and
+    raises naming the per-cell join alternative."""
+    import ray.data.aggregate as agg
+
+    from ..functions.components import connected_components
+
+    comp_map = connected_components(adj_ds, "id_a", "id_b").materialize()
+
+    def canon_comp(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        comp = pc2.coalesce(b.column("component_id"),
+                            b.column("canon")).cast(pa.int64())
+        return pa.table({
+            "comp": comp, "kind": pa.array(
+                np.zeros(b.num_rows, np.int8)),
+            "a": b.column("canon").cast(pa.int64()),
+            "b": pa.array(np.zeros(b.num_rows, np.int64)),
+            "value": b.column("value").cast(pa.float64()),
+            "n_px": b.column("n_px").cast(pa.int64()),
+            "anchor": b.column("anchor").cast(pa.int64())})
+
+    regions = (canon_ds.join(comp_map, "left_outer",
+                             num_partitions=n_parts,
+                             on=("canon",), right_on=("doc_id",))
+               .map_batches(canon_comp, batch_format="pyarrow"))
+
+    def edge_comp(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, np.float64)
+        return pa.table({
+            "comp": b.column("component_id").cast(pa.int64()),
+            "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            "a": b.column("id_a").cast(pa.int64()),
+            "b": b.column("id_b").cast(pa.int64()),
+            "value": pa.array(z),
+            "n_px": pa.array(z.astype(np.int64)),
+            "anchor": pa.array(z.astype(np.int64))})
+
+    edges = (adj_ds.join(comp_map, "inner", num_partitions=n_parts,
+                         on=("id_a",), right_on=("doc_id",))
+             .map_batches(edge_comp, batch_format="pyarrow"))
+
+    def per_component(g: pa.Table) -> pa.Table:
+        kind = g.column("kind").to_numpy()
+        reg = kind == 0
+        n_reg = int(reg.sum())
+        if n_reg > max_component_regions:
+            raise RuntimeError(
+                f"sieve: one region-graph component holds {n_reg} "
+                f"regions (> {max_component_regions}); its merge order "
+                "is irreducibly sequential -- raise the bound on a "
+                "bigger worker or sieve per sub-raster")
+        a = g.column("a").to_numpy()
+        size = dict(zip(a[reg].tolist(),
+                        g.column("n_px").to_numpy()[reg].tolist()))
+        value = dict(zip(a[reg].tolist(),
+                         g.column("value").to_numpy()[reg].tolist()))
+        anchor = dict(zip(a[reg].tolist(),
+                          g.column("anchor").to_numpy()[reg].tolist()))
+        neigh: dict[int, set] = {c: set() for c in size}
+        eb = g.column("b").to_numpy()
+        for x, y in zip(a[~reg].tolist(), eb[~reg].tolist()):
+            neigh[x].add(y)
+            neigh[y].add(x)
+        final = sieve_merge(size, value, anchor, neigh, min_px)
+        out_c, out_v = [], []
+        for c in size:
+            nv = value[final[c]]
+            if nv != value[c]:
+                out_c.append(c)
+                out_v.append(nv)
+        return pa.table({"canon": pa.array(out_c, pa.int64()),
+                         "nv": pa.array(out_v, pa.float64())})
+
+    changed = (regions.union(edges)
+               .groupby("comp")
+               .map_groups(per_component, batch_format="pyarrow")
+               .materialize())
+    n_changed = changed.count()
+    if n_changed > max_changed_broadcast:
+        raise RuntimeError(
+            f"sieve: {n_changed} changed regions exceed the rewrite "
+            f"broadcast bound {max_changed_broadcast} (~12 B each); "
+            "route the change map to tiles by cell id (gid >> "
+            "_LABEL_BITS) with a keyed join instead of ray.put")
+    rows = changed.take_all()
+    ck = np.array([r["canon"] for r in rows], np.int64)
+    cv = np.array([r["nv"] for r in rows], np.float32)
+    srt = np.argsort(ck)
+    return ck[srt], cv[srt]
 
 
 def sieve_merge(size: dict[int, int], value: dict[int, float],

@@ -173,9 +173,13 @@ def tile_row(cfg: SynthConfig, layer: str, tx: int, ty: int,
                         "w": tx == 0, "e": tx == cfg.tiles_x - 1},
                   tx=tx, ty=ty)
     payload, cap = encode_tile(data, cfg.fmt, cap)
+    # phash is computed on the float32 cast: lossless decoders hand
+    # back float32, and a block mean within float32 rounding of the
+    # grand mean would otherwise flip a bit and falsely quarantine.
     return {"image_id": f"{layer}/{tx}/{ty}", "bytes": payload,
             "w": np.int32(T), "h": np.int32(T), "fmt": cfg.fmt,
-            "caption": cap.to_json(), "phash": np.int64(phash64(data))}
+            "caption": cap.to_json(),
+            "phash": np.int64(phash64(data.astype(np.float32)))}
 
 
 def tiles_table(cfg: SynthConfig, layers=("dem", "veg")) -> pa.Table:
@@ -301,7 +305,7 @@ def temporal_tiles_table(cfg: SynthConfig, n_epochs: int) -> pa.Table:
                              "bytes": payload, "w": np.int32(T),
                              "h": np.int32(T), "fmt": cfg.fmt,
                              "caption": cap.to_json(),
-                             "phash": np.int64(phash64(data)),
+                             "phash": np.int64(phash64(data.astype(np.float32))),
                              "epoch": np.int64(epoch)})
     schema = TILES_SCHEMA.append(pa.field("epoch", pa.int64()))
     cols = {name: [r[name] for r in rows] for name in schema.names}
@@ -350,7 +354,7 @@ def acquisition_tiles_table(cfg: SynthConfig, n_sources: int) -> pa.Table:
                              "bytes": payload, "w": np.int32(T),
                              "h": np.int32(T), "fmt": cfg.fmt,
                              "caption": cap.to_json(),
-                             "phash": np.int64(phash64(data)),
+                             "phash": np.int64(phash64(data.astype(np.float32))),
                              "source": np.int64(s)})
     schema = TILES_SCHEMA.append(pa.field("source", pa.int64()))
     cols = {name: [r[name] for r in rows] for name in schema.names}
