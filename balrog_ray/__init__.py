@@ -14,6 +14,10 @@ plan snapshots the global DataContext at its root.
 
 
 def _tune_data_context() -> None:
+    import os
+
+    if os.environ.get("BALROG_RAY_NO_CTX_TUNE"):   # A/B escape hatch
+        return
     from ray.data.context import DataContext
 
     ctx = DataContext.get_current()

@@ -19,6 +19,19 @@ def _t1_cfg():
     return SynthConfig(tiles_x=4, tiles_y=4, tile_px=64)
 
 
+def _head_rows(path: str, columns, n: int) -> pa.Table:
+    """First ``n`` rows of a parquet file via its FIRST ROW GROUP only
+    -- a driver read bounded by row-group size at every SF, for
+    queries that need a handful of seed/query rows (never the
+    SF-growing whole-table ``pq.read_table``)."""
+    f = pq.ParquetFile(path)
+    tab = f.read_row_group(0, columns=list(columns))
+    if tab.num_rows < n:
+        raise ValueError(
+            f"{path}: first row group holds {tab.num_rows} rows < {n}")
+    return tab.slice(0, n)
+
+
 def q_bal_band_histogram(sf_dir: str):
     """Flagship: full BAL engine on the t1 synthetic world -> per-band
     pixel histogram (deterministic integers)."""
@@ -472,22 +485,30 @@ def q_incremental_dedup_docs(sf_dir: str):
                                    columns=["doc_id", "text"])
     index = build_minhash_index(corpus, num_shards=4)
 
-    base = pq.read_table(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    ids = base.column("doc_id").to_pylist()
-    texts = base.column("text").to_pylist()
-    new_ids, new_texts = [], []
-    for j in range(0, len(ids), 25):
-        toks = texts[j].split(" ")
-        toks[len(toks) // 2] = "zzqxj"        # one-token perturbation
-        new_ids.append(1_000_000 + ids[j])
-        new_texts.append(" ".join(toks))
-    for j in range(10):                        # disjoint-vocab fresh docs
-        new_ids.append(2_000_000 + j)
-        new_texts.append(" ".join(f"qq{j}w{i}" for i in range(40)))
-    new_ds = ray.data.from_arrow(pa.table({
-        "doc_id": pa.array(new_ids, pa.int64()),
-        "text": pa.array(new_texts, pa.string())}))
+    # probe construction stays DISTRIBUTED (perturbed copies of every
+    # 25th doc are corpus/25-sized and must never ride the driver)
+    def perturb(b: pa.Table) -> pa.Table:
+        ids_ = b.column("doc_id").to_numpy()
+        keep = ids_ % 25 == 0
+        out_i, out_t = [], []
+        for i, text in zip(ids_[keep].tolist(),
+                           pa.Table.from_arrays(
+                               [b.column("text").filter(pa.array(keep))],
+                               names=["t"]).column("t").to_pylist()):
+            toks = text.split(" ")
+            toks[len(toks) // 2] = "zzqxj"    # one-token perturbation
+            out_i.append(1_000_000 + i)
+            out_t.append(" ".join(toks))
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    fresh = pa.table({
+        "doc_id": pa.array([2_000_000 + j for j in range(10)],
+                           pa.int64()),
+        "text": pa.array([" ".join(f"qq{j}w{i}" for i in range(40))
+                          for j in range(10)], pa.string())})
+    new_ds = (corpus.map_batches(perturb, batch_format="pyarrow")
+              .union(ray.data.from_arrow(fresh)))
     return probe_minhash_index(index, new_ds, threshold=0.5)
 
 
@@ -1070,8 +1091,9 @@ def q_ivf_ann(sf_dir: str):
 
     from ..functions.ann import ivf_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = np.array(emb.slice(0, 3).column("embedding").to_pylist(),
+    emb = _head_rows(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding"], 3)
+    queries = np.array(emb.column("embedding").to_pylist(),
                        dtype=np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -1086,8 +1108,9 @@ def q_pq_ann(sf_dir: str):
 
     from ..functions.ann import pq_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = np.array(emb.slice(0, 3).column("embedding").to_pylist(),
+    emb = _head_rows(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding"], 3)
+    queries = np.array(emb.column("embedding").to_pylist(),
                        dtype=np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -1102,8 +1125,9 @@ def q_sq_ann(sf_dir: str):
 
     from ..functions.ann import sq_encode, sq_topk, sq_train
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = np.array(emb.slice(0, 3).column("embedding").to_pylist(),
+    emb = _head_rows(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding"], 3)
+    queries = np.array(emb.column("embedding").to_pylist(),
                        dtype=np.float64)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
@@ -3081,8 +3105,8 @@ def q_mmr_topk(sf_dir: str):
 
     from ..functions.ann import mmr_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
+    emb = _head_rows(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding"], 64)
     qtab = emb.filter(pc.less(emb.column("vec_id"), 3))
     qids = qtab.column("vec_id").to_pylist()
     queries = np.array(qtab.column("embedding").to_pylist(),
