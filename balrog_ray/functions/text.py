@@ -284,10 +284,12 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
     dropped from EVERY document; returns per-doc retention stats
     ``(doc_id, n_grams, n_kept, kept_chars)``.
 
-    Scale shape: ONE explode pass to per-(doc, gram) count rows
-    (materialized so the two consumers below don't re-tokenize -- at
-    corpus scale checkpoint it to parquet instead), a document-frequency
-    ``groupby(gram)``, a hash join back, and a per-doc sum aggregate.
+    Scale shape: ONE explode pass to per-(doc, gram) count rows, then a
+    SINGLE gram-keyed fold exchange that computes each gram's document
+    frequency from its co-located group and emits the per-doc retention
+    rows directly (round 3 spent a df ``groupby(gram)`` PLUS a hash
+    join back -- two exchanges moving the gram table twice), and a
+    per-doc sum with in-block partials.
     Grams are keyed by their text to stay bit-identical with the SQL
     oracle; at corpus scale key by a 128-bit hash instead to cut the
     shuffle bytes (collision odds ~q^2/2^129 for q distinct grams).
@@ -317,37 +319,59 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
             "gram": pa.array(grams, pa.string()),
             "n_occ": pa.array(occ, pa.int64())})
 
-    gc = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    # small corpora inherit the reader's block count (64+), and per-block
-    # fixed costs dominate the two shuffles below; merge to row-sized
-    # partitions.  Big corpora keep their blocks -- merging would build
-    # giant partitions, and the fixed costs are amortized anyway.
-    n_rows = gc.count()
-    if n_rows < 64 * 50_000:
-        nparts = max(2, min(64, n_rows // 50_000 + 2))
-        gc = gc.repartition(nparts).materialize()
-        if num_partitions is None:
-            num_partitions = nparts
+    from ..partitions import keyed_fold, shuffle_width
+
+    gc = docs.map_batches(explode, batch_format="pyarrow")
     if num_partitions is None:
-        num_partitions = 8
-    freq = (gc.groupby("gram")
-            .aggregate(agg.Count(alias_name="nd")))
-    joined = gc.join(freq, "inner", num_partitions=num_partitions,
-                     on=("gram",))
+        # ~200 gram rows per doc; the doc count is parquet metadata
+        num_partitions = shuffle_width(docs.count() * 200)
 
-    def kept(b: pa.Table) -> pa.Table:
-        keep = pc.less(b.column("nd"), pa.scalar(max_df, pa.int64()))
-        occ = b.column("n_occ")
-        chars = pc.multiply(
-            occ, pc.cast(pc.utf8_length(b.column("gram")), pa.int64()))
-        z = pa.scalar(0, pa.int64())
-        return pa.table({
+    def df_kept(b: pa.Table) -> pa.Table:
+        # complete gram groups per call: document frequency == group
+        # row count (gc holds one row per (doc, gram)); emit the per-
+        # doc retention columns directly -- df groupby + join fused
+        # into this one exchange
+        if b.num_rows == 0 or "gram" not in b.column_names:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_chars": pa.array([], pa.int64())})
+        import numpy as _np
+
+        order = pc.sort_indices(b.column("gram"))
+        b = b.take(order)
+        g = b.column("gram").combine_chunks()
+        neq = pc.not_equal(g.slice(1), g.slice(0, len(g) - 1))
+        starts = _np.r_[0, _np.flatnonzero(
+            neq.to_numpy(zero_copy_only=False)) + 1]
+        sizes = _np.diff(_np.r_[starts, len(g)])
+        nd = _np.repeat(sizes, sizes)
+        keep = nd < max_df
+        occ = b.column("n_occ").to_numpy()
+        chars = occ * pc.utf8_length(g).cast(pa.int64()).to_numpy()
+        z = _np.int64(0)
+        # in-block per-doc partial: the trailing doc groupby then moves
+        # <= partitions x docs rows, not the gram table again
+        t = pa.table({
             id_col: b.column(id_col),
-            "n_grams": occ,
-            "n_kept": pc.if_else(keep, occ, z),
-            "kept_chars": pc.if_else(keep, chars, z)})
+            "n_grams": pa.array(occ, pa.int64()),
+            "n_kept": pa.array(_np.where(keep, occ, z), pa.int64()),
+            "kept_chars": pa.array(_np.where(keep, chars, z),
+                                   pa.int64())})
+        gsum = t.group_by([id_col]).aggregate(
+            [("n_grams", "sum"), ("n_kept", "sum"),
+             ("kept_chars", "sum")])
+        return pa.table({
+            id_col: gsum.column(id_col),
+            "n_grams": gsum.column("n_grams_sum"),
+            "n_kept": gsum.column("n_kept_sum"),
+            "kept_chars": gsum.column("kept_chars_sum")})
 
-    return (joined.map_batches(kept, batch_format="pyarrow")
+    kept_rows = keyed_fold(gc, ["gram"], df_kept,
+                           num_partitions=num_partitions)
+
+    return (kept_rows
             .groupby(id_col)
             .aggregate(agg.Sum("n_grams", alias_name="n_grams"),
                        agg.Sum("n_kept", alias_name="n_kept"),

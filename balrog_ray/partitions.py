@@ -100,6 +100,12 @@ def keyed_fold(ds, keys, fold_fn, *, num_partitions: int):
     ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
     ds.context.join_operator_actor_num_cpus_per_partition_override = 0.01
+    # ops chained onto the fold's result inherit this plan's HASH
+    # strategy; the default 200-partition / 64-actor hash aggregate
+    # costs seconds of pool startup, so trailing groupbys reuse the
+    # fold's own width (sized from the same data by shuffle_width)
+    ds.context.default_hash_shuffle_parallelism = int(
+        max(8, num_partitions))
     return (ds.repartition(num_partitions, keys=list(keys),
                            shuffle=False)
             .map_batches(fold_fn, batch_format="pyarrow",
