@@ -913,8 +913,10 @@ where n_chars > 300 group by source
 
 def q_ann_topk(sf_dir: str):
     from ..functions.ann import brute_force_topk
+    from .rows_only import _head_rows
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = _head_rows(f"{sf_dir}/embeddings.parquet",
+                     ["vec_id", "embedding"], 64)
     qmask = pc.less(emb.column("vec_id"), 3)
     qtab = emb.filter(qmask)
     qids = qtab.column("vec_id").to_pylist()

@@ -72,18 +72,22 @@ def test_forced_join_path_matches_oracle(ray_session, oracle_con,
 def test_no_unconditional_sf_dim_reads():
     """No query may read an SF-growing table (part/supplier/customer/
     orders/lineitem/documents/events/embeddings) wholly onto the driver
-    with pq.read_table -- only the constant-size nation/region dims and
-    the tiny embeddings fixture are exempt."""
+    with pq.read_table -- only the constant-size nation/region dims are
+    exempt (bounded seed reads go through rows_only._head_rows, which
+    reads one row group)."""
     import inspect
 
-    from balrog_ray.relational import queries
+    from balrog_ray.relational import queries, rows_only
 
-    src = inspect.getsource(queries)
-    for line in src.splitlines():
-        if "pq.read_table" not in line or line.lstrip().startswith("#"):
-            continue
-        assert not any(f"{t}.parquet" in line
-                       for t in ("part", "supplier", "customer",
-                                 "orders", "lineitem", "documents",
-                                 "events")), (
-            f"unconditional driver read of an SF-growing table: {line}")
+    for mod in (queries, rows_only):
+        src = inspect.getsource(mod)
+        for line in src.splitlines():
+            if ("pq.read_table" not in line
+                    or line.lstrip().startswith("#")):
+                continue
+            assert not any(f"{t}.parquet" in line
+                           for t in ("part", "supplier", "customer",
+                                     "orders", "lineitem", "documents",
+                                     "events", "embeddings")), (
+                f"unconditional driver read of an SF-growing table "
+                f"in {mod.__name__}: {line}")
