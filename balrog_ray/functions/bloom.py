@@ -51,7 +51,7 @@ def build_bloom(ds, key_col: str, *, n_bits: int = 1 << 20, k: int = 4):
     import ray
 
     for tab in ray.get(ds.map_batches(partial, batch_format="pyarrow")
-                       .to_arrow_refs()):
+                       .materialize().to_arrow_refs()):
         for row in tab.column("bits").to_pylist():
             out |= np.frombuffer(row, dtype=np.uint64)
     return out

@@ -59,7 +59,7 @@ def _hash_sample_matrix(emb_ds, id_col: str, vec_col: str,
     tabs = [t for t in ray.get(
         emb_ds.select_columns([id_col, vec_col])
         .map_batches(partial, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
+        .materialize().to_arrow_refs()) if t.num_rows]
     tab = pa.concat_tables(tabs)
     pick = np.argsort(tab.column("h").to_numpy(), kind="stable")[:sample_size]
     return np.array(tab.column(vec_col).take(pa.array(pick)).to_pylist(),
@@ -142,7 +142,7 @@ def kmeans_fit(emb_ds, k: int, *, id_col: str = "vec_id",
         ref = ray.put(cents)
         parts = [t for t in ray.get(
             ds.map_batches(partial_fn(ref), batch_format="pyarrow",
-                           batch_size=batch_size).to_arrow_refs())
+                           batch_size=batch_size).materialize().to_arrow_refs())
             if t.num_rows]
         counts = np.zeros(k_eff, dtype=np.int64)
         sums = np.zeros((k_eff, d), dtype=np.float64)

@@ -193,7 +193,7 @@ def minhash_lsh_pairs(docs_ds, id_col: str = "doc_id",
     # Shingle sets are computed in a column-pruned second pass over the
     # docs table and meet their pairs through two candidate-scale joins.
     ctabs = [t for t in ray.get(
-        cand.select_columns(["id_a", "id_b"]).to_arrow_refs()) if t.num_rows]
+        cand.select_columns(["id_a", "id_b"]).materialize().to_arrow_refs()) if t.num_rows]
     empty = pa.table({"id_a": pa.array([], id_type),
                       "id_b": pa.array([], id_type),
                       "jaccard": pa.array([], pa.float64())})
@@ -569,7 +569,7 @@ def cosine_pairs_exact(emb_ds, id_col: str = "vec_id",
     """
     import ray
 
-    tabs = ray.get(emb_ds.select_columns([id_col, vec_col]).to_arrow_refs())
+    tabs = ray.get(emb_ds.select_columns([id_col, vec_col]).materialize().to_arrow_refs())
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         import ray.data

@@ -222,7 +222,7 @@ def _pagerank_exact_broadcast(edges_ds, num_nodes: int, *, iters: int,
 
     parts = [t for t in ray.get(
         edges.map_batches(deg_partial, batch_format="pyarrow")
-        .to_arrow_refs()) if t.num_rows]
+        .materialize().to_arrow_refs()) if t.num_rows]
     nd = np.concatenate([t.column("node").to_numpy() for t in parts])
     dg = np.concatenate([t.column("deg").to_numpy() for t in parts])
     order = np.argsort(nd, kind="stable")
@@ -258,7 +258,7 @@ def _pagerank_exact_broadcast(edges_ds, num_nodes: int, *, iters: int,
 
         ptabs = [t for t in ray.get(
             edges.map_batches(contrib_partial, batch_format="pyarrow")
-            .to_arrow_refs()) if t.num_rows]
+            .materialize().to_arrow_refs()) if t.num_rows]
         inflow = np.zeros(len(nodes), np.int64)
         for t in ptabs:
             pn = t.column("node").to_numpy()
@@ -773,7 +773,7 @@ def kcore(edges_ds, k: int, *, max_rounds: int = 32,
 
             parts = [t for t in ray.get(
                 edges.map_batches(deg_partial, batch_format="pyarrow")
-                .to_arrow_refs()) if t.num_rows]
+                .materialize().to_arrow_refs()) if t.num_rows]
             nd = np.concatenate([t.column("node").to_numpy()
                                  for t in parts])
             dg = np.concatenate([t.column("deg").to_numpy()

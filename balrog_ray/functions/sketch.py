@@ -215,7 +215,7 @@ def heavy_hitter_tokens(ds, col: str = "text", width: int = 512,
 
     parts = ray.get(ds.select_columns([col])
                     .map_batches(partial, batch_format="pyarrow")
-                    .to_arrow_refs())
+                    .materialize().to_arrow_refs())
     merged: Counter = Counter()
     total = 0
     for t in parts:
@@ -293,7 +293,7 @@ def hll_distinct(ds, col: str, p: int = _HLL_P):
 
     parts = ray.get(ds.select_columns([col])
                     .map_batches(partial, batch_format="pyarrow")
-                    .to_arrow_refs())
+                    .materialize().to_arrow_refs())
     regs = np.zeros(m, np.uint8)
     for t in parts:
         for blob in t.column("regs").to_pylist():

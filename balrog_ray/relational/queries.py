@@ -58,7 +58,10 @@ def _collect(ds) -> pa.Table:
     degrade to empty results instead of crashing."""
     import ray
 
-    tabs = ray.get(ds.to_arrow_refs())
+    # materialize FIRST: to_arrow_refs on a lazy dataset runs the plan
+    # AND a limit-1 schema probe -- two full executions of an
+    # aggregate-rooted plan (measured 2x phase cost on winsorize)
+    tabs = ray.get(ds.materialize().to_arrow_refs())
     non_empty = [t for t in tabs if t.num_rows]
     if non_empty:
         return pa.concat_tables(non_empty)

@@ -146,6 +146,38 @@ def q_partitioned_join_sites(sf_dir: str):
         veg_polygon_table(cfg), cfg.grid, hot_cell_threshold=3, n_salt=2)
 
 
+def q_veg_within_range(sf_dir: str):
+    """RANGE spatial join on the synthetic world: every (site, veg
+    polygon) pair within 40 m -- the neighborhood generalization of the
+    nearest-veg join (the reference reports only the single nearest,
+    xx_fiona_testing.py:205-218).  Brute-force parity in
+    tests/test_spatial_join.py."""
+    import ray.data
+
+    from ..stages.spatial_join import within_distance_join
+    from ..tiles.synth import sites_table, veg_polygon_table
+
+    cfg = _t1_cfg()
+    return within_distance_join(
+        ray.data.from_arrow(sites_table(cfg, n=64)),
+        veg_polygon_table(cfg), max_dist=40.0)
+
+
+def q_veg_knn3(sf_dir: str):
+    """k-NN polygon join (k=3 nearest veg polygons per site, distance
+    ties to lowest gid) on the synthetic world -- the k>1 sibling of
+    the range join above."""
+    import ray.data
+
+    from ..stages.spatial_join import within_distance_join
+    from ..tiles.synth import sites_table, veg_polygon_table
+
+    cfg = _t1_cfg()
+    return within_distance_join(
+        ray.data.from_arrow(sites_table(cfg, n=64)),
+        veg_polygon_table(cfg), max_dist=200.0, k=3)
+
+
 def q_wgs84_veg_distance(sf_dir: str):
     """Distance-to-vegetation on the WGS84 ELLIPSOID
     (metric='geodesic_wgs84', geo/wgs84.py Vincenty): lon/lat sites
@@ -3848,6 +3880,8 @@ ROWS_ONLY = {
     "spatial_join_sites": q_spatial_join_sites,
     "partitioned_join_sites": q_partitioned_join_sites,
     "wgs84_veg_distance": q_wgs84_veg_distance,
+    "veg_within_range": q_veg_within_range,
+    "veg_knn3": q_veg_knn3,
     "polygon_cell_cover": q_polygon_cell_cover,
     "quad_polygon_cover": q_quad_polygon_cover,
     "buffer_clip_areas": q_buffer_clip_areas,

@@ -28,7 +28,7 @@ def cells_of(dsx) -> np.ndarray:
     import ray
 
     tabs = [t for t in ray.get(
-        dsx.select_columns(["cell_id"]).to_arrow_refs()) if t.num_rows]
+        dsx.select_columns(["cell_id"]).materialize().to_arrow_refs()) if t.num_rows]
     if not tabs:
         return np.empty(0, np.int64)
     return np.unique(pa.concat_tables(tabs).column("cell_id")

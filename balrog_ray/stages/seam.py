@@ -256,7 +256,7 @@ def extract_seam(m_ds, spec: GridSpec, *, layer: str = "seam_m"):
 
     TX, TY, T = spec.tiles_x, spec.tiles_y, spec.tile_px
     tiles = {}
-    for t in ray.get(m_ds.to_arrow_refs()):
+    for t in ray.get(m_ds.materialize().to_arrow_refs()):
         for i in range(t.num_rows):
             cap = Caption.from_json(t.column("caption")[i].as_py())
             if cap.layer != layer:

@@ -269,6 +269,185 @@ class _PolyIndex:
         }, schema=JOIN_SCHEMA)
 
 
+PAIRS_SCHEMA = pa.schema([
+    ("site_id", pa.string()),
+    ("gid", pa.int64()),
+    ("bal_number", pa.int16()),
+    ("distance_m", pa.float64()),
+    ("contains", pa.bool_()),
+])
+
+
+def _pairs_within(idx: "_PolyIndex", site_id, x, y, max_dist: float,
+                  metric: str = "planar",
+                  k: int | None = None) -> pa.Table:
+    """RANGE / k-NN generalization of :meth:`_PolyIndex.join_points`:
+    ONE ROW PER (site, polygon) pair within ``max_dist`` -- or, with
+    ``k``, each site's k nearest polygons (distance ties: lowest gid)
+    -- with ``distance_m`` (0 inside) and a ``contains`` flag.  Shares
+    the join_points candidate kernel (STR-tree query, per-pair min
+    edge distance, even-odd containment); multipolygon parts collapse
+    to their gid's minimum distance before selection."""
+    geodesic = metric in ("geodesic_sphere", "geodesic_wgs84")
+    if metric not in ("planar", "geodesic_sphere", "geodesic_wgs84"):
+        raise ValueError(
+            "metric must be planar|geodesic_sphere|geodesic_wgs84, "
+            f"got {metric!r}")
+    empty = pa.table({
+        "site_id": pa.array([], pa.string()),
+        "gid": pa.array([], pa.int64()),
+        "bal_number": pa.array([], pa.int16()),
+        "distance_m": pa.array([], pa.float64()),
+        "contains": pa.array([], pa.bool_())}, schema=PAIRS_SCHEMA)
+    xs = np.asarray(x, dtype=np.float64)
+    ys = np.asarray(y, dtype=np.float64)
+    if len(xs) == 0:
+        return empty
+    if geodesic:
+        pad_lat = max_dist / 111320.0 * 1.05
+        pad_lon = pad_lat / np.maximum(
+            np.cos(np.deg2rad(np.abs(ys))), 0.01)
+        qboxes = np.column_stack([xs - pad_lon, ys - pad_lat,
+                                  xs + pad_lon, ys + pad_lat])
+    else:
+        qboxes = np.column_stack([xs - max_dist, ys - max_dist,
+                                  xs + max_dist, ys + max_dist])
+    I, J = idx.tree.query_many(qboxes)
+    if len(I) and not geodesic:
+        bb = idx.tree.boxes[J]
+        dx = np.maximum(np.maximum(bb[:, 0] - xs[I], 0.0),
+                        xs[I] - bb[:, 2])
+        dy = np.maximum(np.maximum(bb[:, 1] - ys[I], 0.0),
+                        ys[I] - bb[:, 3])
+        keep = dx * dx + dy * dy <= max_dist * max_dist
+        I, J = I[keep], J[keep]
+    if len(I) == 0:
+        return empty
+    pts = np.column_stack([xs, ys])
+    counts = idx.edge_starts[J + 1] - idx.edge_starts[J]
+    nr = int(counts.sum())
+    pair_ptr = np.concatenate([[0], np.cumsum(counts)])
+    pair_of_row = np.repeat(np.arange(len(I)), counts)
+    row_local = np.arange(nr) - np.repeat(pair_ptr[:-1], counts)
+    e_idx = np.repeat(idx.edge_starts[J], counts) + row_local
+    P = pts[I][pair_of_row]
+    A = idx.edge_a[e_idx]
+    Dd = idx.edge_d[e_idx]
+    t = np.clip(((P - A) * Dd).sum(axis=1) / idx.edge_len2[e_idx],
+                0.0, 1.0)
+    proj = A + t[:, None] * Dd
+    dvec = P - proj
+    dist2 = (dvec * dvec).sum(axis=1)
+    minv = np.minimum.reduceat(dist2, pair_ptr[:-1])
+    eq_rows = np.flatnonzero(dist2 == minv[pair_of_row])
+    pair_eq = pair_of_row[eq_rows]
+    first = np.concatenate([[True], pair_eq[1:] != pair_eq[:-1]])
+    wrow = eq_rows[first]
+    D = np.sqrt(dist2[wrow])
+    NEAR = proj[wrow]
+    py, px = P[:, 1], P[:, 0]
+    y0 = A[:, 1]
+    y1 = A[:, 1] + Dd[:, 1]
+    crosses = (y0 > py) != (y1 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xin = A[:, 0] + (py - y0) * Dd[:, 0] / Dd[:, 1]
+    hits = crosses & (px < xin)
+    INS = (np.add.reduceat(hits, pair_ptr[:-1]) % 2).astype(bool)
+    D = np.where(INS, 0.0, D)
+    NEAR = np.where(INS[:, None], pts[I], NEAR)
+
+    # collapse exploded multipolygon parts: min distance per
+    # (site, gid); containment wins over proximity
+    G = idx.gids[J]
+    order = np.lexsort((~INS, D, G, I))
+    I, G, D, INS, NEAR = (I[order], G[order], D[order], INS[order],
+                          NEAR[order])
+    J = J[order]
+    firstg = np.concatenate(
+        [[True], (I[1:] != I[:-1]) | (G[1:] != G[:-1])])
+    I, G, D, INS, NEAR, J = (I[firstg], G[firstg], D[firstg],
+                             INS[firstg], NEAR[firstg], J[firstg])
+
+    if geodesic:
+        p0 = pts[I]
+        if metric == "geodesic_wgs84":
+            from ..geo.wgs84 import wgs84_inverse
+
+            gd, _, _ = wgs84_inverse(p0[:, 0], p0[:, 1],
+                                     NEAR[:, 0], NEAR[:, 1])
+        else:
+            from ..geo.geodesic import haversine_m
+
+            gd = haversine_m(p0[:, 0], p0[:, 1],
+                             NEAR[:, 0], NEAR[:, 1])
+        D = np.where(INS, 0.0, gd)
+    keep = D <= max_dist
+    I, G, D, INS, J = I[keep], G[keep], D[keep], INS[keep], J[keep]
+    if k is not None and len(I):
+        order = np.lexsort((G, D, I))
+        I, G, D, INS, J = (I[order], G[order], D[order], INS[order],
+                           J[order])
+        starts = np.flatnonzero(np.r_[True, I[1:] != I[:-1]])
+        rank = np.arange(len(I)) - np.repeat(starts,
+                                             np.diff(np.r_[starts,
+                                                           len(I)]))
+        keep = rank < k
+        I, G, D, INS, J = I[keep], G[keep], D[keep], INS[keep], J[keep]
+    sid_arr = (site_id if isinstance(site_id, (pa.Array,
+                                               pa.ChunkedArray))
+               else pa.array(site_id))
+    if isinstance(sid_arr, pa.ChunkedArray):
+        sid_arr = sid_arr.combine_chunks()
+    sid = sid_arr.take(pa.array(I, pa.int64()))
+    return pa.table({
+        "site_id": sid.cast(pa.string()),
+        "gid": pa.array(G, pa.int64()),
+        "bal_number": pa.array(idx.classes[J], pa.int16()),
+        "distance_m": pa.array(D, pa.float64()),
+        "contains": pa.array(INS)}, schema=PAIRS_SCHEMA)
+
+
+class WithinJoinActor:
+    """Actor-pool stage for the range / k-NN polygon join: polygons
+    ride the object store once, the STR-tree is built per actor, each
+    batch of sites emits its (site, polygon) pair rows."""
+
+    def __init__(self, veg_ref, max_dist: float, metric: str = "planar",
+                 k: int | None = None):
+        import ray
+
+        self.index = _PolyIndex(ray.get(veg_ref))
+        self.max_dist = max_dist
+        self.metric = metric
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _pairs_within(
+            self.index, batch.column("site_id"),
+            batch.column("x").to_numpy(), batch.column("y").to_numpy(),
+            self.max_dist, metric=self.metric, k=self.k)
+
+
+def within_distance_join(sites_ds, veg_table: pa.Table, *,
+                         max_dist: float, k: int | None = None,
+                         metric: str = "planar", concurrency=(1, 4),
+                         batch_size: int = 4096):
+    """All (site, polygon) pairs within ``max_dist`` (the RANGE spatial
+    join), or each site's ``k`` nearest polygons -- the k>1 / range
+    generalization of :func:`broadcast_spatial_join` (the reference
+    reports only the single nearest vegetation polygon,
+    xx_fiona_testing.py:205-218; factor analysis wants the
+    neighborhood).  Brute-force parity in tests/test_spatial_join.py."""
+    import ray
+
+    veg_ref = ray.put(veg_table)
+    return sites_ds.map_batches(
+        WithinJoinActor,
+        fn_constructor_args=(veg_ref, max_dist, metric, k),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 class VegJoinActor:
     """Actor-pool stage: ``map_batches(VegJoinActor, fn_constructor_args=
     (veg_ref, max_dist), concurrency=N)``.  The polygon table rides the

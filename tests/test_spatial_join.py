@@ -378,3 +378,84 @@ def test_geodesic_join_matches_bruteforce(ray_session):
 def test_join_metric_validation():
     with pytest.raises(ValueError, match="metric"):
         sj.broadcast_spatial_join(None, None, metric="spherical")
+
+
+def test_within_distance_join_matches_bruteforce(ray_session):
+    """Range join (all polygons within max_dist) and k-NN join (k
+    nearest) against a per-site brute-force polygon_distance sweep,
+    planar metric, multipolygon parts collapsing to their gid."""
+    import ray.data
+
+    from balrog_ray.geo.geometry import Polygon, polygon_distance
+    from balrog_ray.geo.wkb import multipolygon_to_wkb, polygon_to_wkb
+    from balrog_ray.stages.spatial_join import within_distance_join
+
+    rng = np.random.default_rng(17)
+    polys, gids, classes, wkbs = [], [], [], []
+    for g in range(8):
+        cx, cy = rng.uniform(50, 950, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 7))
+        rad = rng.uniform(30, 120)
+        ring = np.column_stack([cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)])
+        p = Polygon(ring)
+        polys.append([p])
+        gids.append(g)
+        classes.append(int(rng.integers(1, 8)))
+        wkbs.append(polygon_to_wkb(p))
+    # one 2-part multipolygon: its parts must collapse to min distance
+    pa_ = Polygon(np.array([[0.0, 0.0], [60, 0], [60, 60], [0, 60],
+                            [0, 0]]))
+    pb_ = Polygon(np.array([[900.0, 900], [980, 900], [980, 980],
+                            [900, 980], [900, 900]]))
+    polys.append([pa_, pb_])
+    gids.append(8)
+    classes.append(4)
+    wkbs.append(multipolygon_to_wkb([pa_, pb_]))
+    veg = pa.table({
+        "gid": pa.array(gids, pa.int64()),
+        "bal_number": pa.array(classes, pa.int16()),
+        "geom": pa.array(wkbs, pa.binary())})
+    n = 300
+    sites = pa.table({
+        "site_id": pa.array([f"s{i:04d}" for i in range(n)], pa.string()),
+        "x": pa.array(rng.uniform(0, 1000, n)),
+        "y": pa.array(rng.uniform(0, 1000, n))})
+    max_m = 250.0
+
+    def brute(k=None):
+        want = {}
+        for r in sites.to_pylist():
+            pt = np.array([[r["x"], r["y"]]])
+            rows = []
+            for gid, parts in zip(gids, polys):
+                best, inside = np.inf, False
+                for p in parts:
+                    d, _, ins = polygon_distance(pt, p)
+                    dd = 0.0 if ins[0] else float(d[0])
+                    if ins[0]:
+                        inside = True
+                    best = min(best, dd)
+                if best <= max_m:
+                    rows.append((best, gid, inside))
+            rows.sort()
+            if k is not None:
+                rows = rows[:k]
+            want[r["site_id"]] = {(g, round(d, 9), i)
+                                  for d, g, i in rows}
+        return want
+
+    for k in (None, 2):
+        got_rows = within_distance_join(
+            ray.data.from_arrow(sites), veg, max_dist=max_m,
+            k=k).take_all()
+        got = {}
+        for r in got_rows:
+            got.setdefault(r["site_id"], set()).add(
+                (r["gid"], round(r["distance_m"], 9), r["contains"]))
+        want = brute(k)
+        for sid_, w in want.items():
+            assert got.get(sid_, set()) == w, (k, sid_, w,
+                                               got.get(sid_))
+        extra = set(got) - set(want)
+        assert not any(got[s] for s in extra)
