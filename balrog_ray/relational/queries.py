@@ -651,6 +651,58 @@ from events group by 1, 2
 
 
 # --------------------------------------------------------------------------
+# 10b. watermark-gated streaming window (late-event drop semantics)
+
+_WM_WINDOW_US = 3_600_000_000       # 1 h tumbling
+_WM_LATENESS_US = 1_800_000_000     # 30 min allowed lateness
+
+
+def q_watermark_window(sf_dir: str):
+    """STREAMING window semantics replayed deterministically: per-key
+    arrival order is ascending event_id, the watermark is
+    ``max(prior ts) - 30 min``, and an event whose 1 h tumbling window
+    already closed (window end <= watermark at arrival) is DROPPED from
+    the aggregate and counted late -- the Beam/Flink late-data
+    contract, expressed as one keyed fold (stages/streaming.py) and
+    replayed by the oracle's running-max window expression."""
+    from ..stages.streaming import watermark_tumbling
+
+    return watermark_tumbling(
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", seq_col="event_id",
+        value_col="value", window_us=_WM_WINDOW_US,
+        lateness_us=_WM_LATENESS_US,
+        num_partitions=_join_parts(sf_dir, "events"))
+
+
+SQL_WATERMARK_WINDOW = f"""
+with s as (
+  select user_id, event_id, epoch_us(ts) as tus,
+         cast(round(value * 100) as bigint) as v_c,
+         max(epoch_us(ts)) over (partition by user_id order by event_id
+             rows between unbounded preceding and 1 preceding)
+           as prev_max
+  from events),
+w as (
+  select user_id,
+         (tus // {_WM_WINDOW_US}) * {_WM_WINDOW_US} as win_start,
+         v_c,
+         case when prev_max is null
+                or (tus // {_WM_WINDOW_US}) * {_WM_WINDOW_US}
+                   + {_WM_WINDOW_US} > prev_max - {_WM_LATENESS_US}
+              then 1 else 0 end as ok
+  from s)
+select user_id, win_start,
+       cast(sum(ok) as bigint) as n_admitted,
+       cast(count(*) - sum(ok) as bigint) as n_late,
+       cast(sum(case when ok = 1 then v_c else 0 end) as bigint)
+         as admitted_v_c
+from w group by 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # 11. top-k (sort + limit with deterministic tie-break)
 
 def q_topk_orders(sf_dir: str):
@@ -7077,6 +7129,7 @@ SQL_CHECKED = {
     "explode_tokens": (q_explode_tokens, SQL_EXPLODE_TOKENS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "buffer_bbox_area": (q_buffer_bbox_area, SQL_BUFFER_BBOX_AREA),

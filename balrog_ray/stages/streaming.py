@@ -1,0 +1,122 @@
+"""Watermark-gated streaming windows -- the stateful STREAMING shape of
+the window family (tumbling/hopping/sessionize in relational/queries are
+the batch shapes).
+
+A streaming engine ingests events in ARRIVAL order, advances a watermark
+``wm = max(event time seen) - allowed_lateness``, finalizes a tumbling
+window once ``wm`` passes its end, and DROPS events arriving for already
+-finalized windows (the late-data contract of Beam/Flink-style
+watermarking).  This module replays those semantics exactly and
+deterministically over a batch Dataset: arrival order is the explicit
+``seq`` column (per key), so the result is a pure function of the data
+-- replayable by a SQL window expression, hence SQL-checkable, while
+still exercising genuinely streaming semantics (admission depends on a
+RUNNING state, not on any whole-window property).
+
+Scale shape: ONE keyed fold co-locates each key's full stream; inside
+the fold everything is numpy (running max per key segment, vectorized
+window binning, composite-key partial aggregation), and the per-block
+output is bounded by (keys x windows), not events.  The per-key
+watermark matches a sharded streaming deployment where each key's
+events ride one ingest shard (the same partitioning assumption the
+incremental MinHash index documents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
+                       value_col: str, window_us: int, lateness_us: int,
+                       num_partitions: int = 8):
+    """Per-key watermark tumbling windows: returns one row per
+    (key, win_start) with ``n_admitted``, ``n_late`` and the exact
+    integer-cents sum of admitted values.
+
+    An event is LATE (dropped from the aggregate, counted in
+    ``n_late``) iff its window's end is not after the watermark at its
+    arrival: ``win_start + window_us <= max(prior ts) - lateness_us``,
+    with arrival order = ascending ``seq_col`` within the key.
+    """
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "win_start": pa.array([], pa.int64()),
+            "n_admitted": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64()),
+            "admitted_v_c": pa.array([], pa.int64())})
+        if b.num_rows == 0 or key_col not in b.column_names:
+            return empty
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            b, sort_keys=[(key_col, "ascending"),
+                          (seq_col, "ascending")])
+        b = b.take(order)
+        keys = b.column(key_col).to_numpy()
+        ts_field = b.column(ts_col)
+        if pa.types.is_timestamp(ts_field.type):
+            ts_field = ts_field.cast(pa.timestamp("us"))
+            tus = ts_field.to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+        else:
+            tus = ts_field.to_numpy().astype(np.int64)
+        v_c = np.rint(b.column(value_col).to_numpy()
+                      * 100.0).astype(np.int64)
+
+        # running max of PRIOR ts, restarted per key segment: offset
+        # each segment into its own disjoint band (2^52 apart -- a
+        # year of microseconds is ~2^45), cummax the banded values,
+        # shift by one; a prior that lands below its own band came
+        # from the previous key == "no prior event yet"
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        seg_head = np.zeros(len(tus), np.int64)
+        seg_head[starts] = 1
+        seg_id = np.cumsum(seg_head) - 1
+        t0 = tus.min()
+        band = seg_id << np.int64(52)
+        banded = np.maximum.accumulate(band + (tus - t0))
+        prior = np.empty(len(tus), np.int64)
+        prior[0] = -1
+        prior[1:] = banded[:-1]
+        local_prior = prior - band
+        no_prior = local_prior < 0           # segment heads included
+        NEG = np.int64(-(1 << 62))
+        prev_max = np.where(no_prior, NEG, local_prior + t0)
+
+        win_start = (tus // window_us) * window_us
+        ok = no_prior | (win_start + window_us
+                         > prev_max - lateness_us)
+
+        # composite (key, window) group id: window index rebased per
+        # block so any epoch/window combination fits the 22-bit band
+        wi = win_start // window_us
+        wi = wi - wi.min()
+        if wi.max() >= (1 << 22) or keys.min() < 0:
+            raise ValueError(
+                "watermark_tumbling: key/window range exceeds the "
+                "composite grouping band (negative keys or > 4M "
+                "distinct windows per key partition)")
+        comp = keys * np.int64(1 << 22) + wi
+        u, inv = np.unique(comp, return_inverse=True)
+        n_adm = np.zeros(len(u), np.int64)
+        n_late = np.zeros(len(u), np.int64)
+        v_adm = np.zeros(len(u), np.int64)
+        np.add.at(n_adm, inv, ok.astype(np.int64))
+        np.add.at(n_late, inv, (~ok).astype(np.int64))
+        np.add.at(v_adm, inv, np.where(ok, v_c, 0))
+        rep = np.full(len(u), -1, np.int64)
+        rep[inv] = np.arange(len(inv))       # one source row per group
+        return pa.table({
+            key_col: pa.array(keys[rep], pa.int64()),
+            "win_start": pa.array(win_start[rep], pa.int64()),
+            "n_admitted": pa.array(n_adm, pa.int64()),
+            "n_late": pa.array(n_late, pa.int64()),
+            "admitted_v_c": pa.array(v_adm, pa.int64())})
+
+    return keyed_fold(ds, [key_col], fold,
+                      num_partitions=num_partitions)

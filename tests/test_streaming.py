@@ -1,0 +1,105 @@
+"""Watermark-gated streaming windows (stages/streaming.py) against a
+scalar stream-replay oracle: events are replayed one at a time in
+arrival (seq) order per key, the watermark advances as
+max(prior ts) - lateness, and an event whose tumbling window already
+closed is dropped late -- the driver-table oracle can't exercise
+lateness (its events arrive nearly ordered), so this synthesizes
+genuinely out-of-order arrivals."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+W = 100          # window_us
+L = 30           # lateness_us
+
+
+def replay_oracle(rows):
+    """rows: (key, seq, ts, value_cents).  Returns {(key, win_start):
+    (n_admitted, n_late, admitted_sum)}."""
+    out = {}
+    by_key = {}
+    for k, s, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((t, v))
+    for k, evs in by_key.items():
+        wm = None
+        for t, v in evs:
+            ws = (t // W) * W
+            late = wm is not None and ws + W <= wm
+            key = (k, ws)
+            na, nl, sv = out.get(key, (0, 0, 0))
+            if late:
+                out[key] = (na, nl + 1, sv)
+            else:
+                out[key] = (na + 1, nl, sv + v)
+            wm = t - L if wm is None else max(wm, t - L)
+    return out
+
+
+def _run(rows, ray_session):
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.streaming import watermark_tumbling
+
+    tab = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "tus": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] / 100.0 for r in rows], pa.float64())})
+    ds = ray.data.from_arrow(tab)
+    out = watermark_tumbling(ds, key_col="k", ts_col="tus",
+                             seq_col="seq", value_col="value",
+                             window_us=W, lateness_us=L,
+                             num_partitions=4)
+    got = {}
+    for r in [x for t in ray.get(out.to_arrow_refs())
+              for x in t.to_pylist()]:
+        got[(r["k"], r["win_start"])] = (r["n_admitted"], r["n_late"],
+                                         r["admitted_v_c"])
+    return got
+
+
+def test_late_events_dropped_exactly(ray_session):
+    # key 1: an event at t=350 advances the watermark to 320; the
+    # arrival at t=90 (window [0,100) closed long ago) must be late;
+    # the arrival at t=310 (window [300,400) still open) must admit
+    rows = [(1, 0, 10, 100), (1, 1, 350, 200), (1, 2, 90, 400),
+            (1, 3, 310, 800)]
+    got = _run(rows, ray_session)
+    assert got == replay_oracle(rows)
+    assert got[(1, 0)] == (1, 1, 100)        # t=90 dropped late
+    assert got[(1, 300)] == (2, 0, 1000)     # t=310 admitted
+
+
+def test_boundary_window_end_equals_watermark(ray_session):
+    # watermark exactly AT the window end closes it (<= rule)
+    rows = [(2, 0, 230, 10), (2, 1, 95, 20)]
+    # wm before seq 1 = 230 - 30 = 200; window of 95 is [0,100),
+    # end 100 <= 200 -> late
+    got = _run(rows, ray_session)
+    assert got == replay_oracle(rows)
+    assert got[(2, 0)] == (0, 1, 0)
+    rows = [(3, 0, 128, 10), (3, 1, 95, 20)]
+    # wm = 98; window end 100 > 98 -> admitted
+    got = _run(rows, ray_session)
+    assert got == replay_oracle(rows)
+    assert got[(3, 0)] == (1, 0, 20)
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_streams_match_replay(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    rows = []
+    seqs = {}
+    for _ in range(600):
+        k = int(rng.integers(0, 12))
+        s = seqs.get(k, 0)
+        seqs[k] = s + 1
+        # heavy-tailed backwards jitter so some windows re-open late
+        t = int(rng.integers(0, 2000)) + int(rng.exponential(50))
+        rows.append((k, s, t, int(rng.integers(0, 1000))))
+    got = _run(rows, ray_session)
+    want = replay_oracle(rows)
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0   # lateness exercised
