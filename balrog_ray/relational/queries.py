@@ -701,6 +701,53 @@ select user_id, win_start,
 from w group by 1, 2
 """
 
+_WM_HOP_US = 1_800_000_000          # 30 min hop -> 2 instances/event
+
+
+def q_watermark_hopping(sf_dir: str):
+    """Hopping sibling of :func:`q_watermark_window`: every event lands
+    in window_us/hop_us overlapping instances and the late/admit
+    decision is PER INSTANCE -- one arrival can be late for its older
+    panes and admitted to its newer ones (a streaming engine's
+    per-pane firing)."""
+    from ..stages.streaming import watermark_tumbling
+
+    return watermark_tumbling(
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", seq_col="event_id",
+        value_col="value", window_us=_WM_WINDOW_US,
+        lateness_us=_WM_LATENESS_US, hop_us=_WM_HOP_US,
+        num_partitions=_join_parts(sf_dir, "events"))
+
+
+SQL_WATERMARK_HOPPING = f"""
+with s as (
+  select user_id, event_id, epoch_us(ts) as tus,
+         cast(round(value * 100) as bigint) as v_c,
+         max(epoch_us(ts)) over (partition by user_id order by event_id
+             rows between unbounded preceding and 1 preceding)
+           as prev_max
+  from events),
+w as (
+  select user_id, v_c, prev_max,
+         ((tus // {_WM_HOP_US}) - j) * {_WM_HOP_US} as win_start
+  from s, unnest(range(0, {_WM_WINDOW_US // _WM_HOP_US})) as t(j)),
+f as (
+  select user_id, win_start, v_c,
+         case when prev_max is null
+                or win_start + {_WM_WINDOW_US}
+                   > prev_max - {_WM_LATENESS_US}
+              then 1 else 0 end as ok
+  from w)
+select user_id, win_start,
+       cast(sum(ok) as bigint) as n_admitted,
+       cast(count(*) - sum(ok) as bigint) as n_late,
+       cast(sum(case when ok = 1 then v_c else 0 end) as bigint)
+         as admitted_v_c
+from f group by 1, 2
+"""
+
 
 # --------------------------------------------------------------------------
 # 11. top-k (sort + limit with deterministic tie-break)
@@ -7130,6 +7177,7 @@ SQL_CHECKED = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
+    "watermark_hopping": (q_watermark_hopping, SQL_WATERMARK_HOPPING),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "buffer_bbox_area": (q_buffer_bbox_area, SQL_BUFFER_BBOX_AREA),

@@ -30,17 +30,31 @@ import pyarrow as pa
 
 def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
                        value_col: str, window_us: int, lateness_us: int,
+                       hop_us: int | None = None,
                        num_partitions: int = 8):
-    """Per-key watermark tumbling windows: returns one row per
-    (key, win_start) with ``n_admitted``, ``n_late`` and the exact
-    integer-cents sum of admitted values.
+    """Per-key watermark windows: returns one row per (key, win_start)
+    with ``n_admitted``, ``n_late`` and the exact integer-cents sum of
+    admitted values.  Tumbling by default; with ``hop_us`` (which must
+    divide ``window_us``) each event lands in its ``window_us/hop_us``
+    overlapping HOPPING window instances, admission decided per
+    instance.
 
-    An event is LATE (dropped from the aggregate, counted in
-    ``n_late``) iff its window's end is not after the watermark at its
-    arrival: ``win_start + window_us <= max(prior ts) - lateness_us``,
-    with arrival order = ascending ``seq_col`` within the key.
+    An event is LATE for a window instance (dropped from its
+    aggregate, counted in its ``n_late``) iff that instance's end is
+    not after the watermark at the event's arrival:
+    ``win_start + window_us <= max(prior ts) - lateness_us``, with
+    arrival order = ascending ``seq_col`` within the key.  Under
+    hopping, one arrival can be late for its older instances and
+    admitted to its newer ones -- exactly a streaming engine's
+    per-pane firing behavior.
     """
     from ..partitions import keyed_fold
+
+    if hop_us is None:
+        hop_us = window_us
+    if window_us % hop_us != 0:
+        raise ValueError("hop_us must divide window_us")
+    n_inst = window_us // hop_us
 
     def fold(b: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -88,13 +102,21 @@ def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
         NEG = np.int64(-(1 << 62))
         prev_max = np.where(no_prior, NEG, local_prior + t0)
 
-        win_start = (tus // window_us) * window_us
+        # explode each event into its window instances (1 when
+        # tumbling): instance j covers win_start = (ts//hop - j)*hop
+        rep = np.repeat(np.arange(len(tus)), n_inst)
+        j = np.tile(np.arange(n_inst, dtype=np.int64), len(tus))
+        keys = keys[rep]
+        v_c = v_c[rep]
+        no_prior = no_prior[rep]
+        prev_max = prev_max[rep]
+        win_start = ((tus[rep] // hop_us) - j) * hop_us
         ok = no_prior | (win_start + window_us
                          > prev_max - lateness_us)
 
         # composite (key, window) group id: window index rebased per
         # block so any epoch/window combination fits the 22-bit band
-        wi = win_start // window_us
+        wi = win_start // hop_us
         wi = wi - wi.min()
         if wi.max() >= (1 << 22) or keys.min() < 0:
             raise ValueError(
@@ -109,11 +131,11 @@ def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
         np.add.at(n_adm, inv, ok.astype(np.int64))
         np.add.at(n_late, inv, (~ok).astype(np.int64))
         np.add.at(v_adm, inv, np.where(ok, v_c, 0))
-        rep = np.full(len(u), -1, np.int64)
-        rep[inv] = np.arange(len(inv))       # one source row per group
+        src = np.full(len(u), -1, np.int64)
+        src[inv] = np.arange(len(inv))       # one source row per group
         return pa.table({
-            key_col: pa.array(keys[rep], pa.int64()),
-            "win_start": pa.array(win_start[rep], pa.int64()),
+            key_col: pa.array(keys[src], pa.int64()),
+            "win_start": pa.array(win_start[src], pa.int64()),
             "n_admitted": pa.array(n_adm, pa.int64()),
             "n_late": pa.array(n_late, pa.int64()),
             "admitted_v_c": pa.array(v_adm, pa.int64())})

@@ -103,3 +103,89 @@ def test_random_streams_match_replay(ray_session, seed):
     want = replay_oracle(rows)
     assert got == want
     assert sum(v[1] for v in want.values()) > 0   # lateness exercised
+
+
+def replay_oracle_hopping(rows, window, hop):
+    out = {}
+    by_key = {}
+    for k, s, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((t, v))
+    n_inst = window // hop
+    for k, evs in by_key.items():
+        wm = None
+        for t, v in evs:
+            for j in range(n_inst):
+                ws = (t // hop - j) * hop
+                late = wm is not None and ws + window <= wm
+                key = (k, ws)
+                na, nl, sv = out.get(key, (0, 0, 0))
+                if late:
+                    out[key] = (na, nl + 1, sv)
+                else:
+                    out[key] = (na + 1, nl, sv + v)
+            wm = t - L if wm is None else max(wm, t - L)
+    return out
+
+
+def test_hopping_per_pane_admission(ray_session):
+    """One arrival late for its OLD pane but admitted to its NEW pane:
+    hop=50, window=100 -> the event at t=120 sits in panes [50,150)
+    and [100,200); the prior event at t=210 sets wm=180, so pane
+    [50,150) (end 150 <= 180) is late while [100,200) (end 200 > 180)
+    admits -- the per-pane firing split."""
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.streaming import watermark_tumbling
+
+    rows = [(5, 0, 210, 100), (5, 1, 120, 700)]
+    tab = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "tus": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] / 100.0 for r in rows], pa.float64())})
+    out = watermark_tumbling(
+        ray.data.from_arrow(tab), key_col="k", ts_col="tus",
+        seq_col="seq", value_col="value", window_us=100,
+        lateness_us=L, hop_us=50, num_partitions=2)
+    got = {(r["k"], r["win_start"]):
+           (r["n_admitted"], r["n_late"], r["admitted_v_c"])
+           for t in ray.get(out.to_arrow_refs())
+           for r in t.to_pylist()}
+    assert got == replay_oracle_hopping(rows, 100, 50)
+    assert got[(5, 50)] == (0, 1, 0)      # t=120 late for the old pane
+    assert got[(5, 100)] == (1, 0, 700)   # ... admitted to the new one
+
+
+@pytest.mark.parametrize("seed", [3])
+def test_random_hopping_matches_replay(ray_session, seed):
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.streaming import watermark_tumbling
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    seqs = {}
+    for _ in range(400):
+        k = int(rng.integers(0, 8))
+        s = seqs.get(k, 0)
+        seqs[k] = s + 1
+        t = int(rng.integers(0, 1500)) + int(rng.exponential(40))
+        rows.append((k, s, t, int(rng.integers(0, 1000))))
+    tab = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "tus": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] / 100.0 for r in rows], pa.float64())})
+    out = watermark_tumbling(
+        ray.data.from_arrow(tab), key_col="k", ts_col="tus",
+        seq_col="seq", value_col="value", window_us=100,
+        lateness_us=L, hop_us=25, num_partitions=4)
+    got = {(r["k"], r["win_start"]):
+           (r["n_admitted"], r["n_late"], r["admitted_v_c"])
+           for t in ray.get(out.to_arrow_refs())
+           for r in t.to_pylist()}
+    want = replay_oracle_hopping(rows, 100, 25)
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0
