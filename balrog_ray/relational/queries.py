@@ -748,6 +748,64 @@ select user_id, win_start,
 from f group by 1, 2
 """
 
+_WM_GAP_US = 7_200_000_000          # 2 h session gap
+
+
+def q_watermark_sessions(sf_dir: str):
+    """Watermark SESSION windows: arrivals at or before the watermark
+    (max prior ts - 30 min, arrival order = event_id) are dropped late;
+    admitted events sessionize by EVENT time with a 2 h gap.  One row
+    per session plus the key's late count on each row."""
+    from ..stages.streaming import watermark_sessions
+
+    return watermark_sessions(
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "ts", "value"]),
+        key_col="user_id", ts_col="ts", seq_col="event_id",
+        value_col="value", gap_us=_WM_GAP_US,
+        lateness_us=_WM_LATENESS_US,
+        num_partitions=_join_parts(sf_dir, "events"))
+
+
+SQL_WATERMARK_SESSIONS = f"""
+with s as (
+  select user_id, event_id, epoch_us(ts) as tus,
+         cast(round(value * 100) as bigint) as v_c,
+         max(epoch_us(ts)) over (partition by user_id order by event_id
+             rows between unbounded preceding and 1 preceding)
+           as prev_max
+  from events),
+lt as (
+  select user_id,
+         cast(sum(case when prev_max is not null
+                        and tus <= prev_max - {_WM_LATENESS_US}
+                  then 1 else 0 end) as bigint) as n_late_key
+  from s group by user_id),
+a as (
+  select * from s
+  where prev_max is null or tus > prev_max - {_WM_LATENESS_US}),
+o as (
+  select user_id, tus, v_c, event_id,
+         case when lag(tus) over (partition by user_id
+                                  order by tus, event_id) is null
+                or tus - lag(tus) over (partition by user_id
+                                        order by tus, event_id)
+                   > {_WM_GAP_US}
+              then 1 else 0 end as brk
+  from a),
+g as (
+  select user_id, tus, v_c,
+         sum(brk) over (partition by user_id order by tus, event_id
+                        rows unbounded preceding) as sid
+  from o)
+select g.user_id, cast(min(tus) as bigint) as session_start,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(v_c) as bigint) as session_v_c,
+       lt.n_late_key
+from g join lt on g.user_id = lt.user_id
+group by g.user_id, sid, lt.n_late_key
+"""
+
 
 # --------------------------------------------------------------------------
 # 11. top-k (sort + limit with deterministic tie-break)
@@ -7178,6 +7236,7 @@ SQL_CHECKED = {
     "tumbling_window": (q_tumbling_window, SQL_TUMBLING_WINDOW),
     "watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
     "watermark_hopping": (q_watermark_hopping, SQL_WATERMARK_HOPPING),
+    "watermark_sessions": (q_watermark_sessions, SQL_WATERMARK_SESSIONS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "buffer_bbox_area": (q_buffer_bbox_area, SQL_BUFFER_BBOX_AREA),

@@ -142,3 +142,91 @@ def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
 
     return keyed_fold(ds, [key_col], fold,
                       num_partitions=num_partitions)
+
+
+def watermark_sessions(ds, *, key_col: str, ts_col: str, seq_col: str,
+                       value_col: str, gap_us: int, lateness_us: int,
+                       num_partitions: int = 8):
+    """Per-key watermark SESSION windows: events arriving at or before
+    the watermark (``max(prior ts) - lateness_us`` in seq order) are
+    dropped late; the admitted events then sessionize by EVENT time --
+    a gap over ``gap_us`` starts a new session (ties broken by seq).
+    Returns one row per session: (key, session_start, n_events, v_c
+    sum) plus a per-key late count carried on every session row
+    (``n_late_key``) so the drop volume is visible without a second
+    output stream."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            key_col: pa.array([], pa.int64()),
+            "session_start": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "session_v_c": pa.array([], pa.int64()),
+            "n_late_key": pa.array([], pa.int64())})
+        if b.num_rows == 0 or key_col not in b.column_names:
+            return empty
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            b, sort_keys=[(key_col, "ascending"),
+                          (seq_col, "ascending")])
+        b = b.take(order)
+        keys = b.column(key_col).to_numpy()
+        ts_field = b.column(ts_col)
+        if pa.types.is_timestamp(ts_field.type):
+            tus = (ts_field.cast(pa.timestamp("us")).to_numpy()
+                   .astype("datetime64[us]").astype(np.int64))
+        else:
+            tus = ts_field.to_numpy().astype(np.int64)
+        seq = b.column(seq_col).to_numpy().astype(np.int64)
+        v_c = np.rint(b.column(value_col).to_numpy()
+                      * 100.0).astype(np.int64)
+
+        # per-key prior running max (same banded cummax as tumbling)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        seg_head = np.zeros(len(tus), np.int64)
+        seg_head[starts] = 1
+        seg_id = np.cumsum(seg_head) - 1
+        t0 = tus.min()
+        band = seg_id << np.int64(52)
+        banded = np.maximum.accumulate(band + (tus - t0))
+        prior = np.empty(len(tus), np.int64)
+        prior[0] = -1
+        prior[1:] = banded[:-1]
+        local_prior = prior - band
+        no_prior = local_prior < 0
+        prev_max = np.where(no_prior, np.int64(-(1 << 62)),
+                            local_prior + t0)
+        ok = no_prior | (tus > prev_max - lateness_us)
+        n_late_of_key = {}
+        for ki, s in enumerate(starts):
+            e = starts[ki + 1] if ki + 1 < len(starts) else len(keys)
+            n_late_of_key[keys[s]] = int((~ok[s:e]).sum())
+
+        # sessionize ADMITTED events by event time (ties by seq)
+        keys_a, tus_a, seq_a, v_a = (keys[ok], tus[ok], seq[ok],
+                                     v_c[ok])
+        if len(keys_a) == 0:
+            return empty
+        so = np.lexsort((seq_a, tus_a, keys_a))
+        keys_a, tus_a, v_a = keys_a[so], tus_a[so], v_a[so]
+        new_key = np.r_[True, keys_a[1:] != keys_a[:-1]]
+        gap_brk = np.r_[True, (tus_a[1:] - tus_a[:-1]) > gap_us]
+        brk = new_key | gap_brk
+        sid = np.cumsum(brk) - 1
+        s_starts = np.flatnonzero(brk)
+        bounds = np.r_[s_starts, len(sid)]
+        n_ev = np.diff(bounds)
+        sv = np.add.reduceat(v_a, s_starts)
+        k_out = keys_a[s_starts]
+        return pa.table({
+            key_col: pa.array(k_out, pa.int64()),
+            "session_start": pa.array(tus_a[s_starts], pa.int64()),
+            "n_events": pa.array(n_ev, pa.int64()),
+            "session_v_c": pa.array(sv, pa.int64()),
+            "n_late_key": pa.array(
+                [n_late_of_key.get(k, 0) for k in k_out], pa.int64())})
+
+    return keyed_fold(ds, [key_col], fold,
+                      num_partitions=num_partitions)

@@ -189,3 +189,68 @@ def test_random_hopping_matches_replay(ray_session, seed):
     want = replay_oracle_hopping(rows, 100, 25)
     assert got == want
     assert sum(v[1] for v in want.values()) > 0
+
+
+def test_watermark_sessions_replay(ray_session):
+    """Session windows with event-level watermark drops against a
+    scalar replay: late arrivals (ts <= wm) never extend or bridge a
+    session; admitted events sessionize by event time."""
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.streaming import watermark_sessions
+
+    GAP = 100
+    rng = np.random.default_rng(9)
+    rows = []
+    seqs = {}
+    for _ in range(500):
+        k = int(rng.integers(0, 10))
+        s = seqs.get(k, 0)
+        seqs[k] = s + 1
+        t = int(rng.integers(0, 3000)) + int(rng.exponential(60))
+        rows.append((k, s, t, int(rng.integers(0, 1000))))
+
+    # scalar replay oracle
+    want = {}
+    by_key = {}
+    for k, s, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_key.setdefault(k, []).append((t, s, v))
+    any_late = False
+    for k, evs in by_key.items():
+        wm = None
+        admitted, n_late = [], 0
+        for t, s, v in evs:
+            if wm is not None and t <= wm:
+                n_late += 1
+                any_late = True
+            else:
+                admitted.append((t, s, v))
+            wm = t - L if wm is None else max(wm, t - L)
+        admitted.sort()
+        sess = []
+        for t, s, v in admitted:
+            if not sess or t - sess[-1][1] > GAP:
+                sess.append([t, t, 1, v])
+            else:
+                sess[-1][1] = t
+                sess[-1][2] += 1
+                sess[-1][3] += v
+        for st, _, ne, sv in sess:
+            want[(k, st)] = (ne, sv, n_late)
+    assert any_late
+
+    tab = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "tus": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] / 100.0 for r in rows], pa.float64())})
+    out = watermark_sessions(
+        ray.data.from_arrow(tab), key_col="k", ts_col="tus",
+        seq_col="seq", value_col="value", gap_us=GAP,
+        lateness_us=L, num_partitions=4)
+    got = {(r["k"], r["session_start"]):
+           (r["n_events"], r["session_v_c"], r["n_late_key"])
+           for t in ray.get(out.to_arrow_refs())
+           for r in t.to_pylist()}
+    assert got == want
