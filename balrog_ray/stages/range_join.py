@@ -107,25 +107,54 @@ def interval_count_join(probe_ds, build_ds, *, probe_key: str,
         probe_ts=probe_ts, build_ts=build_ts, lo_us=lo_us, hi_us=hi_us,
         key_type=key_type, payload=[("__id", probe_id, None, id_type)])
 
-    def count(group: pa.Table) -> pa.Table:
-        side = group.column("__side").to_numpy()
-        ts = group.column("__ts").to_numpy()
-        is_p = side == 0
-        if not is_p.any():
+    def count_block(b: pa.Table) -> pa.Table:
+        """Whole hash partition per call: COMPLETE (key, band) groups,
+        many at a time (keyed_fold) -- one multi-key arrow sort + a
+        numpy segment sweep instead of per-GROUP Python (the
+        ~45us/group map_groups floor round 3 paid here)."""
+        if b.num_rows == 0 or "__key" not in b.column_names:
             return pa.table({"__id": pa.array([], id_type),
                              "__n": pa.array([], pa.int64())})
-        p_ts = ts[is_p]
-        ids = group.column("__id").filter(pa.array(is_p))
-        b_ts = np.sort(ts[~is_p])
-        n = (np.searchsorted(b_ts, p_ts + hi_us, side="left")
-             - np.searchsorted(b_ts, p_ts + lo_us, side="left"))
-        return pa.table({"__id": ids,
-                         "__n": pa.array(n.astype(np.int64), pa.int64())})
+        order = pc.sort_indices(
+            b, sort_keys=[("__key", "ascending"),
+                          ("__band", "ascending"),
+                          ("__side", "ascending"),
+                          ("__ts", "ascending")])
+        b = b.take(order)
+        key = b.column("__key").to_numpy(zero_copy_only=False)
+        band = b.column("__band").to_numpy()
+        side = b.column("__side").to_numpy()
+        ts = b.column("__ts").to_numpy()
+        starts = np.flatnonzero(np.r_[True, (key[1:] != key[:-1])
+                                      | (band[1:] != band[:-1])])
+        bounds = np.r_[starts, len(key)]
+        id_rows: list[np.ndarray] = []
+        counts: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n_p = int(np.searchsorted(side[s:e], 1))  # probes first
+            if n_p == 0:
+                continue
+            b_ts = ts[s + n_p:e]                      # sorted already
+            p_ts = ts[s:s + n_p]
+            n = (np.searchsorted(b_ts, p_ts + hi_us, side="left")
+                 - np.searchsorted(b_ts, p_ts + lo_us, side="left"))
+            id_rows.append(np.arange(s, s + n_p))
+            counts.append(n)
+        if not id_rows:
+            return pa.table({"__id": pa.array([], id_type),
+                             "__n": pa.array([], pa.int64())})
+        idx = pa.array(np.concatenate(id_rows), pa.int64())
+        return pa.table({
+            "__id": b.column("__id").take(idx),
+            "__n": pa.array(np.concatenate(counts).astype(np.int64),
+                            pa.int64())})
 
     import ray.data.aggregate as agg
 
-    out = (both.groupby(["__key", "__band"])
-           .map_groups(count, batch_format="pyarrow")
+    from ..partitions import keyed_fold, shuffle_width
+
+    out = (keyed_fold(both, ["__key", "__band"], count_block,
+                      num_partitions=shuffle_width(1, lo=8))
            .groupby("__id")
            .aggregate(agg.Sum("__n", alias_name=out_col)))
     return out.rename_columns({"__id": probe_id})
@@ -154,33 +183,55 @@ def interval_join_pairs(probe_ds, build_ds, *, probe_key: str,
         key_type=key_type, payload=[("__pid", probe_id, None, pid_type),
                                     ("__bid", None, build_id, bid_type)])
 
-    def pairs(group: pa.Table) -> pa.Table:
-        side = group.column("__side").to_numpy()
-        ts = group.column("__ts").to_numpy()
-        is_p = side == 0
+    def pairs_block(b: pa.Table) -> pa.Table:
+        """Same block-fold shape as interval_count_join.count_block:
+        per (key, band) segment, matched build rows form a contiguous
+        sorted-ts range; emit (probe, build) index pairs and one take
+        per column at the end."""
         empty = pa.table({"probe_id": pa.array([], pid_type),
                           "build_id": pa.array([], bid_type)})
-        if not is_p.any() or is_p.all():
+        if b.num_rows == 0 or "__key" not in b.column_names:
             return empty
-        build = group.filter(pa.array(~is_p))
-        order = pc.sort_indices(build, sort_keys=[("__ts", "ascending")])
-        build = build.take(order)
-        b_ts = build.column("__ts").to_numpy()
-        p_ts = ts[is_p]
-        pids = group.column("__pid").filter(pa.array(is_p))
-        s = np.searchsorted(b_ts, p_ts + lo_us, side="left")
-        e = np.searchsorted(b_ts, p_ts + hi_us, side="left")
-        cnt = e - s
-        if not cnt.any():
+        order = pc.sort_indices(
+            b, sort_keys=[("__key", "ascending"),
+                          ("__band", "ascending"),
+                          ("__side", "ascending"),
+                          ("__ts", "ascending")])
+        b = b.take(order)
+        key = b.column("__key").to_numpy(zero_copy_only=False)
+        band = b.column("__band").to_numpy()
+        side = b.column("__side").to_numpy()
+        ts = b.column("__ts").to_numpy()
+        starts = np.flatnonzero(np.r_[True, (key[1:] != key[:-1])
+                                      | (band[1:] != band[:-1])])
+        bounds = np.r_[starts, len(key)]
+        p_rows: list[np.ndarray] = []
+        b_rows: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n_p = int(np.searchsorted(side[s:e], 1))
+            if n_p == 0 or n_p == e - s:
+                continue
+            b_ts = ts[s + n_p:e]
+            p_ts = ts[s:s + n_p]
+            lo = np.searchsorted(b_ts, p_ts + lo_us, side="left")
+            hi = np.searchsorted(b_ts, p_ts + hi_us, side="left")
+            cnt = hi - lo
+            if not cnt.any():
+                continue
+            p_rows.append(np.repeat(np.arange(s, s + n_p), cnt))
+            b_rows.append(np.concatenate(
+                [np.arange(s + n_p + a, s + n_p + c)
+                 for a, c in zip(lo, hi) if c > a]))
+        if not p_rows:
             return empty
-        p_idx = np.repeat(np.arange(len(p_ts)), cnt)
-        b_idx = np.concatenate(
-            [np.arange(a, b) for a, b in zip(s, e) if b > a])
+        pi = pa.array(np.concatenate(p_rows), pa.int64())
+        bi = pa.array(np.concatenate(b_rows), pa.int64())
         return pa.table({
-            "probe_id": pids.take(pa.array(p_idx, pa.int64())),
-            "build_id": build.column("__bid").take(
-                pa.array(b_idx, pa.int64())),
+            "probe_id": b.column("__pid").take(pi),
+            "build_id": b.column("__bid").take(bi),
         }).rename_columns(["probe_id", "build_id"])
 
-    return (both.groupby(["__key", "__band"])
-            .map_groups(pairs, batch_format="pyarrow"))
+    from ..partitions import keyed_fold, shuffle_width
+
+    return keyed_fold(both, ["__key", "__band"], pairs_block,
+                      num_partitions=shuffle_width(1, lo=8))
