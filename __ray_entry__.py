@@ -16,8 +16,13 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import balrog_ray
 from balrog_ray.relational.queries import SQL_CHECKED
 from balrog_ray.relational.rows_only import ROWS_ONLY
+
+# nominal hash-aggregator CPU accounting, before any Dataset exists
+# (explicit entry-point call; importing balrog_ray alone does nothing)
+balrog_ray.tune_data_context()
 
 
 def entry() -> Any:

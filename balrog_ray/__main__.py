@@ -66,6 +66,9 @@ def _init_ray(args) -> bool:
                      include_dashboard=False)
         else:
             ray.init(address=args.address)
+    from . import tune_data_context
+
+    tune_data_context()        # before any Dataset root is created
     return owns
 
 

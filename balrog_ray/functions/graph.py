@@ -18,14 +18,37 @@ edge-cardinality-sized ever reaches the driver.  Iterations are O(10),
 exactly the full-pass cost profile of the distributed LM train and
 k-means stages.
 
-Precondition: every node has at least one out-edge (guaranteed by the
-synthetic graphs here; dangling-mass redistribution composes as one
-extra groupby if a real graph needs it)."""
+Node domain: the output holds one row per SOURCE node (distinct
+``src``).  Sink (dst-only) nodes receive inflow during the iterations
+but are excluded from the result -- they have no out-degree, hence no
+defined contribution share -- and BOTH the distributed and broadcast
+paths apply the same restriction, so the ``num_nodes`` gate never
+changes the result row set.  Dangling-mass redistribution composes as
+one extra groupby if a real graph needs it."""
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+#: Node-count ceiling for the driver-merged broadcast fast path of
+#: pagerank_exact (~32 MB of int64 numerators); tests patch this to 0
+#: to force the distributed join+groupby path on toy graphs.
+_BROADCAST_MAX_NODES = 4_000_000
+
+
+def _restrict_to_sources(result_ds, nodes_ds, value_col: str, *,
+                         num_partitions: int):
+    """Semi-join a per-node result onto the source-node domain
+    (``nodes_ds``: distinct ``src`` rows).  The iteration bodies union
+    inflow with seeds, so sink (dst-only) nodes accumulate inflow-only
+    rows; this final filter drops them, aligning the distributed paths
+    with the broadcast path's src-only domain (ADVICE r4: the two
+    paths previously diverged on graphs with sinks)."""
+    return (result_ds.join(nodes_ds.select_columns(["src"]), "inner",
+                           num_partitions=num_partitions,
+                           on=("node",), right_on=("src",))
+            .select_columns(["node", value_col]))
 
 
 def pagerank(edges_ds, num_nodes: int, *, damping: float = 0.85,
@@ -88,7 +111,8 @@ def pagerank(edges_ds, num_nodes: int, *, damping: float = 0.85,
                  .aggregate(agg_sum)
                  .repartition(num_partitions)
                  .materialize())
-    return ranks
+    return _restrict_to_sources(ranks, nodes, "rank",
+                                num_partitions=num_partitions)
 
 
 def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
@@ -130,7 +154,7 @@ def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
     # exactly (integer arithmetic is order-independent), one task run
     # per iteration with no hash exchange; edges stay distributed
     # either way.  Past the gate the join+groupby path below owns it.
-    if num_nodes <= 4_000_000:
+    if num_nodes <= _BROADCAST_MAX_NODES:
         return _pagerank_exact_broadcast(
             edges_ds, num_nodes, iters=iters, damping=damping,
             num_partitions=num_partitions)
@@ -191,7 +215,9 @@ def pagerank_exact(edges_ds, num_nodes: int, *, iters: int = 8,
                 .aggregate(agg_sum)
                 .repartition(num_partitions)
                 .materialize())
-    return nums, num_nodes * F ** iters
+    return (_restrict_to_sources(nums, nodes, "num",
+                                 num_partitions=num_partitions),
+            num_nodes * F ** iters)
 
 
 def _pagerank_exact_broadcast(edges_ds, num_nodes: int, *, iters: int,

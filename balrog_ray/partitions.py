@@ -34,16 +34,21 @@ def _check_fold_contract() -> None:
     global _contract_checked
     if _contract_checked:
         return
+    import os
+
     import ray
 
     minor = ".".join(ray.__version__.split(".")[:2])
-    if minor not in _VERIFIED_RAY_MINORS:
+    if (minor not in _VERIFIED_RAY_MINORS
+            and not os.environ.get("BALROG_RAY_ASSUME_FOLD_CONTRACT")):
         raise RuntimeError(
             f"keyed_fold requires a verified Ray version: running "
             f"{ray.__version__}, verified minors {_VERIFIED_RAY_MINORS}. "
             "Ray's hash_shuffle finalize must emit exactly one block per "
             "partition or keys may straddle fold calls; re-verify the "
-            "aggregator source and extend _VERIFIED_RAY_MINORS."
+            "aggregator source and extend _VERIFIED_RAY_MINORS, or -- "
+            "after verifying yourself (run tests/test_keyed_fold.py) -- "
+            "set BALROG_RAY_ASSUME_FOLD_CONTRACT=1 to acknowledge."
         )
     _contract_checked = True
 

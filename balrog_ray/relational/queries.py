@@ -1079,6 +1079,11 @@ def q_ann_topk(sf_dir: str):
                      ["vec_id", "embedding"], 64)
     qmask = pc.less(emb.column("vec_id"), 3)
     qtab = emb.filter(qmask)
+    if qtab.num_rows != 3:
+        raise ValueError(
+            f"q_ann_topk: expected 3 query rows with vec_id < 3 in the "
+            f"head rows, found {qtab.num_rows} -- embeddings.parquet "
+            "is not ordered by vec_id; widen the head read")
     qids = qtab.column("vec_id").to_pylist()
     queries = np.array(qtab.column("embedding").to_pylist(),
                        dtype=np.float64)

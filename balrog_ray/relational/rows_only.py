@@ -3140,6 +3140,11 @@ def q_mmr_topk(sf_dir: str):
     emb = _head_rows(f"{sf_dir}/embeddings.parquet",
                      ["vec_id", "embedding"], 64)
     qtab = emb.filter(pc.less(emb.column("vec_id"), 3))
+    if qtab.num_rows != 3:
+        raise ValueError(
+            f"q_mmr_topk: expected 3 query rows with vec_id < 3 in the "
+            f"head rows, found {qtab.num_rows} -- embeddings.parquet "
+            "is not ordered by vec_id; widen the head read")
     qids = qtab.column("vec_id").to_pylist()
     queries = np.array(qtab.column("embedding").to_pylist(),
                        np.float64)

@@ -27,6 +27,38 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+_NO_PRIOR = np.int64(-(1 << 62))
+
+
+def _prev_running_max(tus: np.ndarray, starts: np.ndarray):
+    """Per-segment running max of PRIOR values: ``prev[i]`` is
+    ``max(tus[s:i])`` for ``i`` inside the segment starting at ``s``,
+    and ``_NO_PRIOR`` at each segment head.  Segments are maximal runs
+    of equal keys in sorted order, given by their start indices
+    (``starts[0] == 0``).
+
+    Implemented as a C-grouped cummax (pandas ``groupby().cummax``)
+    shifted by one row.  An earlier banded formulation
+    (``seg_id << 52`` + global cummax) silently wrapped int64 once a
+    block held >= 2048 key segments (2048 << 52 == 2**63), admitting
+    late events with corrupted counts; a grouped cummax has no offset
+    arithmetic to overflow at any segment count or time span.
+
+    Returns ``(prev_max, no_prior)`` where ``no_prior`` marks segment
+    heads."""
+    import pandas as pd
+
+    seg_head = np.zeros(len(tus), np.int64)
+    seg_head[starts] = 1
+    seg_id = np.cumsum(seg_head) - 1
+    cmax = pd.Series(tus).groupby(seg_id).cummax().to_numpy()
+    prev = np.empty(len(tus), np.int64)
+    prev[1:] = cmax[:-1]
+    no_prior = np.zeros(len(tus), bool)
+    no_prior[starts] = True
+    prev[no_prior] = _NO_PRIOR
+    return prev, no_prior
+
 
 def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
                        value_col: str, window_us: int, lateness_us: int,
@@ -82,25 +114,10 @@ def watermark_tumbling(ds, *, key_col: str, ts_col: str, seq_col: str,
         v_c = np.rint(b.column(value_col).to_numpy()
                       * 100.0).astype(np.int64)
 
-        # running max of PRIOR ts, restarted per key segment: offset
-        # each segment into its own disjoint band (2^52 apart -- a
-        # year of microseconds is ~2^45), cummax the banded values,
-        # shift by one; a prior that lands below its own band came
-        # from the previous key == "no prior event yet"
+        # running max of PRIOR ts, restarted per key segment (grouped
+        # cummax -- see _prev_running_max for why not a banded offset)
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        seg_head = np.zeros(len(tus), np.int64)
-        seg_head[starts] = 1
-        seg_id = np.cumsum(seg_head) - 1
-        t0 = tus.min()
-        band = seg_id << np.int64(52)
-        banded = np.maximum.accumulate(band + (tus - t0))
-        prior = np.empty(len(tus), np.int64)
-        prior[0] = -1
-        prior[1:] = banded[:-1]
-        local_prior = prior - band
-        no_prior = local_prior < 0           # segment heads included
-        NEG = np.int64(-(1 << 62))
-        prev_max = np.where(no_prior, NEG, local_prior + t0)
+        prev_max, no_prior = _prev_running_max(tus, starts)
 
         # explode each event into its window instances (1 when
         # tumbling): instance j covers win_start = (ts//hop - j)*hop
@@ -183,26 +200,13 @@ def watermark_sessions(ds, *, key_col: str, ts_col: str, seq_col: str,
         v_c = np.rint(b.column(value_col).to_numpy()
                       * 100.0).astype(np.int64)
 
-        # per-key prior running max (same banded cummax as tumbling)
+        # per-key prior running max (same grouped cummax as tumbling)
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
-        seg_head = np.zeros(len(tus), np.int64)
-        seg_head[starts] = 1
-        seg_id = np.cumsum(seg_head) - 1
-        t0 = tus.min()
-        band = seg_id << np.int64(52)
-        banded = np.maximum.accumulate(band + (tus - t0))
-        prior = np.empty(len(tus), np.int64)
-        prior[0] = -1
-        prior[1:] = banded[:-1]
-        local_prior = prior - band
-        no_prior = local_prior < 0
-        prev_max = np.where(no_prior, np.int64(-(1 << 62)),
-                            local_prior + t0)
+        prev_max, no_prior = _prev_running_max(tus, starts)
         ok = no_prior | (tus > prev_max - lateness_us)
-        n_late_of_key = {}
-        for ki, s in enumerate(starts):
-            e = starts[ki + 1] if ki + 1 < len(starts) else len(keys)
-            n_late_of_key[keys[s]] = int((~ok[s:e]).sum())
+        n_late_seg = np.add.reduceat((~ok).astype(np.int64), starts)
+        n_late_of_key = dict(zip(keys[starts].tolist(),
+                                 n_late_seg.tolist()))
 
         # sessionize ADMITTED events by event time (ties by seq)
         keys_a, tus_a, seq_a, v_a = (keys[ok], tus[ok], seq[ok],

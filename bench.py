@@ -205,8 +205,10 @@ def run_queries() -> dict:
 
 
 def _quiet_data_context():
+    import balrog_ray
     from ray.data import DataContext
 
+    balrog_ray.tune_data_context()
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

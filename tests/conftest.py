@@ -9,6 +9,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# nominal hash-aggregator CPU accounting for the whole test session --
+# an explicit entry-point call (importing balrog_ray alone no longer
+# mutates the global DataContext), before any test creates a Dataset
+import balrog_ray  # noqa: E402
+
+balrog_ray.tune_data_context()
+
 
 @pytest.fixture(scope="session")
 def ray_session():

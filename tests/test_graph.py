@@ -100,6 +100,44 @@ def test_pagerank_exact_matches_fractions(ray_session):
     assert sum(Fraction(v, denom) for v in got.values()) == 1
 
 
+def test_pagerank_exact_sink_node_path_parity(ray_session, monkeypatch):
+    """ADVICE r4 regression: on a graph with SINK (dst-only) nodes the
+    broadcast and distributed pagerank_exact paths must emit the same
+    src-only node domain with identical numerators -- previously the
+    distributed path emitted inflow-only rows for sinks while the
+    broadcast path dropped them, so the result depended on the
+    num_nodes gate."""
+    import ray.data
+
+    from balrog_ray.functions import graph
+
+    n = 12
+    # sources 0..9; node 10 is a pure sink (dst-only); 11 is isolated
+    src = np.repeat(np.arange(10, dtype=np.int64), 2)
+    dst = np.empty(20, np.int64)
+    dst[0::2] = (np.arange(10) + 3) % 10
+    dst[1::2] = 10
+    tab = pa.table({"src": src, "dst": dst})
+
+    got_b, denom_b = graph.pagerank_exact(
+        ray.data.from_arrow(tab), n, iters=4)
+    rows_b = {r["node"]: r["num"] for r in got_b.take_all()}
+
+    monkeypatch.setattr(graph, "_BROADCAST_MAX_NODES", -1)
+    got_d, denom_d = graph.pagerank_exact(
+        ray.data.from_arrow(tab), n, iters=4, num_partitions=2)
+    rows_d = {r["node"]: r["num"] for r in got_d.take_all()}
+
+    assert denom_b == denom_d
+    assert rows_b == rows_d
+    assert sorted(rows_b) == list(range(10))   # sinks/isolated absent
+
+    # float path: same src-only domain on the same sink graph
+    got_f = {r["node"] for r in graph.pagerank(
+        ray.data.from_arrow(tab), n, iters=3).take_all()}
+    assert got_f == set(range(10))
+
+
 def test_pagerank_exact_overflow_guard(ray_session):
     import ray.data
 

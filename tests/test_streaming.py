@@ -191,6 +191,68 @@ def test_random_hopping_matches_replay(ray_session, seed):
     assert sum(v[1] for v in want.values()) > 0
 
 
+def test_many_segments_one_block_no_overflow(ray_session):
+    """Regression: the pre-round-5 banded running max (seg_id << 52)
+    wrapped int64 once a single fold block held >= 2048 key segments,
+    silently admitting late events.  2500 keys x 3 out-of-order events
+    forced into ONE partition must still match the scalar replay."""
+    rows = []
+    for k in range(2500):
+        # arrival order: far-future event first, then a late-for-its-
+        # window arrival, then an open-window arrival
+        rows.append((k, 0, 900 + k, 10))
+        rows.append((k, 1, 90, 40))       # window [0,100) closed: late
+        rows.append((k, 2, 890 + k, 80))
+    got = _run_np(rows, ray_session, num_partitions=1)
+    want = replay_oracle(rows)
+    assert got == want
+    assert sum(v[1] for v in want.values()) == 2500   # one late per key
+
+
+def _run_np(rows, ray_session, *, num_partitions):
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.streaming import watermark_tumbling
+
+    tab = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "tus": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] / 100.0 for r in rows], pa.float64())})
+    out = watermark_tumbling(ray.data.from_arrow(tab), key_col="k",
+                             ts_col="tus", seq_col="seq",
+                             value_col="value", window_us=W,
+                             lateness_us=L,
+                             num_partitions=num_partitions)
+    return {(r["k"], r["win_start"]):
+            (r["n_admitted"], r["n_late"], r["admitted_v_c"])
+            for t in ray.get(out.to_arrow_refs())
+            for r in t.to_pylist()}
+
+
+def test_prev_running_max_unit():
+    """Direct unit check of the grouped prior-max helper at a segment
+    count past the old wrap point, including a huge time span (the old
+    band also assumed span < 2^52)."""
+    from balrog_ray.stages.streaming import _NO_PRIOR, _prev_running_max
+
+    n_seg, per = 3000, 4
+    tus = np.empty(n_seg * per, np.int64)
+    rng = np.random.default_rng(7)
+    # span ~ 2^60: would have overflowed any banded formulation
+    vals = rng.integers(0, 1 << 60, size=n_seg * per)
+    tus[:] = vals
+    starts = np.arange(0, n_seg * per, per)
+    prev, no_prior = _prev_running_max(tus, starts)
+    for s in range(0, n_seg * per, per):
+        assert no_prior[s] and prev[s] == _NO_PRIOR
+        run = _NO_PRIOR
+        for i in range(s + 1, s + per):
+            run = max(run, tus[i - 1]) if run != _NO_PRIOR else tus[i - 1]
+            assert prev[i] == run and not no_prior[i]
+
+
 def test_watermark_sessions_replay(ray_session):
     """Session windows with event-level watermark drops against a
     scalar replay: late arrivals (ts <= wm) never extend or bridge a
