@@ -178,17 +178,35 @@ def cmd_ingest(args) -> int:
 
 def infer_grid_from_rows(ds):
     """GridSpec from a Dataset's caption rows (ingest has no parquet
-    footer to read yet)."""
+    footer to read yet).  The grid extent is a distributed max over
+    parsed tile indices -- one single-row partial per block, then a
+    two-int aggregate -- so the driver never holds O(tiles) caption
+    strings (the pre-round-5 ``take_all`` did: ~GBs at 10^7 tiles);
+    only ONE row rides ``take(1)`` for the per-grid constants."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max
+
     from .stages.halo import GridSpec
     from .tiles.codec import Caption
 
-    rows = ds.select_columns(["caption", "w"]).take_all()
-    caps = [Caption.from_json(r["caption"]) for r in rows]
-    tiles_x = max(c.tx for c in caps) + 1
-    tiles_y = max(c.ty for c in caps) + 1
-    c0 = caps[0]
-    tile_px = int(rows[0]["w"])
-    return GridSpec(tiles_x, tiles_y, tile_px, c0.pixel_size,
+    first = ds.select_columns(["caption", "w"]).take(1)[0]
+    c0 = Caption.from_json(first["caption"])
+    tile_px = int(first["w"])
+
+    def tile_max_partial(b: pa.Table) -> pa.Table:
+        tx = ty = -1
+        for c in b.column("caption").to_pylist():
+            cap = Caption.from_json(c)
+            tx = max(tx, cap.tx)
+            ty = max(ty, cap.ty)
+        return pa.table({"tx": pa.array([tx], pa.int64()),
+                         "ty": pa.array([ty], pa.int64())})
+
+    mx = (ds.select_columns(["caption"])
+          .map_batches(tile_max_partial, batch_format="pyarrow")
+          .aggregate(Max("tx"), Max("ty")))
+    return GridSpec(int(mx["max(tx)"]) + 1, int(mx["max(ty)"]) + 1,
+                    tile_px, c0.pixel_size,
                     c0.y0 + c0.ty * tile_px * c0.pixel_size)
 
 

@@ -30,6 +30,35 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def _vec_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` column -> (n, dim) matrix via the flattened
+    Arrow value buffer -- the zero-copy read of the hot path (a
+    ``to_pylist`` here boxes every float through Python objects).
+    Raises on ragged rows rather than silently misaligning."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError("ragged embedding column")
+    dim = flat.size // n
+    if not pa.types.is_fixed_size_list(arr.type):
+        widths = pc.list_value_length(arr).to_numpy(
+            zero_copy_only=False)
+        if (widths != dim).any():
+            raise ValueError("ragged embedding column")
+    return flat.reshape(n, dim).astype(dtype, copy=False)
+
+
+def _ids_i64(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(np.int64,
+                                                     copy=False)
+
+
 PAIRS_SCHEMA = pa.schema([
     ("query_id", pa.int64()),
     ("vec_id", pa.int64()),
@@ -61,8 +90,8 @@ def _partial_topk_fn(queries_ref, id_col, vec_col, k):
         q = queries_ref if isinstance(queries_ref, np.ndarray) \
             else ray.get(queries_ref)
         qunit = _unit(np.asarray(q, dtype=np.float64))
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        ids = _ids_i64(batch.column(id_col))
+        vecs = _vec_matrix(batch.column(vec_col))
         sims = _unit(vecs) @ qunit.T                      # (n, q)
         kk = min(k, len(ids))
         part = np.argpartition(-sims, kk - 1, axis=0)      # (n, q)
@@ -161,9 +190,8 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
         cents_l = ray.get(cents_ref)
         l2q = ray.get(l2q_ref)
         qmat = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
-                              dtype=np.float64))
+        ids = _ids_i64(batch.column(id_col))
+        vecs = _unit(_vec_matrix(batch.column(vec_col)))
         assign = (vecs @ cents_l.T).argmax(axis=1)
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for c in np.unique(assign):
@@ -249,8 +277,7 @@ def pq_encode(emb_ds, codebooks: np.ndarray, *, id_col: str = "vec_id",
             return pa.table({id_col: batch.column(id_col),
                              "codes": pa.array([], pa.binary())})
         cb = ray.get(cb_ref)
-        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
-                              dtype=np.float64))
+        vecs = _unit(_vec_matrix(batch.column(vec_col)))
         codes = np.empty((len(vecs), n_sub), dtype=np.uint8)
         for s in range(n_sub):
             sub = vecs[:, s * d_sub:(s + 1) * d_sub]
@@ -297,9 +324,8 @@ def pq_topk(emb_ds, queries: np.ndarray, k: int = 10, *, n_sub: int = 4,
         cb = ray.get(cb_ref)
         lut_l = ray.get(lut_ref)
         qmat = ray.get(q_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
-                              dtype=np.float64))
+        ids = _ids_i64(batch.column(id_col))
+        vecs = _unit(_vec_matrix(batch.column(vec_col)))
         codes = np.empty((len(vecs), n_sub_), dtype=np.int64)
         for s in range(n_sub_):
             sub = vecs[:, s * d_sub:(s + 1) * d_sub]
@@ -341,7 +367,7 @@ def sq_train(emb_ds, vec_col: str = "embedding") -> np.ndarray:
         if batch.num_rows == 0:
             return pa.table({"lo": pa.array([], pa.binary()),
                              "hi": pa.array([], pa.binary())})
-        vecs = np.array(batch.column(vec_col).to_pylist(), np.float32)
+        vecs = _vec_matrix(batch.column(vec_col), np.float32)
         return pa.table({
             "lo": pa.array([vecs.min(axis=0).tobytes()], pa.binary()),
             "hi": pa.array([vecs.max(axis=0).tobytes()], pa.binary())})
@@ -363,7 +389,7 @@ def sq_encode(emb_ds, ranges: np.ndarray, *, id_col: str = "vec_id",
         if batch.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "code": pa.array([], pa.binary())})
-        vecs = np.array(batch.column(vec_col).to_pylist(), np.float32)
+        vecs = _vec_matrix(batch.column(vec_col), np.float32)
         q = np.clip(np.rint((vecs - lo) / (hi - lo) * 255.0),
                     0, 255).astype(np.uint8)
         return pa.table({
@@ -394,9 +420,10 @@ def sq_topk(code_ds, queries: np.ndarray, ranges: np.ndarray,
                             schema=PAIRS_SCHEMA)
         q = ray.get(qref) if not isinstance(qref, np.ndarray) else qref
         qunit = _unit(np.asarray(q, np.float64))
-        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
-        codes = np.stack([np.frombuffer(b, np.uint8)
-                          for b in batch.column("code").to_pylist()])
+        ids = _ids_i64(batch.column(id_col))
+        codes = np.frombuffer(
+            b"".join(batch.column("code").to_pylist()),
+            np.uint8).reshape(batch.num_rows, -1)
         vecs = codes.astype(np.float64) * scale + lo
         sims = _unit(vecs) @ qunit.T
         kk = min(k, len(ids))
@@ -454,9 +481,8 @@ def mmr_topk(emb_ds, queries: np.ndarray, k: int = 10, *,
 
     def scan(batch: pa.Table) -> pa.Table:
         q = ray.get(ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
-        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
-                              np.float64))
+        ids = _ids_i64(batch.column(id_col))
+        vecs = _unit(_vec_matrix(batch.column(vec_col)))
         sims = vecs @ q.T
         kk = min(pool, len(ids))
         part = np.argpartition(-sims, kk - 1, axis=0)
@@ -577,9 +603,8 @@ def knn_graph(emb_ds, k: int = 10, *, n_centroids: int = 16,
                 "vid": pa.array([], pa.int64()),
                 "vec": pa.array([], pa.list_(pa.float32(), dim))})
         c = ray.get(cents_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), np.int64)
-        vecs = _unit(np.array(batch.column(vec_col).to_pylist(),
-                              np.float64))
+        ids = _ids_i64(batch.column(id_col))
+        vecs = _unit(_vec_matrix(batch.column(vec_col)))
         sims = vecs @ c.T
         order = np.argsort(-sims, axis=1)[:, :n_probe]   # (n, n_probe)
         home = order[:, 0] if n_probe else sims.argmax(axis=1)
@@ -603,7 +628,7 @@ def knn_graph(emb_ds, k: int = 10, *, n_centroids: int = 16,
         lid = b.column("list_id").to_numpy()
         role = b.column("role").to_numpy()
         vid = b.column("vid").to_numpy()
-        vmat = np.array(b.column("vec").to_pylist(), np.float64)
+        vmat = _vec_matrix(b.column("vec"))
         order = np.argsort(lid, kind="stable")
         lid_s = lid[order]
         starts = np.flatnonzero(np.concatenate(

@@ -633,7 +633,9 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
             return pa.table({"bucket": pa.array([], pa.int64()),
                              id_col: batch.column(id_col),
                              vec_col: batch.column(vec_col)})
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from .ann import _vec_matrix
+
+        vecs = _vec_matrix(batch.column(vec_col))
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((vecs.shape[1], n_bands * n_planes))
         signs = (vecs @ planes) > 0                     # (n, bands*planes)
@@ -657,7 +659,9 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
 
     def verify_group(group: pa.Table) -> pa.Table:
         ids = np.array(group.column(id_col).to_pylist())
-        vecs = np.array(group.column(vec_col).to_pylist(), dtype=np.float64)
+        from .ann import _vec_matrix
+
+        vecs = _vec_matrix(group.column(vec_col))
         out = {"id_a": [], "id_b": [], "cosine": []}
         if len(ids) > 1:
             norms = np.linalg.norm(vecs, axis=1)

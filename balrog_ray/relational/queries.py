@@ -598,22 +598,41 @@ group by token
 # 9. sessionization (stateful per-key ordering) (events table)
 
 def q_sessionize(sf_dir: str):
-    def sess(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
-                                                  ("event_id", "ascending")])
-        g = group.take(order)
-        ts = g.column("ts").to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts) / 1e6
-        n_sessions = 1 + int((gaps > 1800).sum())
-        return pa.table({
-            "user_id": [g.column("user_id")[0].as_py()],
-            "n_events": pa.array([len(ts)], pa.int64()),
-            "n_sessions": pa.array([n_sessions], pa.int64()),
-        })
+    # ONE keyed fold co-locates each user's events; inside the fold the
+    # 30-min-gap session count is a vectorized diff over ALL complete
+    # user runs at once (the high-cardinality groupby rule from
+    # partitions.keyed_fold -- user cardinality grows with SF, so a
+    # per-group map_groups pays ~45us/group)
+    from ..partitions import keyed_fold
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
-            .groupby("user_id")
-            .map_groups(sess, batch_format="pyarrow"))
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64())})
+        order = pc.sort_indices(
+            b, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        ts = (g.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap_brk = np.r_[True, (ts[1:] - ts[:-1]) > 1800 * 1_000_000]
+        brk = (new_user | gap_brk).astype(np.int64)
+        starts = np.flatnonzero(new_user)
+        n_ev = np.diff(np.r_[starts, len(uid)])
+        n_sess = np.add.reduceat(brk, starts)
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "n_events": pa.array(n_ev, pa.int64()),
+            "n_sessions": pa.array(n_sess, pa.int64())})
+
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_SESSIONIZE = """
@@ -2915,35 +2934,45 @@ def q_session_paths(sf_dir: str):
     corpus-wide, keeping paths seen >= 3 times -- the funnel-mining /
     common-journey shape.
 
-    Scale shape: one groupby(user_id) shuffle; per-group work emits
-    (path, n) PARTIALS (a Counter over that user's sessions), so the
-    final groupby(path) ships aggregates, not sessions."""
-    from collections import Counter
+    Scale shape: ONE keyed fold co-locates each user's stream; inside
+    the fold session ids come from a single vectorized cumsum over ALL
+    user runs and the per-block (path, n) PARTIALS ship to the final
+    groupby(path) -- aggregates, not sessions, cross the second
+    exchange.  (The previous per-user map_groups paid ~45us/group plus
+    an O(sessions x events) flatnonzero scan per user.)"""
+    from ..partitions import keyed_fold
 
     a = _agg()
 
-    def paths(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(order)
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
         ts = (g.column("ts").to_numpy().astype("datetime64[us]")
               .astype(np.int64))
+        brk = np.r_[True, (uid[1:] != uid[:-1])
+                    | ((ts[1:] - ts[:-1]) > 1800 * 1_000_000)]
+        sid = np.cumsum(brk) - 1
         et = g.column("event_type").to_pylist()
-        brk = np.zeros(len(ts), np.int64)
-        brk[1:] = (np.diff(ts) / 1e6 > 1800).astype(np.int64)
-        sess = np.cumsum(brk)
-        cnt = Counter()
-        for s in range(int(sess[-1]) + 1):
-            idx = np.flatnonzero(sess == s)
-            cnt[">".join(et[i] for i in idx)] += 1
-        return pa.table({
-            "path": pa.array(list(cnt.keys()), pa.string()),
-            "n": pa.array(list(cnt.values()), pa.int64())})
+        starts = np.flatnonzero(brk)
+        bounds = np.r_[starts, len(sid)]
+        paths = [">".join(et[bounds[i]:bounds[i + 1]])
+                 for i in range(len(starts))]
+        u, n = np.unique(np.asarray(paths, dtype=object),
+                         return_counts=True)
+        return pa.table({"path": pa.array(u, pa.string()),
+                         "n": pa.array(n, pa.int64())})
 
-    counted = (_read(sf_dir, "events", ["user_id", "ts", "event_id",
-                                        "event_type"])
-               .groupby("user_id")
-               .map_groups(paths, batch_format="pyarrow")
+    counted = (keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                 "event_type"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
                .groupby("path")
                .aggregate(a.Sum("n", alias_name="n")))
     return counted.filter(expr="n >= 3")
@@ -3891,25 +3920,44 @@ def q_interval_coverage(sf_dir: str):
     union length and merged-interval count are exact int64 microsecond
     arithmetic.  Fixed-length intervals sorted by start merge by the
     single rule ``s[i] <= s[i-1] + len`` (end order follows start
-    order), so the per-group pass is one sort + one vectorized diff."""
-    def cover(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        s = (group.take(order).column("ts").to_numpy()
-             .astype("datetime64[us]").astype(np.int64))
-        brk = np.flatnonzero(s[1:] > s[:-1] + _IV_LEN_US)
-        starts = s[np.r_[0, brk + 1]]
-        lasts = s[np.r_[brk, len(s) - 1]]
-        return pa.table({
-            "user_id": [group.column("user_id")[0].as_py()],
-            "n_intervals": pa.array([len(starts)], pa.int64()),
-            "covered_us": pa.array(
-                [int((lasts - starts).sum()) + len(starts) * _IV_LEN_US],
-                pa.int64())})
+    order).  ONE keyed fold co-locates each user's events and the
+    merge runs as a single vectorized diff over ALL user runs in the
+    block (the high-cardinality groupby rule from
+    partitions.keyed_fold)."""
+    from ..partitions import keyed_fold
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
-            .groupby("user_id")
-            .map_groups(cover, batch_format="pyarrow"))
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "n_intervals": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        s = (g.column("ts").to_numpy().astype("datetime64[us]")
+             .astype(np.int64))
+        new_u = np.r_[True, uid[1:] != uid[:-1]]
+        isl = new_u | np.r_[True, s[1:] > s[:-1] + _IV_LEN_US]
+        i_starts = np.flatnonzero(isl)
+        i_bounds = np.r_[i_starts, len(s)]
+        lens = s[i_bounds[1:] - 1] - s[i_starts] + _IV_LEN_US
+        u_of_isl = uid[i_starts]
+        u_starts = np.flatnonzero(
+            np.r_[True, u_of_isl[1:] != u_of_isl[:-1]])
+        return pa.table({
+            "user_id": pa.array(u_of_isl[u_starts], pa.int64()),
+            "n_intervals": pa.array(
+                np.diff(np.r_[u_starts, len(u_of_isl)]), pa.int64()),
+            "covered_us": pa.array(
+                np.add.reduceat(lens, u_starts), pa.int64())})
+
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_INTERVAL_COVERAGE = f"""
@@ -4813,26 +4861,50 @@ order by bm25 desc, doc_id, token limit 10
 def q_gaps_islands(sf_dir: str):
     """Per customer: split the customer's DISTINCT order days into
     islands broken by gaps > 7 days; report island count, the largest
-    island's distinct-day count and its day span (all exact ints)."""
+    island's distinct-day count and its day span (all exact ints).
+    ONE keyed fold, with dedup / island split / per-customer maxima all
+    vectorized across every complete customer run in the block (the
+    high-cardinality groupby rule from partitions.keyed_fold)."""
     US_DAY = 86_400_000_000
 
-    def isl(group: pa.Table) -> pa.Table:
-        days = np.unique(group.column("o_orderdate").cast(pa.int64())
-                         .to_numpy() // US_DAY)
-        brk = np.flatnonzero(np.diff(days) > 7)
-        starts = np.r_[0, brk + 1]
-        ends = np.r_[brk, len(days) - 1]
-        sizes = ends - starts + 1
-        spans = days[ends] - days[starts]
-        return pa.table({
-            "o_custkey": group.column("o_custkey").slice(0, 1),
-            "n_islands": pa.array([len(starts)], pa.int64()),
-            "max_island_days": pa.array([int(sizes.max())], pa.int64()),
-            "max_span_days": pa.array([int(spans.max())], pa.int64())})
+    from ..partitions import keyed_fold
 
-    return (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-            .groupby("o_custkey")
-            .map_groups(isl, batch_format="pyarrow"))
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({
+                "o_custkey": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+                "max_island_days": pa.array([], pa.int64()),
+                "max_span_days": pa.array([], pa.int64())})
+        ck = b.column("o_custkey").to_numpy()
+        day = (b.column("o_orderdate").cast(pa.int64()).to_numpy()
+               // US_DAY)
+        order = np.lexsort((day, ck))
+        ck, day = ck[order], day[order]
+        keep = np.r_[True, (ck[1:] != ck[:-1]) | (day[1:] != day[:-1])]
+        ck, day = ck[keep], day[keep]           # distinct (cust, day)
+        new_c = np.r_[True, ck[1:] != ck[:-1]]
+        isl = new_c | np.r_[True, (day[1:] - day[:-1]) > 7]
+        i_starts = np.flatnonzero(isl)
+        i_bounds = np.r_[i_starts, len(day)]
+        sizes = np.diff(i_bounds)
+        spans = day[i_bounds[1:] - 1] - day[i_starts]
+        c_of_isl = ck[i_starts]
+        c_starts = np.flatnonzero(
+            np.r_[True, c_of_isl[1:] != c_of_isl[:-1]])
+        return pa.table({
+            "o_custkey": pa.array(c_of_isl[c_starts], pa.int64()),
+            "n_islands": pa.array(
+                np.diff(np.r_[c_starts, len(c_of_isl)]), pa.int64()),
+            "max_island_days": pa.array(
+                np.maximum.reduceat(sizes, c_starts), pa.int64()),
+            "max_span_days": pa.array(
+                np.maximum.reduceat(spans, c_starts), pa.int64())})
+
+    return keyed_fold(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_GAPS_ISLANDS = """
@@ -4909,12 +4981,22 @@ def q_zscore_anomalies(sf_dir: str):
                         a.Sum("q", alias_name="q")))
 
     def mkden(b: pa.Table) -> pa.Table:
-        # Python-int exact n*q - s*s (never overflows), float only at
-        # the sqrt -- identical to the oracle's hugeint-then-double
-        den = [float(int(n) * int(q) - int(s) * int(s)) ** 0.5
-               for n, s, q in zip(b.column("n").to_pylist(),
-                                  b.column("s").to_pylist(),
-                                  b.column("q").to_pylist())]
+        # exact n*q - s*s, float only at the sqrt -- identical to the
+        # oracle's hugeint-then-double.  Vectorized int64 when the
+        # products provably fit (the common case by orders of
+        # magnitude); the exact Python-int loop only for blocks whose
+        # extremes could overflow
+        n = b.column("n").to_numpy()
+        s = b.column("s").to_numpy()
+        q = b.column("q").to_numpy()
+        lim = 1 << 62
+        if (len(n) == 0 or (int(n.max()) * int(q.max()) < lim
+                            and int(np.abs(s).max()) ** 2 < lim)):
+            den = np.sqrt((n * q - s * s).astype(np.float64))
+        else:
+            den = np.array([float(int(ni) * int(qi) - int(si) * int(si))
+                            ** 0.5 for ni, si, qi in
+                            zip(n.tolist(), s.tolist(), q.tolist())])
         return pa.table({"user_id": b.column("user_id"),
                          "n": b.column("n"), "s": b.column("s"),
                          "den": pa.array(den, pa.float64())})
@@ -5589,10 +5671,16 @@ group by o_orderpriority
 # retention cohort matrix -- the classic product-analytics triangle: each
 # customer's cohort is their first active month; count how many customers
 # of each cohort are active again N months later.  Shape: one
-# partial-deduped (custkey, month) shuffle, one per-customer fold (same
-# cardinality contract as cumsum_orders), one tiny (cohort, since) fold.
+# partial-deduped (custkey, month) shuffle, ONE keyed fold over custkey
+# (vectorized sorted-run cohort subtraction across every complete
+# customer group in a block -- the high-cardinality groupby rule from
+# partitions.keyed_fold: the previous per-customer map_groups paid
+# ~45us/group and scaled with customer cardinality), one tiny
+# (cohort, since) count.
 
 def q_retention_cohorts(sf_dir: str):
+    from ..partitions import keyed_fold
+
     def mth(b: pa.Table) -> pa.Table:
         d = b.column("o_orderdate")
         m = pc.add(pc.multiply(pc.cast(pc.year(d), pa.int64()), 12),
@@ -5604,15 +5692,24 @@ def q_retention_cohorts(sf_dir: str):
         .map_batches(mth, batch_format="pyarrow"),
         ["o_custkey", "mth"], {}, count_alias="n")
 
-    def per_cust(g: pa.Table) -> pa.Table:
-        ms = np.unique(np.asarray(g.column("mth"), np.int64))
-        cohort = int(ms[0])
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({
+                "cohort_month": pa.array([], pa.int64()),
+                "months_since": pa.array([], pa.int64())})
+        ck = b.column("o_custkey").to_numpy()
+        m = b.column("mth").to_numpy().astype(np.int64)
+        order = np.lexsort((m, ck))
+        ck, m = ck[order], m[order]
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        counts = np.diff(np.r_[starts, len(ck)])
+        cohort = np.repeat(m[starts], counts)   # min month per customer
         return pa.table({
-            "cohort_month": pa.array(np.full(len(ms), cohort, np.int64)),
-            "months_since": pa.array(ms - cohort, pa.int64())})
+            "cohort_month": pa.array(cohort, pa.int64()),
+            "months_since": pa.array(m - cohort, pa.int64())})
 
-    tri = (pairs.groupby("o_custkey")
-           .map_groups(per_cust, batch_format="pyarrow"))
+    tri = keyed_fold(pairs, ["o_custkey"], fold,
+                     num_partitions=_join_parts(sf_dir, "orders"))
     return (_partial_count_sums(tri, ["cohort_month", "months_since"],
                                 {}, count_alias="n_customers")
             .select_columns(["cohort_month", "months_since",

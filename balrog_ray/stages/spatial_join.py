@@ -431,15 +431,34 @@ class WithinJoinActor:
 def within_distance_join(sites_ds, veg_table: pa.Table, *,
                          max_dist: float, k: int | None = None,
                          metric: str = "planar", concurrency=(1, 4),
-                         batch_size: int = 4096):
+                         batch_size: int = 4096, grid=None,
+                         max_broadcast_polys: int = 500_000):
     """All (site, polygon) pairs within ``max_dist`` (the RANGE spatial
-    join), or each site's ``k`` nearest polygons -- the k>1 / range
-    generalization of :func:`broadcast_spatial_join` (the reference
-    reports only the single nearest vegetation polygon,
+    join), or each site's ``k`` nearest polygons within ``max_dist`` --
+    the k>1 / range generalization of :func:`broadcast_spatial_join`
+    (the reference reports only the single nearest vegetation polygon,
     xx_fiona_testing.py:205-218; factor analysis wants the
-    neighborhood).  Brute-force parity in tests/test_spatial_join.py."""
+    neighborhood).  Brute-force parity in tests/test_spatial_join.py.
+
+    The broadcast is GATED at ``max_broadcast_polys`` rows (mirroring
+    the single-nearest join's two-plan split): past the gate a
+    continent-scale polygon table would pin every actor's heap, so the
+    join routes to :func:`partitioned_within_join` when a planar
+    ``grid`` is supplied, and raises loudly otherwise."""
     import ray
 
+    if veg_table.num_rows > max_broadcast_polys:
+        if grid is not None and metric == "planar":
+            return partitioned_within_join(
+                sites_ds, veg_table, grid, max_dist=max_dist, k=k)
+        raise RuntimeError(
+            f"within_distance_join: polygon table has "
+            f"{veg_table.num_rows} rows, past the "
+            f"{max_broadcast_polys}-row broadcast gate; pass a planar "
+            "CellGrid via grid= to use the cell-partitioned plan "
+            "(partitioned_within_join) instead of broadcasting an "
+            "unbounded polygon table (geodesic metrics need a "
+            "degree-space grid sized to the data)")
     veg_ref = ray.put(veg_table)
     return sites_ds.map_batches(
         WithinJoinActor,
@@ -620,6 +639,88 @@ def partitioned_spatial_join(sites_ds, veg_table, grid,
     boundary equals its distance to the original boundary (any path to an
     interior cut edge crosses the true boundary first).
     """
+    tagged = _tagged_union(sites_ds, veg_table, grid, max_dist,
+                           hot_cell_threshold, n_salt, subdivide_cover,
+                           subdivide_vertices)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        polys, sites = _split_group(group)
+        if sites.num_rows == 0:
+            return pa.table({n: [] for n in JOIN_SCHEMA.names},
+                            schema=JOIN_SCHEMA)
+        index = _PolyIndex(polys)
+        return index.join_points(sites.column("site_id").to_pylist(),
+                                 sites.column("x").to_numpy(),
+                                 sites.column("y").to_numpy(), max_dist)
+
+    return (tagged.groupby("key")
+            .map_groups(join_group, batch_format="pyarrow"))
+
+
+def partitioned_within_join(sites_ds, veg_table, grid, *,
+                            max_dist: float, k: int | None = None,
+                            hot_cell_threshold: int = 64,
+                            n_salt: int = 4,
+                            subdivide_cover: int = 4,
+                            subdivide_vertices: int = 64):
+    """Shuffle-join plan for the RANGE / k-NN polygon join (the
+    :func:`within_distance_join` semantics past its broadcast gate):
+    same cell-keyed exchange, salting and subdivision as
+    :func:`partitioned_spatial_join`, with the per-group kernel
+    emitting one PAIRS_SCHEMA row per (site, polygon) pair within
+    ``max_dist`` (or each site's ``k`` nearest).
+
+    Correctness under the partitioning: every polygon within
+    ``max_dist`` of a site shares the site's (padded-cover) cell key,
+    and each site rides exactly ONE key, so the union of per-group pair
+    sets is exactly the global pair set -- no duplicate pairs, and the
+    per-site ``k`` selection sees the complete candidate set.
+    Multipolygon parts and subdivision pieces of one gid collapse to
+    the gid's minimum distance inside ``_pairs_within``; pieces absent
+    from the group are farther than ``max_dist`` and cannot change it.
+    Planar metric only (the cell grid is planar)."""
+    tagged = _tagged_union(sites_ds, veg_table, grid, max_dist,
+                           hot_cell_threshold, n_salt, subdivide_cover,
+                           subdivide_vertices)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        polys, sites = _split_group(group)
+        if sites.num_rows == 0:
+            return pa.table({n: [] for n in PAIRS_SCHEMA.names},
+                            schema=PAIRS_SCHEMA)
+        index = _PolyIndex(polys)
+        return _pairs_within(
+            index, sites.column("site_id"),
+            sites.column("x").to_numpy(),
+            sites.column("y").to_numpy(), max_dist, k=k)
+
+    return (tagged.groupby("key")
+            .map_groups(join_group, batch_format="pyarrow"))
+
+
+def _split_group(group: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """One shuffled (key) group -> (polygon table for _PolyIndex,
+    site rows)."""
+    import pyarrow.compute as pc
+
+    kinds = group.column("kind")
+    polys = group.filter(pc.equal(kinds, "poly"))
+    sites = group.filter(pc.equal(kinds, "site"))
+    return pa.table({
+        "gid": polys.column("gid"),
+        "bal_number": polys.column("bal_number"),
+        "geom": polys.column("geom")}), sites
+
+
+def _tagged_union(sites_ds, veg_table, grid, max_dist: float,
+                  hot_cell_threshold: int, n_salt: int,
+                  subdivide_cover: int, subdivide_vertices: int):
+    """Shared exchange plumbing of the partitioned spatial joins: both
+    sides tagged with a (cell * n_salt + salt) key -- polygons expanded
+    to every padded cell they cover (replicated across salts in hot
+    cells, subdivided when large), sites clamped to one cell and one
+    stable salt -- and unioned into a single keyed dataset ready for
+    ``groupby("key")``."""
     from ..geo.geometry import subdivide as _subdivide
     from ..geo.wkb import polygon_to_wkb as _to_wkb
     import ray.data
@@ -713,24 +814,4 @@ def partitioned_spatial_join(sites_ds, veg_table, grid,
         }, schema=tagged_schema)
 
     tagged_sites = sites_ds.map_batches(site_key, batch_format="pyarrow")
-
-    def join_group(group: pa.Table) -> pa.Table:
-        kinds = group.column("kind").to_pylist()
-        poly_mask = pa.array([k == "poly" for k in kinds])
-        site_mask = pa.array([k == "site" for k in kinds])
-        polys = group.filter(poly_mask)
-        sites = group.filter(site_mask)
-        if sites.num_rows == 0:
-            return pa.table({n: [] for n in JOIN_SCHEMA.names},
-                            schema=JOIN_SCHEMA)
-        index = _PolyIndex(pa.table({
-            "gid": polys.column("gid"),
-            "bal_number": polys.column("bal_number"),
-            "geom": polys.column("geom")}))
-        return index.join_points(sites.column("site_id").to_pylist(),
-                                 sites.column("x").to_numpy(),
-                                 sites.column("y").to_numpy(), max_dist)
-
-    return (tagged_sites.union(poly_ds)
-            .groupby("key")
-            .map_groups(join_group, batch_format="pyarrow"))
+    return tagged_sites.union(poly_ds)

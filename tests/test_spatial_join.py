@@ -459,3 +459,99 @@ def test_within_distance_join_matches_bruteforce(ray_session):
                                                got.get(sid_))
         extra = set(got) - set(want)
         assert not any(got[s] for s in extra)
+
+
+def test_partitioned_within_join_matches_broadcast(ray_session):
+    """The cell-partitioned range / k-NN join must emit exactly the
+    broadcast plan's pair set, including with forced salting and
+    subdivision (low thresholds), for both range (k=None) and k-NN."""
+    import ray.data
+
+    from balrog_ray.geo.cells import CellGrid
+    from balrog_ray.geo.geometry import Polygon
+    from balrog_ray.geo.wkb import multipolygon_to_wkb, polygon_to_wkb
+    from balrog_ray.stages.spatial_join import (partitioned_within_join,
+                                                within_distance_join)
+
+    rng = np.random.default_rng(23)
+    gids, classes, wkbs = [], [], []
+    for g in range(10):
+        cx, cy = rng.uniform(50, 950, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 9))
+        rad = rng.uniform(40, 150)
+        ring = np.column_stack([cx + rad * np.cos(ang),
+                                cy + rad * np.sin(ang)])
+        gids.append(g)
+        classes.append(int(rng.integers(1, 8)))
+        wkbs.append(polygon_to_wkb(Polygon(ring)))
+    # multipolygon whose parts straddle distinct cells
+    p1 = Polygon(np.array([[10.0, 10], [120, 10], [120, 120], [10, 120],
+                           [10, 10]]))
+    p2 = Polygon(np.array([[800.0, 800], [950, 800], [950, 950],
+                           [800, 950], [800, 800]]))
+    gids.append(10)
+    classes.append(5)
+    wkbs.append(multipolygon_to_wkb([p1, p2]))
+    veg = pa.table({
+        "gid": pa.array(gids, pa.int64()),
+        "bal_number": pa.array(classes, pa.int16()),
+        "geom": pa.array(wkbs, pa.binary())})
+    n = 250
+    sites = pa.table({
+        "site_id": pa.array([f"w{i:04d}" for i in range(n)], pa.string()),
+        "x": pa.array(rng.uniform(-50, 1050, n)),   # some out-of-window
+        "y": pa.array(rng.uniform(-50, 1050, n))})
+    grid = CellGrid(x0=0.0, y0=1000.0, cell_size=200.0, nx=5, ny=5)
+
+    def collect(ds):
+        got = {}
+        for r in ds.take_all():
+            got.setdefault(r["site_id"], set()).add(
+                (r["gid"], round(r["distance_m"], 9), r["contains"]))
+        return got
+
+    for k in (None, 3):
+        want = collect(within_distance_join(
+            ray.data.from_arrow(sites), veg, max_dist=180.0, k=k))
+        got = collect(partitioned_within_join(
+            ray.data.from_arrow(sites), veg, grid, max_dist=180.0, k=k,
+            hot_cell_threshold=2, n_salt=3, subdivide_cover=1,
+            subdivide_vertices=4))
+        assert got == want, k
+        assert sum(len(v) for v in want.values()) > 100
+
+
+def test_within_distance_join_broadcast_gate(ray_session):
+    """Past the broadcast gate the range join must route to the
+    partitioned plan when a grid is supplied, and raise loudly when
+    not."""
+    import ray.data
+
+    from balrog_ray.geo.cells import CellGrid
+    from balrog_ray.geo.geometry import Polygon
+    from balrog_ray.geo.wkb import polygon_to_wkb
+    from balrog_ray.stages.spatial_join import within_distance_join
+
+    veg = pa.table({
+        "gid": pa.array([0, 1], pa.int64()),
+        "bal_number": pa.array([3, 4], pa.int16()),
+        "geom": pa.array([
+            polygon_to_wkb(Polygon(np.array(
+                [[0.0, 0], [100, 0], [100, 100], [0, 100], [0, 0]]))),
+            polygon_to_wkb(Polygon(np.array(
+                [[300.0, 300], [400, 300], [400, 400], [300, 400],
+                 [300, 300]])))], pa.binary())})
+    sites = pa.table({
+        "site_id": pa.array(["a", "b"], pa.string()),
+        "x": pa.array([50.0, 350.0]),
+        "y": pa.array([50.0, 350.0])})
+    grid = CellGrid(x0=0.0, y0=500.0, cell_size=250.0, nx=2, ny=2)
+
+    with pytest.raises(RuntimeError, match="broadcast gate"):
+        within_distance_join(ray.data.from_arrow(sites), veg,
+                             max_dist=50.0, max_broadcast_polys=1)
+    got = within_distance_join(
+        ray.data.from_arrow(sites), veg, max_dist=50.0,
+        max_broadcast_polys=1, grid=grid).take_all()
+    assert {(r["site_id"], r["gid"], r["contains"]) for r in got} == {
+        ("a", 0, True), ("b", 1, True)}
