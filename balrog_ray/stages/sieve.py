@@ -579,6 +579,11 @@ def sieve_merge(size: dict[int, int], value: dict[int, float],
     return {c: find(c) for c in parent}
 
 
+#: float32 label tiles represent dense region ids exactly only below
+#: 2**24 -- the output FORMAT bound of region_group (both paths).
+_DENSE_ID_CAP = 1 << 24
+
+
 def region_group(ds, spec: GridSpec, *, layer: str, fmt: str = "npz",
                  max_regions: int = 5_000_000):
     """RegionGroup (the ArcGIS Spatial Analyst op): label every
@@ -589,15 +594,23 @@ def region_group(ds, spec: GridSpec, *, layer: str, fmt: str = "npz",
 
     * ``labels_ds`` -- image-table Dataset (layer ``regions_<layer>``)
       whose pixels are the region ids (float32 tiles -- exact because
-      ids are dense and gated <= ``max_regions`` < 2**24; nodata
-      passes through);
-    * ``regions`` -- a pyarrow Table ``(region_id, value, n_px,
-      anchor)``, the RegionGroup attribute table.
+      ids are dense and gated < 2**24; nodata passes through);
+    * ``regions`` -- the RegionGroup attribute table ``(region_id,
+      value, n_px, anchor)``: a pyarrow Table under ``max_regions``, a
+      DATASET on the distributed path (its cardinality is exactly what
+      exceeded the gate).
 
     Scale shape: the shared `_fragment_graph` label pass + cross-edge
     shuffle, components over same-value merge edges, one
-    groupby(canon) aggregation; the driver holds only region- and
-    fragment-count-bounded tables (gated loudly, the sieve contract)."""
+    groupby(canon) aggregation.  Under ``max_regions`` raw fragments
+    the dense-id assignment and relabel map are driver-held (the
+    bounded-materialization contract -- fastest at bench scale); past
+    it, :func:`_region_group_distributed` assigns ids by a bucketed
+    anchor rank (driver holds one 65536-entry histogram) and ships the
+    fragment->id map to its tiles by cell key, so fragment and region
+    cardinality are unbounded up to the float32 format cap
+    ``_DENSE_ID_CAP`` (2**24), past which it raises loudly (label per
+    sub-raster to go further)."""
     combined, cross = _fragment_graph(ds, spec, layer)
 
     import ray
@@ -607,13 +620,6 @@ def region_group(ds, spec: GridSpec, *, layer: str, fmt: str = "npz",
     from ..partitions import shuffle_width
 
     n_frags = combined.filter(expr="kind == 0").count()
-    if n_frags > max_regions:
-        raise RuntimeError(
-            f"region_group: {n_frags} raw fragments exceed max_regions="
-            f"{max_regions}; the dense-id assignment collects the "
-            f"fragment->region map driver-side (bounded-materialization "
-            f"contract) and float32 label tiles need ids < 2**24 -- "
-            f"raise max_regions (< 2**24) or label per sub-raster")
     n_parts = shuffle_width(n_frags)
 
     parts_ds = combined.filter(expr="kind == 0") \
@@ -631,12 +637,17 @@ def region_group(ds, spec: GridSpec, *, layer: str, fmt: str = "npz",
             lambda b: b.append_column("canon", b.column("gid")),
             batch_format="pyarrow").materialize()
 
-    canon_rows = (parts_c
-                  .groupby("canon")
-                  .aggregate(agg.Sum("n_px", alias_name="n_px"),
-                             agg.Min("anchor", alias_name="anchor"),
-                             agg.Min("value", alias_name="value"))
-                  .take_all())
+    canon_agg = (parts_c
+                 .groupby("canon")
+                 .aggregate(agg.Sum("n_px", alias_name="n_px"),
+                            agg.Min("anchor", alias_name="anchor"),
+                            agg.Min("value", alias_name="value")))
+
+    if n_frags > max_regions:
+        return _region_group_distributed(ds, spec, layer, fmt, parts_c,
+                                         canon_agg, n_frags)
+
+    canon_rows = canon_agg.take_all()
     canon_rows.sort(key=lambda r: int(r["anchor"]))
     rid = {int(r["canon"]): i + 1 for i, r in enumerate(canon_rows)}
     regions = pa.table({
@@ -698,3 +709,202 @@ def region_group(ds, spec: GridSpec, *, layer: str, fmt: str = "npz",
         return pa.table(out, schema=TILES_SCHEMA)
 
     return ds.map_batches(relabel, batch_format="pyarrow"), regions
+
+
+def _region_group_distributed(ds, spec: GridSpec, layer: str, fmt: str,
+                              parts_c, canon_agg, n_frags: int):
+    """Past-gate body of :func:`region_group`: nothing fragment- or
+    region-cardinality-sized touches the driver.
+
+    Dense anchor-ordered ids come from a BUCKETED RANK: anchors are
+    unique per region (disjoint pixel sets, min pixel index), and
+    ``bucket = anchor // bw`` is monotone in anchor, so
+    ``region_id = prefix[bucket] + rank_within_bucket + 1`` with
+    ``prefix`` the exclusive cumsum of the per-bucket counts.  The
+    driver holds ONE 65536-entry histogram (merged from per-block
+    partials); the within-bucket rank runs in a keyed fold that
+    co-locates each bucket.  The fragment -> region-id map then joins
+    ``parts_c`` distributed and rides a cell-keyed union to its OWN
+    tiles (the _sidecar_join shape: ray's shard builder null-unifies
+    the two schemas), so the relabel fold sees every tile next to
+    exactly its fragments' id rows."""
+    import ray
+
+    from ..partitions import keyed_fold, shuffle_width
+
+    T = spec.tile_px
+    world_px = spec.tiles_x * T * spec.tiles_y * T
+    NB = 1 << 16
+    bw = max(1, -(-world_px // NB))          # bucket width in pixels
+
+    def tag_bucket(b: pa.Table) -> pa.Table:
+        a = b.column("anchor").to_numpy()
+        return b.append_column("bucket", pa.array(a // bw, pa.int64()))
+
+    cb = canon_agg.map_batches(tag_bucket,
+                               batch_format="pyarrow").materialize()
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("bucket").to_numpy(),
+                         return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    counts = np.zeros(NB, np.int64)
+    for t in ray.get(cb.map_batches(bucket_partial,
+                                    batch_format="pyarrow")
+                     .materialize().to_arrow_refs()):
+        if t.num_rows:
+            np.add.at(counts, t.column("bucket").to_numpy(),
+                      t.column("n").to_numpy())
+    total = int(counts.sum())
+    if total >= _DENSE_ID_CAP:
+        raise RuntimeError(
+            f"region_group: {total} regions reach the float32 dense-id "
+            f"format cap 2**24; label per sub-raster (or emit int32 "
+            f"label tiles) to go further")
+    prefix = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    prefix_ref = ray.put(prefix)
+
+    def rank_fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "bucket" not in b.column_names:
+            return pa.table({
+                "canon": pa.array([], pa.int64()),
+                "n_px": pa.array([], pa.int64()),
+                "anchor": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                "region_id": pa.array([], pa.int64())})
+        pf = ray.get(prefix_ref)
+        bu = b.column("bucket").to_numpy()
+        a = b.column("anchor").to_numpy()
+        order = np.lexsort((a, bu))
+        b2 = b.take(pa.array(order, pa.int64()))
+        bu = bu[order]
+        starts = np.flatnonzero(np.r_[True, bu[1:] != bu[:-1]])
+        local = np.arange(len(bu)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(bu)]))
+        rid = pf[bu] + local + 1
+        return (b2.drop_columns(["bucket"])
+                .append_column("region_id", pa.array(rid, pa.int64())))
+
+    rid_width = shuffle_width(total)
+    rid_ds = keyed_fold(cb, ["bucket"], rank_fold,
+                        num_partitions=rid_width).materialize()
+    regions_ds = rid_ds.select_columns(
+        ["region_id", "value", "n_px", "anchor"])
+
+    # fragment -> region id rows, keyed by their tile's cell
+    fmap = (parts_c.select_columns(["gid", "canon"])
+            .join(rid_ds.select_columns(["canon", "region_id"]),
+                  "inner", num_partitions=shuffle_width(n_frags),
+                  on=("canon",)))
+
+    def tag_map(b: pa.Table) -> pa.Table:
+        gid = b.column("gid").to_numpy()
+        return pa.table({
+            "cell": pa.array(gid >> _LABEL_BITS, pa.int64()),
+            "gid": b.column("gid"),
+            "rid": b.column("region_id").cast(pa.int64())})
+
+    map_side = fmap.map_batches(tag_map, batch_format="pyarrow")
+
+    def tag_tiles(b: pa.Table) -> pa.Table:
+        import json
+
+        from ..tiles.codec import Caption
+
+        keep, cells = [], []
+        for i in range(b.num_rows):
+            cap_raw = b.column("caption")[i].as_py()
+            if json.loads(cap_raw).get("layer") != layer:
+                continue
+            cap = Caption.from_json(cap_raw)
+            keep.append(i)
+            cells.append(int(spec.cell_id(cap.tx, cap.ty)))
+        t = b.take(pa.array(keep, pa.int64()))
+        return t.append_column("cell", pa.array(cells, pa.int64()))
+
+    tile_side = ds.map_batches(tag_tiles, batch_format="pyarrow")
+
+    def relabel_fold(b: pa.Table) -> pa.Table:
+        import json
+
+        from ..tiles.codec import Caption, decode_tile, encode_tile, \
+            phash64
+        from ..tiles.synth import TILES_SCHEMA
+
+        out = {n: [] for n in TILES_SCHEMA.names}
+        empty = pa.table(
+            {n: pa.array([], TILES_SCHEMA.field(n).type)
+             for n in TILES_SCHEMA.names}, schema=TILES_SCHEMA)
+        if b.num_rows == 0 or "caption" not in b.column_names:
+            return empty
+        # schema unification marks the sides: tile rows carry a valid
+        # caption, map rows a null one (and vice versa for gid)
+        has_map = "gid" in b.column_names
+        if has_map:
+            cap_col = b.column("caption")
+            is_tile = np.array([cap_col[i].is_valid
+                                for i in range(b.num_rows)])
+        else:
+            is_tile = np.full(b.num_rows, True)
+        cells = b.column("cell").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # per-cell fragment map from this block's map rows
+        lut: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if has_map:
+            midx = np.flatnonzero(~is_tile)
+            if len(midx):
+                mc = cells[midx]
+                mg = np.asarray(
+                    b.column("gid").take(pa.array(midx, pa.int64()))
+                    .to_pylist(), np.int64)
+                mr = np.asarray(
+                    b.column("rid").take(pa.array(midx, pa.int64()))
+                    .to_pylist(), np.float32)
+                order = np.lexsort((mg, mc))
+                mc, mg, mr = mc[order], mg[order], mr[order]
+                cstarts = np.flatnonzero(
+                    np.r_[True, mc[1:] != mc[:-1]])
+                cbounds = np.r_[cstarts, len(mc)]
+                for ci in range(len(cstarts)):
+                    s, e = cbounds[ci], cbounds[ci + 1]
+                    lut[int(mc[s])] = (mg[s:e], mr[s:e])
+        for i in np.flatnonzero(is_tile):
+            cap_raw = b.column("caption")[i].as_py()
+            cap = Caption.from_json(cap_raw)
+            arr = decode_tile(b.column("bytes")[i].as_py(),
+                              b.column("fmt")[i].as_py(), cap)
+            tx, ty = cap.tx, cap.ty
+            cell = int(spec.cell_id(tx, ty))
+            base = np.int64(cell) << _LABEL_BITS
+            labels, _ = _label_tile(arr, float(cap.nodata))
+            new = np.full(arr.shape, np.float32(cap.nodata), np.float32)
+            k, v = lut.get(cell, (np.empty(0, np.int64),
+                                  np.empty(0, np.float32)))
+            if len(k) and labels.max() >= 0:
+                gid2d = base + labels.astype(np.int64)
+                pos = np.clip(np.searchsorted(k, gid2d.ravel()),
+                              0, len(k) - 1)
+                hit = (labels.ravel() >= 0) & (k[pos] == gid2d.ravel())
+                flat = new.ravel()
+                flat[hit] = v[pos[hit]]
+                new = flat.reshape(arr.shape)
+            ocap = Caption(layer=f"regions_{layer}", x0=cap.x0,
+                           y0=cap.y0, pixel_size=cap.pixel_size,
+                           crs=cap.crs, nodata=cap.nodata,
+                           edge=dict(cap.edge), tx=tx, ty=ty)
+            payload, ocap = encode_tile(new, fmt, ocap)
+            out["image_id"].append(f"regions_{layer}/{tx}/{ty}")
+            out["bytes"].append(payload)
+            out["w"].append(np.int32(new.shape[1]))
+            out["h"].append(np.int32(new.shape[0]))
+            out["fmt"].append(fmt)
+            out["caption"].append(ocap.to_json())
+            out["phash"].append(np.int64(phash64(new)))
+        return pa.table(out, schema=TILES_SCHEMA)
+
+    labels_ds = keyed_fold(
+        tile_side.union(map_side), ["cell"], relabel_fold,
+        num_partitions=shuffle_width(n_frags))
+    return labels_ds, regions_ds

@@ -86,15 +86,55 @@ def test_region_group_matches_bfs_oracle():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_region_group_gate():
+def test_region_group_distributed_matches_oracle():
+    """max_regions=2 forces the past-gate distributed path (bucketed
+    anchor rank + cell-keyed relabel); labels and the regions DATASET
+    must match the BFS oracle exactly -- same contract as the
+    driver-map path."""
     import ray
     import ray.data
 
     from balrog_ray.stages.sieve import region_group
 
+    cfg = SynthConfig(tiles_x=3, tiles_y=2, tile_px=16)
+    arr = _classy((32, 48), seed=61)
+    spec = GridSpec(cfg.tiles_x, cfg.tiles_y, cfg.tile_px,
+                    cfg.pixel_size, y_north=cfg.y_north)
+    ds = ray.data.from_arrow(_tiles_from_array(arr, cfg, layer="veg"))
+    labels_ds, regions_ds = region_group(ds, spec, layer="veg",
+                                         max_regions=2)
+    out = labels_ds.materialize()
+    tabs = [t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows]
+    got = _mosaic(pa.concat_tables(tabs), "regions_veg", cfg)
+
+    want_lab, want_regions = _ref_regions(arr)
+    nd = arr == np.float32(ND)
+    assert np.array_equal(got == np.float32(ND), nd)
+    assert np.array_equal(got[~nd].astype(np.int64), want_lab[~nd])
+
+    got_rows = sorted(
+        (r["region_id"], r["value"], r["n_px"], r["anchor"])
+        for r in regions_ds.take_all())
+    assert got_rows == want_regions
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_region_group_dense_id_cap():
+    import ray
+    import ray.data
+
+    from balrog_ray.stages import sieve
+
     cfg = SynthConfig(tiles_x=2, tiles_y=1, tile_px=16)
     arr = _classy((16, 32), seed=62)
     spec = GridSpec(2, 1, 16, cfg.pixel_size, y_north=cfg.y_north)
     ds = ray.data.from_arrow(_tiles_from_array(arr, cfg, layer="veg"))
-    with pytest.raises(RuntimeError, match="max_regions"):
-        region_group(ds, spec, layer="veg", max_regions=2)
+    orig = sieve._DENSE_ID_CAP
+    sieve._DENSE_ID_CAP = 2
+    try:
+        with pytest.raises(RuntimeError, match="2\\*\\*24|format cap"):
+            region = sieve.region_group(ds, spec, layer="veg",
+                                        max_regions=2)
+    finally:
+        sieve._DENSE_ID_CAP = orig
