@@ -12,11 +12,14 @@ systematic delta against those.  This module closes it:
   ellipsoid.  Sub-millimetre on lines up to hundreds of km (validated in
   tests/test_wgs84.py against independent oracles: exact ECEF chords for
   short lines, Gauss-Legendre meridian quadrature, the closed-form
-  equatorial arc, and an RK4 integration of the geodesic ODEs).  The
-  classical Vincenty caveat applies: nearly-antipodal pairs (~>179.4
-  deg apart) may not converge -- those raise rather than degrade
-  silently (Karney 2013 solves them; no such pair occurs in a
-  distance-to-vegetation workload whose ``max_dist`` is km-scale).
+  equatorial arc, and an RK4 integration of the geodesic ODEs).
+  Nearly-antipodal pairs (~>179.4 deg apart), where Vincenty's
+  iteration classically diverges, fall back to
+  :func:`_inverse_near_antipodal` -- a multi-seed shooting solve of
+  the direct problem that recovers the Karney-2013 shortest geodesic
+  (including the off-equator routing of near-antipodal equatorial
+  pairs) to sub-mm, so global pairwise distances work everywhere
+  except the exactly-antipodal degenerate set.
 * :func:`ellipsoidal_ring_area_m2` / :func:`ellipsoidal_polygon_area_m2`
   -- equal-area (authalic) latitude mapping + spherical-excess line
   integral: exact for quadrangles bounded by meridians/parallels and
@@ -105,10 +108,10 @@ def wgs84_inverse(lon1, lat1, lon2, lat2, *, max_iter: int = 100,
         active = active & (delta > tol)
         if not active.any():
             break
-    else:
-        raise ArithmeticError(
-            "wgs84_inverse: Vincenty failed to converge (near-antipodal "
-            "pair); use a Karney solver for antipodal geodesics")
+    # pairs still active are near-antipodal (Vincenty's classical
+    # failure mode, ~>179.4 deg apart); they fall back to the
+    # multi-seed shooting solver below after the series evaluation
+    need_fallback = active.copy()
 
     u2 = cos2_alp * _EP2
     A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 *
@@ -129,10 +132,87 @@ def wgs84_inverse(lon1, lat1, lon2, lat2, *, max_iter: int = 100,
     # coincident points: zero distance, zero azimuth
     coincident = (sin_sig == 0.0) & (np.abs(L) < 1e-15) & (phi1 == phi2)
     s = np.where(coincident, 0.0, s)
+    a1 = np.mod(np.degrees(azi1), 360.0)
+    a2 = np.mod(np.degrees(azi2), 360.0)
+    if need_fallback.any():
+        sf = s.ravel()
+        a1f, a2f = a1.ravel(), a2.ravel()
+        lo1, la1 = (np.degrees(lam1).ravel(),
+                    np.degrees(phi1).ravel())
+        lo2, la2 = (np.degrees(lam2).ravel(),
+                    np.degrees(phi2).ravel())
+        for i in np.flatnonzero(need_fallback.ravel()):
+            sf[i], a1f[i], a2f[i] = _inverse_near_antipodal(
+                float(lo1[i]), float(la1[i]),
+                float(lo2[i]), float(la2[i]))
+        s = sf.reshape(s.shape)
+        a1 = a1f.reshape(a1.shape)
+        a2 = a2f.reshape(a2.shape)
     out_s = s.reshape(shape) if shape else float(s)
-    a1 = np.mod(np.degrees(azi1), 360.0).reshape(shape)
-    a2 = np.mod(np.degrees(azi2), 360.0).reshape(shape)
-    return out_s, a1, a2
+    return out_s, a1.reshape(shape), a2.reshape(shape)
+
+
+def _inverse_near_antipodal(lon1: float, lat1: float, lon2: float,
+                            lat2: float):
+    """Near-antipodal inverse by multi-seed damped Newton SHOOTING on
+    the direct problem (:func:`wgs84_forward`, which converges
+    everywhere): find ``(azi1, s)`` with ``forward(p1, azi1, s) = p2``,
+    from 12 azimuth seeds, keeping the SHORTEST converged geodesic.
+
+    Rationale: Vincenty's inverse iteration diverges past ~179.4 deg;
+    Karney 2013 solves that case with a dedicated series.  This solver
+    reaches the same geodesic numerically: near the antipode the
+    shortest path's azimuth moves far from the spherical guess (the
+    classic example: near-antipodal EQUATORIAL pairs route near the
+    POLE, not along the equator), which is exactly why a single-seed
+    shoot is not enough -- the seed ring covers every basin and the
+    min-s winner is the shortest geodesic.  Residuals are measured in
+    local metres (dlat x M, dlon x N cos phi); convergence is 0.1 mm.
+    Scalar per pair -- only pairs Vincenty rejected ever get here."""
+    M2 = WGS84_A * (1.0 - _E2) / (1.0 - _E2 * np.sin(
+        lat2 * _RAD) ** 2) ** 1.5
+    N2 = WGS84_A / np.sqrt(1.0 - _E2 * np.sin(lat2 * _RAD) ** 2)
+    cos2 = max(np.cos(lat2 * _RAD), 1e-12)
+
+    def residual(azi, s):
+        lon_f, lat_f, azi2 = wgs84_forward(lon1, lat1, azi, s)
+        dlon = (float(lon_f) - lon2 + 180.0) % 360.0 - 180.0
+        return (np.array([(float(lat_f) - lat2) * _RAD * M2,
+                          dlon * _RAD * N2 * cos2]), float(azi2))
+
+    best = None
+    s0 = np.pi * WGS84_B
+    for azi_seed in range(0, 360, 30):
+        azi, s = float(azi_seed), s0
+        azi2_out = 0.0
+        for _ in range(60):
+            r, azi2_out = residual(azi, s)
+            if np.hypot(r[0], r[1]) < 1e-4:
+                break
+            h_a, h_s = 1e-6, 0.5            # deg, metres
+            ra, _ = residual(azi + h_a, s)
+            rs, _ = residual(azi, s + h_s)
+            J = np.column_stack([(ra - r) / h_a, (rs - r) / h_s])
+            try:
+                step = np.linalg.solve(J, -r)
+            except np.linalg.LinAlgError:
+                break
+            # damp: the azimuth basin is ~30 deg wide near the antipode
+            step[0] = np.clip(step[0], -20.0, 20.0)
+            step[1] = np.clip(step[1], -2e6, 2e6)
+            azi = (azi + float(step[0])) % 360.0
+            s = min(max(s + float(step[1]), 1.0), 2.1e7)
+        else:
+            continue
+        r, azi2_out = residual(azi, s)
+        if np.hypot(r[0], r[1]) < 1e-4 and (best is None
+                                            or s < best[0] - 1e-6):
+            best = (s, azi % 360.0, azi2_out % 360.0)
+    if best is None:
+        raise ArithmeticError(
+            "wgs84_inverse: near-antipodal shooting fallback failed to "
+            "converge from every seed (exactly-antipodal pair?)")
+    return best
 
 
 def wgs84_forward(lon1, lat1, azi1_deg, s_m):

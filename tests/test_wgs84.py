@@ -176,3 +176,52 @@ def test_spatial_join_wgs84_metric(ray_session):
         metric="geodesic_sphere")
     ds0 = out_s.column("distance_m").to_numpy()[0]
     assert 0 < abs(ds0 - d[0]) / d[0] < 6e-3
+
+
+def test_near_antipodal_fallback_properties():
+    """Vincenty diverges past ~179.4 deg; the multi-seed shooting
+    fallback must return a true geodesic (forward/RK4 endpoint checks,
+    two independent integrators), symmetric, and SHORTEST in the
+    Karney sense: a near-antipodal EQUATORIAL pair routes off the
+    equator, beating the equatorial arc."""
+    from balrog_ray.geo.wgs84 import (WGS84_A, geodesic_rk4,
+                                      wgs84_forward, wgs84_inverse)
+
+    s, a1, _ = wgs84_inverse(0.0, 0.0, 179.7, 0.0)
+    # endpoint via the series direct solve: sub-mm
+    lon_f, lat_f, _ = wgs84_forward(0.0, 0.0, a1, s)
+    assert abs(float(lon_f) - 179.7) < 1e-9
+    assert abs(float(lat_f)) < 1e-9
+    # endpoint via RK4 ODE integration (no shared series): < 1e-7 deg
+    lon_r, lat_r, _ = geodesic_rk4(0.0, 0.0, float(a1), float(s),
+                                   n_steps=20000)
+    assert abs(lon_r - 179.7) < 1e-7 and abs(lat_r) < 1e-7
+    # Karney: the shortest path leaves the equator
+    assert s < WGS84_A * np.deg2rad(179.7) - 1000.0
+    assert min(abs(a1 - 90.0), abs(a1 - 270.0)) > 5.0
+    assert 19_900_000 < s < 20_010_000
+    # symmetry
+    s2, _, _ = wgs84_inverse(179.7, 0.0, 0.0, 0.0)
+    assert abs(s - s2) < 1e-3
+
+
+def test_near_antipodal_off_equator_and_vector_mix():
+    """A vectorized call mixing convergent and near-antipodal pairs:
+    the fallback patches only its own entries."""
+    from balrog_ray.geo.wgs84 import wgs84_forward, wgs84_inverse
+
+    lon1 = np.array([115.0, 10.0])
+    lat1 = np.array([-32.0, 20.0])
+    lon2 = np.array([115.5, -169.8])     # [0]: ordinary, [1]: antipodal
+    lat2 = np.array([-31.5, -19.9])
+    s, a1, a2 = wgs84_inverse(lon1, lat1, lon2, lat2)
+    # ordinary pair: same as a scalar Vincenty call
+    s0, a10, _ = wgs84_inverse(115.0, -32.0, 115.5, -31.5)
+    assert abs(float(s[0]) - float(s0)) < 1e-9
+    assert abs(float(a1[0]) - float(a10)) < 1e-12
+    # near-antipodal pair: true geodesic through the endpoint
+    lon_f, lat_f, _ = wgs84_forward(10.0, 20.0, float(a1[1]),
+                                    float(s[1]))
+    assert abs(float(lon_f) + 169.8) < 1e-9
+    assert abs(float(lat_f) + 19.9) < 1e-9
+    assert 19_900_000 < float(s[1]) < 20_010_000
