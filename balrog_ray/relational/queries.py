@@ -1394,11 +1394,13 @@ def q_rank_orders(sf_dir: str):
 
     Scale shape: a per-batch partial top-2 per key first (vectorized
     lexsort + run-length head), so the keyed shuffle carries at most
-    2 rows per (batch, key) instead of the whole orders table; the final
-    per-key top-2 + rank runs in ``map_groups`` over the pruned rows."""
-    def partial_top2(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return b
+    2 rows per (batch, key) instead of the whole orders table; the
+    final per-key top-2 + rank is ONE keyed fold, the same lexsort +
+    run-position sweep over every complete customer group at once (the
+    high-cardinality groupby rule from partitions.keyed_fold)."""
+    from ..partitions import keyed_fold
+
+    def top2_positions(b: pa.Table):
         ck = b.column("o_custkey").to_numpy()
         ok = b.column("o_orderkey").to_numpy()
         price = b.column("o_totalprice").to_numpy()
@@ -1409,23 +1411,33 @@ def q_rank_orders(sf_dir: str):
         np.not_equal(ck_s[1:], ck_s[:-1], out=new_key[1:])
         pos = np.arange(len(ck_s)) - np.maximum.accumulate(
             np.where(new_key, np.arange(len(ck_s)), 0))
-        keep = order[pos < 2]
-        return b.take(pa.array(np.sort(keep)))
+        return order, pos
 
-    def rank2(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("o_totalprice", "descending"), ("o_orderkey", "ascending")])
-        g = group.take(order[:2])
+    def partial_top2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        order, pos = top2_positions(b)
+        return b.take(pa.array(np.sort(order[pos < 2])))
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "rn": pa.array([], pa.int64())})
+        order, pos = top2_positions(b)
+        keep = pos < 2
+        sel = order[keep]
         return pa.table({
-            "o_custkey": g.column("o_custkey"),
-            "o_orderkey": g.column("o_orderkey"),
-            "rn": pa.array(np.arange(1, g.num_rows + 1), pa.int64())})
+            "o_custkey": b.column("o_custkey").take(pa.array(sel)),
+            "o_orderkey": b.column("o_orderkey").take(pa.array(sel)),
+            "rn": pa.array(pos[keep] + 1, pa.int64())})
 
-    return (_read(sf_dir, "orders",
-                  ["o_custkey", "o_orderkey", "o_totalprice"])
-            .map_batches(partial_top2, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .map_groups(rank2, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial_top2, batch_format="pyarrow"),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_RANK_ORDERS = """
@@ -1444,49 +1456,76 @@ where rn <= 2
 def q_moving_max(sf_dir: str):
     """max(value) over (partition by user order by ts rows between
     2 preceding and current row) -- exact (max of existing doubles, no
-    float-order sensitivity)."""
-    def roll(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(order)
+    float-order sensitivity).  ONE keyed fold; the 3-row window is two
+    segment-masked shifted maxima over every complete user run at
+    once."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "mov_max": pa.array([], pa.float64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
         v = g.column("value").to_numpy()
         m = v.copy()
         if len(v) > 1:
-            np.maximum(m[1:], v[:-1], out=m[1:])
+            same1 = uid[1:] == uid[:-1]
+            np.maximum(m[1:], np.where(same1, v[:-1], -np.inf),
+                       out=m[1:])
         if len(v) > 2:
-            np.maximum(m[2:], v[:-2], out=m[2:])
+            same2 = uid[2:] == uid[:-2]
+            np.maximum(m[2:], np.where(same2, v[:-2], -np.inf),
+                       out=m[2:])
         return pa.table({"event_id": g.column("event_id"),
                          "user_id": g.column("user_id"),
                          "mov_max": pa.array(m, pa.float64())})
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-            .groupby("user_id")
-            .map_groups(roll, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 def q_cumsum_orders(sf_dir: str):
     """Running per-customer order total -- ``sum(...) over (partition by
-    o_custkey order by o_orderdate, o_orderkey)``.  High-cardinality
-    partition key, so per-group materialization is the scale-safe shape
-    (each group is one customer's orders); the sum runs in integer
-    cents so a window-function segment-tree summation on the oracle
-    side cannot produce a different float rounding."""
-    def roll(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
-        g = group.take(order)
+    o_custkey order by o_orderdate, o_orderkey)``.  ONE keyed fold:
+    the grouped running sum is a global cumsum minus each segment's
+    start offset, vectorized over every complete customer run (integer
+    cents, so a window-function segment-tree summation on the oracle
+    side cannot produce a different float rounding)."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_custkey": pa.array([], pa.int64()),
+                             "run_cents": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending")])
+        g = b.take(order)
+        ck = g.column("o_custkey").to_numpy()
         cents = np.rint(g.column("o_totalprice").to_numpy()
                         * 100.0).astype(np.int64)
+        c = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        counts = np.diff(np.r_[starts, len(ck)])
+        run = c - np.repeat(c[starts] - cents[starts], counts)
         return pa.table({"o_orderkey": g.column("o_orderkey"),
                          "o_custkey": g.column("o_custkey"),
-                         "run_cents": pa.array(np.cumsum(cents),
-                                               pa.int64())})
+                         "run_cents": pa.array(run, pa.int64())})
 
-    return (_read(sf_dir, "orders",
-                  ["o_custkey", "o_orderkey", "o_orderdate",
-                   "o_totalprice"])
-            .groupby("o_custkey")
-            .map_groups(roll, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice"]),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_CUMSUM_ORDERS = """
@@ -1503,23 +1542,34 @@ from orders
 def q_lag_events(sf_dir: str):
     """Per-user inter-event gap -- ``ts - lag(ts) over (partition by
     user_id order by ts, event_id)`` in microseconds (-1 for the first
-    event; integer timestamps, exact)."""
-    def roll(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(order)
+    event; integer timestamps, exact).  ONE keyed fold, the diff
+    segment-masked at user boundaries."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "gap_us": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
         ts = g.column("ts").cast(pa.int64()).to_numpy()
         gap = np.empty(len(ts), np.int64)
         gap[0] = -1
         if len(ts) > 1:
-            gap[1:] = ts[1:] - ts[:-1]
+            gap[1:] = np.where(uid[1:] == uid[:-1],
+                               ts[1:] - ts[:-1], -1)
         return pa.table({"event_id": g.column("event_id"),
                          "user_id": g.column("user_id"),
                          "gap_us": pa.array(gap, pa.int64())})
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
-            .groupby("user_id")
-            .map_groups(roll, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_LAG_EVENTS = """
@@ -1774,19 +1824,26 @@ def q_latest_event(sf_dir: str):
         last[:-1] = u_s[1:] != u_s[:-1]
         return b.take(pa.array(np.sort(order[last])))
 
-    def pick(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[
-            ("ts", "descending"), ("event_id", "descending")])
-        g2 = g.take(order[:1])
-        return pa.table({"user_id": g2.column("user_id"),
-                         "event_id": g2.column("event_id"),
-                         "ts": g2.column("ts"),
-                         "value": g2.column("value")})
+    def fold(b: pa.Table) -> pa.Table:
+        # final keep-last per user over the compacted rows -- the same
+        # lexsort run-tail sweep as the partial, one keyed fold instead
+        # of a per-user map_groups
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64())})
+        out = partial_last(b)
+        return out.select(["user_id", "event_id", "ts", "value"])
 
-    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
-            .map_batches(partial_last, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(pick, batch_format="pyarrow"))
+    from ..partitions import keyed_fold
+
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(partial_last, batch_format="pyarrow"),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_LATEST_EVENT = """
@@ -2700,37 +2757,59 @@ def q_funnel_steps(sf_dir: str):
     """Three-step ordered funnel: per user, the earliest 'view', then the
     earliest 'click' strictly after it within 86400 s, then the earliest
     'purchase' strictly after that within 86400 s; output is users
-    reaching each step.  Scale shape: one user-keyed shuffle, the
-    per-group step walk is three vectorized searchsorted/min ops, and
-    the final reduction is a 4-row histogram -- partials only, nothing
-    user-cardinality-sized reaches the driver."""
+    reaching each step.  Scale shape: ONE keyed fold; each step is a
+    masked segment-min (``minimum.reduceat``) over every complete user
+    run at once, the fold emits a per-block (depth, n) partial
+    histogram, and the final reduction is a 4-row groupby sum --
+    nothing user-cardinality-sized reaches the driver."""
     WIN_US = 86_400 * 1_000_000
 
-    def depth(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").to_numpy().astype(
-            "datetime64[us]").astype(np.int64)
-        et = np.asarray(group.column("event_type").to_pylist())
-        d = 0
-        sel = ts[et == "view"]
-        if sel.size:
-            d = 1
-            t1 = int(sel.min())
-            sel = ts[et == "click"]
-            sel = sel[(sel > t1) & (sel <= t1 + WIN_US)]
-            if sel.size:
-                d = 2
-                t2 = int(sel.min())
-                sel = ts[et == "purchase"]
-                sel = sel[(sel > t2) & (sel <= t2 + WIN_US)]
-                if sel.size:
-                    d = 3
-        return pa.table({"depth": pa.array([d], pa.int64())})
+    from ..partitions import keyed_fold
 
-    counts = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
-              .groupby("user_id")
-              .map_groups(depth, batch_format="pyarrow")
+    INF = np.iinfo(np.int64).max
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"depth": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        ts = (g.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        et = g.column("event_type")
+        code = np.full(len(uid), 3, np.int8)
+        for ci, name in enumerate(("view", "click", "purchase")):
+            code[pc.equal(et, name).to_numpy(
+                zero_copy_only=False)] = ci
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, len(uid)])
+
+        def seg_min(mask):
+            return np.minimum.reduceat(np.where(mask, ts, INF), starts)
+
+        t1 = seg_min(code == 0)
+        t1r = np.repeat(t1, counts)
+        ok1 = t1r != INF
+        t2 = seg_min((code == 1) & ok1 & (ts > t1r)
+                     & (ts - t1r <= WIN_US))
+        t2r = np.repeat(t2, counts)
+        ok2 = t2r != INF
+        t3 = seg_min((code == 2) & ok2 & (ts > t2r)
+                     & (ts - t2r <= WIN_US))
+        d = ((t1 != INF).astype(np.int64) + (t2 != INF)
+             + (t3 != INF))
+        u, n = np.unique(d, return_counts=True)
+        return pa.table({"depth": pa.array(u, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    counts = (keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
               .groupby("depth")
-              .aggregate(_agg().Count(alias_name="n"))
+              .aggregate(_agg().Sum("n", alias_name="n"))
               .take_all())                       # <= 4 rows
     by_depth = {r["depth"]: r["n"] for r in counts}
     users = [sum(n for d, n in by_depth.items() if d >= k)
@@ -2885,28 +2964,41 @@ def q_ewma_user_value(sf_dir: str):
     expresses; the oracle drives DuckDB's recursive CTE through the
     identical recurrence.
 
-    Scale shape: one groupby(user_id) shuffle; the per-group scan is
-    inherently sequential (each step reads the previous state) but
-    group-sized, and both sides evaluate ``s = 0.25 x + 0.75 s`` in
-    the same order with the same float64 arithmetic, so the compare
-    is bit-tight, not just 1e-9-tight."""
+    Scale shape: ONE keyed fold; the scan is inherently sequential PER
+    USER (each step reads the previous state), so the fold runs it in
+    WAVES over the within-user rank -- wave k updates every user with
+    a k-th event in one vectorized ``0.25 x + 0.75 s`` -- i.e. Python
+    cost O(max events/user), not O(events).  Each user's arithmetic is
+    the exact scalar recurrence in the same order (IEEE float64
+    elementwise), so the compare against DuckDB's recursive CTE stays
+    bit-tight, not just 1e-9-tight."""
+    from ..partitions import keyed_fold
 
-    def scan(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        x = group.take(order).column("value").to_numpy()
-        s = float(x[0])
-        for v in x[1:]:
-            s = 0.25 * float(v) + 0.75 * s
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ewma": pa.array([], pa.float64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        x = g.column("value").to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, len(uid)])
+        s = x[starts].copy()
+        for k in range(1, int(counts.max())):
+            valid = counts > k
+            s[valid] = 0.25 * x[starts[valid] + k] + 0.75 * s[valid]
         return pa.table({
-            "user_id": pa.array([group.column("user_id")[0].as_py()],
-                                pa.int64()),
-            "ewma": pa.array([s], pa.float64())})
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "ewma": pa.array(s, pa.float64())})
 
-    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
-                                     "value"])
-            .groupby("user_id")
-            .map_groups(scan, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                 "value"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_EWMA_USER_VALUE = """
@@ -3567,40 +3659,60 @@ SQL_PAGERANK_SUPPLIERS = _pagerank_sql(_PR_ITERS)
 def q_resample_events(sf_dir: str):
     """Per user, an hourly grid strictly after their first event through
     their last, each point carrying the latest value at-or-before it
-    (forward fill).  ONE user-keyed shuffle; the per-group fill is a
-    vectorized ``searchsorted`` against the (ts, event_id)-sorted
-    events, so ties on ts resolve to the highest event_id -- the same
-    rule the oracle's per-(user, ts) dedup enforces.  Values pass
-    through unchanged (selection, no arithmetic), so the compare is
-    exact."""
+    (forward fill).  ONE keyed fold; the per-user fill is a
+    ``searchsorted`` against the (ts, event_id)-sorted events, so ties
+    on ts resolve to the highest event_id -- the same rule the
+    oracle's per-(user, ts) dedup enforces.  The fold loops over USER
+    SEGMENTS (numpy per segment, output concatenated once), not rows
+    -- grid sizes vary per user, so the grid build itself is the only
+    per-group step.  Values pass through unchanged (selection, no
+    arithmetic), so the compare is exact."""
     HOUR = 3_600 * 1_000_000
 
-    def fill(group: pa.Table) -> pa.Table:
-        ts = group.column("ts").to_numpy().astype(
-            "datetime64[us]").astype(np.int64)
-        eid = group.column("event_id").to_numpy()
-        val = group.column("value").to_numpy()
-        order = np.lexsort((eid, ts))
-        ts, val = ts[order], val[order]
-        t0, t1 = int(ts[0]), int(ts[-1])
-        start = (t0 // HOUR) * HOUR + HOUR      # strictly after t0
-        if start > t1:
-            return pa.table({
-                "user_id": pa.array([], pa.int64()),
-                "grid_ts": pa.array([], pa.timestamp("us")),
-                "value": pa.array([], pa.float64())})
-        grid = np.arange(start, t1 + 1, HOUR, dtype=np.int64)
-        idx = np.searchsorted(ts, grid, side="right") - 1
-        uid = group.column("user_id")[0].as_py()
-        return pa.table({
-            "user_id": pa.array(np.full(len(grid), uid), pa.int64()),
-            "grid_ts": pa.array(grid.astype("datetime64[us]"),
-                                pa.timestamp("us")),
-            "value": pa.array(val[idx], pa.float64())})
+    from ..partitions import keyed_fold
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-            .groupby("user_id")
-            .map_groups(fill, batch_format="pyarrow"))
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "grid_ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64())})
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return empty
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        ts = (g.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        val = g.column("value").to_numpy()
+        bounds = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
+                       len(uid)]
+        o_uid, o_ts, o_val = [], [], []
+        for si in range(len(bounds) - 1):
+            s, e = bounds[si], bounds[si + 1]
+            t0, t1 = int(ts[s]), int(ts[e - 1])
+            gs = (t0 // HOUR) * HOUR + HOUR     # strictly after t0
+            if gs > t1:
+                continue
+            grid = np.arange(gs, t1 + 1, HOUR, dtype=np.int64)
+            idx = np.searchsorted(ts[s:e], grid, side="right") - 1
+            o_uid.append(np.full(len(grid), uid[s], np.int64))
+            o_ts.append(grid)
+            o_val.append(val[s + idx])
+        if not o_uid:
+            return empty
+        return pa.table({
+            "user_id": pa.array(np.concatenate(o_uid), pa.int64()),
+            "grid_ts": pa.array(
+                np.concatenate(o_ts).astype("datetime64[us]"),
+                pa.timestamp("us")),
+            "value": pa.array(np.concatenate(o_val), pa.float64())})
+
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_RESAMPLE_EVENTS = """
@@ -4101,21 +4213,40 @@ group by 1, 2
 
 def q_status_string_agg(sf_dir: str):
     """Per customer: order statuses concatenated in (orderdate,
-    orderkey) order -- a total order, so the string is deterministic."""
-    def seq(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("o_orderdate", "ascending"), ("o_orderkey", "ascending")])
-        st = group.take(order).column("o_orderstatus").to_pylist()
-        return pa.table({
-            "o_custkey": [group.column("o_custkey")[0].as_py()],
-            "status_seq": pa.array(["".join(st)], pa.string()),
-            "n_orders": pa.array([len(st)], pa.int64())})
+    orderkey) order -- a total order, so the string is deterministic.
+    ONE keyed fold; the single-char statuses pack into one contiguous
+    byte buffer (``np.array(dtype='S1').tobytes()`` preserves row
+    order), so each customer's string is a buffer slice, not a
+    per-row join."""
+    from ..partitions import keyed_fold
 
-    return (_read(sf_dir, "orders",
-                  ["o_custkey", "o_orderkey", "o_orderdate",
-                   "o_orderstatus"])
-            .groupby("o_custkey")
-            .map_groups(seq, batch_format="pyarrow"))
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "status_seq": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending")])
+        g = b.take(order)
+        ck = g.column("o_custkey").to_numpy()
+        sbytes = np.array(g.column("o_orderstatus").to_pylist(),
+                          dtype="S1").tobytes()
+        bounds = np.r_[np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]]),
+                       len(ck)]
+        seqs = [sbytes[s:e].decode("ascii")
+                for s, e in zip(bounds[:-1], bounds[1:])]
+        return pa.table({
+            "o_custkey": pa.array(ck[bounds[:-1]], pa.int64()),
+            "status_seq": pa.array(seqs, pa.string()),
+            "n_orders": pa.array(np.diff(bounds), pa.int64())})
+
+    return keyed_fold(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_orderdate",
+               "o_orderstatus"]),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_STATUS_STRING_AGG = """
@@ -4244,18 +4375,39 @@ def q_topk_per_group(sf_dir: str):
                 np.rint(b.column("o_totalprice").to_numpy()[keep]
                         * 100.0).astype(np.int64), pa.int64())})
 
-    def final(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("price_cents", "descending"), ("o_orderkey", "ascending")])
-        top = group.take(order[:k])
-        return top.append_column(
-            "rk", pa.array(np.arange(1, top.num_rows + 1), pa.int64()))
+    def fold(b: pa.Table) -> pa.Table:
+        # final per-customer top-k over the pruned rows: one lexsort +
+        # run-rank sweep across every complete group in the block
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64()),
+                             "price_cents": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64())})
+        ck = b.column("o_custkey").to_numpy()
+        ok = b.column("o_orderkey").to_numpy()
+        cents = b.column("price_cents").to_numpy()
+        order = np.lexsort((ok, -cents, ck))
+        ck_s = ck[order]
+        new_run = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(len(ck_s)) - starts[run_id]
+        keep = rank < k
+        sel = order[keep]
+        return pa.table({
+            "o_custkey": pa.array(ck[sel], pa.int64()),
+            "o_orderkey": pa.array(ok[sel], pa.int64()),
+            "price_cents": pa.array(cents[sel], pa.int64()),
+            "rk": pa.array(rank[keep] + 1, pa.int64())})
 
-    return (_read(sf_dir, "orders",
-                  ["o_custkey", "o_orderkey", "o_totalprice"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .map_groups(final, batch_format="pyarrow"))
+    from ..partitions import keyed_fold
+
+    return keyed_fold(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_TOPK_PER_GROUP = f"""
@@ -4284,9 +4436,10 @@ def q_merge_changelog(sf_dir: str):
     One shuffle total: per-block partial latest-per-key prunes the
     changelog first (same run-boundary trick as top-k with k=1), then
     base rows (src 0) and pruned changelog rows (src 1) are union-tagged
-    into a single ``groupby(key).map_groups`` merge -- no join, no
-    driver-side state.  Union output is re-blocked before the shuffle
-    (empty-schema-block rule)."""
+    into a single keyed fold -- no join, no driver-side state.  Inside
+    the fold the sort order (key, src, seq_d, seq_k) makes each key's
+    LAST row the winner (changelog beats base, newest changelog beats
+    older), so the whole merge is one lexsort + segment-tail sweep."""
     import ray.data
 
     def chlog(b: pa.Table) -> pa.Table:
@@ -4322,35 +4475,41 @@ def q_merge_changelog(sf_dir: str):
                 np.rint(b.column("c_acctbal").to_numpy() * 100.0)
                 .astype(np.int64), pa.int64())})
 
-    def merge(group: pa.Table) -> pa.Table:
-        src = group.column("src").to_numpy()
-        has_base = bool((src == 0).any())
-        ch = np.flatnonzero(src == 1)
-        if len(ch) == 0:
-            winner = int(np.flatnonzero(src == 0)[0])
-        else:
-            d = group.column("seq_d").to_numpy()[ch]
-            kk = group.column("seq_k").to_numpy()[ch]
-            winner = int(ch[np.lexsort((-kk, -d))[0]])
-            if group.column("is_del")[winner].as_py() or not has_base:
-                # deletes drop the key; changelog keys absent from the
-                # base are ignored (no insert source in this dataset)
-                return pa.table({
-                    "c_custkey": pa.array([], pa.int64()),
-                    "bal_cents": pa.array([], pa.int64())})
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                          "bal_cents": pa.array([], pa.int64())})
+        if b.num_rows == 0 or "key" not in b.column_names:
+            return empty
+        key = b.column("key").to_numpy()
+        src = b.column("src").to_numpy()
+        d = b.column("seq_d").to_numpy()
+        kk = b.column("seq_k").to_numpy()
+        order = np.lexsort((kk, d, src, key))
+        key_s, src_s = key[order], src[order]
+        bounds = np.r_[np.flatnonzero(
+            np.r_[True, key_s[1:] != key_s[:-1]]), len(key_s)]
+        firsts, lasts = bounds[:-1], bounds[1:] - 1
+        win = order[lasts]                  # newest changelog, else base
+        has_base = src_s[firsts] == 0       # base sorts first in its key
+        is_del = b.column("is_del").to_numpy(zero_copy_only=False)[win]
+        # deletes drop the key; changelog keys absent from the base are
+        # ignored (no insert source in this dataset)
+        keep = np.where(src[win] == 1, has_base & ~is_del, has_base)
+        win = win[keep]
         return pa.table({
-            "c_custkey": [group.column("key")[0].as_py()],
-            "bal_cents": [group.column("bal_cents")[winner].as_py()]})
+            "c_custkey": pa.array(key[win], pa.int64()),
+            "bal_cents": b.column("bal_cents").take(
+                pa.array(win, pa.int64()))})
+
+    from ..partitions import keyed_fold
 
     ch = (_read(sf_dir, "orders",
                 ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
           .map_batches(chlog, batch_format="pyarrow"))
     base = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
             .map_batches(base_rows, batch_format="pyarrow"))
-    return (base.union(ch)
-            .repartition(_join_parts(sf_dir, "orders"))
-            .groupby("key")
-            .map_groups(merge, batch_format="pyarrow"))
+    return keyed_fold(base.union(ch), ["key"], fold,
+                      num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_MERGE_CHANGELOG = """
@@ -4381,32 +4540,47 @@ def q_scd2_intervals(sf_dir: str):
     Consecutive equal types merge; each surviving change opens an
     interval at its ts and closes at the NEXT change's ts (open-ended
     last interval = null).  (ts, event_id) is a total order, so the
-    result is deterministic.  One shuffle (the per-user groupby); the
-    per-group pass is a vectorized sort + shift compare."""
-    def intervals(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        g = group.take(order)
-        ts = g.column("ts").to_numpy().astype(
-            "datetime64[us]").astype(np.int64)
-        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
-        change = np.r_[True, et[1:] != et[:-1]]
-        f = ts[change]
-        to = np.append(f[1:].astype(np.float64), np.nan)
-        return pa.table({
-            "user_id": pa.array(np.full(len(f),
-                                        g.column("user_id")[0].as_py(),
-                                        np.int64), pa.int64()),
-            "event_type": pa.array(list(et[change]), pa.string()),
-            "valid_from_us": pa.array(f, pa.int64()),
-            "valid_to_us": pa.array(
-                [None if np.isnan(x) else int(x) for x in to],
-                pa.int64())})
+    result is deterministic.  ONE keyed fold; the change-point compare
+    runs user-boundary-masked over every complete run in the block."""
+    from ..partitions import keyed_fold
 
-    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
-                                     "event_type"])
-            .groupby("user_id")
-            .map_groups(intervals, batch_format="pyarrow"))
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        ts = (g.column("ts").to_numpy().astype("datetime64[us]")
+              .astype(np.int64))
+        et = g.column("event_type")
+        neq = pc.not_equal(et.slice(1), et.slice(0, len(et) - 1)) \
+            .to_numpy(zero_copy_only=False).astype(bool) \
+            if len(et) > 1 else np.empty(0, bool)
+        change = np.r_[True, (uid[1:] != uid[:-1]) | neq]
+        idxs = np.flatnonzero(change)
+        u_ch = uid[idxs]
+        f = ts[idxs]
+        nxt_same = np.r_[u_ch[1:] == u_ch[:-1], False]
+        to = np.zeros(len(f), np.int64)
+        to[:-1] = f[1:]
+        return pa.table({
+            "user_id": pa.array(u_ch, pa.int64()),
+            "event_type": et.take(pa.array(idxs, pa.int64())),
+            "valid_from_us": pa.array(f, pa.int64()),
+            "valid_to_us": pa.array(to, pa.int64(),
+                                    mask=~nxt_same)})   # null last
+
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                 "event_type"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_SCD2_INTERVALS = """
@@ -4431,34 +4605,43 @@ from ch
 
 def q_event_transitions(sf_dir: str):
     """(prev_type, next_type) counts over each user's (ts, event_id)
-    ordered stream.  Per-group work emits a PARTIAL pair-count table
-    (bounded by type-domain squared, not events), so the final groupby
-    ships tiny aggregates."""
+    ordered stream.  ONE keyed fold emits a PARTIAL pair-count table
+    per block (bounded by type-domain squared, not events) with
+    user-boundary pairs masked out, so the final groupby ships tiny
+    aggregates."""
+    from ..partitions import keyed_fold
+
     a = _agg()
 
-    def pairs(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("ts", "ascending"), ("event_id", "ascending")])
-        et = np.asarray(
-            group.take(order).column("event_type").to_pylist(),
-            dtype=object)
-        if len(et) < 2:
-            return pa.table({"prev_type": pa.array([], pa.string()),
-                             "next_type": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        # factorize the type domain, count integer pair codes
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "next_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if b.num_rows < 2 or "user_id" not in b.column_names:
+            return empty
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
+        et = np.asarray(g.column("event_type").to_pylist(),
+                        dtype=object)
         vocab, codes = np.unique(et.astype(str), return_inverse=True)
-        key = codes[:-1] * len(vocab) + codes[1:]
+        same = uid[1:] == uid[:-1]
+        key = codes[:-1][same] * len(vocab) + codes[1:][same]
+        if len(key) == 0:
+            return empty
         u, c = np.unique(key, return_counts=True)
         return pa.table({
             "prev_type": pa.array(vocab[u // len(vocab)], pa.string()),
             "next_type": pa.array(vocab[u % len(vocab)], pa.string()),
             "n": pa.array(c.astype(np.int64), pa.int64())})
 
-    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
-                                     "event_type"])
-            .groupby("user_id")
-            .map_groups(pairs, batch_format="pyarrow")
+    return (keyed_fold(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                 "event_type"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
             .groupby(["prev_type", "next_type"])
             .aggregate(a.Sum("n", alias_name="n")))
 
@@ -4575,26 +4758,51 @@ from m
 
 
 def q_pct_rank_events(sf_dir: str):
-    def ranks(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[
-            ("value", "ascending"), ("event_id", "ascending")])
-        g = group.take(order)
+    """percent_rank / cume_dist per user: ONE keyed fold; rank-with-
+    ties is a value-run sweep (first/last index of each equal-value
+    run, rebased per user segment), vectorized over every complete
+    user run in the block."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "pct_rank": pa.array([], pa.float64()),
+                "cume": pa.array([], pa.float64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("value", "ascending"),
+            ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
         v = g.column("value").to_numpy()
-        n = len(v)
-        rank = np.searchsorted(v, v, side="left") + 1      # RANK w/ ties
-        cume = np.searchsorted(v, v, side="right") / float(n)
-        pr = ((rank - 1) / float(n - 1) if n > 1
-              else np.zeros(n, np.float64))
+        n_rows = len(v)
+        new_seg = np.r_[True, uid[1:] != uid[:-1]]
+        seg_starts = np.flatnonzero(new_seg)
+        seg_n = np.diff(np.r_[seg_starts, n_rows])
+        seg_start_of = np.repeat(seg_starts, seg_n)
+        n_of = np.repeat(seg_n, seg_n).astype(np.float64)
+        # equal-value runs within a segment
+        new_run = np.r_[True, new_seg[1:] | (v[1:] != v[:-1])]
+        run_starts = np.flatnonzero(new_run)
+        run_n = np.diff(np.r_[run_starts, n_rows])
+        run_first = np.repeat(run_starts, run_n)
+        run_last = np.repeat(run_starts + run_n - 1, run_n)
+        rank = run_first - seg_start_of + 1                # RANK w/ ties
+        cume = (run_last - seg_start_of + 1) / n_of
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = np.where(n_of > 1, (rank - 1) / (n_of - 1), 0.0)
         return pa.table({
             "event_id": g.column("event_id"),
             "user_id": g.column("user_id"),
-            "pct_rank": pa.array(np.asarray(pr, np.float64),
-                                 pa.float64()),
+            "pct_rank": pa.array(pr, pa.float64()),
             "cume": pa.array(cume, pa.float64())})
 
-    return (_read(sf_dir, "events", ["user_id", "event_id", "value"])
-            .groupby("user_id")
-            .map_groups(ranks, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_PCT_RANK_EVENTS = """
@@ -5339,24 +5547,40 @@ def q_range_frame_sum(sf_dir: str):
     ``csum[searchsorted(ts, ts, right)] - csum[searchsorted(ts, ts-1h,
     left)]`` vectorizes every frame at once.  Cents use
     ``floor(v*100+0.5)`` so engine (numpy) and oracle (DuckDB) round the
-    same doubles identically; the fold is exact int64."""
-    def roll(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("ts", "ascending")])
-        g = group.take(order)
+    same doubles identically; the fold is exact int64.  ONE keyed fold,
+    looping over USER SEGMENTS (numpy per segment), not rows."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "win_cents": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
         ts = g.column("ts").cast(pa.int64()).to_numpy()
         cents = np.floor(g.column("value").to_numpy() * 100.0
                          + 0.5).astype(np.int64)
-        csum = np.concatenate(([0], np.cumsum(cents)))
-        hi = np.searchsorted(ts, ts, side="right")
-        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        bounds = np.r_[np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]]),
+                       len(uid)]
+        win = np.empty(len(uid), np.int64)
+        for si in range(len(bounds) - 1):
+            s, e = bounds[si], bounds[si + 1]
+            t = ts[s:e]
+            csum = np.concatenate(([0], np.cumsum(cents[s:e])))
+            hi = np.searchsorted(t, t, side="right")
+            lo = np.searchsorted(t, t - 3_600_000_000, side="left")
+            win[s:e] = csum[hi] - csum[lo]
         return pa.table({"event_id": g.column("event_id"),
                          "user_id": g.column("user_id"),
-                         "win_cents": pa.array(csum[hi] - csum[lo],
-                                               pa.int64())})
+                         "win_cents": pa.array(win, pa.int64())})
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-            .groupby("user_id")
-            .map_groups(roll, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 SQL_RANGE_FRAME_SUM = """
@@ -5377,29 +5601,39 @@ def q_late_events(sf_dir: str):
     Arrival order is ``event_id``; event time is ``ts``.  For each event
     the high-watermark is ``max(ts)`` over all EARLIER-ARRIVED events of
     the same user, and the event is late when its own ``ts`` lags that
-    watermark by more than the 15-minute allowed lateness.  Per-group:
-    sort by arrival, shifted ``np.maximum.accumulate`` -- exact integer
-    microseconds throughout."""
+    watermark by more than the 15-minute allowed lateness.  ONE keyed
+    fold; the per-user shifted running max is the shared grouped-cummax
+    helper (stages/streaming._prev_running_max) over every complete
+    user run in the block -- exact integer microseconds throughout."""
     lateness_us = 15 * 60 * 1_000_000
 
-    def roll(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("event_id",
-                                                   "ascending")])
-        g = group.take(order)
+    from ..partitions import keyed_fold
+    from ..stages.streaming import _prev_running_max
+
+    def fold(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "user_id" not in b.column_names:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "watermark_us": pa.array([], pa.int64()),
+                             "late": pa.array([], pa.int64())})
+        order = pc.sort_indices(b, sort_keys=[
+            ("user_id", "ascending"), ("event_id", "ascending")])
+        g = b.take(order)
+        uid = g.column("user_id").to_numpy()
         ts = g.column("ts").cast(pa.int64()).to_numpy()
-        wm = np.empty(len(ts), np.int64)
-        if len(ts):
-            wm[0] = -1
-            np.maximum.accumulate(ts[:-1], out=wm[1:])
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        prev, no_prior = _prev_running_max(ts, starts)
+        wm = np.where(no_prior, np.int64(-1), prev)
         late = ((wm >= 0) & (ts < wm - lateness_us)).astype(np.int64)
         return pa.table({"event_id": g.column("event_id"),
                          "user_id": g.column("user_id"),
                          "watermark_us": pa.array(wm, pa.int64()),
                          "late": pa.array(late, pa.int64())})
 
-    return (_read(sf_dir, "events", ["user_id", "ts", "event_id"])
-            .groupby("user_id")
-            .map_groups(roll, batch_format="pyarrow"))
+    return keyed_fold(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        ["user_id"], fold,
+        num_partitions=_join_parts(sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
@@ -5819,18 +6053,29 @@ def q_division_customers(sf_dir: str):
             return b
         return b.group_by(["o_custkey", "o_orderstatus"]).aggregate([])
 
-    def per_cust(g: pa.Table) -> pa.Table:
-        n = pc.count_distinct(g.column("o_orderstatus")).as_py()
-        if n != n_total:
+    def fold(b: pa.Table) -> pa.Table:
+        # relational division over the deduped (cust, status) pairs:
+        # one sorted run-length sweep counts distinct statuses per
+        # customer across every complete group in the block
+        if b.num_rows == 0 or "o_custkey" not in b.column_names:
             return pa.table({"c_custkey": pa.array([], pa.int64()),
                              "n_status": pa.array([], pa.int64())})
-        return pa.table({"c_custkey": g.column("o_custkey")[:1],
-                         "n_status": pa.array([n], pa.int64())})
+        dd = b.group_by(["o_custkey", "o_orderstatus"]).aggregate([])
+        ck = np.sort(dd.column("o_custkey").to_numpy())
+        starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        n_st = np.diff(np.r_[starts, len(ck)])
+        keep = n_st == n_total
+        return pa.table({
+            "c_custkey": pa.array(ck[starts][keep], pa.int64()),
+            "n_status": pa.array(n_st[keep], pa.int64())})
 
-    return (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-            .map_batches(distinct_pairs, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .map_groups(per_cust, batch_format="pyarrow"))
+    from ..partitions import keyed_fold
+
+    return keyed_fold(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
 
 
 SQL_DIVISION_CUSTOMERS = """
