@@ -5921,10 +5921,18 @@ def q_retention_cohorts(sf_dir: str):
                    pc.cast(pc.month(d), pa.int64()))
         return pa.table({"o_custkey": b.column("o_custkey"), "mth": m})
 
-    pairs = _partial_count_sums(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(mth, batch_format="pyarrow"),
-        ["o_custkey", "mth"], {}, count_alias="n")
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        # per-BLOCK (custkey, month) dedup -- a shuffle-free combiner
+        # (the former pre-dedup GROUPBY here inherited the fold's hash
+        # strategy and its aggregator cost tripled the query; in-block
+        # dedup shrinks the exchange without a second one)
+        ck = b.column("o_custkey").to_numpy()
+        m = b.column("mth").to_numpy().astype(np.int64)
+        order = np.lexsort((m, ck))
+        ck, m = ck[order], m[order]
+        keep = np.r_[True, (ck[1:] != ck[:-1]) | (m[1:] != m[:-1])]
+        return pa.table({"o_custkey": pa.array(ck[keep], pa.int64()),
+                         "mth": pa.array(m[keep], pa.int64())})
 
     def fold(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "o_custkey" not in b.column_names:
@@ -5935,6 +5943,8 @@ def q_retention_cohorts(sf_dir: str):
         m = b.column("mth").to_numpy().astype(np.int64)
         order = np.lexsort((m, ck))
         ck, m = ck[order], m[order]
+        keep = np.r_[True, (ck[1:] != ck[:-1]) | (m[1:] != m[:-1])]
+        ck, m = ck[keep], m[keep]           # cross-block dedup
         starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
         counts = np.diff(np.r_[starts, len(ck)])
         cohort = np.repeat(m[starts], counts)   # min month per customer
@@ -5942,8 +5952,12 @@ def q_retention_cohorts(sf_dir: str):
             "cohort_month": pa.array(cohort, pa.int64()),
             "months_since": pa.array(m - cohort, pa.int64())})
 
-    tri = keyed_fold(pairs, ["o_custkey"], fold,
-                     num_partitions=_join_parts(sf_dir, "orders"))
+    tri = keyed_fold(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(mth, batch_format="pyarrow")
+        .map_batches(dedup_pairs, batch_format="pyarrow"),
+        ["o_custkey"], fold,
+        num_partitions=_join_parts(sf_dir, "orders"))
     return (_partial_count_sums(tri, ["cohort_month", "months_since"],
                                 {}, count_alias="n_customers")
             .select_columns(["cohort_month", "months_since",
