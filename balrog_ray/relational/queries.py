@@ -2367,11 +2367,15 @@ def q_bloom_semi_join(sf_dir: str):
     cand = filter_by_bloom(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]),
         "l_orderkey", bloom)
-    # sized on orders alone: the bloom prefilter leaves ~selectivity x
-    # lineitem rows, order-of orders-sized, on the probe side
-    joined = cand.join(p_orders, "inner",
-                       num_partitions=_join_parts(sf_dir, "orders"),
-                       on=("l_orderkey",), right_on=("o_orderkey",))
+    # the exact membership check behind the bloom: the P-order key set
+    # rides the footer-gated dim attach (broadcast under the gate, the
+    # distributed sidecar join past it) -- the bloom still prunes the
+    # probe side before anything moves
+    joined = _attach_dim(cand, sf_dir, "orders",
+                         fact_key="l_orderkey", dim_key="o_orderkey",
+                         columns=["o_orderkey"],
+                         row_filter=pc.field("o_orderstatus") == "P",
+                         join_width=_join_parts(sf_dir, "orders"))
 
     def one(b: pa.Table) -> pa.Table:
         q = b.column("l_quantity").to_numpy()
@@ -6125,11 +6129,12 @@ def q_gini_revenue(sf_dir: str):
                 .map_batches(to_cents, batch_format="pyarrow")
                 .groupby("o_custkey")
                 .aggregate(a.Sum("cents", alias_name="cents")))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = per_cust.join(
-        cust, "inner",
-        num_partitions=_join_parts(sf_dir, "customer"),
-        on=("o_custkey",), right_on=("c_custkey",))
+    # mktsegment attaches through the footer-gated dim path (broadcast
+    # under the gate, sidecar join past it) instead of a full hash join
+    joined = _attach_dim(per_cust, sf_dir, "customer",
+                         fact_key="o_custkey", dim_key="c_custkey",
+                         columns=["c_custkey", "c_mktsegment"],
+                         join_width=_join_parts(sf_dir, "customer"))
 
     def pick(b: pa.Table) -> pa.Table:
         return pa.table({"seg": b.column("c_mktsegment"),
