@@ -466,13 +466,24 @@ def triangle_count(edges_ds, *, num_partitions: int = 8) -> int:
     O(max-degree-squared), which is what makes the self-join survive
     power-law skew at web scale.
 
-    Stages (all Datasets, nothing edge-cardinality-sized on the driver):
-    canonicalize + dedup undirected edges (one groupby), endpoint
-    degrees (one groupby), two joins to attach degrees, the wedge
-    self-join keyed on the shared low vertex, and a composite-key inner
-    join of wedge closing pairs against the oriented edge set.  Returns
-    the exact triangle count (Python int)."""
+    LATENCY shape (the round-3/4 lesson, shared with bfs/sssp/kcore/
+    pagerank): under ``_BROADCAST_MAX_EDGES`` deduped edges the oriented
+    edge set (edge-bounded, exactly the class the gate admits, ~64 MB at
+    the gate) rides ``ray.put`` into chunked task-side wedge partials --
+    one collect + one task run, no hash-join exchange; past the gate the
+    join pipeline below owns it.
+
+    Distributed stages (all Datasets, nothing edge-cardinality-sized on
+    the driver): canonicalize + dedup undirected edges (one groupby),
+    endpoint degrees (one groupby), two joins to attach degrees, the
+    wedge self-join keyed on the shared low vertex, and a composite-key
+    inner join of wedge closing pairs against the oriented edge set.
+    Returns the exact triangle count (Python int)."""
     from ray.data.aggregate import Count
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= _BROADCAST_MAX_EDGES:
+        return _triangle_count_broadcast(edges_ds)
 
     def canon(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy()
@@ -552,6 +563,109 @@ def triangle_count(edges_ds, *, num_partitions: int = 8) -> int:
                     num_partitions=num_partitions,
                     on=("x", "y"), right_on=("a", "b")))
     return closed.count()
+
+
+#: deduped-edge ceiling for the broadcast wedge path (~64 MB of int64
+#: pairs at the gate); tests patch to -1 to force the join pipeline.
+_BROADCAST_MAX_EDGES = 4_000_000
+
+
+def _triangle_count_broadcast(eds_m) -> int:
+    """Under-gate body of :func:`triangle_count`: per-block partial
+    canon+dedup partials merge on the driver (edge-bounded, admitted by
+    the gate), degrees/orientation/CSR build in one vectorized pass,
+    and the wedge enumeration runs as TASK partials over slices of the
+    oriented edge index space against the broadcast CSR + sorted edge
+    keys -- wedge volume (sum of out-degree-squared, up to m^1.5) never
+    exists in one place, and each task further chunks its expansion so
+    per-task memory stays bounded."""
+    import ray
+    import ray.data as _rd
+
+    def canon_part(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        uniq = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+        return pa.table({"u": pa.array(u[uniq], pa.int64()),
+                         "v": pa.array(v[uniq], pa.int64())})
+
+    parts = [t for t in ray.get(
+        eds_m.map_batches(canon_part, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return 0
+    u = np.concatenate([t.column("u").to_numpy() for t in parts])
+    v = np.concatenate([t.column("v").to_numpy() for t in parts])
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    uniq = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    u, v = u[uniq], v[uniq]
+    if len(u) == 0:
+        return 0
+
+    # compact node ids, degrees, total (degree, id) rank
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes))
+    iu, iv = inv[:len(u)], inv[len(u):]
+    rk = np.empty(len(nodes), np.int64)
+    rk[np.lexsort((nodes, deg))] = np.arange(len(nodes))
+    swap = rk[iu] > rk[iv]
+    A = np.where(swap, iv, iu)
+    B = np.where(swap, iu, iv)
+    # CSR over A with out-neighbors sorted by rank(B); every triangle
+    # is exactly one wedge (two out-edges of its lowest-rank vertex)
+    order2 = np.lexsort((rk[B], A))
+    A, B = A[order2], B[order2]
+    n = len(nodes)
+    starts = np.flatnonzero(np.r_[True, A[1:] != A[:-1]])
+    cnts = np.diff(np.r_[starts, len(A)])
+    run_start = np.repeat(starts, cnts)
+    run_cnt = np.repeat(cnts, cnts)
+    ekey = np.sort(A * np.int64(n) + B)        # membership keys
+    state_ref = ray.put((B, run_start, run_cnt, ekey, np.int64(n)))
+
+    def wedge_partial(batch: pa.Table) -> pa.Table:
+        Bx, rs, rc, ek, nn = ray.get(state_ref)
+        lo = int(batch.column("id")[0].as_py())
+        hi = int(batch.column("id")[batch.num_rows - 1].as_py()) + 1
+        tot = 0
+        CHUNK = 1 << 22                        # cap expansion rows
+        i0 = lo
+        while i0 < hi:
+            # take a slice of first-edge indices whose expansion fits
+            idx = np.arange(i0, hi)
+            npart = rs[idx] + rc[idx] - idx - 1   # partners after i
+            cum = np.cumsum(npart)
+            cut = int(np.searchsorted(cum, CHUNK) + 1)
+            idx = idx[:cut]
+            npart = npart[:cut]
+            i0 += cut
+            total = int(npart.sum())
+            if total == 0:
+                continue
+            first = np.repeat(idx, npart)
+            off = np.arange(total) - np.repeat(
+                np.cumsum(npart) - npart, npart)
+            second = first + 1 + off
+            closingk = Bx[first] * nn + Bx[second]
+            pos = np.searchsorted(ek, closingk)
+            ok = (pos < len(ek)) & (
+                ek[np.clip(pos, 0, len(ek) - 1)] == closingk)
+            tot += int(ok.sum())
+        return pa.table({"n": pa.array([tot], pa.int64())})
+
+    width = max(1, min(64, len(A) // 65_536 + 1))
+    partials = (_rd.range(len(A), override_num_blocks=width)
+                .map_batches(wedge_partial, batch_format="pyarrow",
+                             batch_size=None)
+                .materialize())
+    return sum(r["n"] for r in partials.take_all())
 
 
 def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):

@@ -230,6 +230,24 @@ def test_triangle_count_matches_numpy(ray_session):
         _numpy_triangles(src, dst)
 
 
+def test_triangle_count_path_parity(ray_session, monkeypatch):
+    """Broadcast (wedge-partial) and distributed (join pipeline) paths
+    must agree with the numpy oracle on the same irregular graph,
+    including with several wedge chunks forced."""
+    import ray.data
+
+    from balrog_ray.functions import graph
+
+    n = 151
+    src, dst = _edges(n)
+    eds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    want = _numpy_triangles(src, dst)
+    assert graph.triangle_count(eds, num_partitions=3) == want
+    monkeypatch.setattr(graph, "_BROADCAST_MAX_EDGES", -1)
+    eds2 = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    assert graph.triangle_count(eds2, num_partitions=3) == want
+
+
 def test_triangle_count_dedup_and_selfloops(ray_session):
     """Parallel edges, reversed duplicates and self-loops collapse: one
     triangle plus noise counts exactly 1."""
