@@ -212,6 +212,50 @@ def _attach_small(fact_ds, dim_tab: pa.Table, *, fact_key: str,
     return fact_ds.map_batches(attach, batch_format="pyarrow")
 
 
+#: key-cardinality gate for _keyed_scan: ray's sort-based
+#: groupby().map_groups dispatches groups in Python (~45us/group,
+#: partitions.py:56-60), while the keyed_fold hash exchange carries a
+#: ~1s aggregator-pool latency independent of key count (measured at
+#: sf0.1: every per-key scan converted to keyed_fold regressed +0.9s
+#: at 1.5k-15k keys; 45us x 30k = 1.35s is the crossover)
+_SCAN_KEYS_GATE = 30_000
+
+
+def _key_domain(sf_dir: str, table: str, col: str) -> int:
+    """Metadata-only key-cardinality bound: footer min/max of a dense
+    integer key column (no data read)."""
+    md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+    idx = md.schema.to_arrow_schema().get_field_index(col)
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    return int(mx - mn + 1) if mx is not None else 0
+
+
+def _keyed_scan(ds, key: str, fold, *, sf_dir: str, table: str,
+                num_partitions: int, stat_col: str | None = None):
+    """Per-key scan dispatch.  ``fold`` must be written for MANY
+    complete key runs per block (sort by key inside, run-boundary
+    sweeps) -- such a fold is also a correct ``map_groups`` callable
+    (a single-key block is one run), so BOTH plans share one body:
+
+    * under ``_SCAN_KEYS_GATE`` keys (footer min/max domain bound,
+      metadata-only) the sort-based ``groupby(key).map_groups`` wins --
+      per-group dispatch beats the hash exchange's ~1s fixed
+      aggregator-pool latency at small cardinality;
+    * past it, ONE ``keyed_fold`` hash exchange owns the scan -- its
+      cost is independent of key count, while per-group dispatch grows
+      linearly (the web-scale side of the split)."""
+    n_keys = _key_domain(sf_dir, table, stat_col or key)
+    if n_keys <= _SCAN_KEYS_GATE:
+        return ds.groupby(key).map_groups(fold, batch_format="pyarrow")
+    from ..partitions import keyed_fold
+
+    return keyed_fold(ds, [key], fold, num_partitions=num_partitions)
+
+
 def _attach_dim(fact_ds, sf_dir: str, table: str, *, fact_key: str,
                 dim_key: str, columns, row_filter=None, transform=None,
                 join_width: int | None = None,
@@ -629,9 +673,9 @@ def q_sessionize(sf_dir: str):
             "n_events": pa.array(n_ev, pa.int64()),
             "n_sessions": pa.array(n_sess, pa.int64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -1432,11 +1476,11 @@ def q_rank_orders(sf_dir: str):
             "o_orderkey": b.column("o_orderkey").take(pa.array(sel)),
             "rn": pa.array(pos[keep] + 1, pa.int64())})
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "orders",
               ["o_custkey", "o_orderkey", "o_totalprice"])
-        .map_batches(partial_top2, batch_format="pyarrow"),
-        ["o_custkey"], fold,
+        .map_batches(partial_top2, batch_format="pyarrow"), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
 
 
@@ -1485,9 +1529,9 @@ def q_moving_max(sf_dir: str):
                          "user_id": g.column("user_id"),
                          "mov_max": pa.array(m, pa.float64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -1520,11 +1564,11 @@ def q_cumsum_orders(sf_dir: str):
                          "o_custkey": g.column("o_custkey"),
                          "run_cents": pa.array(run, pa.int64())})
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "orders",
               ["o_custkey", "o_orderkey", "o_orderdate",
-               "o_totalprice"]),
-        ["o_custkey"], fold,
+               "o_totalprice"]), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
 
 
@@ -1566,9 +1610,9 @@ def q_lag_events(sf_dir: str):
                          "user_id": g.column("user_id"),
                          "gap_us": pa.array(gap, pa.int64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -1839,10 +1883,10 @@ def q_latest_event(sf_dir: str):
 
     from ..partitions import keyed_fold
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
-        .map_batches(partial_last, batch_format="pyarrow"),
-        ["user_id"], fold,
+        .map_batches(partial_last, batch_format="pyarrow"), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -2808,9 +2852,9 @@ def q_funnel_steps(sf_dir: str):
         return pa.table({"depth": pa.array(u, pa.int64()),
                          "n": pa.array(n, pa.int64())})
 
-    counts = (keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
-        ["user_id"], fold,
+    counts = (_keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
               .groupby("depth")
               .aggregate(_agg().Sum("n", alias_name="n"))
@@ -2998,10 +3042,10 @@ def q_ewma_user_value(sf_dir: str):
             "user_id": pa.array(uid[starts], pa.int64()),
             "ewma": pa.array(s, pa.float64())})
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "events", ["user_id", "event_id", "ts",
-                                 "value"]),
-        ["user_id"], fold,
+                                 "value"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -3064,10 +3108,10 @@ def q_session_paths(sf_dir: str):
         return pa.table({"path": pa.array(u, pa.string()),
                          "n": pa.array(n, pa.int64())})
 
-    counted = (keyed_fold(
+    counted = (_keyed_scan(
         _read(sf_dir, "events", ["user_id", "ts", "event_id",
-                                 "event_type"]),
-        ["user_id"], fold,
+                                 "event_type"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
                .groupby("path")
                .aggregate(a.Sum("n", alias_name="n")))
@@ -3713,9 +3757,9 @@ def q_resample_events(sf_dir: str):
                 pa.timestamp("us")),
             "value": pa.array(np.concatenate(o_val), pa.float64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -4070,9 +4114,9 @@ def q_interval_coverage(sf_dir: str):
             "covered_us": pa.array(
                 np.add.reduceat(lens, u_starts), pa.int64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -4245,11 +4289,11 @@ def q_status_string_agg(sf_dir: str):
             "status_seq": pa.array(seqs, pa.string()),
             "n_orders": pa.array(np.diff(bounds), pa.int64())})
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "orders",
               ["o_custkey", "o_orderkey", "o_orderdate",
-               "o_orderstatus"]),
-        ["o_custkey"], fold,
+               "o_orderstatus"]), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
 
 
@@ -4406,11 +4450,11 @@ def q_topk_per_group(sf_dir: str):
 
     from ..partitions import keyed_fold
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "orders",
               ["o_custkey", "o_orderkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow"),
-        ["o_custkey"], fold,
+        .map_batches(partial, batch_format="pyarrow"), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
 
 
@@ -4512,8 +4556,9 @@ def q_merge_changelog(sf_dir: str):
           .map_batches(chlog, batch_format="pyarrow"))
     base = (_read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
             .map_batches(base_rows, batch_format="pyarrow"))
-    return keyed_fold(base.union(ch), ["key"], fold,
-                      num_partitions=_join_parts(sf_dir, "orders"))
+    return _keyed_scan(base.union(ch), "key", fold,
+        sf_dir=sf_dir, table="orders",
+        num_partitions=_join_parts(sf_dir, "orders"), stat_col="o_custkey")
 
 
 SQL_MERGE_CHANGELOG = """
@@ -4580,10 +4625,10 @@ def q_scd2_intervals(sf_dir: str):
             "valid_to_us": pa.array(to, pa.int64(),
                                     mask=~nxt_same)})   # null last
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "events", ["user_id", "event_id", "ts",
-                                 "event_type"]),
-        ["user_id"], fold,
+                                 "event_type"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -4641,10 +4686,10 @@ def q_event_transitions(sf_dir: str):
             "next_type": pa.array(vocab[u % len(vocab)], pa.string()),
             "n": pa.array(c.astype(np.int64), pa.int64())})
 
-    return (keyed_fold(
+    return (_keyed_scan(
         _read(sf_dir, "events", ["user_id", "event_id", "ts",
-                                 "event_type"]),
-        ["user_id"], fold,
+                                 "event_type"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
             .groupby(["prev_type", "next_type"])
             .aggregate(a.Sum("n", alias_name="n")))
@@ -4803,9 +4848,9 @@ def q_pct_rank_events(sf_dir: str):
             "pct_rank": pa.array(pr, pa.float64()),
             "cume": pa.array(cume, pa.float64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "event_id", "value"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "event_id", "value"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -5113,9 +5158,9 @@ def q_gaps_islands(sf_dir: str):
             "max_span_days": pa.array(
                 np.maximum.reduceat(spans, c_starts), pa.int64())})
 
-    return keyed_fold(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
-        ["o_custkey"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
 
 
@@ -5581,9 +5626,9 @@ def q_range_frame_sum(sf_dir: str):
                          "user_id": g.column("user_id"),
                          "win_cents": pa.array(win, pa.int64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -5634,9 +5679,9 @@ def q_late_events(sf_dir: str):
                          "watermark_us": pa.array(wm, pa.int64()),
                          "late": pa.array(late, pa.int64())})
 
-    return keyed_fold(
-        _read(sf_dir, "events", ["user_id", "ts", "event_id"]),
-        ["user_id"], fold,
+    return _keyed_scan(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id"]), "user_id", fold,
+        sf_dir=sf_dir, table="events",
         num_partitions=_join_parts(sf_dir, "events"))
 
 
@@ -5956,11 +6001,11 @@ def q_retention_cohorts(sf_dir: str):
             "cohort_month": pa.array(cohort, pa.int64()),
             "months_since": pa.array(m - cohort, pa.int64())})
 
-    tri = keyed_fold(
+    tri = _keyed_scan(
         _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
         .map_batches(mth, batch_format="pyarrow")
-        .map_batches(dedup_pairs, batch_format="pyarrow"),
-        ["o_custkey"], fold,
+        .map_batches(dedup_pairs, batch_format="pyarrow"), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
     return (_partial_count_sums(tri, ["cohort_month", "months_since"],
                                 {}, count_alias="n_customers")
@@ -6089,10 +6134,10 @@ def q_division_customers(sf_dir: str):
 
     from ..partitions import keyed_fold
 
-    return keyed_fold(
+    return _keyed_scan(
         _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-        .map_batches(distinct_pairs, batch_format="pyarrow"),
-        ["o_custkey"], fold,
+        .map_batches(distinct_pairs, batch_format="pyarrow"), "o_custkey", fold,
+        sf_dir=sf_dir, table="orders",
         num_partitions=_join_parts(sf_dir, "orders"))
 
 
