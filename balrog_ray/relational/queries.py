@@ -5837,20 +5837,16 @@ def q_local_supplier_volume(sf_dir: str):
                     ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(ord_keep, batch_format="pyarrow"))
 
-    def cust_keep(b: pa.Table) -> pa.Table:
-        ck = b.column("c_custkey").to_numpy()
-        nk = b.column("c_nationkey").to_numpy()
-        m = np.isin(nk, asia_keys)
-        return pa.table({"c_custkey": pa.array(ck[m]),
-                         "c_nationkey": pa.array(nk[m])})
-
-    cust = (_read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-            .map_batches(cust_keep, batch_format="pyarrow"))
-    oc = (orders.join(cust, "inner",
-                      num_partitions=_join_parts(sf_dir, "orders",
-                                                 "customer"),
-                      on=("o_custkey",), right_on=("c_custkey",))
-          .select_columns(["o_orderkey", "c_nationkey"]))
+    # the customer nationkey attaches through the footer-gated dim path
+    # (broadcast under the gate, sidecar join past it) -- one fewer
+    # hash-join exchange than the previous orders x customer join
+    oc = (_attach_dim(
+        orders, sf_dir, "customer", fact_key="o_custkey",
+        dim_key="c_custkey", columns=["c_custkey", "c_nationkey"],
+        row_filter=pc.field("c_nationkey").isin(
+            [int(k) for k in asia_keys]),
+        join_width=_join_parts(sf_dir, "orders", "customer"))
+        .select_columns(["o_orderkey", "c_nationkey"]))
 
     def li_map(b: pa.Table) -> pa.Table:
         ep = np.rint(b.column("l_extendedprice").to_numpy()
@@ -6677,12 +6673,15 @@ def q_late_sole_supplier(sf_dir: str):
     the exists/not-exists pair inside each (tiny) order group."""
     LATE = np.timedelta64(730, "D")
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    li = _read(sf_dir, "lineitem",
-               ["l_orderkey", "l_suppkey", "l_shipdate"])
-    j = li.join(orders, "inner",
-                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    # orderdate attaches through the footer-gated dim path (broadcast
+    # under 2M orders, sidecar join past it) instead of a full
+    # lineitem x orders hash-join exchange
+    j = _attach_dim(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_suppkey", "l_shipdate"]),
+        sf_dir, "orders", fact_key="l_orderkey", dim_key="o_orderkey",
+        columns=["o_orderkey", "o_orderdate"],
+        join_width=_join_parts(sf_dir, "lineitem", "orders"))
 
     def flag(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -6739,14 +6738,49 @@ def q_late_sole_supplier(sf_dir: str):
 
     from ..partitions import keyed_fold
 
-    # the plan is hash-strategy after the join + keyed_fold, so the
-    # supplier count is a second keyed_fold, not a sort-based groupby
-    counts = keyed_fold(
-        keyed_fold(j.map_batches(flag, batch_format="pyarrow"),
-                   ["l_orderkey"], sole_partial,
-                   num_partitions=_join_parts(sf_dir, "lineitem")),
-        ["s_suppkey"], supp_count, num_partitions=8)
+    inner = keyed_fold(j.map_batches(flag, batch_format="pyarrow"),
+                       ["l_orderkey"], sole_partial,
+                       num_partitions=_join_parts(sf_dir, "lineitem"))
 
+    # final supplier rollup: the per-block partials are supplier-
+    # bounded, so under the dim gate they driver-merge (footer-gated
+    # like every dim read) and the names attach by searchsorted; past
+    # the gate a second keyed_fold + distributed dim attach own it
+    # (the plan is hash-strategy after the fold, so a sort-based
+    # groupby here would run as the slow hash aggregate anyway)
+    n_supp_meta = pq.read_metadata(
+        f"{sf_dir}/supplier.parquet").num_rows
+    if n_supp_meta <= _DIM_BROADCAST_MAX_ROWS and not _FORCE_DIM_JOIN:
+        import ray as _ray
+
+        sk_l, n_l = [], []
+        for t in _ray.get(inner.materialize().to_arrow_refs()):
+            if t.num_rows:
+                sk_l.append(t.column("s_suppkey").to_numpy())
+                n_l.append(t.column("n_orders").to_numpy())
+        if not sk_l:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "s_name": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64())})
+        sk = np.concatenate(sk_l)
+        nn = np.concatenate(n_l)
+        order = np.argsort(sk, kind="stable")
+        sk, nn = sk[order], nn[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        counts_tab = pa.table({
+            "s_suppkey": pa.array(sk[starts], pa.int64()),
+            "n_orders": pa.array(np.add.reduceat(nn, starts),
+                                 pa.int64())})
+        import ray.data as _rd
+
+        return (_attach_dim(_rd.from_arrow(counts_tab), sf_dir,
+                            "supplier", fact_key="s_suppkey",
+                            dim_key="s_suppkey",
+                            columns=["s_suppkey", "s_name"])
+                .select_columns(["s_suppkey", "s_name", "n_orders"]))
+
+    counts = keyed_fold(inner, ["s_suppkey"], supp_count,
+                        num_partitions=8)
     return (_attach_dim(counts, sf_dir, "supplier",
                         fact_key="s_suppkey", dim_key="s_suppkey",
                         columns=["s_suppkey", "s_name"])
