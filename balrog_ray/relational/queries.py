@@ -5258,11 +5258,53 @@ def q_zscore_anomalies(sf_dir: str):
                          "n": b.column("n"), "s": b.column("s"),
                          "den": pa.array(den, pa.float64())})
 
-    stats = (stats.map_batches(mkden, batch_format="pyarrow")
-             .repartition(max(2, _join_parts(sf_dir, "events") // 4)))
-    joined = v.join(stats, "inner",
-                    num_partitions=_join_parts(sf_dir, "events"),
-                    on=("user_id",))
+    stats = stats.map_batches(mkden, batch_format="pyarrow")
+
+    # the per-user stat table is user-cardinality-bounded; under the
+    # dim gate (footer min/max user domain, metadata-only) it rides
+    # ray.put into a searchsorted lookup instead of a second hash-join
+    # exchange; past the gate the distributed join owns it
+    n_users = _key_domain(sf_dir, "events", "user_id")
+    if n_users <= _DIM_BROADCAST_MAX_ROWS and not _FORCE_DIM_JOIN:
+        import ray as _ray
+
+        tabs = [t for t in _ray.get(
+            stats.materialize().to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "zscore": pa.array([], pa.float64())})
+        st = pa.concat_tables(tabs)
+        uid = st.column("user_id").to_numpy()
+        order = np.argsort(uid, kind="stable")
+        stat_ref = _ray.put((
+            uid[order],
+            st.column("n").to_numpy().astype(np.float64)[order],
+            st.column("s").to_numpy().astype(np.float64)[order],
+            st.column("den").to_numpy()[order]))
+
+        def finish_bcast(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            k, nv, sv, dv = _r.get(stat_ref)
+            u = b.column("user_id").to_numpy()
+            pos = np.searchsorted(k, u)     # every user has stats
+            x = b.column("vcent").to_numpy().astype(np.float64)
+            den = dv[pos]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = np.where(den > 0,
+                             np.round((nv[pos] * x - sv[pos]) / den, 6),
+                             0.0)
+            return pa.table({"event_id": b.column("event_id"),
+                             "user_id": b.column("user_id"),
+                             "zscore": pa.array(z, pa.float64())})
+
+        return v.map_batches(finish_bcast, batch_format="pyarrow")
+
+    joined = v.join(
+        stats.repartition(max(2, _join_parts(sf_dir, "events") // 4)),
+        "inner", num_partitions=_join_parts(sf_dir, "events"),
+        on=("user_id",))
 
     def finish(b: pa.Table) -> pa.Table:
         n = b.column("n").to_numpy().astype(np.float64)

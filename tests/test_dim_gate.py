@@ -19,7 +19,8 @@ GATED = ["top_revenue_supplier", "small_qty_revenue",
          "basket_brand_pairs", "disjunctive_revenue",
          "late_sole_supplier", "nation_pair_volume",
          "promo_revenue_share", "supplier_variety",
-         "bulk_promo_suppliers", "local_supplier_volume"]
+         "bulk_promo_suppliers", "local_supplier_volume",
+         "zscore_anomalies", "bloom_semi_join", "gini_revenue"]
 
 
 @pytest.fixture(scope="module")
