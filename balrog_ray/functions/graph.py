@@ -702,7 +702,7 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
     from ray.data.aggregate import Count, Min
 
     _INF = np.iinfo(np.int64).max
-    broadcast_frontier_max = 4_000_000
+    broadcast_frontier_max = _SSSP_BROADCAST_MAX
 
     def tag_seed(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -736,6 +736,17 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
     farrs = collect_frontier(frontier)
     if len(farrs[0]) > broadcast_frontier_max:
         farrs = None
+    if farrs is not None:
+        # fully driver-merged variant: while the best table stays under
+        # the broadcast gate, each round is ONE task run of per-block
+        # candidate-min partials (int64 min is associative+commutative,
+        # so the driver merge is bit-identical to the groupby(node).Min
+        # exchange it replaces); falls back to the distributed loop the
+        # moment the best table outgrows the gate
+        out = _sssp_broadcast(edges, farrs, rounds,
+                              broadcast_frontier_max)
+        if out is not None:
+            return out
 
     def relaxed(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -825,6 +836,90 @@ def sssp(edges_ds, seeds_ds, *, rounds: int, num_partitions: int = 8):
                 break
             frontier = fc
     return best.drop_columns(["old"])
+
+
+#: frontier/best-table ceiling for sssp's driver-merged rounds; tests
+#: patch to -1 to force the distributed join+groupby loop.
+_SSSP_BROADCAST_MAX = 4_000_000
+
+
+def _sssp_broadcast(edges, farrs, rounds: int, gate: int):
+    """Driver-merged Bellman-Ford rounds for :func:`sssp` while the
+    best table fits the broadcast gate.  Each round: one task run of
+    per-block (dst, min candidate) partials against the ``ray.put``
+    frontier, merged driver-side -- bit-identical to the distributed
+    ``groupby(node).Min`` because int64 min is order-free.  Returns the
+    converged/capped (node, dist) Dataset, or None if the best table
+    outgrows ``gate`` mid-run (the caller's distributed loop then
+    restarts from the seeds -- correctness is unaffected; the restart
+    costs at most one extra pass at the scale where it triggers)."""
+    import ray
+    import ray.data as _rd
+
+    _INF = np.iinfo(np.int64).max
+    fn, fd = (farrs[0].copy(), farrs[1].copy())
+    bn, bd = fn.copy(), fd.copy()
+
+    for _ in range(rounds):
+        if len(fn) == 0:
+            break
+        fref = ray.put((fn, fd))
+
+        def cand_partial(b: pa.Table, fref=fref) -> pa.Table:
+            fn_, fd_ = ray.get(fref)
+            s = b.column("src").to_numpy()
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "dist": pa.array([], pa.int64())})
+            if len(s) == 0 or len(fn_) == 0:
+                return empty
+            pos = np.clip(np.searchsorted(fn_, s), 0, len(fn_) - 1)
+            hit = fn_[pos] == s
+            if not hit.any():
+                return empty
+            dst = b.column("dst").to_numpy()[hit]
+            d = (fd_[pos[hit]]
+                 + b.column("w").to_numpy()[hit]).astype(np.int64)
+            u, inv = np.unique(dst, return_inverse=True)
+            md = np.full(len(u), _INF, np.int64)
+            np.minimum.at(md, inv, d)
+            return pa.table({"node": pa.array(u, pa.int64()),
+                             "dist": pa.array(md, pa.int64())})
+
+        parts = [t for t in ray.get(
+            edges.map_batches(cand_partial, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+        if not parts:
+            break
+        cn = np.concatenate([t.column("node").to_numpy()
+                             for t in parts])
+        cd = np.concatenate([t.column("dist").to_numpy()
+                             for t in parts])
+        order = np.argsort(cn, kind="stable")
+        cn, cd = cn[order], cd[order]
+        starts = np.flatnonzero(np.r_[True, cn[1:] != cn[:-1]])
+        cn = cn[starts]
+        cd = np.minimum.reduceat(cd, starts)
+
+        pos = np.searchsorted(bn, cn)
+        inb = (pos < len(bn)) & (bn[np.clip(pos, 0, len(bn) - 1)] == cn)
+        upd = np.zeros(len(cn), bool)
+        upd[inb] = cd[inb] < bd[pos[inb]]
+        bd[pos[upd]] = cd[upd]           # in-place improvements first
+        new = ~inb
+        fn = np.concatenate([cn[upd], cn[new]])
+        fd = np.concatenate([cd[upd], cd[new]])
+        forder = np.argsort(fn, kind="stable")
+        fn, fd = fn[forder], fd[forder]
+        if new.any():
+            bn = np.concatenate([bn, cn[new]])
+            bd = np.concatenate([bd, cd[new]])
+            border = np.argsort(bn, kind="stable")
+            bn, bd = bn[border], bd[border]
+        if len(bn) > gate:
+            return None
+    return _rd.from_arrow(pa.table({
+        "node": pa.array(bn, pa.int64()),
+        "dist": pa.array(bd, pa.int64())}))
 
 
 def kcore(edges_ds, k: int, *, max_rounds: int = 32,

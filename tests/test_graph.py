@@ -312,6 +312,38 @@ def test_sssp_converged_matches_dijkstra(ray_session):
     assert all(k < 40 for k in got)
 
 
+def test_sssp_path_parity(ray_session, monkeypatch):
+    """The driver-merged broadcast rounds and the distributed
+    join+groupby loop must produce identical (node, dist) tables --
+    converged AND capped mid-convergence."""
+    import ray.data
+
+    from balrog_ray.functions import graph
+
+    rng = np.random.default_rng(11)
+    wedges = []
+    for u in range(50):
+        for v in rng.choice(50, size=3, replace=False):
+            if v != u:
+                wedges.append((u, int(v), int(rng.integers(1, 9))))
+    tab = pa.table({
+        "src": pa.array([e[0] for e in wedges], pa.int64()),
+        "dst": pa.array([e[1] for e in wedges], pa.int64()),
+        "w": pa.array([e[2] for e in wedges], pa.int64())})
+    sds = pa.table({"node": pa.array([3, 17], pa.int64())})
+
+    for rounds in (2, 32):
+        got_b = {r["node"]: r["dist"] for r in graph.sssp(
+            ray.data.from_arrow(tab), ray.data.from_arrow(sds),
+            rounds=rounds, num_partitions=2).take_all()}
+        monkeypatch.setattr(graph, "_SSSP_BROADCAST_MAX", -1)
+        got_d = {r["node"]: r["dist"] for r in graph.sssp(
+            ray.data.from_arrow(tab), ray.data.from_arrow(sds),
+            rounds=rounds, num_partitions=2).take_all()}
+        monkeypatch.setattr(graph, "_SSSP_BROADCAST_MAX", 4_000_000)
+        assert got_b == got_d, rounds
+
+
 def test_sssp_capped_rounds_is_k_edge_fold(ray_session):
     """rounds=k must equal min dist over paths of <= k edges (the
     invariant the SQL oracle chain relies on)."""
