@@ -90,11 +90,15 @@ def _banded_union(probe_ds, build_ds, *, probe_key: str, build_key: str,
 def interval_count_join(probe_ds, build_ds, *, probe_key: str,
                         build_key: str, probe_ts: str, build_ts: str,
                         lo_us: int, hi_us: int, probe_id: str,
-                        out_col: str = "n_matches"):
+                        out_col: str = "n_matches",
+                        driver_merge_max: int | None = 4_000_000):
     """Left range-join count: one output row per probe row --
     ``(probe_id, out_col)`` where ``out_col`` counts build rows with the
     probe's key and ``build_ts`` in ``[probe_ts + lo_us, probe_ts +
-    hi_us)``.  Unmatched probe rows count 0 (left semantics)."""
+    hi_us)``.  Unmatched probe rows count 0 (left semantics).
+    ``driver_merge_max`` bounds the partial-row driver merge of the
+    final per-probe sum (<= 2 rows x probes; ~64 MB of (id, n) at the
+    default); None forces the distributed rollup."""
     lo_us, hi_us = int(lo_us), int(hi_us)
     if hi_us <= lo_us:
         raise ValueError("interval join needs hi_us > lo_us")
@@ -149,13 +153,37 @@ def interval_count_join(probe_ds, build_ds, *, probe_key: str,
             "__n": pa.array(np.concatenate(counts).astype(np.int64),
                             pa.int64())})
 
+    import ray
+    import ray.data
     import ray.data.aggregate as agg
 
     from ..partitions import keyed_fold, shuffle_width
 
-    out = (keyed_fold(both, ["__key", "__band"], count_block,
-                      num_partitions=shuffle_width(1, lo=8))
-           .groupby("__id")
+    folded = keyed_fold(both, ["__key", "__band"], count_block,
+                        num_partitions=shuffle_width(1, lo=8)) \
+        .materialize()
+    # the per-replica partials are <= 2 rows per probe; under the
+    # output-bounded gate they driver-merge (two ints per row) instead
+    # of paying a second hash-aggregate pool on the probe-id key --
+    # past it the distributed sum owns the rollup
+    if (driver_merge_max is not None
+            and folded.count() <= driver_merge_max):
+        tabs = [t for t in ray.get(folded.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(pa.table({
+                probe_id: pa.array([], id_type),
+                out_col: pa.array([], pa.int64())}))
+        allp = pa.concat_tables(tabs)
+        ids = allp.column("__id").to_numpy(zero_copy_only=False)
+        ns = allp.column("__n").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        return ray.data.from_arrow(pa.table({
+            probe_id: pa.array(ids[starts]).cast(id_type),
+            out_col: pa.array(np.add.reduceat(ns, starts), pa.int64())}))
+    out = (folded.groupby("__id")
            .aggregate(agg.Sum("__n", alias_name=out_col)))
     return out.rename_columns({"__id": probe_id})
 

@@ -33,9 +33,12 @@ def brute_pairs(p, b, lo, hi):
             if bk == pk and pt + lo <= bt < pt + hi}
 
 
+@pytest.mark.parametrize("merge_max", [4_000_000, None])
 @pytest.mark.parametrize("lo,hi", [(-500, 0), (0, 300), (-250, 250),
                                    (100, 101)])
-def test_interval_count_vs_brute(ray_session, lo, hi):
+def test_interval_count_vs_brute(ray_session, lo, hi, merge_max):
+    # merge_max=None forces the distributed per-probe rollup; the
+    # default exercises the output-bounded driver merge
     import ray.data
 
     rng = np.random.default_rng(11)
@@ -44,7 +47,8 @@ def test_interval_count_vs_brute(ray_session, lo, hi):
     got = interval_count_join(
         ray.data.from_arrow(pa.table(p)), ray.data.from_arrow(pa.table(b)),
         probe_key="key", build_key="key", probe_ts="ts", build_ts="ts",
-        lo_us=lo, hi_us=hi, probe_id="id", out_col="n").take_all()
+        lo_us=lo, hi_us=hi, probe_id="id", out_col="n",
+        driver_merge_max=merge_max).take_all()
     want = brute_counts(p, b, lo, hi)
     assert {r["id"]: r["n"] for r in got} == want
     assert len(got) == len(p["id"])            # zero-count rows kept
