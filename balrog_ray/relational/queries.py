@@ -7620,10 +7620,8 @@ def q_no_recent_click(sf_dir: str):
             .group_by(["pid"]).aggregate([])
 
     a = _agg()
-    hit = (_purchase_click_cands(sf_dir)
-           .map_batches(matched, batch_format="pyarrow")
-           .groupby("pid").aggregate(a.Count(alias_name="_c"))
-           .drop_columns(["_c"]))
+    hit_partial = (_purchase_click_cands(sf_dir)
+                   .map_batches(matched, batch_format="pyarrow"))
 
     def purchases(b: pa.Table) -> pa.Table:
         m = pc.equal(b.column("event_type"), "purchase")
@@ -7633,6 +7631,36 @@ def q_no_recent_click(sf_dir: str):
 
     p = (_read(sf_dir, "events", ["event_id", "user_id", "event_type"])
          .map_batches(purchases, batch_format="pyarrow"))
+
+    # the matched-id set is purchase-bounded; under the dim gate
+    # (events footer) its per-block deduped partials collect straight
+    # to a sorted array riding ray.put into a searchsorted anti-filter
+    # -- no distinct groupby, no left_anti hash exchange; past the
+    # gate the distributed dedup + join own it
+    if (pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+            <= _DIM_BROADCAST_MAX_ROWS and not _FORCE_DIM_JOIN):
+        import ray as _ray
+
+        tabs = [t for t in _ray.get(
+            hit_partial.materialize().to_arrow_refs()) if t.num_rows]
+        pids = (np.unique(np.concatenate(
+            [t.column("pid").to_numpy() for t in tabs]))
+            if tabs else np.empty(0, np.int64))
+        ref = _ray.put(pids)
+
+        def anti(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            k = _r.get(ref)
+            ids = b.column("purchase_id").to_numpy()
+            if len(k) == 0:
+                return b
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            return b.filter(pa.array(k[pos] != ids))
+
+        return p.map_batches(anti, batch_format="pyarrow")
+    hit = (hit_partial.groupby("pid")
+           .aggregate(a.Count(alias_name="_c")).drop_columns(["_c"]))
     return p.join(hit, "left_anti",
                   num_partitions=_join_parts(sf_dir, "events"),
                   on=("purchase_id",), right_on=("pid",))
