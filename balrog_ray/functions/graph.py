@@ -570,17 +570,13 @@ def triangle_count(edges_ds, *, num_partitions: int = 8) -> int:
 _BROADCAST_MAX_EDGES = 4_000_000
 
 
-def _triangle_count_broadcast(eds_m) -> int:
-    """Under-gate body of :func:`triangle_count`: per-block partial
-    canon+dedup partials merge on the driver (edge-bounded, admitted by
-    the gate), degrees/orientation/CSR build in one vectorized pass,
-    and the wedge enumeration runs as TASK partials over slices of the
-    oriented edge index space against the broadcast CSR + sorted edge
-    keys -- wedge volume (sum of out-degree-squared, up to m^1.5) never
-    exists in one place, and each task further chunks its expansion so
-    per-task memory stays bounded."""
+def _collect_canon_edges(eds_m):
+    """Per-block canonicalize+dedup partials of a MATERIALIZED (src,
+    dst) edge Dataset merged on the driver -- edge-bounded, only ever
+    called under `_BROADCAST_MAX_EDGES`.  Returns sorted unique
+    undirected (u, v) arrays with self-loops dropped (possibly
+    empty)."""
     import ray
-    import ray.data as _rd
 
     def canon_part(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy()
@@ -599,13 +595,28 @@ def _triangle_count_broadcast(eds_m) -> int:
         eds_m.map_batches(canon_part, batch_format="pyarrow")
         .materialize().to_arrow_refs()) if t.num_rows]
     if not parts:
-        return 0
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     u = np.concatenate([t.column("u").to_numpy() for t in parts])
     v = np.concatenate([t.column("v").to_numpy() for t in parts])
     order = np.lexsort((v, u))
     u, v = u[order], v[order]
     uniq = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
-    u, v = u[uniq], v[uniq]
+    return u[uniq], v[uniq]
+
+
+def _triangle_count_broadcast(eds_m) -> int:
+    """Under-gate body of :func:`triangle_count`: per-block partial
+    canon+dedup partials merge on the driver (edge-bounded, admitted by
+    the gate), degrees/orientation/CSR build in one vectorized pass,
+    and the wedge enumeration runs as TASK partials over slices of the
+    oriented edge index space against the broadcast CSR + sorted edge
+    keys -- wedge volume (sum of out-degree-squared, up to m^1.5) never
+    exists in one place, and each task further chunks its expansion so
+    per-task memory stays bounded."""
+    import ray
+    import ray.data as _rd
+
+    u, v = _collect_canon_edges(eds_m)
     if len(u) == 0:
         return 0
 
@@ -951,15 +962,22 @@ def kcore(edges_ds, k: int, *, max_rounds: int = 32,
     the fixed point within that budget).
 
     LATENCY shape (the round-3 lesson, shared with bfs_levels/sssp):
-    two materialized pipelines per round, and while the SURVIVOR set
-    stays under the broadcast gate its sorted ids ride ``ray.put``
-    into a searchsorted edge filter -- replacing the two hash
-    semi-joins with one task-only map; past the gate the distributed
-    join path owns the shrink."""
+    under ``_BROADCAST_MAX_EDGES`` deduped edges the WHOLE peel runs
+    driver-side over the collected canonical edge set (edge-bounded,
+    exactly the class the gate admits; one collect, zero per-round
+    pipelines); past it, two materialized pipelines per round, and
+    while the SURVIVOR set stays under the broadcast gate its sorted
+    ids ride ``ray.put`` into a searchsorted edge filter -- replacing
+    the two hash semi-joins with one task-only map; past that gate the
+    distributed join path owns the shrink."""
     import ray
     from ray.data.aggregate import Count
 
     broadcast_survivors_max = 4_000_000
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= _BROADCAST_MAX_EDGES:
+        return _kcore_broadcast(edges_ds, k, max_rounds)
 
     def canon(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy()
@@ -1075,6 +1093,40 @@ def kcore(edges_ds, k: int, *, max_rounds: int = 32,
                 "node": pa.array([], pa.int64()),
                 "deg": pa.array([], pa.int64())}))
         edges = nxt
+    raise RuntimeError(
+        f"kcore did not converge in {max_rounds} peel rounds -- "
+        f"raise max_rounds (the oracle replays the same budget)")
+
+
+def _kcore_broadcast(eds_m, k: int, max_rounds: int):
+    """Under-gate body of :func:`kcore`: one canon-partial collect,
+    then the simultaneous-drop peel runs as vectorized numpy over the
+    edge-bounded arrays -- identical round semantics to the
+    distributed loop (the k-core fixed point is unique, and the
+    max_rounds raise counts the same simultaneous rounds)."""
+    import ray.data as _rd
+
+    u, v = _collect_canon_edges(eds_m)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "deg": pa.array([], pa.int64())})
+    if len(u) == 0:
+        return _rd.from_arrow(empty)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[:len(u)], inv[len(u):]
+    alive_e = np.ones(len(u), bool)
+    for _ in range(max_rounds):
+        deg = np.bincount(iu[alive_e], minlength=len(nodes)) \
+            + np.bincount(iv[alive_e], minlength=len(nodes))
+        present = deg > 0          # nodes in the CURRENT edge set,
+        keep = deg >= k            # exactly the distributed deg table
+        if keep.sum() == present.sum():           # fixed point
+            sel = np.flatnonzero(keep)
+            return _rd.from_arrow(pa.table({
+                "node": pa.array(nodes[sel], pa.int64()),
+                "deg": pa.array(deg[sel], pa.int64())}))
+        if not keep.any():
+            return _rd.from_arrow(empty)
+        alive_e = alive_e & keep[iu] & keep[iv]
     raise RuntimeError(
         f"kcore did not converge in {max_rounds} peel rounds -- "
         f"raise max_rounds (the oracle replays the same budget)")

@@ -410,6 +410,25 @@ def test_kcore_matches_bruteforce(ray_session):
         assert got == want
 
 
+def test_kcore_path_parity(ray_session, monkeypatch):
+    """Driver-peel (under the edge gate) and distributed peel must
+    produce identical (node, deg) cores."""
+    import ray.data
+
+    from balrog_ray.functions import graph
+
+    rng = np.random.default_rng(29)
+    src_ = rng.integers(0, 80, 600).astype(np.int64)
+    dst_ = rng.integers(0, 80, 600).astype(np.int64)
+    tab = pa.table({"src": src_, "dst": dst_})
+    got_b = {(r["node"], r["deg"]) for r in graph.kcore(
+        ray.data.from_arrow(tab), 4, num_partitions=2).take_all()}
+    monkeypatch.setattr(graph, "_BROADCAST_MAX_EDGES", -1)
+    got_d = {(r["node"], r["deg"]) for r in graph.kcore(
+        ray.data.from_arrow(tab), 4, num_partitions=2).take_all()}
+    assert got_b == got_d and len(got_b) > 0
+
+
 def test_kcore_empty_core(ray_session):
     """A tree has an empty 2-core: the peel must drain and return a
     typed empty result rather than erroring."""
