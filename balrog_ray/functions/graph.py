@@ -345,11 +345,18 @@ def bfs_levels(edges_ds, seeds_ds, *, max_hops: int = 8,
 
     ``seeds_ds`` holds one ``node`` column; returns ``(node, dist)``
     with ``dist`` the exact minimum hop count (int64), nodes beyond
-    ``max_hops`` absent."""
+    ``max_hops`` absent.  Under ``_BROADCAST_MAX_EDGES`` edges the
+    whole walk runs driver-side over one collected (deduped, directed)
+    edge CSR -- edge-bounded, zero per-hop pipelines; past the gate the
+    loop below owns it."""
     import ray
     from ray.data.aggregate import Count
 
     broadcast_visited_max = 4_000_000      # ~32 MB of int64 node ids
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= _BROADCAST_MAX_EDGES:
+        return _bfs_broadcast(edges_ds, seeds_ds, max_hops)
 
     def tag(dist):
         def fn(b: pa.Table, dist=dist) -> pa.Table:
@@ -451,6 +458,73 @@ def bfs_levels(edges_ds, seeds_ds, *, max_hops: int = 8,
         else:
             fnodes = None
     return visited
+
+
+def _bfs_broadcast(eds_m, seeds_ds, max_hops: int):
+    """Under-gate body of :func:`bfs_levels`: per-block directed-edge
+    dedup partials merge on the driver (edge-bounded, admitted by the
+    gate), then the multi-source frontier sweep runs over a numpy CSR
+    -- identical (node, dist) output to the distributed loop (min hop
+    distance is schedule-free)."""
+    import ray
+    import ray.data as _rd
+
+    def dedup_part(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy()
+        d = b.column("dst").to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        uniq = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        return pa.table({"src": pa.array(s[uniq], pa.int64()),
+                         "dst": pa.array(d[uniq], pa.int64())})
+
+    parts = [t for t in ray.get(
+        eds_m.map_batches(dedup_part, batch_format="pyarrow")
+        .materialize().to_arrow_refs()) if t.num_rows]
+    seed_tabs = [t for t in ray.get(
+        seeds_ds.materialize().to_arrow_refs()) if t.num_rows]
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    if not seed_tabs:
+        return _rd.from_arrow(empty)
+    seed = np.unique(np.concatenate(
+        [t.column("node").to_numpy(zero_copy_only=False)
+         .astype(np.int64) for t in seed_tabs]))
+    if parts:
+        s = np.concatenate([t.column("src").to_numpy() for t in parts])
+        d = np.concatenate([t.column("dst").to_numpy() for t in parts])
+    else:
+        s = d = np.empty(0, np.int64)
+    nodes, inv = np.unique(np.concatenate([s, d, seed]),
+                           return_inverse=True)
+    is_ = inv[:len(s)]
+    id_ = inv[len(s):len(s) + len(d)]
+    iseed = inv[len(s) + len(d):]
+    order = np.argsort(is_, kind="stable")
+    A, B = is_[order], id_[order]
+    indptr = np.zeros(len(nodes) + 1, np.int64)
+    np.add.at(indptr, A + 1, 1)
+    indptr = np.cumsum(indptr)
+    dist = np.full(len(nodes), -1, np.int64)
+    dist[iseed] = 0
+    frontier = np.unique(iseed)
+    for h in range(1, max_hops + 1):
+        if len(frontier) == 0:
+            break
+        cnts = indptr[frontier + 1] - indptr[frontier]
+        tot = int(cnts.sum())
+        if tot == 0:
+            break
+        starts = np.repeat(indptr[frontier], cnts)
+        off = np.arange(tot) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        nb = np.unique(B[starts + off])
+        new = nb[dist[nb] < 0]
+        dist[new] = h
+        frontier = new
+    sel = dist >= 0
+    return _rd.from_arrow(pa.table({
+        "node": pa.array(nodes[sel], pa.int64()),
+        "dist": pa.array(dist[sel], pa.int64())}))
 
 
 def triangle_count(edges_ds, *, num_partitions: int = 8) -> int:

@@ -184,6 +184,27 @@ def test_bfs_levels_matches_numpy(ray_session):
     assert got == want
 
 
+def test_bfs_path_parity(ray_session, monkeypatch):
+    """Driver CSR sweep (under the edge gate) and the distributed
+    frontier loop must emit identical (node, dist) tables."""
+    import ray.data
+
+    from balrog_ray.functions import graph
+
+    n = 180
+    src, dst = _edges(n)
+    seeds = pa.table({"node": pa.array([0, 61, 122], pa.int64())})
+    eds = pa.table({"src": src, "dst": dst})
+    got_b = {r["node"]: r["dist"] for r in graph.bfs_levels(
+        ray.data.from_arrow(eds), ray.data.from_arrow(seeds),
+        max_hops=4, num_partitions=2).take_all()}
+    monkeypatch.setattr(graph, "_BROADCAST_MAX_EDGES", -1)
+    got_d = {r["node"]: r["dist"] for r in graph.bfs_levels(
+        ray.data.from_arrow(eds), ray.data.from_arrow(seeds),
+        max_hops=4, num_partitions=2).take_all()}
+    assert got_b == got_d and len(got_b) > 3
+
+
 def test_bfs_levels_unreachable_absent(ray_session):
     """A node with no in-path from the seeds never appears; a frontier
     that drains early terminates the loop without error."""
