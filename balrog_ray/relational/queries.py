@@ -6996,14 +6996,13 @@ def q_nation_pair_volume(sf_dir: str):
     join is the only unavoidable large-large exchange.  Revenue in
     exact integer cents*(100-disc)."""
     NA, NB = 3, 8
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"],
-                 row_filter=pc.field("c_nationkey").isin([NA, NB]))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    oc = (orders.join(cust, "inner",
-                      num_partitions=_join_parts(sf_dir, "orders",
-                                                 "customer"),
-                      on=("o_custkey",), right_on=("c_custkey",))
-          .select_columns(["o_orderkey", "c_nationkey"]))
+    oc = (_attach_dim(
+        orders, sf_dir, "customer", fact_key="o_custkey",
+        dim_key="c_custkey", columns=["c_custkey", "c_nationkey"],
+        row_filter=pc.field("c_nationkey").isin([NA, NB]),
+        join_width=_join_parts(sf_dir, "orders", "customer"))
+        .select_columns(["o_orderkey", "c_nationkey"]))
 
     def sup_nat(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -7096,12 +7095,14 @@ def q_returned_revenue_topk(sf_dir: str):
                 ["l_orderkey", "l_returnflag", "l_extendedprice",
                  "l_discount"])
           .map_batches(li_map, batch_format="pyarrow"))
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
-                   row_filter=((pc.field("o_orderdate") >= lo)
-                               & (pc.field("o_orderdate") < hi)))
-    j = li.join(orders, "inner",
-                num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    # orders-side custkey attaches through the footer-gated dim path
+    # (broadcast under 2M orders, sidecar join past it)
+    j = _attach_dim(
+        li, sf_dir, "orders", fact_key="l_orderkey",
+        dim_key="o_orderkey", columns=["o_orderkey", "o_custkey"],
+        row_filter=((pc.field("o_orderdate") >= lo)
+                    & (pc.field("o_orderdate") < hi)),
+        join_width=_join_parts(sf_dir, "lineitem", "orders"))
     per_cust = _partial_count_sums(j, "o_custkey",
                                    {"rev_c": "rev_c"})
     return (per_cust

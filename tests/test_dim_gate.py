@@ -20,7 +20,8 @@ GATED = ["top_revenue_supplier", "small_qty_revenue",
          "late_sole_supplier", "nation_pair_volume",
          "promo_revenue_share", "supplier_variety",
          "bulk_promo_suppliers", "local_supplier_volume",
-         "zscore_anomalies", "bloom_semi_join", "gini_revenue"]
+         "zscore_anomalies", "bloom_semi_join", "gini_revenue",
+         "returned_revenue_topk"]
 
 
 @pytest.fixture(scope="module")
