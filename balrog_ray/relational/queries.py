@@ -870,6 +870,62 @@ group by g.user_id, sid, lt.n_late_key
 """
 
 
+def q_watermark_join(sf_dir: str):
+    """Watermark-gated STREAM-STREAM join (final-state semantics):
+    clicks (probe) and views (build) ride one per-user stream in
+    event_id arrival order; the shared watermark (max prior ts -
+    30 min) drops late events from either side, and each admitted
+    click matches the admitted views in its trailing 1 h window --
+    per-probe match count + exact integer-cents value sum, 0 when
+    none.  One keyed fold (stages/streaming.watermark_stream_join)."""
+    from ..stages.streaming import watermark_stream_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        m = pc.or_(pc.equal(et, "click"), pc.equal(et, "view"))
+        t = b.filter(m)
+        side = pc.if_else(pc.equal(t.column("event_type"), "view"),
+                          pa.scalar(1, pa.int64()),
+                          pa.scalar(0, pa.int64()))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "value": t.column("value"),
+                         "side": side})
+
+    return watermark_stream_join(
+        _read(sf_dir, "events",
+              ["user_id", "event_id", "ts", "value", "event_type"])
+        .map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", seq_col="event_id",
+        side_col="side", id_col="event_id", value_col="value",
+        window_us=_WM_WINDOW_US, lateness_us=_WM_LATENESS_US,
+        num_partitions=_join_parts(sf_dir, "events"))
+
+
+SQL_WATERMARK_JOIN = f"""
+with s as (
+  select user_id, event_id, epoch_us(ts) as tus,
+         cast(round(value * 100) as bigint) as v_c,
+         case when event_type = 'view' then 1 else 0 end as side,
+         max(epoch_us(ts)) over (partition by user_id order by event_id
+             rows between unbounded preceding and 1 preceding)
+           as prev_max
+  from events where event_type in ('click', 'view')),
+adm as (
+  select * from s
+  where prev_max is null or tus > prev_max - {_WM_LATENESS_US}),
+p as (select * from adm where side = 0),
+b as (select * from adm where side = 1)
+select p.event_id,
+       cast(count(b.tus) as bigint) as n_matches,
+       cast(coalesce(sum(b.v_c), 0) as bigint) as matched_v_c
+from p left join b on b.user_id = p.user_id
+  and b.tus >= p.tus - {_WM_WINDOW_US} and b.tus < p.tus
+group by p.event_id
+"""
+
+
 # --------------------------------------------------------------------------
 # 11. top-k (sort + limit with deterministic tie-break)
 
@@ -7753,6 +7809,7 @@ SQL_CHECKED = {
     "watermark_window": (q_watermark_window, SQL_WATERMARK_WINDOW),
     "watermark_hopping": (q_watermark_hopping, SQL_WATERMARK_HOPPING),
     "watermark_sessions": (q_watermark_sessions, SQL_WATERMARK_SESSIONS),
+    "watermark_join": (q_watermark_join, SQL_WATERMARK_JOIN),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "buffer_bbox_area": (q_buffer_bbox_area, SQL_BUFFER_BBOX_AREA),

@@ -234,3 +234,97 @@ def watermark_sessions(ds, *, key_col: str, ts_col: str, seq_col: str,
 
     return keyed_fold(ds, [key_col], fold,
                       num_partitions=num_partitions)
+
+
+def watermark_stream_join(ds, *, key_col: str, ts_col: str,
+                          seq_col: str, side_col: str, id_col: str,
+                          value_col: str, window_us: int,
+                          lateness_us: int, num_partitions: int = 8):
+    """Watermark-gated STREAM-STREAM interval join, final-state
+    semantics: both sides ride ONE keyed stream per key (arrival order
+    = ``seq_col``), the shared per-key watermark ``max(prior ts) -
+    lateness`` drops late events from EITHER side (the admission rule
+    of :func:`watermark_sessions`), and every ADMITTED probe row
+    (``side_col`` == 0) matches the admitted build rows (side 1) of
+    its key with ``build_ts`` in ``[probe_ts - window_us, probe_ts)``.
+
+    "Final state" means the result is the converged join after the
+    stream drains -- matches do not depend on relative arrival order
+    of probe vs build (a real engine reaches the same table through
+    incremental updates); what IS order-dependent, the admission
+    decision, follows the explicit seq order, so the whole operator is
+    a pure function of the data and hence SQL-checkable.
+
+    Returns one row per admitted probe: ``(id_col, n_matches,
+    matched_v_c)`` with the exact integer-cents sum of matched build
+    values (0 when none -- left semantics).  Late probes are dropped
+    entirely, mirroring the window family's late-data contract.
+
+    Scale shape: ONE keyed fold; admission is the shared grouped
+    cummax, and the match pass is two ``searchsorted`` calls per KEY
+    SEGMENT against that key's ts-sorted admitted builds (prefix-sum
+    for the value sums) -- per-segment numpy, never per-row Python."""
+    from ..partitions import keyed_fold
+
+    def fold(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "matched_v_c": pa.array([], pa.int64())})
+        if b.num_rows == 0 or key_col not in b.column_names:
+            return empty
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            b, sort_keys=[(key_col, "ascending"),
+                          (seq_col, "ascending")])
+        g = b.take(order)
+        keys = g.column(key_col).to_numpy()
+        ts_field = g.column(ts_col)
+        if pa.types.is_timestamp(ts_field.type):
+            tus = (ts_field.cast(pa.timestamp("us")).to_numpy()
+                   .astype("datetime64[us]").astype(np.int64))
+        else:
+            tus = ts_field.to_numpy().astype(np.int64)
+        side = g.column(side_col).to_numpy()
+        ids = g.column(id_col).to_numpy()
+        v_c = np.rint(g.column(value_col).to_numpy()
+                      * 100.0).astype(np.int64)
+
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        prev_max, no_prior = _prev_running_max(tus, starts)
+        ok = no_prior | (tus > prev_max - lateness_us)
+
+        # per key segment: ts-sorted admitted builds + vectorized
+        # window count/sum for that segment's admitted probes
+        bounds = np.r_[starts, len(keys)]
+        out_id, out_n, out_v = [], [], []
+        for si in range(len(starts)):
+            s, e = bounds[si], bounds[si + 1]
+            seg_ok = ok[s:e]
+            seg_side = side[s:e]
+            pm = seg_ok & (seg_side == 0)
+            bm = seg_ok & (seg_side == 1)
+            if not pm.any():
+                continue
+            p_ts = tus[s:e][pm]
+            b_ts = tus[s:e][bm]
+            border = np.argsort(b_ts, kind="stable")
+            b_ts = b_ts[border]
+            b_cum = np.concatenate(
+                ([0], np.cumsum(v_c[s:e][bm][border])))
+            hi = np.searchsorted(b_ts, p_ts, side="left")
+            lo = np.searchsorted(b_ts, p_ts - window_us, side="left")
+            out_id.append(ids[s:e][pm])
+            out_n.append(hi - lo)
+            out_v.append(b_cum[hi] - b_cum[lo])
+        if not out_id:
+            return empty
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "n_matches": pa.array(
+                np.concatenate(out_n).astype(np.int64), pa.int64()),
+            "matched_v_c": pa.array(np.concatenate(out_v), pa.int64())})
+
+    return keyed_fold(ds, [key_col], fold,
+                      num_partitions=num_partitions)

@@ -316,3 +316,67 @@ def test_watermark_sessions_replay(ray_session):
            for t in ray.get(out.to_arrow_refs())
            for r in t.to_pylist()}
     assert got == want
+
+
+def test_watermark_stream_join_replay(ray_session):
+    """Stream-stream join vs a scalar replay with genuinely
+    out-of-order arrivals: late events (either side) never match;
+    admitted probes count admitted builds in their trailing window
+    regardless of relative arrival order (final-state semantics)."""
+    import ray
+    import ray.data
+
+    from balrog_ray.stages.streaming import watermark_stream_join
+
+    W, LT = 200, 30
+    rng = np.random.default_rng(21)
+    rows = []          # (key, seq, ts, side, id, cents)
+    seqs = {}
+    for i in range(600):
+        k = int(rng.integers(0, 9))
+        s = seqs.get(k, 0)
+        seqs[k] = s + 1
+        t = int(rng.integers(0, 2000)) + int(rng.exponential(60))
+        rows.append((k, s, t, int(rng.integers(0, 2)), i,
+                     int(rng.integers(0, 500))))
+
+    # scalar replay
+    want = {}
+    by_key = {}
+    for k, s, t, side, i, v in sorted(rows):
+        by_key.setdefault(k, []).append((s, t, side, i, v))
+    any_late = False
+    for k, evs in by_key.items():
+        wm = None
+        adm = []
+        for s, t, side, i, v in sorted(evs):
+            late = wm is not None and not (t > wm - LT)
+            if late:
+                any_late = True
+            else:
+                adm.append((t, side, i, v))
+            wm = t if wm is None else max(wm, t)
+        builds = [(t, v) for t, side, i, v in adm if side == 1]
+        for t, side, i, v in adm:
+            if side != 0:
+                continue
+            ms = [bv for bt, bv in builds if t - W <= bt < t]
+            want[i] = (len(ms), sum(ms))
+    assert any_late
+
+    tab = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "seq": pa.array([r[1] for r in rows], pa.int64()),
+        "tus": pa.array([r[2] for r in rows], pa.int64()),
+        "side": pa.array([r[3] for r in rows], pa.int64()),
+        "id": pa.array([r[4] for r in rows], pa.int64()),
+        "value": pa.array([r[5] / 100.0 for r in rows], pa.float64())})
+    out = watermark_stream_join(
+        ray.data.from_arrow(tab), key_col="k", ts_col="tus",
+        seq_col="seq", side_col="side", id_col="id",
+        value_col="value", window_us=W, lateness_us=LT,
+        num_partitions=4)
+    got = {r["id"]: (r["n_matches"], r["matched_v_c"])
+           for t in ray.get(out.to_arrow_refs())
+           for r in t.to_pylist()}
+    assert got == want
