@@ -223,12 +223,16 @@ _SCAN_KEYS_GATE = 30_000
 
 def _key_domain(sf_dir: str, table: str, col: str) -> int:
     """Metadata-only key-cardinality bound: footer min/max of a dense
-    integer key column (no data read)."""
+    integer key column (no data read).  Returns a PAST-THE-GATE
+    sentinel when any row group lacks statistics -- an unknown bound
+    must choose the plan whose cost does not grow with key count."""
     md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
     idx = md.schema.to_arrow_schema().get_field_index(col)
     mn = mx = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
+        if st is None or st.min is None or st.max is None:
+            return 1 << 62
         mn = st.min if mn is None else min(mn, st.min)
         mx = st.max if mx is None else max(mx, st.max)
     return int(mx - mn + 1) if mx is not None else 0
