@@ -302,22 +302,40 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
         raise ValueError("n must be >= 1")
 
     def explode(b: pa.Table) -> pa.Table:
-        from collections import Counter
+        # vectorized n-gram build: one split, flat-token gathers per
+        # gram position, one binary_join_element_wise, one Arrow
+        # group_by -- no Python string loop (the former per-doc
+        # Counter was this query's hot spot)
+        import numpy as _np
 
-        ids, grams, occ = [], [], []
-        id_arr = b.column(id_col).to_pylist()
-        for i, text in enumerate(b.column(text_col).to_pylist()):
-            ws = text.split(" ")
-            cnt = Counter(" ".join(ws[j:j + n])
-                          for j in range(len(ws) - n + 1))
-            for g, c in cnt.items():
-                ids.append(id_arr[i])
-                grams.append(g)
-                occ.append(c)
+        toks = pc.split_pattern(b.column(text_col),
+                                " ").combine_chunks()
+        offs = toks.offsets.to_numpy()
+        flat = toks.values
+        lens = _np.diff(offs)
+        ng_per = _np.maximum(lens - n + 1, 0)
+        total = int(ng_per.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "gram": pa.array([], pa.string()),
+                "n_occ": pa.array([], pa.int64())})
+        doc_rep = _np.repeat(_np.arange(b.num_rows), ng_per)
+        base = (_np.repeat(offs[:-1], ng_per)
+                + (_np.arange(total)
+                   - _np.repeat(_np.cumsum(ng_per) - ng_per, ng_per)))
+        parts = [flat.take(pa.array(base + j, pa.int64()))
+                 for j in range(n)]
+        grams = (parts[0] if n == 1
+                 else pc.binary_join_element_wise(*parts, " "))
+        ids = b.column(id_col).take(pa.array(doc_rep, pa.int64()))
+        gc_ = (pa.table({id_col: ids, "gram": grams})
+               .group_by([id_col, "gram"])
+               .aggregate([([], "count_all")]))
         return pa.table({
-            id_col: pa.array(ids, b.schema.field(id_col).type),
-            "gram": pa.array(grams, pa.string()),
-            "n_occ": pa.array(occ, pa.int64())})
+            id_col: gc_.column(id_col),
+            "gram": gc_.column("gram"),
+            "n_occ": gc_.column("count_all").cast(pa.int64())})
 
     from ..partitions import keyed_fold, shuffle_width
 
@@ -369,7 +387,37 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
             "kept_chars": gsum.column("kept_chars_sum")})
 
     kept_rows = keyed_fold(gc, ["gram"], df_kept,
-                           num_partitions=num_partitions)
+                           num_partitions=num_partitions).materialize()
+
+    # final per-doc sum: the fold's partials are <= docs x partitions
+    # rows; under the output bound they driver-merge (four ints per
+    # row) instead of paying another hash-aggregate pool; past it the
+    # distributed groupby owns the rollup
+    if kept_rows.count() <= 4_000_000:
+        import ray as _ray
+        import ray.data as _rd
+
+        tabs = [t for t in _ray.get(kept_rows.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            return _rd.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_chars": pa.array([], pa.int64())}))
+        import numpy as _np
+
+        allp = pa.concat_tables(tabs)
+        ids = allp.column(id_col).to_numpy(zero_copy_only=False)
+        order = _np.argsort(ids, kind="stable")
+        ids = ids[order]
+        starts = _np.flatnonzero(_np.r_[True, ids[1:] != ids[:-1]])
+        cols = {id_col: pa.array(ids[starts]).cast(
+            allp.schema.field(id_col).type)}
+        for c in ("n_grams", "n_kept", "kept_chars"):
+            v = allp.column(c).to_numpy()[order]
+            cols[c] = pa.array(_np.add.reduceat(v, starts), pa.int64())
+        return _rd.from_arrow(pa.table(cols))
 
     return (kept_rows
             .groupby(id_col)
