@@ -275,6 +275,39 @@ def tfidf_top_terms(docs_ds, *, id_col: str = "doc_id",
             .map_groups(final_topk, batch_format="pyarrow"))
 
 
+def _word_ngrams(b: pa.Table, id_col: str, text_col: str,
+                 n: int) -> pa.Table:
+    """Vectorized word n-gram explode: one ``split_pattern``, flat-
+    token gathers per gram position, one ``binary_join_element_wise``
+    -- no Python string loop.  Returns one ``(id_col, gram)`` row per
+    OCCURRENCE (callers dedup/count with an Arrow group_by).
+    Tokenization is non-collapsing split-on-space, identical to
+    DuckDB ``string_split``."""
+    import numpy as _np
+
+    toks = pc.split_pattern(b.column(text_col), " ").combine_chunks()
+    offs = toks.offsets.to_numpy()
+    flat = toks.values
+    lens = _np.diff(offs)
+    ng_per = _np.maximum(lens - n + 1, 0)
+    total = int(ng_per.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], b.schema.field(id_col).type),
+            "gram": pa.array([], pa.string())})
+    doc_rep = _np.repeat(_np.arange(b.num_rows), ng_per)
+    base = (_np.repeat(offs[:-1], ng_per)
+            + (_np.arange(total)
+               - _np.repeat(_np.cumsum(ng_per) - ng_per, ng_per)))
+    parts = [flat.take(pa.array(base + j, pa.int64()))
+             for j in range(n)]
+    grams = (parts[0] if n == 1
+             else pc.binary_join_element_wise(*parts, " "))
+    return pa.table({
+        id_col: b.column(id_col).take(pa.array(doc_rep, pa.int64())),
+        "gram": grams})
+
+
 def boilerplate_stats(docs, id_col: str = "doc_id",
                       text_col: str = "text", *, n: int = 3,
                       max_df: int = 3, num_partitions: int | None = None):
@@ -302,36 +335,17 @@ def boilerplate_stats(docs, id_col: str = "doc_id",
         raise ValueError("n must be >= 1")
 
     def explode(b: pa.Table) -> pa.Table:
-        # vectorized n-gram build: one split, flat-token gathers per
-        # gram position, one binary_join_element_wise, one Arrow
+        # vectorized n-gram build (see _word_ngrams) + one Arrow
         # group_by -- no Python string loop (the former per-doc
         # Counter was this query's hot spot)
-        import numpy as _np
-
-        toks = pc.split_pattern(b.column(text_col),
-                                " ").combine_chunks()
-        offs = toks.offsets.to_numpy()
-        flat = toks.values
-        lens = _np.diff(offs)
-        ng_per = _np.maximum(lens - n + 1, 0)
-        total = int(ng_per.sum())
-        if total == 0:
+        raw = _word_ngrams(b, id_col, text_col, n)
+        if raw.num_rows == 0:
             return pa.table({
                 id_col: pa.array([], b.schema.field(id_col).type),
                 "gram": pa.array([], pa.string()),
                 "n_occ": pa.array([], pa.int64())})
-        doc_rep = _np.repeat(_np.arange(b.num_rows), ng_per)
-        base = (_np.repeat(offs[:-1], ng_per)
-                + (_np.arange(total)
-                   - _np.repeat(_np.cumsum(ng_per) - ng_per, ng_per)))
-        parts = [flat.take(pa.array(base + j, pa.int64()))
-                 for j in range(n)]
-        grams = (parts[0] if n == 1
-                 else pc.binary_join_element_wise(*parts, " "))
-        ids = b.column(id_col).take(pa.array(doc_rep, pa.int64()))
-        gc_ = (pa.table({id_col: ids, "gram": grams})
-               .group_by([id_col, "gram"])
-               .aggregate([([], "count_all")]))
+        gc_ = raw.group_by([id_col, "gram"]).aggregate(
+            [([], "count_all")])
         return pa.table({
             id_col: gc_.column(id_col),
             "gram": gc_.column("gram"),
@@ -451,17 +465,13 @@ def contamination_check(docs, id_col: str = "doc_id",
         raise ValueError("n must be >= 1")
 
     def explode(b: pa.Table) -> pa.Table:
-        ids, shingles = [], []
-        id_arr = b.column(id_col).to_pylist()
-        for i, text in enumerate(b.column(text_col).to_pylist()):
-            ws = text.split(" ")
-            for g in set(" ".join(ws[j:j + n])
-                         for j in range(len(ws) - n + 1)):
-                ids.append(id_arr[i])
-                shingles.append(g)
+        # vectorized shingle build + per-doc distinct via one Arrow
+        # group_by (see _word_ngrams)
+        raw = _word_ngrams(b, id_col, text_col, n)
+        dd = raw.group_by([id_col, "gram"]).aggregate([])
         return pa.table({
-            id_col: pa.array(ids, b.schema.field(id_col).type),
-            "shingle": pa.array(shingles, pa.string())})
+            id_col: dd.column(id_col),
+            "shingle": dd.column("gram")})
 
     sh = docs.map_batches(explode, batch_format="pyarrow").materialize()
 
