@@ -6601,11 +6601,41 @@ def q_large_orders(sf_dir: str, broadcast_rows: int = 100_000):
 
     from ..partitions import keyed_fold
 
-    big = keyed_fold(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(partial, batch_format="pyarrow"),
-        ["l_orderkey"], having,
-        num_partitions=_join_parts(sf_dir, "lineitem")).materialize()
+    partials_ds = (_read(sf_dir, "lineitem",
+                         ["l_orderkey", "l_quantity"])
+                   .map_batches(partial, batch_format="pyarrow")
+                   .materialize())
+    # the per-block partials are <= one row per (block, orderkey);
+    # under the output bound the having runs as a driver merge (two
+    # ints per row) instead of a keyed-fold exchange; past it the fold
+    # owns it
+    if partials_ds.count() <= 4_000_000:
+        import ray as _ray
+        import ray.data as _rd
+
+        tabs = [t for t in _ray.get(partials_ds.to_arrow_refs())
+                if t.num_rows]
+        if tabs:
+            allp = pa.concat_tables(tabs)
+            ok_ = allp.column("l_orderkey").to_numpy()
+            qq = allp.column("sum_qty").to_numpy()
+            order = np.argsort(ok_, kind="stable")
+            ok_, qq = ok_[order], qq[order]
+            starts = np.flatnonzero(np.r_[True, ok_[1:] != ok_[:-1]])
+            tot = np.add.reduceat(qq, starts)
+            keep = tot > 250
+            big_tab = pa.table({
+                "l_orderkey": pa.array(ok_[starts][keep], pa.int64()),
+                "sum_qty": pa.array(tot[keep], pa.int64())})
+        else:
+            big_tab = pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "sum_qty": pa.array([], pa.int64())})
+        big = _rd.from_arrow(big_tab)
+    else:
+        big = keyed_fold(
+            partials_ds, ["l_orderkey"], having,
+            num_partitions=_join_parts(sf_dir, "lineitem")).materialize()
 
     def ord_map(b: pa.Table) -> pa.Table:
         p = np.rint(b.column("o_totalprice").to_numpy()
