@@ -6279,6 +6279,42 @@ def q_gini_revenue(sf_dir: str):
                          columns=["c_custkey", "c_mktsegment"],
                          join_width=_join_parts(sf_dir, "customer"))
 
+    # the joined table is customer-bounded; under the dim gate the
+    # whole rank + Gini-term fold runs driver-side in numpy (exact
+    # ints, same rank form), skipping the global sort exchange; past
+    # the gate the distributed global_ranks path owns it
+    if (pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+            <= _DIM_BROADCAST_MAX_ROWS and not _FORCE_DIM_JOIN):
+        import ray as _ray
+
+        tabs = [t for t in _ray.get(
+            joined.materialize().to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return pa.table({
+                "seg": pa.array([], pa.string()),
+                "n_cust": pa.array([], pa.int64()),
+                "gini_num": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64())})
+        t = pa.concat_tables(tabs)
+        seg = np.asarray(t.column("c_mktsegment").to_pylist())
+        cents = t.column("cents").to_numpy()
+        ck = t.column("o_custkey").to_numpy()
+        order = np.lexsort((ck, cents, seg))
+        seg, cents = seg[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        counts = np.diff(np.r_[starts, len(seg)])
+        i = (np.arange(len(seg))
+             - np.repeat(starts, counts) + 1)       # rank within seg
+        nrep = np.repeat(counts, counts)
+        term = (2 * i - nrep - 1) * cents
+        return pa.table({
+            "seg": pa.array(seg[starts].tolist(), pa.string()),
+            "n_cust": pa.array(counts, pa.int64()),
+            "gini_num": pa.array(np.add.reduceat(term, starts),
+                                 pa.int64()),
+            "total_cents": pa.array(np.add.reduceat(cents, starts),
+                                    pa.int64())})
+
     def pick(b: pa.Table) -> pa.Table:
         return pa.table({"seg": b.column("c_mktsegment"),
                          "cents": b.column("cents"),
