@@ -4407,23 +4407,51 @@ def q_token_lift(sf_dir: str):
 
     from ..partitions import shuffle_width
 
-    joined = tl.join(
-        t.filter(expr=f"n_t >= {_LIFT_MIN_COUNT}"), "inner",
-        num_partitions=shuffle_width(N, lo=2), on=("token",))
+    kept = t.filter(expr=f"n_t >= {_LIFT_MIN_COUNT}").materialize()
 
-    def fmt(b: pa.Table) -> pa.Table:
-        lifts = []
-        nls = [n_l[x] for x in b.column("lang").to_pylist()]
-        for ntl, nt, nl in zip(b.column("n_tl").to_pylist(),
-                               b.column("n_t").to_pylist(), nls):
-            lifts.append((2 * N * ntl * 10 ** 6 + nt * nl)
-                         // (2 * nt * nl))
-        return pa.table({"token": b.column("token"),
-                         "lang": b.column("lang"),
-                         "n_tl": b.column("n_tl"),
-                         "lift_e6": pa.array(lifts, pa.int64())})
+    def fmt_with(nt_col: str):
+        def fmt(b: pa.Table) -> pa.Table:
+            lifts = []
+            nls = [n_l[x] for x in b.column("lang").to_pylist()]
+            for ntl, nt, nl in zip(b.column("n_tl").to_pylist(),
+                                   b.column(nt_col).to_pylist(), nls):
+                lifts.append((2 * N * ntl * 10 ** 6 + nt * nl)
+                             // (2 * nt * nl))
+            return pa.table({"token": b.column("token"),
+                             "lang": b.column("lang"),
+                             "n_tl": b.column("n_tl"),
+                             "lift_e6": pa.array(lifts, pa.int64())})
+        return fmt
 
-    return joined.map_batches(fmt, batch_format="pyarrow")
+    # the kept vocab is size-gated: under the bound its (token, n_t)
+    # map rides ray.put into a semi-filter + attach inside map_batches
+    # (no token-keyed join exchange); past it the Dataset.join owns it
+    if kept.count() <= 4_000_000 and not _FORCE_DIM_JOIN:
+        import ray as _ray
+
+        tabs = [t_ for t_ in _ray.get(kept.to_arrow_refs())
+                if t_.num_rows]
+        vocab = {r["token"]: int(r["n_t"])
+                 for t_ in tabs for r in t_.to_pylist()}
+        vref = _ray.put(vocab)
+
+        def attach_nt(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            v = _r.get(vref)
+            toks = b.column("token").to_pylist()
+            m = pa.array([x in v for x in toks])
+            t2 = b.filter(m)
+            nts = [v[x] for x in t2.column("token").to_pylist()]
+            return t2.append_column("n_t", pa.array(nts, pa.int64()))
+
+        return (tl.map_batches(attach_nt, batch_format="pyarrow")
+                .map_batches(fmt_with("n_t"), batch_format="pyarrow"))
+
+    joined = tl.join(kept, "inner",
+                     num_partitions=shuffle_width(N, lo=2),
+                     on=("token",))
+    return joined.map_batches(fmt_with("n_t"), batch_format="pyarrow")
 
 
 SQL_TOKEN_LIFT = f"""

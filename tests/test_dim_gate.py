@@ -21,7 +21,7 @@ GATED = ["top_revenue_supplier", "small_qty_revenue",
          "promo_revenue_share", "supplier_variety",
          "bulk_promo_suppliers", "local_supplier_volume",
          "zscore_anomalies", "bloom_semi_join", "gini_revenue",
-         "returned_revenue_topk"]
+         "returned_revenue_topk", "token_lift"]
 
 
 @pytest.fixture(scope="module")
